@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+collect overhead) after a warm-up of the shared input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from scarf_spark.session import get_spark
+
+HEADLINE = [
+    "qc_ncounts",
+    "qc_feature_stats",
+    "qc_percent_feature",
+    "norm_lib_size_log",
+    "norm_tf_idf",
+    "norm_zscale",
+    "filt_filter_cells",
+    "filt_auto_filter",
+]
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("scarf-bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n in _extra_headliners() and n not in HEADLINE
+    ]
+    # warm-up: touch each parquet input once so JVM/IO warmup doesn't
+    # dominate the first query's time
+    from scarf_spark.catalog import DataStore
+
+    ds = DataStore(spark, sf_dir)
+    for t in ds.table_names():
+        ds.table(t).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_one(spark, qs[name], sf_dir), 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _extra_headliners() -> set[str]:
+    """Queries added in later rounds that should be benchmarked when present."""
+    return {
+        "win_rolling_mean",
+        "join_interval_overlap",
+        "knn_exact_topk",
+        "dedup_minhash_bands",
+        "text_quality_score",
+        "agg_make_bulk",
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Predicates, selections and the non-destructive `I`-column idiom
+(SURVEY.md §2.3, §1.4).
+
+Reference semantics: ``MetaData.sift``/``multi_sift`` range predicates
+(``scarf/metadata.py:483-533``), ``filter_cells`` AND-ing new predicates
+into the validity column ``I`` (``scarf/datastore/datastore.py:92-138``),
+``auto_filter_cells`` deriving bounds from median/std
+(``datastore/datastore.py:140-197``), ``grep`` regex feature lookup
+(``metadata.py:569-584``), ``get_index_by`` value-list lookup
+(``metadata.py:339-376``), percentile clipping (``utils.py:120-140``) and
+nan/inf hygiene (``utils.py:143-153``).
+
+All are pure Catalyst expressions — predicate pushdown / column pruning
+reach the parquet scan for free, which is exactly what the reference
+hand-implements by slicing the Dask array before arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sift(
+    df: DataFrame, col: str, min_v: float, max_v: float, keep_bounds: bool = False
+) -> DataFrame:
+    """1-column range predicate (``metadata.py:483-505``): strict
+    min_v < x < max_v, or inclusive with keep_bounds."""
+    c = F.col(col)
+    if keep_bounds:
+        pred = (c >= min_v) & (c <= max_v)
+    else:
+        pred = (c > min_v) & (c < max_v)
+    return df.where(pred)
+
+
+def multi_sift(df: DataFrame, cols: list[str], lows: list[float], highs: list[float]) -> DataFrame:
+    """Conjunction of strict range predicates (``metadata.py:507-533``)."""
+    pred = F.lit(True)
+    for c, lo, hi in zip(cols, lows, highs):
+        pred = pred & (F.col(c) > lo) & (F.col(c) < hi)
+    return df.where(pred)
+
+
+def filter_cells(cells: DataFrame, *preds: Column, i_col: str = "I") -> DataFrame:
+    """Non-destructive filtering (``datastore/datastore.py:92-138``):
+    AND the new predicates into the boolean validity column. Re-filtering
+    never resurrects cells — I only ever becomes False."""
+    new_i = F.col(i_col)
+    for p in preds:
+        new_i = new_i & F.coalesce(p, F.lit(False))
+    return cells.withColumn(i_col, new_i)
+
+
+def auto_filter_bounds(df: DataFrame, col: str, n_std: float = 2.0) -> DataFrame:
+    """Driver-free analog of ``auto_filter_cells``
+    (``datastore/datastore.py:140-197``): bounds = median ± n_std·std,
+    computed as one global aggregate (the reference fits a Normal with
+    scipy ppf; median±k·σ is the same family of derived threshold and
+    keeps the whole plan in SQL)."""
+    return df.agg(
+        F.round(F.median(col) - n_std * F.stddev_samp(col), 6).alias("lo"),
+        F.round(F.median(col) + n_std * F.stddev_samp(col), 6).alias("hi"),
+    )
+
+
+def auto_filter_cells(df: DataFrame, col: str, n_std: float = 2.0) -> DataFrame:
+    """Apply derived bounds via a broadcast cross-join of the 1-row
+    bounds aggregate — no driver round-trip, one extra stage."""
+    bounds = auto_filter_bounds(df, col, n_std)
+    return df.crossJoin(F.broadcast(bounds)).where(
+        (F.col(col) > F.col("lo")) & (F.col(col) < F.col("hi"))
+    ).drop("lo", "hi")
+
+
+def grep(feats: DataFrame, pattern: str, name_col: str = "name") -> DataFrame:
+    """Regex match over (uppercased) feature names (``metadata.py:569-584``)."""
+    return feats.where(F.upper(F.col(name_col)).rlike(pattern.upper()))
+
+
+def get_index_by(
+    df: DataFrame, values: list[str], col: str, key_col: str
+) -> DataFrame:
+    """Value-list lookup preserving duplicates, case-insensitive
+    (``metadata.py:339-376``) — a broadcast hash join against the (tiny)
+    target list, never a shuffle of the big side."""
+    spark = df.sparkSession
+    targets = spark.createDataFrame([(v,) for v in values], [f"_target"])
+    return df.join(
+        F.broadcast(targets), F.upper(F.col(col)) == F.upper(F.col("_target")), "inner"
+    ).drop("_target")
+
+
+def index_to_bool(df: DataFrame, selected: DataFrame, key: str, invert: bool = False,
+                  out: str = "flag") -> DataFrame:
+    """Indices → boolean mask (``metadata.py:378-393``) as a broadcast
+    left join producing a flag column."""
+    sel = selected.select(key).distinct().withColumn("_hit", F.lit(True))
+    flagged = df.join(F.broadcast(sel), key, "left_outer")
+    flag = F.coalesce(F.col("_hit"), F.lit(False))
+    if invert:
+        flag = ~flag
+    return flagged.withColumn(out, flag).drop("_hit")
+
+
+def clip_fraction(df: DataFrame, col: str, frac: float = 0.01) -> DataFrame:
+    """Percentile clipping (``utils.py:120-140`` rescale_array): clamp
+    values outside the [frac, 1-frac] quantiles. Exact percentiles via a
+    1-row aggregate broadcast back — for a 100 TB column swap
+    F.percentile for percentile_approx and lose the shuffle of the full
+    sort."""
+    q = df.agg(
+        F.percentile(F.col(col), F.lit(frac)).alias("_lo"),
+        F.percentile(F.col(col), F.lit(1.0 - frac)).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .withColumn(col, F.round(F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")), 6))
+        .drop("_lo", "_hi")
+    )
+
+
+def clean_array(df: DataFrame, col: str, fill: float = 0.0) -> DataFrame:
+    """nan/inf → fill (``utils.py:143-153``)."""
+    c = F.col(col)
+    return df.withColumn(
+        col,
+        F.when(F.isnan(c) | (c == float("inf")) | (c == float("-inf")), F.lit(fill)).otherwise(c),
+    )

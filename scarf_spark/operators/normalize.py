@@ -1,0 +1,100 @@
+"""Normalization kernels (SURVEY.md §2.10 first block).
+
+Reference semantics: library-size normalization ``sf * x / row_sum``
+with optional log1p (``scarf/assay.py:41-64``), subset renormalization
+(``assay.py:780-828``: row sums over the selected features only,
+zero-sum rows → 1), CLR (``assay.py:67-78``), TF-IDF (``assay.py:81-94``),
+z-scaling (``assay.py:659-660``).
+
+Shape: every normalization is (one hash agg for the per-cell or
+per-feature denominator) ⋈ (the fact table) → expression. The join is on
+the same key as the agg, so with AQE the shuffle output of the agg is
+reused and the fact table shuffles once; denominator tables are tiny
+(|cells| or |feats| rows) and broadcast when under the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_lib_size(counts: DataFrame, sf: float = 1000.0, log: bool = False,
+                  out: str = "norm_value") -> DataFrame:
+    """sf * value / cell_total, optionally log1p (``assay.py:41-64``)."""
+    totals = counts.groupBy("cell_id").agg(F.sum("value").alias("_tot"))
+    expr = F.lit(sf) * F.col("value") / F.col("_tot")
+    if log:
+        expr = F.log1p(expr)
+    return (
+        counts.join(totals, "cell_id")
+        .select("cell_id", "feat_id", F.round(expr, 6).alias(out))
+    )
+
+
+def renormalize_subset(counts: DataFrame, sel_feats: DataFrame, sf: float = 1000.0,
+                       out: str = "norm_value") -> DataFrame:
+    """Library-size normalization where row sums run over the selected
+    feature subset only; cells whose subset-sum is 0 get divisor 1
+    (``assay.py:818-825``). Selection is a broadcast semi-join pushed
+    below the arithmetic — the same pushdown the reference hand-codes by
+    fancy-indexing the Dask array first (``assay.py:810-814``)."""
+    sub = counts.join(F.broadcast(sel_feats.select("feat_id")), "feat_id", "left_semi")
+    totals = sub.groupBy("cell_id").agg(F.sum("value").alias("_tot"))
+    expr = F.lit(sf) * F.col("value") / F.when(F.col("_tot") != 0, F.col("_tot")).otherwise(1.0)
+    return (
+        sub.join(totals, "cell_id")
+        .select("cell_id", "feat_id", F.round(expr, 6).alias(out))
+    )
+
+
+def norm_clr(counts: DataFrame, n_cells: int, out: str = "norm_value") -> DataFrame:
+    """Centered-log-ratio: log1p(x / geo_mean_feature), geometric mean
+    over ALL cells incl. absent zeros (``assay.py:67-78``); see
+    qc.clr_geo_mean for the dense-mean identity."""
+    geo = counts.groupBy("feat_id").agg(
+        F.exp(F.sum(F.log1p("value")) / F.lit(float(n_cells))).alias("_geo")
+    )
+    return (
+        counts.join(geo, "feat_id")
+        .select(
+            "cell_id", "feat_id",
+            F.round(F.log1p(F.col("value") / F.col("_geo")), 6).alias(out),
+        )
+    )
+
+
+def norm_tf_idf(counts: DataFrame, n_cells: int, out: str = "norm_value") -> DataFrame:
+    """TF-IDF (``assay.py:81-94``): tf = x / row_sum;
+    idf = log2(1 + N / (doc_freq + 1)); value = tf * idf.
+
+    Two independent single-key aggs (per-cell row sum, per-feature doc
+    freq) joined back — the per-feature table broadcasts."""
+    row_tot = counts.groupBy("cell_id").agg(F.sum("value").alias("_tot"))
+    doc_freq = counts.groupBy("feat_id").agg(
+        F.count(F.when(F.col("value") > 0, 1)).alias("_df")
+    )
+    tf = F.col("value") / F.col("_tot")
+    idf = F.log2(F.lit(1.0) + F.lit(float(n_cells)) / (F.col("_df") + F.lit(1.0)))
+    return (
+        counts.join(row_tot, "cell_id")
+        .join(F.broadcast(doc_freq), "feat_id")
+        .select("cell_id", "feat_id", F.round(tf * idf, 6).alias(out))
+    )
+
+
+def zscale_per_feature(df: DataFrame, value_col: str = "value",
+                       out: str = "z") -> DataFrame:
+    """(x - mean)/std per feature over the PRESENT rows
+    (``assay.py:659-660``, ``ann.py:191-192``). Pre-agg + broadcast join
+    rather than a window: a window over feat_id would shuffle the full
+    fact table into per-feature sorted partitions; the agg shuffles only
+    aggregate state."""
+    stats = df.groupBy("feat_id").agg(
+        F.avg(value_col).alias("_mu"), F.stddev_samp(value_col).alias("_sd")
+    )
+    z = F.when(F.col("_sd") != 0, (F.col(value_col) - F.col("_mu")) / F.col("_sd")).otherwise(0.0)
+    return (
+        df.join(F.broadcast(stats), "feat_id")
+        .select("cell_id", "feat_id", F.round(z, 6).alias(out))
+    )

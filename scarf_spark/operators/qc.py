@@ -1,0 +1,119 @@
+"""Per-cell / per-feature QC aggregates (SURVEY.md §2.5).
+
+Reference semantics: per-cell row sums / nonzero counts
+(``scarf/datastore/base_datastore.py:345-367``), regex-subset percent
+features (``scarf/assay.py:227-270``), per-feature validity stats
+(``scarf/assay.py:201-225``) and feature summary stats
+(``scarf/assay.py:830-897``).
+
+All are single-shuffle hash aggregations on the COO fact table; Spark
+computes them partial+final (map-side combine) automatically, so at
+100 TB each is one pass over the fact table with only the (small)
+per-key aggregate state shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ncounts_per_cell(counts: DataFrame, out: str = "n_counts") -> DataFrame:
+    """Row sum of the raw matrix (``base_datastore.py:345-352``)."""
+    return counts.groupBy("cell_id").agg(F.sum("value").cast("double").alias(out))
+
+
+def nfeatures_per_cell(counts: DataFrame, out: str = "n_features") -> DataFrame:
+    """Per-cell nonzero count (``base_datastore.py:360-367``).
+
+    Zeros are absent rows in COO form, but guard value>0 anyway to keep
+    exact parity with the dense-matrix semantics.
+    """
+    return counts.groupBy("cell_id").agg(
+        F.count(F.when(F.col("value") > 0, 1)).alias(out)
+    )
+
+
+def cell_qc(counts: DataFrame) -> DataFrame:
+    """nCounts + nFeatures in one pass (one shuffle, not two)."""
+    return counts.groupBy("cell_id").agg(
+        F.sum("value").cast("double").alias("n_counts"),
+        F.count(F.when(F.col("value") > 0, 1)).alias("n_features"),
+    )
+
+
+def feat_ncells(counts: DataFrame, n_cells: int, min_cells: int = 0) -> DataFrame:
+    """Feature validity stats (``assay.py:201-225``): per-feature nonzero
+    cell count, dropOuts = N - nCells, and the I flag nCells > min_cells."""
+    return counts.groupBy("feat_id").agg(
+        F.count(F.when(F.col("value") > 0, 1)).alias("n_cells_expressed"),
+        (F.lit(n_cells) - F.count(F.when(F.col("value") > 0, 1))).alias("dropouts"),
+        (F.count(F.when(F.col("value") > 0, 1)) > F.lit(min_cells)).alias("I"),
+    )
+
+
+def percent_feature(
+    counts: DataFrame, feats: DataFrame, name_pattern: str, out: str = "percent"
+) -> DataFrame:
+    """100 * (sum over regex-matched features) / nCounts per cell
+    (``assay.py:227-270``).
+
+    Plan: broadcast the matched feature ids (tiny dim subset) into a
+    semi-join flag, then a single groupBy — the fact table is scanned
+    once and never shuffled twice.
+    """
+    matched = feats.where(F.upper(F.col("name")).rlike(name_pattern.upper())).select("feat_id")
+    flagged = counts.join(
+        F.broadcast(matched.withColumn("_m", F.lit(1))), "feat_id", "left_outer"
+    )
+    return flagged.groupBy("cell_id").agg(
+        F.round(
+            100.0
+            * F.coalesce(F.sum(F.when(F.col("_m") == 1, F.col("value"))), F.lit(0.0))
+            / F.sum("value"),
+            6,
+        ).alias(out)
+    )
+
+
+def _nz(c: Column) -> Column:
+    return F.count(F.when(c > 0, 1))
+
+
+def feature_stats(counts: DataFrame, n_cells: int) -> DataFrame:
+    """Per-feature summary stats (``assay.py:830-897``): total, mean over
+    all cells (absent rows are zeros), nonzero mean, population variance
+    over all cells, nonzero count.
+
+    The dense-semantics variance over N cells with only nnz stored rows:
+      mean = tot / N
+      var  = sum(v^2)/N - mean^2        (absent rows contribute 0)
+    computed as expressions over one hash agg — no densification.
+    """
+    n = F.lit(float(n_cells))
+    agg = counts.groupBy("feat_id").agg(
+        F.sum("value").cast("double").alias("tot"),
+        F.sum(F.col("value") * F.col("value")).cast("double").alias("tot_sq"),
+        _nz(F.col("value")).alias("nnz"),
+    )
+    return agg.select(
+        "feat_id",
+        F.round("tot", 6).alias("tot"),
+        F.round(F.col("tot") / n, 6).alias("avg_all"),
+        F.round(
+            F.when(F.col("nnz") > 0, F.col("tot") / F.col("nnz")).otherwise(F.lit(0.0)), 6
+        ).alias("nz_mean"),
+        F.round(F.col("tot_sq") / n - (F.col("tot") / n) * (F.col("tot") / n), 6).alias(
+            "sigma"
+        ),
+        F.col("nnz"),
+    )
+
+
+def clr_geo_mean(counts: DataFrame, n_cells: int, out: str = "geo_mean") -> DataFrame:
+    """Per-feature geometric-mean factor exp(mean(log1p(x))) over ALL
+    cells including absent zeros (``assay.py:67-78``): log1p(0)=0, so the
+    dense mean is sum(log1p(v)) / N with N the full cell count."""
+    return counts.groupBy("feat_id").agg(
+        F.round(F.exp(F.sum(F.log1p("value")) / F.lit(float(n_cells))), 6).alias(out)
+    )

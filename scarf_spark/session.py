@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for local[N] testing but every setting is what we would ship on a
+1000-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), broadcast threshold large enough that every
+dimension table of the star schema broadcasts, shuffle partitions sized
+to the cluster (driver overrides via SPARK_GRAFT_CPUS locally).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "scarf-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SCARF_SHUFFLE_PARTITIONS", str(max(int(cpus), 8)))
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting; at 100 TB
+        # this is what keeps post-shuffle partitions near the target size
+        # whatever the data distribution is.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # All dim tables (region/nation/customer/part/...) are tiny next to
+        # the fact table — make sure they always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for every pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SCARF_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

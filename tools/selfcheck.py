@@ -1,0 +1,115 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf dir, sorts columns by name, sorts rows, and
+compares values (exact for ints/strings, tiny-eps for floats — the real
+driver hashes, so we aim for exact equality of the rounded values and
+report max float deviation).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from scarf_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify timestamps for stable compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"rowcount {len(spark_pdf)} vs {len(duck_pdf)}"
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        return False, f"columns {list(a.columns)} vs {list(b.columns)}"
+    max_dev = 0.0
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(float)
+            bv = bv.astype(float)
+            nan_a, nan_b = np.isnan(av), np.isnan(bv)
+            if not (nan_a == nan_b).all():
+                return False, f"col {c}: nan mismatch"
+            dev = np.abs(av[~nan_a] - bv[~nan_b])
+            d = float(dev.max()) if dev.size else 0.0
+            max_dev = max(max_dev, d)
+            if d > 0:
+                exact = (av[~nan_a] == bv[~nan_b]).mean()
+                if d > 1e-9:
+                    return False, f"col {c}: max dev {d:.3g} (exact frac {exact:.4f})"
+        else:
+            if not (av.astype(str) == bv.astype(str)).all():
+                i = int(np.argmax(av.astype(str) != bv.astype(str)))
+                return False, f"col {c}: value mismatch at sorted row {i}: {av[i]!r} vs {bv[i]!r}"
+    note = "exact" if max_dev == 0 else f"float max dev {max_dev:.2g}"
+    return True, note
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    spark = get_spark("selfcheck")
+    con = duck_con(sf_dir)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok, note = compare(sdf, ddf)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: rows={len(sdf)} {note} [{time.time()-t0:.1f}s]")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
