@@ -24,7 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scarf_spark.catalog import COUNTS_CTE, DataStore
-from scarf_spark.operators import filters, normalize, qc
+from scarf_spark.operators import (
+    aggregate,
+    filters,
+    joins,
+    markers,
+    normalize,
+    qc,
+    setops,
+    windows,
+)
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -347,6 +356,442 @@ def norm_renorm_subset(spark, sf_dir):
 )
 def norm_zscale(spark, sf_dir):
     return normalize.zscale_per_feature(_ds(spark, sf_dir).counts())
+
+
+# ---------------------------------------------------------------------------
+# §2.6-2.7 windows / ranks / top-k
+# ---------------------------------------------------------------------------
+
+@q(
+    "win_rolling_mean",
+    "SELECT event_id, ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS rolling_mean FROM events",
+)
+def win_rolling_mean(spark, sf_dir):
+    ev = _ds(spark, sf_dir).events
+    return windows.rolling_mean(
+        ev, ["user_id"], ["ts", "event_id"], "value", width=5
+    ).select("event_id", "rolling_mean")
+
+
+@q(
+    "win_ntile_bins",
+    "WITH b AS (SELECT value, NTILE(20) OVER (ORDER BY ts, event_id) AS bin FROM events) "
+    "SELECT bin, ROUND(AVG(value), 6) AS mean_value, COUNT(*) AS n FROM b GROUP BY bin",
+)
+def win_ntile_bins(spark, sf_dir):
+    ev = _ds(spark, sf_dir).events
+    return windows.ntile_bin_agg(ev, ["ts", "event_id"], "value", n_bins=20)
+
+
+@q(
+    "win_dense_rank",
+    f"WITH {COUNTS_CTE} "
+    "SELECT cell_id, feat_id, DENSE_RANK() OVER (PARTITION BY feat_id ORDER BY value) "
+    "AS dense_rank FROM counts",
+)
+def win_dense_rank(spark, sf_dir):
+    return windows.dense_rank_per_group(
+        _ds(spark, sf_dir).counts(), "feat_id", "value"
+    ).select("cell_id", "feat_id", "dense_rank")
+
+
+@q(
+    "win_avg_rank",
+    f"WITH {COUNTS_CTE} "
+    "SELECT cell_id, feat_id, ROUND(RANK() OVER (PARTITION BY feat_id ORDER BY value) "
+    "+ (COUNT(*) OVER (PARTITION BY feat_id, value) - 1) / 2.0, 6) AS avg_rank FROM counts",
+)
+def win_avg_rank(spark, sf_dir):
+    return windows.avg_rank_per_group(
+        _ds(spark, sf_dir).counts(), "feat_id", "value"
+    ).select("cell_id", "feat_id", "avg_rank")
+
+
+@q(
+    "win_top_n",
+    f"WITH {COUNTS_CTE}, "
+    "s AS (SELECT feat_id, CAST(SUM(value) AS DOUBLE) AS tot FROM counts GROUP BY feat_id) "
+    "SELECT feat_id, tot FROM (SELECT feat_id, tot, "
+    "ROW_NUMBER() OVER (ORDER BY tot DESC, feat_id) AS rn FROM s) WHERE rn <= 50",
+)
+def win_top_n(spark, sf_dir):
+    stats = (
+        _ds(spark, sf_dir).counts().groupBy("feat_id")
+        .agg(F.sum("value").cast("double").alias("tot"))
+    )
+    return windows.top_n_by_stat(stats, "tot", 50, "feat_id")
+
+
+@q(
+    "win_topk_per_group",
+    f"WITH {COUNTS_CTE}, "
+    "s AS (SELECT o.o_orderpriority AS priority, c.feat_id, "
+    "CAST(SUM(c.value) AS DOUBLE) AS sum_value "
+    "FROM counts c JOIN orders o ON c.cell_id = o.o_orderkey GROUP BY 1, 2) "
+    "SELECT priority, feat_id, sum_value, rank_in_group FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY sum_value DESC, feat_id) "
+    "AS rank_in_group FROM s) WHERE rank_in_group <= 3",
+)
+def win_topk_per_group(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    pri = ds.orders.select(
+        F.col("o_orderkey").alias("cell_id"), F.col("o_orderpriority").alias("priority")
+    )
+    s = (
+        ds.counts().join(F.broadcast(pri), "cell_id")
+        .groupBy("priority", "feat_id")
+        .agg(F.sum("value").cast("double").alias("sum_value"))
+    )
+    return windows.top_k_per_group(s, ["priority"], "sum_value", 3, "feat_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 grouped aggregations (make_bulk family)
+# ---------------------------------------------------------------------------
+
+_CG_CTE = (
+    "cg AS (SELECT o.o_orderkey AS cell_id, c.c_mktsegment AS grp "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+)
+
+
+def _cell_groups(ds: DataStore):
+    return ds.orders.join(
+        ds.customer, ds.orders.o_custkey == ds.customer.c_custkey
+    ).select(F.col("o_orderkey").alias("cell_id"), F.col("c_mktsegment").alias("grp"))
+
+
+@q(
+    "agg_make_bulk",
+    f"WITH {COUNTS_CTE}, {_CG_CTE}, "
+    "sizes AS (SELECT grp, COUNT(*) AS gn FROM cg GROUP BY grp) "
+    "SELECT cg.grp, c.feat_id, CAST(SUM(c.value) AS DOUBLE) AS sum_value, "
+    "ROUND(SUM(c.value) / ANY_VALUE(s.gn), 6) AS mean_value, "
+    "ROUND(COUNT(*) FILTER (WHERE c.value > 0) / CAST(ANY_VALUE(s.gn) AS DOUBLE), 6) "
+    "AS frac_expressed "
+    "FROM counts c JOIN cg ON c.cell_id = cg.cell_id JOIN sizes s ON cg.grp = s.grp "
+    "GROUP BY cg.grp, c.feat_id",
+)
+def agg_make_bulk(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    return aggregate.make_bulk(ds.counts(), _cell_groups(ds), group_col="grp")
+
+
+@q(
+    "agg_pseudo_reps",
+    f"WITH {COUNTS_CTE}, {_CG_CTE}, "
+    "reps AS (SELECT cell_id, grp, "
+    "(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cell_id) - 1) % 3 AS rep FROM cg) "
+    "SELECT r.grp, r.rep, c.feat_id, CAST(SUM(c.value) AS DOUBLE) AS sum_value "
+    "FROM counts c JOIN reps r ON c.cell_id = r.cell_id GROUP BY 1, 2, 3",
+)
+def agg_pseudo_reps(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    out = aggregate.pseudo_replicates(ds.counts(), _cell_groups(ds), n_reps=3, group_col="grp")
+    return out.withColumn("rep", F.col("rep").cast("long"))
+
+
+@q(
+    "agg_group_mean_z",
+    f"WITH {COUNTS_CTE}, {_CG_CTE}, "
+    "sizes AS (SELECT grp, COUNT(*) AS gn FROM cg GROUP BY grp), "
+    "m AS (SELECT cg.grp, c.feat_id, SUM(c.value) / ANY_VALUE(s.gn) AS mean_value "
+    "FROM counts c JOIN cg ON c.cell_id = cg.cell_id JOIN sizes s ON cg.grp = s.grp "
+    "GROUP BY cg.grp, c.feat_id) "
+    "SELECT grp, feat_id, ROUND(mean_value, 6) AS mean_value, "
+    "ROUND(CASE WHEN STDDEV_SAMP(mean_value) OVER (PARTITION BY feat_id) != 0 THEN "
+    "(mean_value - AVG(mean_value) OVER (PARTITION BY feat_id)) / "
+    "STDDEV_SAMP(mean_value) OVER (PARTITION BY feat_id) ELSE 0.0 END, 6) AS z FROM m",
+)
+def agg_group_mean_z(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    return aggregate.group_mean_zscore(ds.counts(), _cell_groups(ds), group_col="grp")
+
+
+@q(
+    "agg_grouped_assay",
+    f"WITH {COUNTS_CTE}, "
+    "fg AS (SELECT p_partkey AS feat_id, p_brand AS feat_group FROM part), "
+    "sizes AS (SELECT feat_group, COUNT(*) AS fn FROM fg GROUP BY feat_group) "
+    "SELECT c.cell_id, fg.feat_group, "
+    "ROUND(SUM(c.value) / ANY_VALUE(s.fn), 6) AS mean_value "
+    "FROM counts c JOIN fg ON c.feat_id = fg.feat_id "
+    "JOIN sizes s ON fg.feat_group = s.feat_group GROUP BY c.cell_id, fg.feat_group",
+)
+def agg_grouped_assay(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    fg = ds.part.select(F.col("p_partkey").alias("feat_id"), F.col("p_brand").alias("feat_group"))
+    return aggregate.grouped_assay(ds.counts(), fg)
+
+
+@q(
+    "agg_score_features",
+    f"WITH {COUNTS_CTE}, "
+    "fa AS (SELECT p_partkey AS feat_id FROM part WHERE regexp_matches(p_name, 'widget')), "
+    "fb AS (SELECT p_partkey AS feat_id FROM part WHERE regexp_matches(p_name, 'gizmo')), "
+    "a AS (SELECT cell_id, SUM(value) / (SELECT COUNT(*) FROM fa) AS ma FROM counts "
+    "WHERE feat_id IN (SELECT feat_id FROM fa) GROUP BY cell_id), "
+    "b AS (SELECT cell_id, SUM(value) / (SELECT COUNT(*) FROM fb) AS mb FROM counts "
+    "WHERE feat_id IN (SELECT feat_id FROM fb) GROUP BY cell_id) "
+    "SELECT COALESCE(a.cell_id, b.cell_id) AS cell_id, "
+    "ROUND(COALESCE(a.ma, 0.0) - COALESCE(b.mb, 0.0), 6) AS score "
+    "FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id",
+)
+def agg_score_features(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    feats = ds.feat_table()
+    fa = feats.where(F.col("name").rlike("widget"))
+    fb = feats.where(F.col("name").rlike("gizmo"))
+    return aggregate.score_features(ds.counts(), fa, fb)
+
+
+@q(
+    "agg_smart_label",
+    "WITH ct AS (SELECT event_type, user_id % 5 AS b, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT event_type, b AS best_b, n AS n_best FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, b) AS rn "
+    "FROM ct) WHERE rn = 1",
+)
+def agg_smart_label(spark, sf_dir):
+    ev = _ds(spark, sf_dir).events.select(
+        "event_type", (F.col("user_id") % 5).alias("b")
+    )
+    return aggregate.smart_label_argmax(ev, "event_type", "b")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins (interval overlap / binning / alignment)
+# ---------------------------------------------------------------------------
+
+_QREF_CTE = (
+    "qi AS (SELECT event_id AS id, 'chr' || CAST(user_id % 3 AS VARCHAR) AS chrom, "
+    "value AS start, value + 25.0 AS \"end\" FROM events WHERE event_type = 'view'), "
+    "ri AS (SELECT event_id AS id, 'chr' || CAST(user_id % 3 AS VARCHAR) AS chrom, "
+    "value AS start, value + 10.0 AS \"end\", value AS value FROM events "
+    "WHERE event_type = 'click')"
+)
+
+
+def _intervals(ds: DataStore):
+    ev = ds.events
+    chrom = F.concat(F.lit("chr"), (F.col("user_id") % 3).cast("string")).alias("chrom")
+    qi = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("id"), chrom,
+        F.col("value").alias("start"), (F.col("value") + 25.0).alias("end"),
+    )
+    ri = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id"), chrom,
+        F.col("value").alias("start"), (F.col("value") + 10.0).alias("end"),
+        F.col("value").alias("value"),
+    )
+    return qi, ri
+
+
+@q(
+    "join_interval_overlap",
+    f"WITH {_QREF_CTE} "
+    "SELECT q.id AS q_id, ROUND(CAST(SUM(r.value) AS DOUBLE), 6) AS sum_value, "
+    "COUNT(*) AS n_overlaps "
+    "FROM qi q JOIN ri r ON q.chrom = r.chrom AND q.start < r.\"end\" "
+    "AND q.\"end\" > r.start GROUP BY q.id",
+)
+def join_interval_overlap(spark, sf_dir):
+    qi, ri = _intervals(_ds(spark, sf_dir))
+    out = joins.overlap_sum(qi, ri)
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+@q(
+    "join_interval_binned",
+    f"WITH {_QREF_CTE} "
+    "SELECT q.id AS q_id, r.id AS r_id FROM qi q JOIN ri r "
+    "ON q.chrom = r.chrom AND q.start < r.\"end\" AND q.\"end\" > r.start",
+)
+def join_interval_binned(spark, sf_dir):
+    """The binned equi-join rewrite must return the exact same pair set
+    as the naive range join (the oracle)."""
+    qi, ri = _intervals(_ds(spark, sf_dir))
+    return joins.interval_overlap_join_binned(qi, ri, bin_size=100).select("q_id", "r_id")
+
+
+@q(
+    "join_genome_bin",
+    "WITH iv AS (SELECT 'chr' || CAST(user_id % 3 AS VARCHAR) AS chrom, "
+    "value AS start, value + 20.0 AS \"end\", value FROM events) "
+    "SELECT chrom, CAST(FLOOR((start + (\"end\" - start) / 2) / 50.0) AS BIGINT) AS bin, "
+    "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value "
+    "FROM iv GROUP BY 1, 2",
+)
+def join_genome_bin(spark, sf_dir):
+    ev = _ds(spark, sf_dir).events
+    iv = ev.select(
+        F.concat(F.lit("chr"), (F.col("user_id") % 3).cast("string")).alias("chrom"),
+        F.col("value").alias("start"),
+        (F.col("value") + 20.0).alias("end"),
+        "value",
+    )
+    out = joins.genome_bin_counts(iv, bin_size=50.0)
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+@q(
+    "join_align_features",
+    "WITH s AS (SELECT p_partkey AS ids, p_retailprice AS value FROM part), "
+    "t AS (SELECT p_partkey AS ids, CAST(p_size AS DOUBLE) AS value FROM part "
+    "WHERE p_size > 25) "
+    "SELECT s.ids, s.value AS s_value, COALESCE(t.value, 1.0) AS t_value "
+    "FROM s LEFT JOIN t ON s.ids = t.ids",
+)
+def join_align_features(spark, sf_dir):
+    p = _ds(spark, sf_dir).part
+    s = p.select(F.col("p_partkey").alias("ids"), F.col("p_retailprice").alias("value"))
+    t = p.where(F.col("p_size") > 25).select(
+        F.col("p_partkey").alias("ids"), F.col("p_size").cast("double").alias("value")
+    )
+    return joins.align_features(s, t, exclude_missing=False, fill_value=1.0)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations (merge semantics)
+# ---------------------------------------------------------------------------
+
+@q(
+    "set_merge_cells",
+    "SELECT 'a' AS dataset, 'a__' || c_name AS c_name, c_custkey, c_acctbal "
+    "FROM customer WHERE c_nationkey < 12 "
+    "UNION ALL SELECT 'b', 'b__' || c_name, c_custkey, c_acctbal "
+    "FROM customer WHERE c_nationkey >= 12",
+)
+def set_merge_cells(spark, sf_dir):
+    c = _ds(spark, sf_dir).customer.select("c_name", "c_custkey", "c_acctbal", "c_nationkey")
+    a = c.where(F.col("c_nationkey") < 12).drop("c_nationkey")
+    b = c.where(F.col("c_nationkey") >= 12).drop("c_nationkey")
+    return setops.merge_cell_tables([("a", a), ("b", b)], id_col="c_name").select(
+        "dataset", "c_name", "c_custkey", "c_acctbal"
+    )
+
+
+@q(
+    "set_merge_feats_dedup",
+    "SELECT p_partkey, CASE WHEN p_size <= 25 THEN 'v0' ELSE 'v1' END AS tag FROM part",
+)
+def set_merge_feats_dedup(spark, sf_dir):
+    p = _ds(spark, sf_dir).part
+    d0 = p.where(F.col("p_size") <= 25).select(
+        F.col("p_partkey").alias("ids"), F.lit("v0").alias("tag")
+    )
+    d1 = p.where(F.col("p_size") > 10).select(
+        F.col("p_partkey").alias("ids"), F.lit("v1").alias("tag")
+    )
+    return setops.merge_feature_tables([d0, d1], id_col="ids").select(
+        F.col("ids").alias("p_partkey"), "tag"
+    )
+
+
+@q(
+    "set_disambiguate",
+    "SELECT p_partkey, CASE WHEN rn = 1 THEN p_name ELSE p_name || '_' || "
+    "CAST(rn - 1 AS VARCHAR) END AS uniq_name FROM "
+    "(SELECT p_partkey, p_name, ROW_NUMBER() OVER (PARTITION BY p_name "
+    "ORDER BY p_partkey) AS rn FROM part)",
+)
+def set_disambiguate(spark, sf_dir):
+    return setops.disambiguate_names(
+        _ds(spark, sf_dir).part, "p_name", "p_partkey"
+    ).select("p_partkey", "uniq_name")
+
+
+@q(
+    "set_subtract",
+    "SELECT p.* FROM part p WHERE p.p_partkey NOT IN "
+    "(SELECT DISTINCT l_partkey FROM lineitem)",
+)
+def set_subtract(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    used = ds.counts().select(F.col("feat_id").alias("p_partkey"))
+    return setops.set_subtract(ds.part, used, "p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 marker search (rank stats + Mann-Whitney U + regression)
+# ---------------------------------------------------------------------------
+
+_MARKER_SQL = (
+    f"WITH {COUNTS_CTE}, "
+    "cg AS (SELECT d.cell_id, c.c_mktsegment AS grp "
+    "FROM (SELECT DISTINCT cell_id FROM counts) d "
+    "JOIN orders o ON d.cell_id = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey), "
+    "sizes AS (SELECT grp, COUNT(*) AS n_g FROM cg GROUP BY grp), "
+    "nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM cg), "
+    "ftot AS (SELECT feat_id, SUM(value) AS tot, COUNT(*) AS nnz FROM counts GROUP BY feat_id), "
+    "ranked AS (SELECT cell_id, feat_id, value, "
+    "RANK() OVER (PARTITION BY feat_id ORDER BY value) "
+    "+ (COUNT(*) OVER (PARTITION BY feat_id, value) - 1) / 2.0 AS r_avg_p, "
+    "DENSE_RANK() OVER (PARTITION BY feat_id ORDER BY value) AS r_dense_p FROM counts), "
+    "ties AS (SELECT feat_id, SUM(t * t * t - t) AS tie_p FROM "
+    "(SELECT feat_id, value, CAST(COUNT(*) AS DOUBLE) AS t FROM counts GROUP BY 1, 2) "
+    "GROUP BY feat_id), "
+    "g AS (SELECT r.feat_id, cg.grp, SUM(r.value) AS sum_g, COUNT(*) AS nnz_g, "
+    "SUM(r.r_avg_p) AS rsum_p_g, SUM(r.r_dense_p) AS dsum_p_g "
+    "FROM ranked r JOIN cg ON r.cell_id = cg.cell_id GROUP BY 1, 2), "
+    "ft AS (SELECT f.feat_id, s.grp, CAST(s.n_g AS DOUBLE) AS n_g, f.tot, f.nnz, "
+    "COALESCE(g.sum_g, 0) AS sum_g, COALESCE(g.nnz_g, 0) AS nnz_g, "
+    "COALESCE(g.rsum_p_g, 0) AS rsum_p_g, COALESCE(g.dsum_p_g, 0) AS dsum_p_g "
+    "FROM ftot f CROSS JOIN sizes s LEFT JOIN g ON f.feat_id = g.feat_id AND s.grp = g.grp), "
+    "calc AS (SELECT ft.*, nc.N, N - nnz AS n0, N - n_g AS n_rest, n_g - nnz_g AS zeros_g, "
+    "((n_g - nnz_g) + dsum_p_g + nnz_g) / n_g AS mean_dense_g, "
+    "rsum_p_g + nnz_g * (N - nnz) + (n_g - nnz_g) * ((N - nnz) + 1) / 2.0 "
+    "- n_g * (n_g + 1) / 2.0 AS u1 FROM ft, nc), "
+    "calc2 AS (SELECT c.*, u1 - n_g * n_rest / 2.0 AS diff, "
+    "SQRT((n_g * n_rest / 12.0) * ((N + 1) - "
+    "(COALESCE(t.tie_p, 0) + (n0 * n0 * n0 - n0)) / (N * (N - 1)))) AS sigma "
+    "FROM calc c LEFT JOIN ties t ON c.feat_id = t.feat_id) "
+    "SELECT feat_id, grp, "
+    "ROUND(mean_dense_g / SUM(mean_dense_g) OVER (PARTITION BY feat_id), 6) AS score, "
+    "ROUND(sum_g / n_g, 6) AS mean, "
+    "ROUND((tot - sum_g) / n_rest, 6) AS mean_rest, "
+    "ROUND(nnz_g / n_g, 6) AS frac_exp, "
+    "ROUND((nnz - nnz_g) / n_rest, 6) AS frac_exp_rest, "
+    "ROUND(CASE WHEN (tot - sum_g) / n_rest != 0 THEN (sum_g / n_g) / "
+    "((tot - sum_g) / n_rest) ELSE 0.0 END, 6) AS fold_change, "
+    "ROUND(u1, 6) AS u_stat, "
+    "ROUND(CASE WHEN sigma != 0 THEN (diff - CASE WHEN diff > 0 THEN 0.5 "
+    "WHEN diff < 0 THEN -0.5 ELSE 0.0 END) / sigma ELSE 0.0 END, 6) AS z "
+    "FROM calc2"
+)
+
+
+@q("mark_stats", _MARKER_SQL)
+def mark_stats(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    counts = ds.counts()
+    cg = (
+        counts.select("cell_id").distinct()
+        .join(ds.orders, F.col("cell_id") == F.col("o_orderkey"))
+        .join(ds.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("cell_id", F.col("c_mktsegment").alias("grp"))
+    )
+    return markers.marker_stats(counts, cg, n_cells=_n_cells(ds), group_col="grp")
+
+
+@q(
+    "mark_regression",
+    f"WITH {COUNTS_CTE}, "
+    "cov AS (SELECT o_orderkey AS cell_id, o_totalprice AS x FROM orders) "
+    "SELECT feat_id, n, "
+    "ROUND(CASE WHEN VAR_SAMP(x) != 0 THEN COVAR_SAMP(x, value) / VAR_SAMP(x) "
+    "ELSE 0.0 END, 6) AS slope, ROUND(COALESCE(CORR(x, value), 0.0), 6) AS r_value "
+    "FROM (SELECT c.feat_id, c.value, cov.x, COUNT(*) OVER (PARTITION BY c.feat_id) AS n "
+    "FROM counts c JOIN cov ON c.cell_id = cov.cell_id) "
+    "GROUP BY feat_id, n HAVING n >= 10",
+)
+def mark_regression(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    cov = ds.orders.select(F.col("o_orderkey").alias("cell_id"), F.col("o_totalprice").alias("x"))
+    return markers.regression_markers(ds.counts(), cov, min_cells=10)
 
 
 # ---------------------------------------------------------------------------

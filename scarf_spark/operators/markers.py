@@ -1,0 +1,154 @@
+"""Marker search — fully relational rank statistics (SURVEY.md §2.10).
+
+Reference semantics: per feature×group mean-rank score, group
+mean / rest-mean, fraction expressed, fold change, and a vectorized
+tie-corrected two-sided Mann-Whitney U with continuity correction
+(``scarf/markers.py:101-275``; U kernel ``markers.py:26-98``), plus
+regression markers ``linregress(pseudotime, value)`` per feature
+(``markers.py:278-320``).
+
+The reference streams the dense matrix feature-batch-wise through numba
+kernels; here the whole computation is windows + hash aggregations over
+the sparse COO table with *dense* semantics recovered arithmetically:
+for a feature with nnz present rows among N cells, the N-nnz zero cells
+occupy ranks 1..n0 (average (n0+1)/2), and present values are offset by
+n0. No densification, no Python in the loop — everything stays in
+whole-stage codegen, and scales as O(|COO|), not O(cells × features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def marker_stats(
+    counts: DataFrame,
+    cell_groups: DataFrame,
+    n_cells: int,
+    group_col: str = "group",
+) -> DataFrame:
+    """Rank-based marker table per (feat_id, group)
+    (``markers.py:101-275``). Columns: score (normalized mean dense
+    rank), mean, mean_rest, frac_exp, frac_exp_rest, fold_change,
+    u_stat, z (tie-corrected, continuity-corrected normal approx).
+
+    All present values must be > 0 (raw counts are)."""
+    N = F.lit(float(n_cells))
+    sizes = cell_groups.groupBy(group_col).agg(F.count("*").alias("n_g"))
+
+    # Per-feature global aggregates over present rows.
+    ftot = counts.groupBy("feat_id").agg(
+        F.sum("value").alias("tot"), F.count("*").alias("nnz")
+    )
+
+    # Ranks among present rows (ties averaged / dense), then offset by
+    # the n0 zero cells to recover dense-matrix ranks.
+    wv = Window.partitionBy("feat_id").orderBy("value")
+    wt = Window.partitionBy("feat_id", "value")
+    ranked = counts.select(
+        "cell_id",
+        "feat_id",
+        "value",
+        (F.rank().over(wv) + (F.count("*").over(wt) - 1) / F.lit(2.0)).alias("r_avg_p"),
+        (F.dense_rank().over(wv)).alias("r_dense_p"),
+    )
+
+    # Tie-correction term over present values: sum(t^3 - t).
+    ties = (
+        counts.groupBy("feat_id", "value")
+        .agg(F.count("*").alias("t"))
+        .groupBy("feat_id")
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_p"))
+    )
+
+    # Per (feat, group) aggregates of present rows.
+    g = (
+        ranked.join(F.broadcast(cell_groups), "cell_id")
+        .groupBy("feat_id", group_col)
+        .agg(
+            F.sum("value").alias("sum_g"),
+            F.count("*").alias("nnz_g"),
+            F.sum("r_avg_p").alias("rsum_p_g"),
+            F.sum("r_dense_p").alias("dsum_p_g"),
+        )
+    )
+
+    # Dense-semantics completion: every (feat, group) pair exists even if
+    # the group has no present rows → start from the full cross of
+    # (features with any expression) × groups.
+    full = ftot.crossJoin(F.broadcast(sizes)).join(
+        g, ["feat_id", group_col], "left_outer"
+    ).na.fill({"sum_g": 0.0, "nnz_g": 0, "rsum_p_g": 0.0, "dsum_p_g": 0})
+
+    n0 = N - F.col("nnz")  # zero cells for this feature
+    n_g = F.col("n_g").cast("double")
+    n_rest = N - n_g
+    zeros_g = n_g - F.col("nnz_g")
+
+    # Dense rank sums: zeros rank 1, present dense ranks + 1; mean dense
+    # rank per group feeds the normalized score (markers.py:136-171).
+    mean_dense_g = (zeros_g * 1.0 + F.col("dsum_p_g") + F.col("nnz_g")) / n_g
+    w_feat = Window.partitionBy("feat_id")
+    score = mean_dense_g / F.sum(mean_dense_g).over(w_feat)
+
+    # Average-rank sum incl. zeros → Mann-Whitney U.
+    r1 = F.col("rsum_p_g") + F.col("nnz_g") * n0 + zeros_g * (n0 + 1) / 2.0
+    u1 = r1 - n_g * (n_g + 1) / 2.0
+    mu = n_g * n_rest / 2.0
+    tie = F.coalesce(F.col("tie_p"), F.lit(0.0)) + (n0 * n0 * n0 - n0)
+    sigma = F.sqrt(
+        (n_g * n_rest / 12.0) * ((N + 1) - tie / (N * (N - 1)))
+    )
+    diff = u1 - mu
+    z = F.when(
+        sigma != 0,
+        (diff - F.when(diff > 0, 0.5).when(diff < 0, -0.5).otherwise(0.0)) / sigma,
+    ).otherwise(0.0)
+
+    mean_g = F.col("sum_g") / n_g
+    mean_rest = (F.col("tot") - F.col("sum_g")) / n_rest
+    fold = F.when(mean_rest != 0, mean_g / mean_rest).otherwise(F.lit(0.0))
+
+    return (
+        full.join(ties, "feat_id", "left_outer")
+        .select(
+            "feat_id",
+            group_col,
+            F.round(score, 6).alias("score"),
+            F.round(mean_g, 6).alias("mean"),
+            F.round(mean_rest, 6).alias("mean_rest"),
+            F.round(F.col("nnz_g") / n_g, 6).alias("frac_exp"),
+            F.round((F.col("nnz") - F.col("nnz_g")) / n_rest, 6).alias("frac_exp_rest"),
+            F.round(fold, 6).alias("fold_change"),
+            F.round(u1, 6).alias("u_stat"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def regression_markers(
+    counts: DataFrame,
+    cell_covariate: DataFrame,
+    min_cells: int = 10,
+    x_col: str = "x",
+) -> DataFrame:
+    """Per-feature linear regression of value on a continuous per-cell
+    covariate (pseudotime in the reference, ``markers.py:278-320``),
+    over features expressed in ≥ min_cells cells. slope and r from
+    covar/var aggregates — one hash agg, no per-feature loop."""
+    joined = counts.join(F.broadcast(cell_covariate), "cell_id")
+    agg = joined.groupBy("feat_id").agg(
+        F.count("*").alias("n"),
+        F.covar_samp(x_col, "value").alias("cov"),
+        F.var_samp(x_col).alias("vx"),
+        F.corr(x_col, "value").alias("r_value"),
+    )
+    return agg.where(F.col("n") >= min_cells).select(
+        "feat_id",
+        "n",
+        F.round(F.when(F.col("vx") != 0, F.col("cov") / F.col("vx")).otherwise(0.0), 6).alias(
+            "slope"
+        ),
+        F.round(F.coalesce("r_value", F.lit(0.0)), 6).alias("r_value"),
+    )
