@@ -26,12 +26,16 @@ from pyspark.sql import functions as F
 from scarf_spark.catalog import COUNTS_CTE, DataStore
 from scarf_spark.operators import (
     aggregate,
+    dedup,
     filters,
+    graph,
     joins,
+    knn,
     markers,
     normalize,
     qc,
     setops,
+    text,
     windows,
 )
 
@@ -792,6 +796,363 @@ def mark_regression(spark, sf_dir):
     ds = _ds(spark, sf_dir)
     cov = ds.orders.select(F.col("o_orderkey").alias("cell_id"), F.col("o_totalprice").alias("x"))
     return markers.regression_markers(ds.counts(), cov, min_cells=10)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 KNN / ANN + graph consumers
+# ---------------------------------------------------------------------------
+
+# Exact cosine KNN as a SQL CTE (k=5, self-hits stripped, deterministic
+# tie-break) — the shared fixture for every graph-consumer oracle.
+_KNN_CTE = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+    "pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
+    "FROM nv a JOIN nv b ON a.vec_id != b.vec_id), "
+    "knn AS (SELECT src, rn AS rank, dst, ROUND(distance, 6) AS distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
+    "FROM pairs) WHERE rn <= 5)"
+)
+
+
+def _knn_edges(spark, sf_dir, k: int = 5):
+    """Exact-KNN edge table (src, rank, dst, distance[rounded]) — the
+    rounded distances make every downstream consumer bit-deterministic
+    across engines."""
+    return knn.cosine_knn_exact(_ds(spark, sf_dir).embeddings, k=k)
+
+
+@q("knn_exact_topk", f"WITH {_KNN_CTE} SELECT src, rank, dst FROM knn")
+def knn_exact_topk(spark, sf_dir):
+    return _knn_edges(spark, sf_dir).select("src", "rank", "dst")
+
+
+@q("knn_exact_dist", f"WITH {_KNN_CTE} SELECT src, rank, dst, distance FROM knn")
+def knn_exact_dist(spark, sf_dir):
+    return _knn_edges(spark, sf_dir)
+
+
+_PLANE_CTE = (
+    "plane AS (SELECT tb.t, hh.h, ii.i, "
+    "('0x' || substr(md5('p_' || tb.t || '_' || hh.h || '_' || ii.i), 1, 15))::BIGINT "
+    "/ 1152921504606846976.0 - 0.5 AS comp "
+    "FROM generate_series(0, 3) tb(t), generate_series(0, 3) hh(h), "
+    "generate_series(0, 63) ii(i)), "
+    "sigdots AS (SELECT e.vec_id, p.t, p.h, SUM(e.v[p.i + 1] * p.comp) AS dot "
+    "FROM e, plane p GROUP BY 1, 2, 3), "
+    "sigs AS (SELECT vec_id, t, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' "
+    "ORDER BY h) AS sig FROM sigdots GROUP BY 1, 2)"
+)
+
+
+@q(
+    "knn_lsh_topk",
+    f"WITH {_KNN_CTE.split(', knn AS')[0]}, {_PLANE_CTE}, "
+    "cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM sigs a JOIN sigs b "
+    "ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id) "
+    "SELECT src, rn AS rank, dst FROM "
+    "(SELECT c.src, c.dst, ROW_NUMBER() OVER (PARTITION BY c.src "
+    "ORDER BY 1.0 - list_inner_product(x.v, y.v) / (x.nrm * y.nrm), c.dst) AS rn "
+    "FROM cand c JOIN nv x ON c.src = x.vec_id JOIN nv y ON c.dst = y.vec_id) "
+    "WHERE rn <= 5",
+)
+def knn_lsh_topk(spark, sf_dir):
+    return knn.cosine_knn_lsh(
+        _ds(spark, sf_dir).embeddings, k=5, n_tables=4, n_planes=4
+    ).select("src", "rank", "dst")
+
+
+@q("knn_lsh_recall")  # no oracle: a derived quality metric, rows-only check
+def knn_lsh_recall(spark, sf_dir):
+    emb = _ds(spark, sf_dir).embeddings
+    exact = knn.cosine_knn_exact(emb, k=5)
+    approx = knn.cosine_knn_lsh(emb, k=5, n_tables=4, n_planes=4)
+    return knn.knn_recall(approx, exact)
+
+
+_LBL_CTE = "lbl AS (SELECT vec_id AS dst, label FROM embeddings)"
+
+
+@q(
+    "graph_membership",
+    f"WITH {_KNN_CTE}, {_LBL_CTE}, "
+    "votes AS (SELECT k.src, l.label, COUNT(*) AS n FROM knn k "
+    "JOIN lbl l ON k.dst = l.dst GROUP BY 1, 2) "
+    "SELECT src, label AS modal_label, ROUND(n / 5.0, 6) AS strength FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, label) AS rn "
+    "FROM votes) WHERE rn = 1",
+)
+def graph_membership(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    edges = _knn_edges(spark, sf_dir)
+    labels = ds.embeddings.select(F.col("vec_id").alias("cell_id"), "label")
+    return graph.membership_strength(edges, labels, k=5)
+
+
+_MAGIC_OP_CTE = (
+    "wts AS (SELECT src, dst, 1.0 / (1.0 + distance) AS w FROM knn), "
+    "op AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS w_norm FROM wts), "
+    "vals AS (SELECT vec_id AS dst, CAST(label AS DOUBLE) AS value FROM embeddings)"
+)
+
+
+@q(
+    "graph_magic_t1",
+    f"WITH {_KNN_CTE}, {_MAGIC_OP_CTE} "
+    "SELECT op.src, ROUND(SUM(op.w_norm * vals.value), 6) AS imputed "
+    "FROM op JOIN vals ON op.dst = vals.dst GROUP BY op.src",
+)
+def graph_magic_t1(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    edges = _knn_edges(spark, sf_dir).withColumn("weight", 1.0 / (1.0 + F.col("distance")))
+    vals = ds.embeddings.select(
+        F.col("vec_id").alias("cell_id"), F.col("label").cast("double").alias("value")
+    )
+    return graph.magic_impute(edges, vals, t=1)
+
+
+@q(
+    "graph_magic_t2",
+    f"WITH {_KNN_CTE}, {_MAGIC_OP_CTE}, "
+    "op2 AS (SELECT a.src, b.dst, SUM(a.w_norm * b.w_norm) AS w_norm "
+    "FROM op a JOIN op b ON a.dst = b.src GROUP BY 1, 2) "
+    "SELECT op2.src, ROUND(SUM(op2.w_norm * vals.value), 6) AS imputed "
+    "FROM op2 JOIN vals ON op2.dst = vals.dst GROUP BY op2.src",
+)
+def graph_magic_t2(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    edges = _knn_edges(spark, sf_dir).withColumn("weight", 1.0 / (1.0 + F.col("distance")))
+    vals = ds.embeddings.select(
+        F.col("vec_id").alias("cell_id"), F.col("label").cast("double").alias("value")
+    )
+    return graph.magic_impute(edges, vals, t=2)
+
+
+@q(
+    "graph_snn",
+    f"WITH {_KNN_CTE} "
+    "SELECT a.src AS a, b.src AS b, COUNT(*) AS shared FROM knn a JOIN knn b "
+    "ON a.dst = b.dst AND a.src != b.src GROUP BY 1, 2",
+)
+def graph_snn(spark, sf_dir):
+    return graph.snn_shared_neighbors(_knn_edges(spark, sf_dir))
+
+
+@q(
+    "graph_snn_rerank",
+    f"WITH {_KNN_CTE}, "
+    "sh AS (SELECT a.src AS a, b.src AS b, COUNT(*) AS shared FROM knn a JOIN knn b "
+    "ON a.dst = b.dst AND a.src != b.src GROUP BY 1, 2) "
+    "SELECT src, dst, new_rank FROM (SELECT k.src, k.dst, "
+    "ROW_NUMBER() OVER (PARTITION BY k.src ORDER BY COALESCE(sh.shared, 0) DESC, "
+    "k.distance, k.dst) AS new_rank FROM knn k LEFT JOIN sh "
+    "ON k.src = sh.a AND k.dst = sh.b) WHERE new_rank <= 3",
+)
+def graph_snn_rerank(spark, sf_dir):
+    return graph.snn_rerank(_knn_edges(spark, sf_dir), k=3).select("src", "dst", "new_rank")
+
+
+@q(
+    "graph_mapping_score",
+    f"WITH {_KNN_CTE}, "
+    "np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM knn) "
+    "SELECT dst AS ref_cell_id, "
+    "ROUND(LN(1 + SUM(1.0 / (LN(1 + distance) + 1.0)) * 1000.0 / ANY_VALUE(np.n)), 6) "
+    "AS score FROM knn, np GROUP BY dst",
+)
+def graph_mapping_score(spark, sf_dir):
+    proj = _knn_edges(spark, sf_dir).select(
+        F.col("src").alias("target_cell_id"), "rank",
+        F.col("dst").alias("ref_cell_id"), "distance",
+    )
+    return graph.mapping_score(proj, scale=1000.0)
+
+
+@q(
+    "graph_target_class",
+    f"WITH {_KNN_CTE}, {_LBL_CTE}, "
+    "wts AS (SELECT k.src AS target_cell_id, l.label, 1.0 / (1.0 + k.distance) AS w "
+    "FROM knn k JOIN lbl l ON k.dst = l.dst), "
+    "pl AS (SELECT target_cell_id, label, SUM(w) AS lw FROM wts GROUP BY 1, 2), "
+    "tt AS (SELECT target_cell_id, SUM(w) AS tw FROM wts GROUP BY 1) "
+    "SELECT target_cell_id, CASE WHEN share > 0.5 THEN CAST(label AS VARCHAR) "
+    "ELSE 'NA' END AS pred_label, ROUND(share, 6) AS share FROM "
+    "(SELECT pl.target_cell_id, pl.label, pl.lw / tt.tw AS share, "
+    "ROW_NUMBER() OVER (PARTITION BY pl.target_cell_id ORDER BY pl.lw / tt.tw DESC, "
+    "pl.label) AS rn FROM pl JOIN tt ON pl.target_cell_id = tt.target_cell_id) "
+    "WHERE rn = 1",
+)
+def graph_target_class(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    proj = _knn_edges(spark, sf_dir).select(
+        F.col("src").alias("target_cell_id"), "rank",
+        F.col("dst").alias("ref_cell_id"), "distance",
+    )
+    labels = ds.embeddings.select(F.col("vec_id").alias("cell_id"), "label")
+    return graph.target_classification(proj, labels, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: deduplication
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    "WITH h AS (SELECT doc_id, md5(text) AS h FROM documents) "
+    "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS canonical_id, "
+    "COUNT(*) OVER (PARTITION BY h) AS group_size, "
+    "doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep FROM h",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_ds(spark, sf_dir).documents)
+
+
+_SHINGLE_CTE = (
+    "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS shingle FROM w)"
+)
+
+_MINHASH_CTE = (
+    f"{_SHINGLE_CTE}, "
+    "sg AS (SELECT doc_id, t.seed, MIN(md5(t.seed || '_' || shingle)) AS mh "
+    "FROM sh, generate_series(0, 7) t(seed) GROUP BY 1, 2), "
+    "bk AS (SELECT doc_id, seed // 2 AS band, "
+    "md5(string_agg(mh, '' ORDER BY seed)) AS bucket FROM sg GROUP BY 1, 2)"
+)
+
+
+@q(
+    "dedup_minhash_bands",
+    f"WITH {_MINHASH_CTE} "
+    "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
+    "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id",
+)
+def dedup_minhash_bands(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(
+        _ds(spark, sf_dir).documents, n=3, n_hashes=8, n_bands=4
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"WITH {_SHINGLE_CTE}, "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+    "FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT inter.a, inter.b, "
+    "ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON inter.a = sa.doc_id "
+    "JOIN sizes sb ON inter.b = sb.doc_id",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard(_ds(spark, sf_dir).documents, pairs=None, n=3)
+
+
+@q(
+    "dedup_simhash",
+    "WITH words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS w FROM documents), "
+    "hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words), "
+    "bits AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    + " FROM hashed GROUP BY doc_id) "
+    "SELECT doc_id, CAST("
+    + " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    + " AS BIGINT) AS simhash FROM bits",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_ds(spark, sf_dir).documents, n_bits=16)
+
+
+@q(
+    "dedup_embedding",
+    f"WITH {_KNN_CTE} "
+    "SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(distance) AS distance "
+    "FROM knn WHERE distance <= 0.7 GROUP BY 1, 2",
+)
+def dedup_embedding(spark, sf_dir):
+    return dedup.embedding_near_dups(_knn_edges(spark, sf_dir), max_distance=0.7)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+_WORDS_CTE = (
+    "w AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS ws "
+    "FROM documents)"
+)
+
+
+@q(
+    "text_token_stats",
+    f"WITH {_WORDS_CTE} "
+    "SELECT doc_id, len(ws) AS n_tokens, "
+    "len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_alpha_tokens, "
+    "length(text) AS n_chars_computed FROM w",
+)
+def text_token_stats(spark, sf_dir):
+    return text.token_stats(_ds(spark, sf_dir).documents)
+
+
+_EN_SW = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']"
+
+
+@q(
+    "text_quality_score",
+    f"WITH {_WORDS_CTE}, "
+    "f AS (SELECT doc_id, len(ws) AS n_tokens, "
+    "list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
+    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS mtl, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
+    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS sr, "
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+    "/ CAST(greatest(length(text), 1) AS DOUBLE) AS ar FROM w) "
+    "SELECT doc_id, n_tokens, ROUND(mtl, 6) AS mean_token_len, "
+    "ROUND(sr, 6) AS stopword_ratio, ROUND(ar, 6) AS alpha_ratio, "
+    "ROUND(0.4 * LEAST(sr * 5.0, 1.0) + 0.3 * ar + 0.3 * LEAST(mtl / 10.0, 1.0), 6) "
+    "AS quality FROM f",
+)
+def text_quality_score(spark, sf_dir):
+    return text.quality_score(_ds(spark, sf_dir).documents)
+
+
+_DE_SW = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'auf', 'von']"
+_FR_SW = "['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que']"
+
+
+@q(
+    "text_lang_id",
+    f"WITH {_WORDS_CTE}, "
+    "h AS (SELECT doc_id, "
+    f"len(list_filter(ws, x -> list_contains({_DE_SW}, lower(x)))) AS h_de, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) AS h_en, "
+    f"len(list_filter(ws, x -> list_contains({_FR_SW}, lower(x)))) AS h_fr FROM w) "
+    "SELECT doc_id, CASE WHEN h_de >= h_en AND h_de >= h_fr THEN 'de' "
+    "WHEN h_en >= h_fr THEN 'en' ELSE 'fr' END AS pred_lang, "
+    "GREATEST(h_de, h_en, h_fr) AS n_hits FROM h",
+)
+def text_lang_id(spark, sf_dir):
+    return text.lang_id(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "text_fingerprint",
+    f"WITH {_WORDS_CTE} "
+    "SELECT doc_id, CAST(list_aggregate(list_transform(range(1, len(ws) + 1), "
+    "i -> i * (('0x' || substr(md5(ws[i]), 1, 15))::BIGINT % 1000000000)), 'sum') "
+    "% 1000000007 AS BIGINT) AS fingerprint FROM w",
+)
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_ds(spark, sf_dir).documents)
 
 
 # ---------------------------------------------------------------------------

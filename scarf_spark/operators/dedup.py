@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale text corpora (the
+training-data-pipeline extension; not in the reference, designed
+Spark-first for 100 TB corpora).
+
+Families:
+  * exact        — content-hash groupBy; one shuffle on the hash.
+  * MinHash+LSH  — word-shingles → per-(doc, seed) lexicographic-min
+                   md5 signature → banded bucket join. The classic
+                   shingle→minhash→band→bucket-join pipeline: candidate
+                   generation is an equi-join on (band, band_hash), so
+                   the quadratic comparison is confined to buckets.
+  * SimHash      — sign-summed term-hash bits → 16-bit fingerprint;
+                   near-dups share fingerprints (or low Hamming dist).
+  * n-gram Jaccard — exact set overlap for candidate pairs via a
+                   shingle equi-join (verification stage after LSH).
+  * embedding    — cosine-threshold pairs from the KNN operators
+                   (scarf_spark.operators.knn).
+
+All hashing is md5-based and engine-portable (the DuckDB oracle
+reproduces every stage bit-for-bit) — and deterministic, which is what
+you want for reproducible corpus releases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: per doc, the canonical
+    (minimum) doc id of its content group and the group size. keep =
+    (doc == canonical)."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    w = Window.partitionBy("h")
+    return hashed.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Documents are whitespace-tokenized; shingles built JVM-side with
+    higher-order array functions (no Python, no UDF)."""
+    words = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(0, stop) walks BACKWARDS when stop < 0, so
+    # short documents must yield an empty shingle list explicitly
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per (doc, seed): lexicographic min of
+    md5(seed || '_' || shingle) — a string-valued minhash that any
+    engine reproduces exactly. (doc_id, seed, mh)."""
+    spark = shingles.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        shingles.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("_"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_band_buckets(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (seed // rows_per_band) and hash each band's
+    concatenated minhashes (seed order) into a bucket key:
+    (doc_id, band, bucket)."""
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
+        .select(
+            id_col,
+            "band",
+            F.md5(F.concat_ws("", F.transform(F.col("_s"), lambda s: s["mh"]))).alias("bucket"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band
+    bucket. The whole pipeline is shingle-explode → two hash aggs →
+    one equi-self-join on (band, bucket): linear in corpus size until
+    the (intended) bucket collisions."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    sigs = minhash_signatures(sh, n_hashes, id_col)
+    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands, id_col)
+    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via a shingle equi-join:
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. With `pairs` given,
+    verification is restricted to LSH candidates (the scale path);
+    without, all intersecting pairs are scored (still an equi-join on
+    shingle — never a cross join)."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    x = sh.select(F.col(id_col).alias("a"), "shingle")
+    y = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _word_hash60(col) -> F.Column:
+    """60-bit integer hash of a string via md5 — portable to SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame, n_bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint: explode words, hash each, sum ±1 per bit
+    (weighted by term frequency via the explode itself), fingerprint
+    bit j = sign of the sum. n_bits kept small so the whole thing stays
+    a single groupBy with n_bits conditional-sum aggregates."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.col("w") != "")
+    hashed = words.select(id_col, _word_hash60(F.col("w")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    summed = hashed.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(n_bits):
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return summed.select(id_col, fp.alias("simhash"))
+
+
+def embedding_near_dups(knn_edges: DataFrame, max_distance: float = 0.05) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs from a KNN edge table:
+    unordered pairs with distance ≤ threshold."""
+    return (
+        knn_edges.where(F.col("distance") <= max_distance)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "distance",
+        )
+        .groupBy("a", "b")
+        .agg(F.min("distance").alias("distance"))
+    )

@@ -1,0 +1,151 @@
+"""KNN-graph consumers as edge-DataFrame algebra (SURVEY.md §2.10).
+
+Reference semantics: UMAP-kernel edge weighting produces a weighted
+graph (``scarf/knn_utils.py:89-159``); consumers are membership
+strength (``scarf/datastore/datastore.py:1171-1187``), MAGIC imputation
+via row-normalized adjacency powers (``graph_datastore.py:1729-1816``,
+operator calc ``:1757-1762``), SNN shared-neighbor graphs
+(``knn_utils.py:195-274``), mapping scores
+(``mapping_datastore.py:211-285``) and target classification
+(``mapping_datastore.py:287-364``).
+
+Everything is join+groupBy on an edges table (src, dst, rank, distance,
+weight) — n·k rows, so even 4M cells × k=11 is 44M rows: comfortably
+distributed, no driver collection. Matrix powers are edge self-joins
+(sparse matmul); label votes are broadcast joins against the (small)
+cell-attribute table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def row_normalize(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """D⁻¹A — divide each edge weight by its source's weight sum
+    (``graph_datastore.py:1757``)."""
+    tot = edges.groupBy("src").agg(F.sum(weight_col).alias("_tot"))
+    return edges.join(tot, "src").withColumn(
+        "w_norm", F.col(weight_col) / F.col("_tot")
+    ).drop("_tot")
+
+
+def membership_strength(
+    edges: DataFrame, labels: DataFrame, k: int
+) -> DataFrame:
+    """Fraction of k neighbors sharing the cell's modal neighbor label
+    (``datastore.py:1171-1187``): join neighbor labels, per-src modal
+    label (deterministic tie-break on label), strength = n_modal/k."""
+    lab = labels.select(F.col("cell_id").alias("dst"), "label")
+    votes = (
+        edges.join(F.broadcast(lab), "dst")
+        .groupBy("src", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("label"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "src",
+            F.col("label").alias("modal_label"),
+            F.round(F.col("n") / F.lit(float(k)), 6).alias("strength"),
+        )
+    )
+
+
+def magic_impute(
+    edges: DataFrame, values: DataFrame, t: int = 1, weight_col: str = "weight"
+) -> DataFrame:
+    """MAGIC (``graph_datastore.py:1729-1816``): diff_op = (D⁻¹A)ᵗ,
+    imputed = diff_op · value. Sparse matrix power as t-1 edge
+    self-joins; each power is one shuffle on the join key. The graph
+    stays |edges| ≈ n·k^t rows — for small t (reference default t≤3)
+    this is the scalable plan."""
+    op = row_normalize(edges, weight_col).select("src", "dst", "w_norm")
+    cur = op
+    for _ in range(t - 1):
+        b = op.select(F.col("src").alias("_mid"), F.col("dst").alias("b_dst"),
+                      F.col("w_norm").alias("b_w"))
+        cur = (
+            cur.withColumnRenamed("dst", "_mid")
+            .join(b, "_mid")
+            .groupBy("src", F.col("b_dst").alias("dst"))
+            .agg(F.sum(F.col("w_norm") * F.col("b_w")).alias("w_norm"))
+        )
+    vals = values.select(F.col("cell_id").alias("dst"), "value")
+    return (
+        cur.join(F.broadcast(vals), "dst")
+        .groupBy("src")
+        .agg(F.round(F.sum(F.col("w_norm") * F.col("value")), 6).alias("imputed"))
+    )
+
+
+def snn_shared_neighbors(edges: DataFrame) -> DataFrame:
+    """Shared-neighbor counts (``knn_utils.py:195-274`` calc_snn):
+    |N(a) ∩ N(b)| via an edge self-join on the shared endpoint —
+    the classic sparse A·Aᵀ."""
+    a = edges.select(F.col("src").alias("a"), "dst")
+    b = edges.select(F.col("src").alias("b"), "dst")
+    return (
+        a.join(b, "dst")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+
+
+def snn_rerank(edges: DataFrame, k: int) -> DataFrame:
+    """Merge-graphs re-rank (``knn_utils.py:241-274``): order candidate
+    neighbors by (shared-neighbor count desc, distance asc), keep k."""
+    shared = snn_shared_neighbors(edges)
+    cand = edges.select("src", "dst", "distance").join(
+        shared,
+        (F.col("src") == F.col("a")) & (F.col("dst") == F.col("b")),
+        "left_outer",
+    ).select("src", "dst", "distance", F.coalesce("shared", F.lit(0)).alias("shared"))
+    w = Window.partitionBy("src").orderBy(F.col("shared").desc(), F.col("distance"), F.col("dst"))
+    return cand.withColumn("new_rank", F.row_number().over(w)).where(F.col("new_rank") <= k)
+
+
+def mapping_score(proj: DataFrame, scale: float = 1000.0) -> DataFrame:
+    """Per-reference-cell accumulated weight 1/(log1p(d)+1) from target
+    neighbor lists, scaled and log1p'd (``mapping_datastore.py:211-285``).
+    proj: (target_cell_id, rank, ref_cell_id, distance)."""
+    n_pairs = proj.count()
+    return (
+        proj.groupBy(F.col("ref_cell_id"))
+        .agg(F.sum(1.0 / (F.log1p("distance") + 1.0)).alias("_s"))
+        .select(
+            "ref_cell_id",
+            F.round(F.log1p(F.col("_s") * F.lit(scale) / F.lit(float(n_pairs))), 6).alias("score"),
+        )
+    )
+
+
+def target_classification(
+    proj: DataFrame, ref_labels: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Weighted vote over reference labels per target cell with
+    threshold; below threshold → 'NA' (``mapping_datastore.py:287-364``).
+    Weight = 1/(1+distance); vote share = label weight / total weight."""
+    lab = ref_labels.select(F.col("cell_id").alias("ref_cell_id"), "label")
+    wts = proj.join(F.broadcast(lab), "ref_cell_id").withColumn(
+        "w", 1.0 / (1.0 + F.col("distance"))
+    )
+    per_label = wts.groupBy("target_cell_id", "label").agg(F.sum("w").alias("lw"))
+    tot = wts.groupBy("target_cell_id").agg(F.sum("w").alias("tw"))
+    w = Window.partitionBy("target_cell_id").orderBy(F.col("share").desc(), F.col("label"))
+    best = (
+        per_label.join(tot, "target_cell_id")
+        .withColumn("share", F.col("lw") / F.col("tw"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return best.select(
+        "target_cell_id",
+        F.when(F.col("share") > threshold, F.col("label").cast("string"))
+        .otherwise(F.lit("NA"))
+        .alias("pred_label"),
+        F.round("share", 6).alias("share"),
+    )

@@ -1,0 +1,206 @@
+"""KNN / ANN over embedding vectors (SURVEY.md §2.10 ANN block + the
+large-scale similarity-search extension).
+
+Reference semantics: HNSW index build + self-KNN query with self-hit
+removal and recall reporting (``scarf/ann.py:14-52``, ``ann.py:290-326``,
+``scarf/knn_utils.py:23-76``). Spark has no native HNSW; the plan from
+SURVEY.md §7: exact top-k as the correctness baseline, an LSH-bucketed
+variant as the scale path, recall measured between them exactly as the
+reference logs self-KNN recall.
+
+Exact path = the "broadcast index + per-partition batch scoring"
+pattern: the (normalized) vector matrix is broadcast, and each Arrow
+batch of query vectors computes a dense sims = Q @ M.T with BLAS inside
+``mapInPandas``, then takes a local top-k. One pass over the query side,
+no shuffle, no JVM-per-pair loop — this is what a hnswlib/Faiss-backed
+partition index would look like, with the index swapped for exact
+matmul. A pure higher-order-function variant (zip_with + aggregate,
+no Python at all) is kept as `cosine_knn_exact_hof` — it is the
+bit-exact mirror of the SQL oracle and the cross-check for the BLAS
+path.
+
+The LSH path uses *deterministic* random hyperplanes derived from md5
+(portable to any engine, seeds in SQL) with OR-construction over
+``n_tables`` independent signatures — reproducible runs, tunable
+recall/cost.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double_vec(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return emb.select(F.col(id_col).alias("vid"), v.alias("v"), norm.alias("nrm"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_knn_exact(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (self hits stripped, ``ann.py:31-52``):
+    (src, rank, dst, distance), deterministic (distance, dst) order.
+
+    Broadcast-index + Arrow-batched BLAS scoring. The index side is
+    collected and broadcast — for billion-scale indexes swap in
+    :func:`cosine_knn_lsh` (bounded candidates) or shard the index and
+    take top-k of per-shard top-ks (a union + window re-rank)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m_n))
+
+    def score(batches):
+        b_ids, b_m = bc.value
+        for b in batches:
+            q = np.array(b[vec_col].tolist(), dtype=np.float64)
+            q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - q_n @ b_m.T
+            src = b[id_col].to_numpy()
+            # top-(k+1) then strip self, deterministic (distance, dst)
+            kk = min(k + 1, dist.shape[1])
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            out = []
+            for r in range(dist.shape[0]):
+                cand = part[r]
+                cand = cand[np.lexsort((b_ids[cand], dist[r, cand]))]
+                cand = cand[b_ids[cand] != src[r]][:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "src": src[r],
+                            "rank": np.arange(1, len(cand) + 1),
+                            "dst": b_ids[cand],
+                            "distance": np.round(dist[r, cand], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.mapInPandas(score, "src long, rank int, dst long, distance double")
+
+
+def cosine_knn_exact_hof(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-SQL exact KNN (zip_with/aggregate dot products inside
+    codegen) — the bit-exact mirror of the DuckDB oracle and the
+    cross-check for the BLAS path. O(n²) pairs through the JVM."""
+    e = _as_double_vec(emb, id_col, vec_col)
+    a = e.select(F.col("vid").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vid").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("src") != F.col("dst"))
+    dist = F.lit(1.0) - _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
+    return (
+        pairs.select("src", "dst", dist.alias("distance"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
+    )
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    table: int = 0,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane signature for one LSH table: plane (t, h)
+    component i = md5-hash01('p_t_h_i') - 0.5; sig = concatenated sign
+    bits. Deterministic and engine-portable."""
+    e = _as_double_vec(emb, id_col, vec_col)
+    bits = []
+    for h in range(n_planes):
+        comps = F.array(*[
+            (F.conv(F.substring(F.md5(F.lit(f"p_{table}_{h}_{i}")), 1, 15), 16, 10)
+             .cast("double") / F.lit(float(1 << 60)) - 0.5)
+            for i in range(dim)
+        ])
+        dot = _dot(F.col("v"), comps)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return e.select("vid", F.concat(*bits).alias("sig"), "v", "nrm")
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """OR-construction candidate generation: a pair is a candidate if it
+    collides in ANY of the n_tables signatures. Each table is an
+    equi-self-join on the signature — candidates per vector ≈
+    n_tables · n / 2^n_planes, the recall/cost dial."""
+    cands = None
+    for t in range(n_tables):
+        sigs = lsh_signatures(emb, t, n_planes, id_col, vec_col, dim).select("vid", "sig")
+        a = sigs.select(F.col("sig"), F.col("vid").alias("src"))
+        b = sigs.select(F.col("sig"), F.col("vid").alias("dst"))
+        p = a.join(b, "sig").where(F.col("src") != F.col("dst")).select("src", "dst")
+        cands = p if cands is None else cands.union(p)
+    return cands.distinct()
+
+
+def cosine_knn_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed approximate KNN: exact cosine over the OR-union of
+    bucket collisions, top-k per src. The scale path — never a full
+    cross join; recall vs :func:`cosine_knn_exact` is measurable per
+    run, mirroring the reference's recall logging
+    (``knn_utils.py:74-76``)."""
+    e = _as_double_vec(emb, id_col, vec_col)
+    cand = lsh_candidate_pairs(emb, n_tables, n_planes, id_col, vec_col, dim)
+    x = e.select(F.col("vid").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = e.select(F.col("vid").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = cand.join(x, "src").join(y, "dst")
+    dist = F.lit(1.0) - _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
+    return (
+        pairs.select("src", "dst", dist.alias("distance"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
+    )
+
+
+def knn_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall of an approximate KNN vs the exact result: fraction of
+    exact (src, dst) edges recovered (``knn_utils.py:74-76``)."""
+    hit = exact.select("src", "dst").join(approx.select("src", "dst"), ["src", "dst"], "left_semi")
+    n_exact = exact.count()
+    n_hit = hit.count()
+    spark = approx.sparkSession
+    return spark.createDataFrame(
+        [(n_hit, n_exact, round(n_hit / n_exact, 6) if n_exact else 0.0)],
+        ["n_hit", "n_exact", "recall"],
+    )

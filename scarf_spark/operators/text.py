@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines (the large-scale extension
+alongside dedup: language ID, quality scoring, token counting, document
+fingerprinting). Pure JVM-side string/array expressions — no UDFs — so
+they run inside whole-stage codegen at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+}
+
+
+def _words(text_col: str) -> F.Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, alphabetic regex tokens, and
+    character length."""
+    w = _words(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+', 0)")).alias("n_alpha_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + blended score: mean token length,
+    stopword ratio, alpha-char ratio, plus a deterministic blend. The
+    kind of cheap per-doc signal a corpus filter runs before expensive
+    model scoring."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    mean_tok_len = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(w, lambda x: F.lower(x).isin(sw)))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1)).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    )
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(mean_tok_len / 10.0, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: count hits against each language's
+    list, argmax with deterministic tie-break (hit count desc, then
+    language code). Returns (doc_id, pred_lang, n_hits)."""
+    w = _words(text_col)
+
+    def _hits(swl):
+        # NB: a default-arg lambda (x, sw=sw) would be read by PySpark's
+        # higher-order-function binding as the 2-arg (element, index)
+        # form — capture the list via closure instead.
+        return F.size(F.filter(w, lambda x: F.lower(x).isin(swl)))
+
+    hit_cols = []
+    for lang, sw in sorted(STOPWORDS.items()):
+        hit_cols.append(F.struct(_hits(sw).alias("hits"), F.lit(lang).alias("lang")))
+    # argmax via array_max over (hits, -lang) ordering: array_max on
+    # structs compares fields in order; to break ties toward the
+    # *smaller* language code we sort ascending and take the last of
+    # (hits, reversed-lang) — simplest portable form: sort by hits desc
+    # then lang asc via sort_array of (negated hits, lang).
+    arr = F.array(*[
+        F.struct((-c["hits"]).alias("neg"), c["lang"].alias("lang"), c["hits"].alias("hits"))
+        for c in hit_cols
+    ])
+    best = F.sort_array(arr)[0]
+    return docs.select(
+        F.col(id_col), best["lang"].alias("pred_lang"), best["hits"].alias("n_hits")
+    )
+
+
+def fingerprint(
+    docs: DataFrame, mod: int = 1_000_000_007, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted sum of
+    60-bit word hashes mod p — sum((pos+1) * (h % 1e9)) % p. Equivalent
+    detection power to a rolling hash but expressible as a plain SUM
+    (distributable, and reproducible in any engine), instead of a
+    sequential fold."""
+    words = docs.select(
+        F.col(id_col), F.posexplode(_words(text_col)).alias("pos", "w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long") % F.lit(1_000_000_000)
+    term = (F.col("pos") + 1).cast("long") * h
+    return (
+        words.select(F.col(id_col), term.alias("t"))
+        .groupBy(id_col)
+        .agg((F.sum("t") % F.lit(mod)).alias("fingerprint"))
+    )
