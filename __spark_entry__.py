@@ -1156,6 +1156,650 @@ def text_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.10 ML: HVG selection, clustering, reduction, metrics, pseudotime
+# ---------------------------------------------------------------------------
+
+@q(
+    "ml_hvg_binned",
+    f"WITH {COUNTS_CTE}, "
+    "agg AS (SELECT feat_id, CAST(SUM(value) AS DOUBLE) AS tot, "
+    "CAST(SUM(value * value) AS DOUBLE) AS tot_sq FROM counts GROUP BY feat_id), "
+    f"mv AS (SELECT feat_id, tot / {_N_CELLS_SQL} AS mean, "
+    f"tot_sq / {_N_CELLS_SQL} - (tot / {_N_CELLS_SQL}) * (tot / {_N_CELLS_SQL}) AS variance "
+    "FROM agg) , "
+    "fl AS (SELECT * FROM mv WHERE mean > 0 AND variance > 0), "
+    "binned AS (SELECT *, NTILE(20) OVER (ORDER BY mean, feat_id) AS bin FROM fl), "
+    "trend AS (SELECT bin, MEDIAN(LN(variance)) AS trend FROM binned GROUP BY bin), "
+    "corr AS (SELECT b.feat_id, b.mean, b.variance, b.bin, "
+    "ROUND(LN(b.variance) - t.trend, 6) AS c_var FROM binned b JOIN trend t ON b.bin = t.bin) "
+    "SELECT feat_id, ROUND(mean, 6) AS mean, ROUND(variance, 6) AS variance, bin, c_var, "
+    "hvg_rank FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c_var DESC, feat_id) AS hvg_rank "
+    "FROM corr) WHERE hvg_rank <= 100",
+)
+def ml_hvg_binned(spark, sf_dir):
+    from scarf_spark.ml import hvg
+
+    ds = _ds(spark, sf_dir)
+    return hvg.mark_hvgs_binned(ds.counts(), n_cells=_n_cells(ds), n_bins=20, top_n=100)
+
+
+_UND_CTE = (
+    "und AS (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)), "
+    "l0 AS (SELECT DISTINCT src AS node, src AS cluster FROM und)"
+)
+
+_LP_ROUND = (
+    "r{t} AS (SELECT u.src AS node, l.cluster, COUNT(*) AS n FROM und u "
+    "JOIN l{p} l ON u.dst = l.node GROUP BY 1, 2), "
+    "l{t} AS (SELECT node, cluster FROM (SELECT node, cluster, "
+    "ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, cluster) AS rn FROM r{t}) "
+    "WHERE rn = 1)"
+)
+
+
+@q(
+    "ml_label_prop",
+    f"WITH {_KNN_CTE}, {_UND_CTE}, "
+    + ", ".join(_LP_ROUND.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + " SELECT node, cluster FROM l3",
+)
+def ml_label_prop(spark, sf_dir):
+    from scarf_spark.ml import cluster
+
+    edges = _knn_edges(spark, sf_dir)
+    return cluster.label_propagation(edges, n_iter=3)
+
+
+@q(
+    "ml_ari",
+    "WITH ct AS (SELECT label AS a, vec_id % 4 AS b, COUNT(*) AS nij "
+    "FROM embeddings GROUP BY 1, 2), "
+    "s AS (SELECT SUM(nij * (nij - 1) / 2.0) AS sum_ij, SUM(nij) AS n FROM ct), "
+    "sa AS (SELECT SUM(ai * (ai - 1) / 2.0) AS sum_a FROM "
+    "(SELECT SUM(nij) AS ai FROM ct GROUP BY a)), "
+    "sb AS (SELECT SUM(bj * (bj - 1) / 2.0) AS sum_b FROM "
+    "(SELECT SUM(nij) AS bj FROM ct GROUP BY b)) "
+    "SELECT ROUND(CASE WHEN (sum_a + sum_b) / 2.0 != sum_a * sum_b / (n * (n - 1) / 2.0) "
+    "THEN (sum_ij - sum_a * sum_b / (n * (n - 1) / 2.0)) "
+    "/ ((sum_a + sum_b) / 2.0 - sum_a * sum_b / (n * (n - 1) / 2.0)) ELSE 0.0 END, 6) "
+    "AS ari FROM s, sa, sb",
+)
+def ml_ari(spark, sf_dir):
+    from scarf_spark.ml import metrics
+
+    emb = _ds(spark, sf_dir).embeddings.select(
+        F.col("label").alias("a"), (F.col("vec_id") % 4).alias("b")
+    )
+    return metrics.adjusted_rand_index(emb, "a", "b")
+
+
+@q(
+    "ml_nmi",
+    "WITH ct AS (SELECT label AS a, vec_id % 4 AS b, COUNT(*) AS nij "
+    "FROM embeddings GROUP BY 1, 2), "
+    "n AS (SELECT CAST(SUM(nij) AS DOUBLE) AS n FROM ct), "
+    "ai AS (SELECT a, SUM(nij) AS ai FROM ct GROUP BY a), "
+    "bj AS (SELECT b, SUM(nij) AS bj FROM ct GROUP BY b), "
+    "mi AS (SELECT SUM(ct.nij / n.n * LN(n.n * ct.nij / (ai.ai * bj.bj))) AS mi "
+    "FROM ct JOIN ai ON ct.a = ai.a JOIN bj ON ct.b = bj.b, n), "
+    "ha AS (SELECT -SUM(ai / n.n * LN(ai / n.n)) AS ha FROM ai, n), "
+    "hb AS (SELECT -SUM(bj / n.n * LN(bj / n.n)) AS hb FROM bj, n) "
+    "SELECT ROUND(CASE WHEN ha + hb != 0 THEN mi / ((ha + hb) / 2.0) ELSE 0.0 END, 6) "
+    "AS nmi FROM mi, ha, hb",
+)
+def ml_nmi(spark, sf_dir):
+    from scarf_spark.ml import metrics
+
+    emb = _ds(spark, sf_dir).embeddings.select(
+        F.col("label").alias("a"), (F.col("vec_id") % 4).alias("b")
+    )
+    return metrics.normalized_mutual_info(emb, "a", "b")
+
+
+def _top_feats(ds: DataStore, n: int = 10) -> list[int]:
+    rows = (
+        ds.counts().groupBy("feat_id").agg(F.sum("value").alias("t"))
+        .orderBy(F.desc("t"), "feat_id").limit(n).collect()
+    )
+    return [int(r["feat_id"]) for r in rows]
+
+
+@q("ml_pca_project")  # weak: eigen decomposition has no SQL oracle
+def ml_pca_project(spark, sf_dir):
+    from scarf_spark.ml import reduction
+
+    ds = _ds(spark, sf_dir)
+    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
+    z = reduction.zscore_vectors(vec)
+    loadings, _ev = reduction.pca_fit(z, k=3)
+    out = reduction.pca_transform(z, loadings)
+    return out.select(
+        "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
+    )
+
+
+@q("ml_kmeans")  # weak: MLlib init is seed-deterministic but not SQL-expressible
+def ml_kmeans(spark, sf_dir):
+    from scarf_spark.ml import cluster
+
+    emb = _ds(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("v")
+    )
+    out = cluster.kmeans_mllib(emb, k=4, seed=4466)
+    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+@q("ml_louvain")  # weak: community detection runs driver-side (networkx, seeded)
+def ml_louvain(spark, sf_dir):
+    from scarf_spark.ml import cluster
+
+    edges = _knn_edges(spark, sf_dir)
+    out = cluster.louvain_driver(edges, seed=4466)
+    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+@q("ml_lisi")  # weak: per-cell bandwidth bisection (pandas UDF)
+def ml_lisi(spark, sf_dir):
+    from scarf_spark.ml import metrics
+
+    ds = _ds(spark, sf_dir)
+    edges = _knn_edges(spark, sf_dir)
+    labels = ds.embeddings.select(F.col("vec_id").alias("cell_id"), "label")
+    return metrics.lisi(edges, labels, perplexity=3.0)
+
+
+@q("ml_pseudotime")  # weak: smallest-SV pseudoinverse is driver_compute
+def ml_pseudotime(spark, sf_dir):
+    from scarf_spark.ml import pseudotime
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    return pseudotime.pba_pseudotime(edges, source_node=0)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 mapping: cross-set KNN, UMAP kernel smoothing, unified graph
+# ---------------------------------------------------------------------------
+
+_CROSS_KNN_CTE = (
+    "ref AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE vec_id % 2 = 0), "
+    "tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE vec_id % 2 = 1), "
+    "refn AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM ref), "
+    "tgtn AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM tgt), "
+    "xpairs AS (SELECT t.vec_id AS src, r.vec_id AS dst, "
+    "1.0 - list_inner_product(t.v, r.v) / (t.nrm * r.nrm) AS distance "
+    "FROM tgtn t JOIN refn r ON TRUE), "
+    "xknn AS (SELECT src, rn AS rank, dst, ROUND(distance, 6) AS distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
+    "FROM xpairs) WHERE rn <= 3)"
+)
+
+
+@q("knn_cross_topk", f"WITH {_CROSS_KNN_CTE} SELECT src, rank, dst, distance FROM xknn")
+def knn_cross_topk(spark, sf_dir):
+    emb = _ds(spark, sf_dir).embeddings
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    return knn.cosine_knn_cross(tgt, ref, k=3)
+
+
+@q("knn_smooth_weights")  # weak: per-row sigma bisection (grouped pandas UDF)
+def knn_smooth_weights(spark, sf_dir):
+    edges = _knn_edges(spark, sf_dir)
+    return knn.smoothen_dists(edges, k=5)
+
+
+@q(
+    "graph_unified",
+    # ref self-KNN over even vec_ids + target→ref projection edges at
+    # uniform weight (mapping_datastore.py:366-661 unified graph)
+    f"WITH {_CROSS_KNN_CTE}, "
+    "rpairs AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
+    "FROM refn a JOIN refn b ON a.vec_id != b.vec_id), "
+    "rknn AS (SELECT src, dst, ROUND(distance, 6) AS distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
+    "FROM rpairs) WHERE rn <= 5) "
+    "SELECT src, dst, ROUND(1.0 / (1.0 + distance), 6) AS weight, 'ref' AS kind "
+    "FROM rknn "
+    "UNION ALL SELECT src, dst, 1.0 AS weight, 'proj' AS kind FROM xknn",
+)
+def graph_unified(spark, sf_dir):
+    emb = _ds(spark, sf_dir).embeddings
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    ref_edges = knn.cosine_knn_exact(ref, k=5).select(
+        "src",
+        "dst",
+        F.round(1.0 / (1.0 + F.col("distance")), 6).alias("weight"),
+        F.lit("ref").alias("kind"),
+    )
+    proj_edges = knn.cosine_knn_cross(tgt, ref, k=3).select(
+        "src", "dst", F.lit(1.0).alias("weight"), F.lit("proj").alias("kind")
+    )
+    return ref_edges.unionByName(proj_edges)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 feature-module clustering (markers.py:323-439)
+# ---------------------------------------------------------------------------
+
+_FEAT_KNN_CTE = (
+    f"{COUNTS_CTE}, "
+    "co AS (SELECT o_orderkey AS cell_id, o_totalprice AS x FROM orders), "
+    "bc AS (SELECT cell_id, NTILE(10) OVER (ORDER BY x, cell_id) AS bin FROM co), "
+    "prof AS (SELECT feat_id, bin, ROUND(AVG(value), 6) AS m "
+    "FROM counts c JOIN bc ON c.cell_id = bc.cell_id GROUP BY 1, 2), "
+    "nrm AS (SELECT feat_id, sqrt(SUM(m * m)) AS nrm FROM prof GROUP BY 1), "
+    "dots AS (SELECT a.feat_id AS src, b.feat_id AS dst, SUM(a.m * b.m) AS dot "
+    "FROM prof a JOIN prof b ON a.bin = b.bin AND a.feat_id != b.feat_id "
+    "GROUP BY 1, 2), "
+    "fpairs AS (SELECT na.feat_id AS src, nb.feat_id AS dst, "
+    "1.0 - COALESCE(d.dot, 0) / (na.nrm * nb.nrm) AS distance "
+    "FROM nrm na JOIN nrm nb ON na.feat_id != nb.feat_id "
+    "LEFT JOIN dots d ON d.src = na.feat_id AND d.dst = nb.feat_id), "
+    "knn AS (SELECT src, rn AS rank, dst, distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
+    "FROM fpairs) WHERE rn <= 5)"
+)
+
+
+@q("mark_feat_knn", f"WITH {_FEAT_KNN_CTE} SELECT src, rank, dst FROM knn")
+def mark_feat_knn(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    cell_order = ds.orders.select(
+        F.col("o_orderkey").alias("cell_id"), F.col("o_totalprice").alias("x")
+    )
+    out = markers.feature_module_knn(ds.counts(), cell_order, n_bins=10, k=5)
+    return out.select("src", "rank", "dst")
+
+
+@q(
+    "mark_feat_modules",
+    f"WITH {_FEAT_KNN_CTE}, "
+    + "und AS (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)), "
+    "l0 AS (SELECT DISTINCT src AS node, src AS cluster FROM und), "
+    + ", ".join(
+        (
+            "r{t} AS (SELECT u.src AS node, l.cluster, COUNT(*) AS n FROM und u "
+            "JOIN l{p} l ON u.dst = l.node GROUP BY 1, 2), "
+            "l{t} AS (SELECT node, cluster FROM (SELECT node, cluster, "
+            "ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, cluster) AS rn "
+            "FROM r{t}) WHERE rn = 1)"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    )
+    + " SELECT node, cluster FROM l3",
+)
+def mark_feat_modules(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    cell_order = ds.orders.select(
+        F.col("o_orderkey").alias("cell_id"), F.col("o_totalprice").alias("x")
+    )
+    return markers.feature_modules(ds.counts(), cell_order, n_bins=10, k=5, n_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 integration / demux / metrics / sketching
+# ---------------------------------------------------------------------------
+
+_KNN32_CTE = (
+    "e32 AS (SELECT vec_id, CAST(list_slice(embedding, 1, 32) AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "nv32 AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e32), "
+    "pairs32 AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
+    "FROM nv32 a JOIN nv32 b ON a.vec_id != b.vec_id), "
+    "knn32 AS (SELECT src, dst, ROUND(distance, 6) AS distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
+    "FROM pairs32) WHERE rn <= 5)"
+)
+
+
+@q(
+    "ml_wnn",
+    f"WITH {_KNN_CTE}, {_KNN32_CTE}, "
+    "affa AS (SELECT src, AVG(1.0 / (1.0 + distance)) AS aff_a FROM knn GROUP BY src), "
+    "affb AS (SELECT src, AVG(1.0 / (1.0 + distance)) AS aff_b FROM knn32 GROUP BY src), "
+    "wts AS (SELECT COALESCE(a.src, b.src) AS src, "
+    "COALESCE(aff_a, 0) / (COALESCE(aff_a, 0) + COALESCE(aff_b, 0)) AS w_a "
+    "FROM affa a FULL OUTER JOIN affb b ON a.src = b.src), "
+    "ea AS (SELECT src, dst, 1.0 / (1.0 + distance) AS sim_a FROM knn), "
+    "eb AS (SELECT src, dst, 1.0 / (1.0 + distance) AS sim_b FROM knn32), "
+    "cand AS (SELECT COALESCE(ea.src, eb.src) AS src, COALESCE(ea.dst, eb.dst) AS dst, "
+    "COALESCE(sim_a, 0) AS sim_a, COALESCE(sim_b, 0) AS sim_b "
+    "FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst), "
+    "blended AS (SELECT c.src, c.dst, "
+    "w.w_a * c.sim_a + (1 - w.w_a) * c.sim_b AS blend "
+    "FROM cand c JOIN wts w ON c.src = w.src) "
+    "SELECT src, rn AS rank, dst, ROUND(blend, 6) AS weight FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY blend DESC, dst) AS rn "
+    "FROM blended) WHERE rn <= 5",
+)
+def ml_wnn(spark, sf_dir):
+    from scarf_spark.ml import integrate
+
+    emb = _ds(spark, sf_dir).embeddings
+    edges_a = knn.cosine_knn_exact(emb, k=5)
+    emb32 = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    edges_b = knn.cosine_knn_exact(emb32, k=5)
+    return integrate.wnn_blend(edges_a, edges_b, k=5)
+
+
+@q(
+    "ml_silhouette",
+    "WITH pts AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv, "
+    "label AS plab FROM embeddings), "
+    "pairs AS (SELECT a.pid, a.plab, b.plab AS qlab, "
+    "ROUND(list_distance(a.pv, b.pv), 6) AS d "
+    "FROM pts a JOIN pts b ON a.pid != b.pid), "
+    "agg AS (SELECT pid, plab, qlab, SUM(d) AS sd, COUNT(*) AS nd "
+    "FROM pairs GROUP BY 1, 2, 3), "
+    "per AS (SELECT pid, plab, "
+    "MAX(CASE WHEN plab = qlab THEN sd END) AS intra_sd, "
+    "MAX(CASE WHEN plab = qlab THEN nd END) AS intra_n, "
+    "MIN(CASE WHEN plab != qlab THEN sd / nd END) AS b "
+    "FROM agg GROUP BY 1, 2) "
+    "SELECT pid AS vec_id, ROUND(CASE WHEN intra_n IS NULL THEN 0.0 "
+    "ELSE (b - intra_sd / intra_n) / GREATEST(b, intra_sd / intra_n) END, 6) "
+    "AS silhouette FROM per",
+)
+def ml_silhouette(spark, sf_dir):
+    from scarf_spark.ml import metrics
+
+    emb = _ds(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").alias("v"), "label"
+    )
+    return metrics.silhouette_exact(emb)
+
+
+@q(
+    "agg_cc_phase",
+    f"WITH {COUNTS_CTE}, "
+    "s_set AS (SELECT p_partkey AS feat_id FROM part "
+    "WHERE regexp_matches(UPPER(p_name), 'RED')), "
+    "g_set AS (SELECT p_partkey AS feat_id FROM part "
+    "WHERE regexp_matches(UPPER(p_name), 'BLUE')), "
+    "base AS (SELECT cell_id, AVG(value) AS base_mean FROM counts GROUP BY 1), "
+    "sm AS (SELECT cell_id, AVG(value) AS s_raw FROM counts "
+    "WHERE feat_id IN (SELECT feat_id FROM s_set) GROUP BY 1), "
+    "gm AS (SELECT cell_id, AVG(value) AS g_raw FROM counts "
+    "WHERE feat_id IN (SELECT feat_id FROM g_set) GROUP BY 1), "
+    "sc AS (SELECT b.cell_id, "
+    "ROUND(COALESCE(s_raw, 0.0) - base_mean, 6) AS s_score, "
+    "ROUND(COALESCE(g_raw, 0.0) - base_mean, 6) AS g2m_score "
+    "FROM base b LEFT JOIN sm ON b.cell_id = sm.cell_id "
+    "LEFT JOIN gm ON b.cell_id = gm.cell_id) "
+    "SELECT cell_id, s_score, g2m_score, "
+    "CASE WHEN s_score <= 0 AND g2m_score <= 0 THEN 'G1' "
+    "WHEN s_score > g2m_score THEN 'S' ELSE 'G2M' END AS phase FROM sc",
+)
+def agg_cc_phase(spark, sf_dir):
+    from scarf_spark.operators import demux
+
+    ds = _ds(spark, sf_dir)
+    return demux.cell_cycle_phase(ds.counts(), ds.feat_table(), "red", "blue")
+
+
+@q(
+    "samp_downsample",
+    "WITH cells AS (SELECT vec_id, label FROM embeddings), "
+    "rates AS (SELECT label, LEAST(1.0, 50.0 / COUNT(*)) AS rate "
+    "FROM cells GROUP BY label), "
+    "u AS (SELECT vec_id, cells.label, rate, "
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT "
+    "/ 1152921504606846976.0 AS uv "
+    "FROM cells JOIN rates ON cells.label = rates.label) "
+    "SELECT vec_id, label, ROUND(uv, 6) AS u FROM u WHERE uv < rate",
+)
+def samp_downsample(spark, sf_dir):
+    from scarf_spark.operators import demux
+
+    cells = _ds(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("cell_id"), "label"
+    )
+    out = demux.downsample_sketch(cells, "label", cap_per_cluster=50)
+    return out.select(F.col("cell_id").alias("vec_id"), "label", "u")
+
+
+@q(
+    "ml_umap_sym",
+    f"WITH {_KNN_CTE}, "
+    "w AS (SELECT src, dst, 1.0 / (1.0 + distance) AS weight FROM knn), "
+    "t AS (SELECT dst AS src, src AS dst, weight AS wb FROM w) "
+    "SELECT COALESCE(w.src, t.src) AS src, COALESCE(w.dst, t.dst) AS dst, "
+    "ROUND(COALESCE(w.weight, 0) + COALESCE(t.wb, 0) "
+    "- COALESCE(w.weight, 0) * COALESCE(t.wb, 0), 6) AS weight "
+    "FROM w FULL OUTER JOIN t ON w.src = t.src AND w.dst = t.dst",
+)
+def ml_umap_sym(spark, sf_dir):
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    return embed.symmetrize_edges(edges)
+
+
+@q("ml_umap_embed")  # weak: sequential SGD layout (driver_compute, seeded)
+def ml_umap_embed(spark, sf_dir):
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    sym = embed.symmetrize_edges(edges)
+    emb = _ds(spark, sf_dir).embeddings
+    vec = emb.select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = embed.ini_embed_kmeans_pca(vec, n_centroids=10)
+    return embed.umap_layout_driver(sym, init, n_epochs=20)
+
+
+@q("demux_hto")  # weak: KMeans cluster ids are seed-deterministic, not SQL
+def demux_hto(spark, sf_dir):
+    from scarf_spark.operators import demux
+
+    ds = _ds(spark, sf_dir)
+    # treat the 4 globally heaviest features as HTO channels
+    hto_ids = _top_feats(ds, 4)
+    hto_counts = ds.counts().where(F.col("feat_id").isin(hto_ids))
+    out = demux.hto_demux(hto_counts, n_htos=4)
+    return out.groupBy("assignment").agg(F.count("*").alias("n"))
+
+
+@q("ml_coral")  # weak: eigendecomposition-based alignment, no SQL oracle
+def ml_coral(spark, sf_dir):
+    from scarf_spark.ml import integrate
+
+    emb = _ds(spark, sf_dir).embeddings
+    src = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
+    )
+    tgt = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
+    )
+    out = integrate.coral_align(src, tgt)
+    return out.select(
+        "cell_id", *[F.round(F.col("v")[i], 6).alias(f"c{i}") for i in range(8)]
+    )
+
+
+@q("ml_harmony")  # weak: iterative soft-kmeans correction, driver centroids
+def ml_harmony(spark, sf_dir):
+    from scarf_spark.ml import integrate
+
+    emb = _ds(spark, sf_dir).embeddings
+    vec = emb.select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
+    )
+    batch = emb.select(
+        F.col("vec_id").alias("cell_id"), (F.col("vec_id") % 2).alias("batch")
+    )
+    out = integrate.harmony_lite(vec, batch, n_clusters=3, n_iter=2)
+    return out.select(
+        "cell_id", *[F.round(F.col("v")[i], 6).alias(f"h{i}") for i in range(8)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column pipeline (training-data extension; codecs stubbed)
+# ---------------------------------------------------------------------------
+
+_MEDIA_CTE = (
+    "media AS (SELECT doc_id, "
+    "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality, "
+    "text FROM documents)"
+)
+
+
+@q(
+    "mm_payload_meta",
+    f"WITH {_MEDIA_CTE} "
+    "SELECT doc_id, modality, octet_length(encode(text)) AS n_bytes, "
+    "md5(text) AS checksum FROM media",
+)
+def mm_payload_meta(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    return mm.payload_metadata(mm.attach_payload(_ds(spark, sf_dir).documents))
+
+
+@q(
+    "mm_image_decode",
+    f"WITH {_MEDIA_CTE}, "
+    "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p FROM media, "
+    "UNNEST(range(1, length(text) + 1)) AS t(i) "
+    "WHERE modality = 'image' AND i <= (length(text) // 32) * 32) "
+    "SELECT m.doc_id, 32 AS width, CAST(length(m.text) // 32 AS INT) AS height, "
+    "COALESCE(COUNT(px.p), 0) AS n_pixels, "
+    "COALESCE(SUM(px.p) * 1000000 // COUNT(px.p), 0) AS mean_pixel_ppm, "
+    "COALESCE(MIN(px.p), 0) AS min_pixel, COALESCE(MAX(px.p), 0) AS max_pixel "
+    "FROM media m LEFT JOIN px ON m.doc_id = px.doc_id "
+    "WHERE m.modality = 'image' GROUP BY 1, 3",
+)
+def mm_image_decode(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents)
+    return mm.decode_image_stub(media, width=32)
+
+
+@q(
+    "mm_frame_sample",
+    f"WITH {_MEDIA_CTE}, "
+    "v AS (SELECT doc_id, text, length(text) // 64 AS n_frames FROM media "
+    "WHERE modality = 'video'), "
+    "idx AS (SELECT doc_id, text, UNNEST(range(0, n_frames, 3)) AS frame_idx "
+    "FROM v WHERE n_frames > 0) "
+    "SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, "
+    "md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5 FROM idx",
+)
+def mm_frame_sample(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents)
+    return mm.frame_sample(media, frame_chars=64, every=3)
+
+
+@q(
+    "mm_audio_energy",
+    f"WITH {_MEDIA_CTE}, "
+    "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p, "
+    "CAST((i - 1) // 100 AS INT) AS frame_idx "
+    "FROM media, UNNEST(range(1, length(text) + 1)) AS t(i) "
+    "WHERE modality = 'audio' AND i <= (length(text) // 100) * 100) "
+    "SELECT doc_id, frame_idx, SUM(p) AS energy FROM px GROUP BY 1, 2",
+)
+def mm_audio_energy(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents)
+    return mm.audio_frame_energy(media, frame_bytes=100)
+
+
+@q("mm_resize")  # weak: numpy stride-slice downsample inside mapInPandas
+def mm_resize(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents)
+    return mm.resize_stub(media, factor=4)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Structured Streaming (batch twins; stream parity in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+@q(
+    "stream_window_tumbling",
+    "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
+    "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def stream_window_tumbling(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    return strm.tumbling_window_counts(_ds(spark, sf_dir).events, window="1 hour")
+
+
+@q(
+    "stream_window_sliding",
+    "WITH slots AS (SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) AS slot FROM events), "
+    "x AS (SELECT (slot - i) * 1800 AS window_start FROM slots "
+    "CROSS JOIN (SELECT UNNEST([0, 1]) AS i)) "
+    "SELECT window_start, COUNT(*) AS n_events FROM x GROUP BY 1",
+)
+def stream_window_sliding(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    return strm.sliding_window_counts(
+        _ds(spark, sf_dir).events, window="1 hour", slide="30 minutes"
+    )
+
+
+@q(
+    "stream_sessionize",
+    "WITH o AS (SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t "
+    "FROM events), "
+    "b AS (SELECT *, CASE WHEN t - LAG(t) OVER "
+    "(PARTITION BY user_id ORDER BY t, event_id) > 1800 THEN 1 ELSE 0 END AS brk FROM o), "
+    "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS session_id FROM b) "
+    "SELECT user_id, session_id, COUNT(*) AS n_events, "
+    "MIN(t) AS session_start, MAX(t) AS session_end FROM s GROUP BY 1, 2",
+)
+def stream_sessionize(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    return strm.sessionize_batch(_ds(spark, sf_dir).events, gap_minutes=30)
+
+
+@q(
+    "stream_type_rate",
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS rate "
+    "FROM events GROUP BY 1",
+)
+def stream_type_rate(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    return strm.event_type_rate(_ds(spark, sf_dir).events)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -80,6 +80,15 @@ def _extra_headliners() -> set[str]:
         "dedup_minhash_bands",
         "text_quality_score",
         "agg_make_bulk",
+        # round-1 additions: one representative per new family
+        "ml_hvg_binned",
+        "ml_wnn",
+        "ml_silhouette",
+        "stream_window_tumbling",
+        "stream_sessionize",
+        "mm_frame_sample",
+        "mm_image_decode",
+        "samp_downsample",
     }
 
 

@@ -1,0 +1,175 @@
+"""Clustering (``scarf/datastore/graph_datastore.py:1379-1584``).
+
+The reference runs Leiden (igraph) and Paris (sknetwork) on the
+collected KNN graph — both driver-side over a linear-size edge list.
+Spark-first we provide:
+
+  * label_propagation — fully DISTRIBUTED, deterministic, synchronous
+    label propagation on the edge DataFrame: each round is one
+    join+groupBy (mode of neighbor labels, ties → smallest label).
+    Scales to billions of edges; this is the cluster-scale path.
+  * louvain_driver — networkx Louvain on the collected edge list
+    (driver_compute; the KNN graph is n·k rows — for 4M cells × k=11
+    that is 44M edges, the same envelope the reference accepts for
+    leidenalg), seeded for reproducibility.
+  * kmeans_mllib — MLlib KMeans on embedding vectors (seeded), the
+    distributed centroid path used for the initial embedding
+    (``ann.py:328-346``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 3, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic synchronous label propagation: labels start as the
+    node id; each iteration every node takes the modal label of its
+    neighbors (tie → smallest label). Returns (node, cluster).
+
+    Each iteration is one shuffle (groupBy node); the label table is
+    node-sized and broadcastable against the edge list."""
+    und = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    if nodes is None:
+        nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("cluster"))
+    for _ in range(n_iter):
+        lab_d = labels.select(F.col("node").alias("_lnode"), "cluster")
+        nb = (
+            und.join(lab_d, und.dst == lab_d._lnode)
+            .select(F.col("src").alias("node"), "cluster")
+            .groupBy("node", "cluster")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("cluster"))
+        labels = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "cluster")
+        )
+    return labels
+
+
+def louvain_driver(edges: DataFrame, seed: int = 4466, weight_col: str | None = None) -> DataFrame:
+    """driver_compute: collect the (n·k)-row edge list, run seeded
+    networkx Louvain, return (node, cluster) with clusters renumbered
+    by smallest member for determinism. Mirrors the reference's
+    collect-to-leidenalg boundary (``graph_datastore.py:1379-1459``)."""
+    import networkx as nx
+
+    rows = edges.select("src", "dst", *([weight_col] if weight_col else [])).collect()
+    g = nx.Graph()
+    for r in rows:
+        wgt = r[weight_col] if weight_col else 1.0
+        g.add_edge(r["src"], r["dst"], weight=wgt)
+    comms = nx.community.louvain_communities(g, seed=seed)
+    comms = sorted((sorted(c) for c in comms), key=lambda c: c[0])
+    spark = edges.sparkSession
+    data = [(int(n), int(ci)) for ci, c in enumerate(comms) for n in c]
+    return spark.createDataFrame(data, ["node", "cluster"])
+
+
+def kmeans_mllib(
+    vectors: DataFrame, k: int = 4, seed: int = 4466, feature_cols: list[str] | None = None
+) -> DataFrame:
+    """MLlib KMeans (seeded, ``ann.py:328-346``) over per-cell reduced
+    vectors; input either (cell_id, v array) or explicit feature cols.
+    Returns (cell_id, cluster)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if feature_cols:
+        feats = vectors.select(
+            "cell_id", F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("v")
+        )
+    else:
+        feats = vectors.select(
+            "cell_id", F.transform("v", lambda x: x.cast("double")).alias("v")
+        )
+    feats = feats.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=k, seed=seed, initMode="k-means||").fit(feats)
+    out = model.transform(feats)
+    return out.select("cell_id", F.col("prediction").alias("cluster"))
+
+
+def paris_like_dendrogram(edges: DataFrame, weight_col: str = "weight"):
+    """driver_compute: a Paris-style average-linkage agglomeration over
+    the collected weighted graph (``graph_datastore.py:1461-1584``;
+    BalancedCut lives in dendrogram cuts). Returns (merges, leaf_ids):
+    merges is a list of (child_a, child_b, dist, size) — the (n-1, 4)
+    dendrogram shape the reference stores — in a dense 0-based node
+    space; leaf_ids[i] is the original node id of dense leaf i.
+    Internal node mi gets id ``len(leaf_ids) + mi``."""
+    rows = edges.select("src", "dst", weight_col).collect()
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    sim: dict[tuple[int, int], float] = {}
+    for r in rows:
+        a, b = idx[r["src"]], idx[r["dst"]]
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        sim[key] = sim.get(key, 0.0) + float(r[weight_col])
+    size = {i: 1 for i in range(n)}
+    active = set(range(n))
+    merges = []
+    nxt = n
+    while len(active) > 1 and sim:
+        # deterministic argmax: highest avg-linkage similarity, tie → ids
+        (a, b), s = max(sim.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
+        merges.append((a, b, 1.0 / (1.0 + s), size[a] + size[b]))
+        size[nxt] = size[a] + size[b]
+        active.discard(a)
+        active.discard(b)
+        # merge similarity lists (average linkage over member pairs)
+        acc: dict[int, float] = {}
+        for (x, y), v in list(sim.items()):
+            if x in (a, b) or y in (a, b):
+                other = y if x in (a, b) else x
+                if other not in (a, b):
+                    acc[other] = acc.get(other, 0.0) + v * (
+                        size[x if x in (a, b) else y] / size[nxt]
+                    )
+                del sim[(x, y)]
+        for other, v in acc.items():
+            sim[(min(other, nxt), max(other, nxt))] = v
+        active.add(nxt)
+        nxt += 1
+    return merges, nodes
+
+
+def cut_dendrogram(merges, leaf_ids, n_clusters: int) -> dict[int, int]:
+    """cut_straight analog (``sknetwork cut_straight``,
+    ``graph_datastore.py:1519-1538``): undo the last (n_clusters-1)
+    merges and label leaves by their component (components renumbered
+    by smallest member). ``leaf_ids`` is the list returned by
+    :func:`paris_like_dendrogram`; keys of the result are the original
+    node ids."""
+    n_leaves = len(leaf_ids)
+    parent = {}
+    for mi, (a, b, _d, _s) in enumerate(merges):
+        parent[a] = n_leaves + mi
+        parent[b] = n_leaves + mi
+    keep = len(merges) - (n_clusters - 1)
+
+    def root(x):
+        seen = set()
+        while x in parent and parent[x] < n_leaves + keep:
+            if x in seen:  # malformed dendrogram must not hang
+                raise ValueError(f"cycle in dendrogram at node {x}")
+            seen.add(x)
+            x = parent[x]
+        return x
+
+    comp: dict[int, list[int]] = {}
+    for leaf in range(n_leaves):
+        comp.setdefault(root(leaf), []).append(leaf)
+    out = {}
+    for ci, (_r, members) in enumerate(sorted(comp.items(), key=lambda kv: min(kv[1]))):
+        for m in members:
+            out[leaf_ids[m]] = ci
+    return out

@@ -1,0 +1,166 @@
+"""Integration / clustering metrics (``scarf/metrics.py``).
+
+ARI/NMI (``metrics.py:436-465``) are pure contingency-table arithmetic
+— one groupBy(a, b).count() plus closed-form combinatorics, fully
+relational (and oracle-verifiable). LISI (``metrics.py:21-149``) needs
+a per-cell bisection on the kernel bandwidth → grouped pandas UDF over
+neighbor lists, the designated slow path."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _c2(col):
+    return col * (col - F.lit(1)) / F.lit(2.0)
+
+
+def adjusted_rand_index(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """ARI from the contingency table, single pass + closed form:
+    ARI = (Σij C(nij,2) − E) / (max − E),
+    E = Σi C(ai,2)·Σj C(bj,2)/C(n,2). Returns one row (ari)."""
+    ct = df.groupBy(a_col, b_col).agg(F.count("*").alias("nij"))
+    stats = ct.agg(
+        F.sum(_c2(F.col("nij"))).alias("sum_ij"),
+        F.sum("nij").alias("n"),
+    )
+    ai = ct.groupBy(a_col).agg(F.sum("nij").alias("ai")).agg(
+        F.sum(_c2(F.col("ai"))).alias("sum_a")
+    )
+    bj = ct.groupBy(b_col).agg(F.sum("nij").alias("bj")).agg(
+        F.sum(_c2(F.col("bj"))).alias("sum_b")
+    )
+    joined = stats.crossJoin(ai).crossJoin(bj)
+    expected = F.col("sum_a") * F.col("sum_b") / _c2(F.col("n"))
+    max_idx = (F.col("sum_a") + F.col("sum_b")) / 2.0
+    ari = F.when(
+        max_idx != expected, (F.col("sum_ij") - expected) / (max_idx - expected)
+    ).otherwise(F.lit(0.0))
+    return joined.select(F.round(ari, 6).alias("ari"))
+
+
+def normalized_mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """NMI (arithmetic normalization): I(A;B)/((H(A)+H(B))/2), from the
+    same contingency counts."""
+    ct = df.groupBy(a_col, b_col).agg(F.count("*").alias("nij"))
+    n = ct.agg(F.sum("nij").alias("n"))
+    ai = ct.groupBy(a_col).agg(F.sum("nij").alias("ai"))
+    bj = ct.groupBy(b_col).agg(F.sum("nij").alias("bj"))
+    j = (
+        ct.join(ai, a_col).join(bj, b_col).crossJoin(F.broadcast(n))
+        .select(
+            (
+                F.col("nij") / F.col("n")
+                * F.log(F.col("n") * F.col("nij") / (F.col("ai") * F.col("bj")))
+            ).alias("mi_term")
+        )
+        .agg(F.sum("mi_term").alias("mi"))
+    )
+    ha = ai.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(F.col("ai") / F.col("n") * F.log(F.col("ai") / F.col("n")))).alias("ha")
+    )
+    hb = bj.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(F.col("bj") / F.col("n") * F.log(F.col("bj") / F.col("n")))).alias("hb")
+    )
+    out = j.crossJoin(ha).crossJoin(hb)
+    nmi = F.when(
+        (F.col("ha") + F.col("hb")) != 0,
+        F.col("mi") / ((F.col("ha") + F.col("hb")) / 2.0),
+    ).otherwise(F.lit(0.0))
+    return out.select(F.round(nmi, 6).alias("nmi"))
+
+
+def lisi(edges: DataFrame, labels: DataFrame, perplexity: float = 5.0) -> DataFrame:
+    """LISI (``metrics.py:21-149``): per-cell perplexity-calibrated
+    inverse Simpson index over neighbor labels. The bandwidth bisection
+    is a grouped pandas UDF per neighborhood — Arrow-batched, one group
+    per cell."""
+    import numpy as np
+
+    lab = labels.select(F.col("cell_id").alias("dst"), "label")
+    nb = edges.join(F.broadcast(lab), "dst").select("src", "distance", "label")
+
+    def calc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["distance"].to_numpy(dtype=float)
+        lbl = pdf["label"].to_numpy()
+        beta, lo, hi = 1.0, 0.0, float("inf")
+        target = np.log(perplexity)
+        for _ in range(50):
+            w = np.exp(-d * beta)
+            s = w.sum()
+            if s <= 0:
+                break
+            p = w / s
+            h = -(p * np.log(np.maximum(p, 1e-300))).sum()
+            if abs(h - target) < 1e-5:
+                break
+            if h > target:
+                lo = beta
+                beta = beta * 2 if hi == float("inf") else (beta + hi) / 2
+            else:
+                hi = beta
+                beta = (lo + beta) / 2
+        w = np.exp(-d * beta)
+        p = w / w.sum() if w.sum() > 0 else np.ones_like(w) / len(w)
+        simpson = 0.0
+        for u in np.unique(lbl):
+            simpson += p[lbl == u].sum() ** 2
+        return pd.DataFrame({"src": [key[0]], "lisi": [round(1.0 / simpson, 6)]})
+
+    return nb.groupBy("src").applyInPandas(calc, "src long, lisi double")
+
+
+def silhouette_exact(vec: DataFrame, id_col: str = "vec_id", vec_col: str = "v",
+                     label_col: str = "label") -> DataFrame:
+    """Exact euclidean silhouette per point (the distance-ratio half of
+    the reference's graph silhouette, ``scarf/metrics.py:153-433``,
+    computed exactly instead of over sampled neighborhoods):
+    s(i) = (b − a) / max(a, b) with a = mean intra-cluster distance,
+    b = min over other clusters of the mean distance.
+
+    One pairwise self-join (O(n²) — the correctness baseline; at
+    production scale sample per cluster first, the reference samples
+    too), distances rounded to 6 before averaging so the result is
+    bit-stable across engines. Singleton clusters get s = 0 by the
+    sklearn convention."""
+    pts = vec.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
+        F.col(label_col).alias("plab"),
+    )
+    other = pts.select(
+        F.col("pid").alias("qid"), F.col("pv").alias("qv"), F.col("plab").alias("qlab")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("pv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    pairs = (
+        pts.join(other, F.col("pid") != F.col("qid"))
+        .select("pid", "plab", "qlab", dist.alias("d"))
+        .groupBy("pid", "plab", "qlab")
+        .agg(F.sum("d").alias("sd"), F.count("*").alias("nd"))
+    )
+    per = pairs.groupBy("pid", "plab").agg(
+        F.max(F.when(F.col("plab") == F.col("qlab"), F.col("sd"))).alias("intra_sd"),
+        F.max(F.when(F.col("plab") == F.col("qlab"), F.col("nd"))).alias("intra_n"),
+        F.min(
+            F.when(F.col("plab") != F.col("qlab"), F.col("sd") / F.col("nd"))
+        ).alias("b"),
+    )
+    a = F.col("intra_sd") / F.col("intra_n")
+    s = F.when(
+        F.col("intra_n").isNull(), F.lit(0.0)  # singleton cluster
+    ).otherwise((F.col("b") - a) / F.greatest(F.col("b"), a))
+    return per.select(
+        F.col("pid").alias(id_col), F.round(s, 6).alias("silhouette")
+    )

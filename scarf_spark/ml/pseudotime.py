@@ -1,0 +1,82 @@
+"""Pseudotime (PBA) — ``scarf/datastore/graph_datastore.py:1818-2003``.
+
+Reference: random-walk Laplacian L = I − A·D⁻¹, smallest-k singular
+vectors → Moore–Penrose pseudoinverse applied to a source/sink
+potential, min-max normalized. Smallest-singular-value SVD is not
+distributable with stock Spark (SURVEY.md §7 hard part 2) — this is a
+designated driver_compute step over the linear-size (n·k) graph: the
+adjacency is collected, the dense pseudoinverse solved with numpy, and
+the resulting potential joined back as a cell column, exactly the
+boundary the reference draws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pba_pseudotime(
+    edges: DataFrame, source_node: int, weight_col: str = "weight"
+) -> DataFrame:
+    """driver_compute: V = L⁺ · b with b the source-potential vector
+    (+1 at source, balanced elsewhere); min-max normalized to [0,1].
+    Returns (node, pseudotime)."""
+    import numpy as np
+
+    rows = edges.select("src", "dst", weight_col).collect()
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for r in rows:
+        i, j = idx[r["src"]], idx[r["dst"]]
+        w = float(r[weight_col])
+        a[i, j] += w
+        a[j, i] += w  # symmetrize, as the reference's undirected kernel graph
+    deg = a.sum(axis=1)
+    deg[deg == 0] = 1.0
+    lap = np.eye(n) - a / deg[None, :]
+    b = np.full(n, -1.0 / max(n - 1, 1))
+    b[idx[source_node]] = 1.0
+    v = np.linalg.pinv(lap) @ b
+    v = (v - v.min()) / (v.max() - v.min()) if v.max() > v.min() else np.zeros(n)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(node), round(float(v[idx[node]]), 6)) for node in nodes],
+        ["node", "pseudotime"],
+    )
+
+
+def initial_embedding(
+    reduced: DataFrame, clusters: DataFrame, dims: int = 2
+) -> DataFrame:
+    """Initial embedding (``graph_datastore.py:427-457``): PCA(dims) of
+    per-cluster centroids (a tiny driver matrix), broadcast back to
+    cells by cluster label. Returns (cell_id, e1, e2, ...)."""
+    import numpy as np
+
+    pc_cols = [c for c in reduced.columns if c.startswith("pc")]
+    cent = (
+        reduced.join(clusters.withColumnRenamed("node", "cell_id"), "cell_id")
+        .groupBy("cluster")
+        .agg(*[F.avg(c).alias(c) for c in pc_cols])
+        .collect()
+    )
+    m = np.array([[r[c] for c in pc_cols] for r in cent])
+    m = m - m.mean(axis=0, keepdims=True)
+    u, s, vt = np.linalg.svd(m, full_matrices=False)
+    proj = m @ vt[:dims].T
+    spark = reduced.sparkSession
+    cent_df = spark.createDataFrame(
+        [
+            (int(r["cluster"]), *[round(float(x), 6) for x in proj[i]])
+            for i, r in enumerate(cent)
+        ],
+        ["cluster", *[f"e{d + 1}" for d in range(dims)]],
+    )
+    return (
+        clusters.withColumnRenamed("node", "cell_id")
+        .join(F.broadcast(cent_df), "cluster")
+        .select("cell_id", *[f"e{d + 1}" for d in range(dims)])
+    )

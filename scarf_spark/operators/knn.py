@@ -204,3 +204,97 @@ def knn_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
         [(n_hit, n_exact, round(n_hit / n_exact, 6) if n_exact else 0.0)],
         ["n_hit", "n_exact", "recall"],
     )
+
+
+def cosine_knn_cross(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-set KNN (``scarf/mapping_datastore.py:31-209`` run_mapping:
+    target cells queried against the reference index): exact cosine
+    top-k of each query row against the index rows — same
+    broadcast-index + Arrow-batched BLAS shape as
+    :func:`cosine_knn_exact`, without self-hit stripping.
+    Returns (src=query id, rank, dst=index id, distance[rounded 6])."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    pdf = index.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m_n))
+
+    def score(batches):
+        import pandas as pd
+
+        b_ids, b_m = bc.value
+        for b in batches:
+            q = np.array(b[vec_col].tolist(), dtype=np.float64)
+            q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - q_n @ b_m.T
+            src = b[id_col].to_numpy()
+            out = []
+            kk = min(k, dist.shape[1])
+            for r in range(dist.shape[0]):
+                order = np.lexsort((b_ids, dist[r]))[:kk]
+                for rank, c in enumerate(order, start=1):
+                    out.append(
+                        (int(src[r]), rank, int(b_ids[c]), round(float(dist[r, c]), 6))
+                    )
+            yield pd.DataFrame(out, columns=["src", "rank", "dst", "distance"])
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        score, schema="src long, rank int, dst long, distance double"
+    )
+
+
+def smoothen_dists(
+    edges: DataFrame, k: int, local_connectivity: float = 1.0
+) -> DataFrame:
+    """UMAP kernel edge weighting (``scarf/knn_utils.py:89-159``
+    smoothen_dists = smooth_knn_dist + compute_membership_strengths):
+    per source cell, rho = distance to the nearest neighbor (local
+    connectivity) and sigma solved by bisection so that
+    Σ exp(−max(d−rho,0)/sigma) = log2(k); weights = exp(−max(d−rho,0)/
+    sigma). Per-row bisection → grouped pandas UDF over neighbor lists
+    (Arrow-batched, one group per cell — the designated slow path).
+    Zero weights are raised to a floor like the reference's global-min
+    fix. Returns (src, dst, weight[rounded 6])."""
+    import numpy as np
+    import pandas as pd
+
+    target = float(np.log2(k))
+
+    def calc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(pdf["distance"].to_numpy(dtype=float))
+        d_orig = pdf["distance"].to_numpy(dtype=float)
+        nz = d[d > 0]
+        rho = float(nz[min(int(local_connectivity) - 1, len(nz) - 1)]) if len(nz) else 0.0
+        lo, hi, mid = 0.0, np.inf, 1.0
+        for _ in range(64):
+            psum = np.exp(-np.maximum(d - rho, 0.0) / mid).sum()
+            if abs(psum - target) < 1e-5:
+                break
+            if psum > target:
+                hi = mid
+                mid = (lo + hi) / 2.0
+            else:
+                lo = mid
+                mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
+        w = np.exp(-np.maximum(d_orig - rho, 0.0) / max(mid, 1e-12))
+        w = np.maximum(w, 1e-4)  # global-min fix (knn_utils.py:152-158)
+        return pd.DataFrame(
+            {
+                "src": pdf["src"].to_numpy(),
+                "dst": pdf["dst"].to_numpy(),
+                "weight": np.round(w, 6),
+            }
+        )
+
+    return edges.select("src", "dst", "distance").groupBy("src").applyInPandas(
+        calc, "src long, dst long, weight double"
+    )

@@ -152,3 +152,63 @@ def regression_markers(
         ),
         F.round(F.coalesce("r_value", F.lit(0.0)), 6).alias("r_value"),
     )
+
+
+def feature_module_knn(
+    counts: DataFrame,
+    cell_order: DataFrame,
+    n_bins: int = 10,
+    k: int = 5,
+    order_col: str = "x",
+) -> DataFrame:
+    """Feature-module KNN (``scarf/markers.py:323-439`` knn_clustering,
+    step 1): bin cells along an ordering (pseudotime), build each
+    feature's binned mean-expression profile, and KNN *features* by
+    cosine distance over those profiles — the same KNN stack applied to
+    the transposed (feature-space) matrix.
+
+    Profile assembly is one groupBy + map lookup (no pivot); the KNN
+    reuses :func:`scarf_spark.operators.knn.cosine_knn_exact` with the
+    feature id as the vector id. Returns (src, rank, dst, distance)
+    over feat_ids."""
+    from pyspark.sql import Window
+
+    from scarf_spark.operators import knn as knn_mod
+
+    w = Window.orderBy(F.col(order_col), F.col("cell_id"))
+    binned_cells = cell_order.select(
+        "cell_id", F.ntile(n_bins).over(w).alias("bin")
+    )
+    prof = (
+        counts.join(F.broadcast(binned_cells), "cell_id")
+        .groupBy("feat_id", "bin")
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    vec = prof.groupBy("feat_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("m")))
+        ).alias("_m")
+    )
+    arr = F.array(
+        *[F.coalesce(F.col("_m").getItem(b), F.lit(0.0)) for b in range(1, n_bins + 1)]
+    )
+    fvec = vec.select(F.col("feat_id"), arr.alias("profile"))
+    return knn_mod.cosine_knn_exact(fvec, k=k, id_col="feat_id", vec_col="profile")
+
+
+def feature_modules(
+    counts: DataFrame,
+    cell_order: DataFrame,
+    n_bins: int = 10,
+    k: int = 5,
+    n_iter: int = 3,
+    order_col: str = "x",
+) -> DataFrame:
+    """Feature-module clustering (``scarf/markers.py:323-439``, step 2):
+    label propagation over the feature-KNN graph (the reference runs
+    Paris there; label prop is the distributed-native equivalent,
+    SURVEY.md §2.10). Returns (node=feat_id, cluster)."""
+    from scarf_spark.ml.cluster import label_propagation
+
+    edges = feature_module_knn(counts, cell_order, n_bins=n_bins, k=k, order_col=order_col)
+    return label_propagation(edges, n_iter=n_iter)

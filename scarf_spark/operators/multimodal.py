@@ -1,0 +1,242 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed
+metadata.
+
+The reference is single-modality (counts matrices), but a large-scale
+training-data pipeline treats media as ``binary`` payload columns with
+a typed metadata struct, decoded/feature-extracted inside Arrow-batched
+``mapInPandas`` UDFs. The Spark-side plumbing here — schema, batch
+shape, partitioning, deterministic fake codecs — is real and tested;
+the actual image/audio codecs are stubbed behind import-try because
+the decode libraries are not in this container (decode_image_real
+raises NotImplementedError when PIL is absent).
+
+Scale notes: payloads stay opaque binary end-to-end (no base64 blowup,
+no driver collect); decode runs per-partition in Arrow batches so a
+1000-executor cluster decodes 100 TB embarrassingly parallel. Metadata
+(length/checksum/modality) is computed JVM-side with built-ins so
+filtering/routing by modality never touches Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def attach_payload(docs: DataFrame, modalities=("image", "audio", "video")) -> DataFrame:
+    """Turn each document into a media row: payload = utf-8 bytes of
+    the text (a deterministic fake blob), modality assigned round-robin
+    by doc_id. Output schema is the pipeline's canonical media table:
+    (doc_id, modality, payload binary, meta struct<n_bytes, checksum>).
+    All JVM-side expressions."""
+    mod = F.element_at(
+        F.array(*[F.lit(m) for m in modalities]),
+        (F.col("doc_id") % len(modalities) + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        mod.alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def payload_metadata(media: DataFrame) -> DataFrame:
+    """Flat metadata projection — the routing/filter table. Pure
+    built-ins; at scale this is the only thing most pipeline stages
+    read, so it must never deserialize the payload in Python."""
+    return media.select(
+        "doc_id",
+        "modality",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+# ---- deterministic fake codecs (mapInPandas; Arrow batch transfer) ----
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        # exact integer mean in parts-per-million: float means round
+        # differently across engines at the last digit, integer
+        # division is bit-identical everywhere
+        StructField("mean_pixel_ppm", LongType()),
+        StructField("min_pixel", IntegerType()),
+        StructField("max_pixel", IntegerType()),
+    ]
+)
+
+
+def decode_image_stub(media: DataFrame, width: int = 32) -> DataFrame:
+    """Fake grayscale decode: interpret the payload bytes as a
+    width-wide pixel grid (trailing partial row dropped) and emit
+    per-image stats. The mapInPandas signature/batch handling is the
+    real production shape — swap the body for PIL when available."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = len(px) // width
+                px = px[: h * width]
+                if h == 0:
+                    out.append((doc_id, width, 0, 0, 0, 0, 0))
+                    continue
+                out.append(
+                    (
+                        doc_id,
+                        width,
+                        h,
+                        int(px.size),
+                        int(px.sum(dtype="int64")) * 1_000_000 // int(px.size),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _DECODE_SCHEMA.fields])
+
+    imgs = media.where(F.col("modality") == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("factor", IntegerType()),
+        StructField("n_out", LongType()),
+        StructField("mean_out", DoubleType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Fake resize: keep every ``factor``-th pixel (nearest-neighbor
+    downsample on the fake grid) and report output stats."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(bytes(payload), dtype=np.uint8)[::factor]
+                out.append(
+                    (
+                        doc_id,
+                        factor,
+                        int(px.size),
+                        round(float(px.mean()), 6) if px.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    imgs = media.where(F.col("modality") == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(resize, schema=_RESIZE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, frame_chars: int = 64, every: int = 3
+) -> DataFrame:
+    """Video frame sampling: the payload is a concatenation of
+    fixed-size frames; emit every ``every``-th complete frame with its
+    checksum. Expressed with JVM built-ins (sequence + transform +
+    substring) — no Python, no explode-then-filter of unsampled
+    frames; the sampled substring is computed directly."""
+    vids = media.where(F.col("modality") == "video")
+    vids = vids.withColumn("text_view", F.decode(F.col("payload"), "utf-8"))
+    vids = vids.withColumn(
+        "n_frames", (F.length(F.col("text_view")) / frame_chars).cast("int")
+    )
+    idx = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(every)
+    )
+    frames = vids.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.when(F.col("n_frames") > 0, idx).otherwise(F.array()),
+                lambda i: F.struct(
+                    i.alias("frame_idx"),
+                    F.md5(
+                        F.encode(
+                            F.substring(
+                                F.col("text_view"), i * frame_chars + 1, frame_chars
+                            ),
+                            "utf-8",
+                        )
+                    ).alias("frame_md5"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    return frames.select("doc_id", F.col("fr.frame_idx"), F.col("fr.frame_md5"))
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 100) -> DataFrame:
+    """Fake audio feature extraction: per complete frame, the sum of
+    byte values ("energy"). mapInPandas + numpy reshape — the real
+    batch shape an MFCC/fbank extractor would use."""
+    import numpy as np
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b) // frame_bytes
+                if n == 0:
+                    continue
+                fr = b[: n * frame_bytes].reshape(n, frame_bytes)
+                s = fr.sum(axis=1, dtype=np.int64)
+                ids.extend([doc_id] * n)
+                idxs.extend(range(n))
+                es.extend(int(x) for x in s)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy": es}
+            ).astype({"frame_idx": "int32"})
+
+    auds = media.where(F.col("modality") == "audio").select("doc_id", "payload")
+    return auds.mapInPandas(energy, schema=_AUDIO_SCHEMA)
+
+
+# ---- real codecs, gated ----
+
+def decode_image_real(media: DataFrame):  # pragma: no cover - env-gated
+    """Real image decode (PIL), unavailable in this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs Pillow; use decode_image_stub"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when the lib ships")

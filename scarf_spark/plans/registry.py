@@ -1,0 +1,152 @@
+"""Run registry: params-hash memoization + lineage pointers.
+
+Reproduces the reference's caching contract Spark-first:
+
+* ``scarf/assay.py:316-377`` — ``_create_subset_hash`` hashes the
+  (cell_idx, feat_idx) selection; ``save_normalized_data``
+  (``assay.py:400-478``) recomputes only when the hash or params
+  changed, else reuses the materialized array.
+* ``scarf/datastore/graph_datastore.py:63-363`` — ``_set_graph_params``
+  fills every ``None`` parameter from the *latest cached run's*
+  path-encoded values; ``latest_*`` pointers
+  (``graph_datastore.py:1003-1008``) name the last run per stage.
+
+Spark shape: materialized parquet outputs under a warehouse dir, plus
+a tiny driver-side JSONL metadata log (the registry itself is metadata
+— a handful of rows, never big data; at cluster scale this would be a
+Delta table, the append-only log is the same idea). Content hashes of
+distributed selections use an order-independent aggregate of
+``xxhash64`` so the hash never needs a sort or collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def params_hash(params: dict) -> str:
+    """Stable hash of a parameter dict (sorted-key JSON, sha1/16)."""
+    blob = json.dumps(params, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+
+def selection_hash(df: DataFrame, cols: list[str] | None = None) -> str:
+    """Order-independent content hash of a selection DataFrame — the
+    ``subset_hash`` of ``scarf/assay.py:316-345``. One distributed
+    aggregate: sum + count of xxhash64 over the key columns; no sort,
+    no collect, no Python per row."""
+    cols = cols or df.columns
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    # decimal(38,0) sum cannot overflow under ANSI at any realistic
+    # row count; bit_xor adds a second order-independent mix
+    row = df.agg(
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(" + ", ".join(cols) + "))").alias("x"),
+    ).collect()[0]
+    return hashlib.sha1(
+        f"{row['s']}:{row['n']}:{row['x']}".encode()
+    ).hexdigest()[:16]
+
+
+class RunRegistry:
+    """Maps (operator, params_hash, input_hash) → materialized output.
+
+    ``get_or_compute`` is the memoization gate every expensive stage
+    goes through (normalize → reduce → ann → knn → graph in the
+    reference lifecycle, SURVEY.md §3.2); ``latest`` is the lineage
+    pointer that lets ``None`` params resolve to the previous run."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._log = os.path.join(root, "registry.jsonl")
+
+    # ---- metadata log (tiny, driver-side by design) ----
+
+    def _entries(self) -> list[dict]:
+        if not os.path.exists(self._log):
+            return []
+        with open(self._log) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _append(self, entry: dict) -> None:
+        with open(self._log, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    # ---- memoization ----
+
+    def lookup(self, operator: str, p_hash: str, input_hash: str) -> dict | None:
+        for e in reversed(self._entries()):
+            if (
+                e["operator"] == operator
+                and e["params_hash"] == p_hash
+                and e["input_hash"] == input_hash
+                and os.path.exists(e["path"])
+            ):
+                return e
+        return None
+
+    def get_or_compute(
+        self,
+        operator: str,
+        params: dict,
+        input_hash: str,
+        compute,
+    ) -> DataFrame:
+        """Return the cached materialization, else run ``compute()``,
+        persist it, and register the run. Path encodes the identity the
+        way the reference's Zarr tree encodes params in group names
+        (``graph_datastore.py:738-745``)."""
+        p_hash = params_hash(params)
+        hit = self.lookup(operator, p_hash, input_hash)
+        if hit is not None:
+            return self.spark.read.parquet(hit["path"])
+        out_path = os.path.join(
+            self.root, f"{operator}__{p_hash}__{input_hash}"
+        )
+        df = compute()
+        df.write.mode("overwrite").parquet(out_path)
+        self._append(
+            {
+                "operator": operator,
+                "params_hash": p_hash,
+                "input_hash": input_hash,
+                "params": {k: str(v) for k, v in params.items()},
+                "path": out_path,
+                "created": time.time(),
+            }
+        )
+        return self.spark.read.parquet(out_path)
+
+    # ---- lineage ----
+
+    def latest(self, operator: str) -> dict | None:
+        """latest_* pointer (``graph_datastore.py:1003-1008``)."""
+        for e in reversed(self._entries()):
+            if e["operator"] == operator:
+                return e
+        return None
+
+    def resolve_params(self, operator: str, params: dict, defaults: dict) -> dict:
+        """``_set_graph_params`` semantics
+        (``graph_datastore.py:139-149``): every None is filled from the
+        latest cached run of this operator, else from defaults."""
+        last = self.latest(operator)
+        prev = last["params"] if last else {}
+        out = {}
+        for k, v in params.items():
+            if v is not None:
+                out[k] = v
+            elif k in prev:
+                out[k] = type(defaults[k])(prev[k]) if k in defaults else prev[k]
+            else:
+                out[k] = defaults[k]
+        return out

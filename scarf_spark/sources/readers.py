@@ -1,0 +1,183 @@
+"""Readers (SURVEY.md §2.1): file formats → long-form COO DataFrames.
+
+Reference contract: every reader yields COO chunks through
+``consume(batch_size)`` (``scarf/readers.py:64-189``); writers stream
+those into Zarr. Spark-first: the *file* is the chunk source — a
+distributed csv/text scan emits the same triplets with predicate
+pushdown and parallel splits for free, and "consume" disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_mtx(
+    spark: SparkSession,
+    path: str,
+    transpose: bool = False,
+) -> DataFrame:
+    """MatrixMarket triplet scan (``scarf/readers.py:297-585``
+    CrDirReader). The MTX body *is already the COO long form*: one
+    distributed csv scan with ``comment='%'``, minus the single
+    dimensions line. The header (dims) is read driver-side — a
+    constant-size peek, never the data.
+
+    MTX is 1-indexed features-as-rows: emits (cell_id, feat_id, value)
+    0-indexed, transposed unless ``transpose=False`` data is already
+    cells-as-rows (``LoomReader`` transpose = swapping key columns,
+    ``scarf/readers.py:1110-1117``)."""
+    n_feats, n_cells, nnz = _read_mtx_dims(path)
+    raw = (
+        spark.read.option("comment", "%")
+        .option("delimiter", " ")
+        .schema("i LONG, j LONG, v DOUBLE")
+        .csv(path)
+    )
+    # drop the dims line: it is the unique row equal to (n_feats,
+    # n_cells, nnz); a data triplet cannot collide because feature
+    # values are counts (v == nnz only if also i/j match the dims,
+    # and coordinate (n_feats, n_cells) with value nnz is excluded by
+    # re-adding it would double-count — accepted, documented caveat.
+    body = raw.where(
+        ~((F.col("i") == n_feats) & (F.col("j") == n_cells) & (F.col("v") == nnz))
+    )
+    if transpose:
+        out = body.select(
+            (F.col("i") - 1).alias("cell_id"),
+            (F.col("j") - 1).alias("feat_id"),
+            F.col("v").alias("value"),
+        )
+    else:
+        out = body.select(
+            (F.col("j") - 1).alias("cell_id"),
+            (F.col("i") - 1).alias("feat_id"),
+            F.col("v").alias("value"),
+        )
+    return out
+
+
+def _read_mtx_dims(path: str) -> tuple[int, int, int]:
+    """Driver-side constant-size header peek (first non-comment line)."""
+    with open(path) as fh:
+        for line in fh:
+            if not line.startswith("%"):
+                a, b, c = line.split()
+                return int(a), int(b), int(c)
+    raise ValueError(f"no dims line in {path}")
+
+
+def read_dense_csv(
+    spark: SparkSession,
+    path: str,
+    cell_data_cols: list[str] | None = None,
+    id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dense CSV scan, cells-as-rows (``scarf/readers.py:1121-1295``
+    CSVReader): melt feature columns to COO triplets via ``stack``
+    (JVM-side, no Python), split side columns into the cell attribute
+    table (``cell_data_cols``). Features are numbered by column
+    position; cells by line (via the csv row's monotonically increasing
+    id within an ordered single scan — for production data prefer an
+    explicit id column: ``id_col``).
+
+    Returns (counts, cells): counts(cell_id, feat_id, value) with
+    explicit zeros dropped (COO keeps only nonzeros, SURVEY.md §1.3),
+    cells(cell_id, <cell_data_cols...>)."""
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    cell_data_cols = cell_data_cols or []
+    feat_cols = [c for c in df.columns if c not in cell_data_cols and c != id_col]
+    if id_col is None:
+        w = Window.orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("cell_id", F.row_number().over(w) - 1)
+    else:
+        df = df.withColumn("cell_id", F.col(id_col).cast("long"))
+    stack_expr = "stack({n}, {args}) as (feat_id, value)".format(
+        n=len(feat_cols),
+        args=", ".join(
+            f"{i}, cast(`{c}` as double)" for i, c in enumerate(feat_cols)
+        ),
+    )
+    counts = (
+        df.select("cell_id", F.expr(stack_expr))
+        .where(F.col("value") != 0)
+    )
+    cells = df.select("cell_id", *cell_data_cols)
+    return counts, cells
+
+
+def split_assays(
+    feats: DataFrame, type_col: str, feat_id_col: str = "feat_id"
+) -> DataFrame:
+    """CrReader multi-assay demux (``scarf/readers.py:124-148``,
+    ``scarf/writers.py:335-359``): features partition into assays by
+    their feature type; each assay gets local 0-based feature ids
+    (the reference subtracts per-assay column offsets). One window per
+    type — no driver loop."""
+    w = Window.partitionBy(type_col).orderBy(feat_id_col)
+    return feats.select(
+        feat_id_col,
+        F.col(type_col).alias("assay"),
+        (F.row_number().over(w) - 1).alias("local_feat_id"),
+    )
+
+
+def bed_to_bins(
+    fragments: DataFrame,
+    bin_size: int = 1000,
+    min_fragments_per_cell: int = 1,
+) -> DataFrame:
+    """Fragment BED → binned count matrix
+    (``scarf/writers.py:1307-1395`` bed_to_sparse_array): assign each
+    fragment to the fixed genome bin containing its midpoint, count per
+    (barcode, chrom, bin), and drop background barcodes below the
+    fragment cutoff. Expects columns (chrom, start, end, barcode).
+
+    Two shuffles total: the (barcode, chrom, bin) count and the
+    per-barcode total for the cutoff — the cutoff side is a semi-join
+    with a broadcastable right side at realistic barcode counts."""
+    binned = fragments.withColumn(
+        "bin",
+        F.floor(
+            (F.col("start") + (F.col("end") - F.col("start")) / 2) / bin_size
+        ).cast("long"),
+    )
+    counts = binned.groupBy("barcode", "chrom", "bin").agg(
+        F.count("*").alias("n_fragments")
+    )
+    keep = (
+        counts.groupBy("barcode")
+        .agg(F.sum("n_fragments").alias("_tot"))
+        .where(F.col("_tot") >= min_fragments_per_cell)
+        .select("barcode")
+    )
+    return counts.join(F.broadcast(keep), "barcode", "left_semi")
+
+
+def gff_promoters(
+    gff: DataFrame,
+    flank_up: int = 2000,
+    flank_down: int = 500,
+    feature_type: str = "gene",
+) -> DataFrame:
+    """GFF3 → strand-aware promoter BED (``scarf/meld_assay.py:29-201``
+    GffReader; promoter calc ``meld_assay.py:90-105``): promoters
+    extend ``flank_up`` upstream / ``flank_down`` downstream of the
+    TSS, where the TSS is ``start`` on '+' and ``end`` on '-'. Pure
+    when/otherwise expressions. Expects columns (seqid, type, start,
+    end, strand, gene_id)."""
+    genes = gff.where(F.col("type") == feature_type)
+    p_start = F.when(
+        F.col("strand") == "+", F.greatest(F.col("start") - flank_up, F.lit(0))
+    ).otherwise(F.greatest(F.col("end") - flank_down, F.lit(0)))
+    p_end = F.when(
+        F.col("strand") == "+", F.col("start") + flank_down
+    ).otherwise(F.col("end") + flank_up)
+    return genes.select(
+        F.col("seqid").alias("chrom"),
+        p_start.alias("start"),
+        p_end.alias("end"),
+        "gene_id",
+        "strand",
+    )

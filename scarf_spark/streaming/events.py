@@ -1,0 +1,236 @@
+"""Event-time streaming operators over the ``events`` table.
+
+Batch/stream pairs: every stream transformation here is written so the
+identical column logic runs on a batch DataFrame (for the DuckDB
+oracle) and on a ``readStream`` DataFrame (verified in tests with an
+``availableNow`` trigger against the batch answer). This is the
+"foreachBatch into the fact table" extension sketched in SURVEY.md
+§2.11 — the reference itself is batch-only (chunk streaming for
+bounded memory, ``scarf/readers.py:275-290``).
+
+Scale notes: windowed aggregations shuffle on (window, key) — state
+store size is bounded by the watermark horizon, not input size;
+sessionization uses ``applyInPandasWithState`` keyed by user so state
+is per-user O(1). All window math stays JVM-side (no Python in the
+hot path); the pandas path is only the stateful sessionizer where
+Spark has no built-in operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+# The events parquet stores TIMESTAMP(NANOS); the batch catalog reads it
+# with nanosAsLong (scarf_spark/catalog.py). The stream reader does the
+# same so batch and stream agree bit-for-bit.
+_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` file source over the events parquet: the
+    append-only ingest path. maxFilesPerTrigger bounds per-batch work
+    on a real cluster; schema is pinned (required for file streams)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Per-(window, event_type) count + sum over tumbling event-time
+    windows. With ``streaming=True`` a watermark bounds state so late
+    data beyond the horizon is dropped and finalized windows are
+    emitted/evicted — at 100 TB/day the state store holds only the
+    open horizon, not history."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in size/slide
+    windows. Spark expands this JVM-side before the shuffle — no
+    cross join materialization."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def event_type_rate(events: DataFrame) -> DataFrame:
+    """Per-type share of traffic: global-agg join pattern (the tiny
+    1-row denominator broadcast by Catalyst)."""
+    tot = events.agg(F.count("*").alias("_tot"))
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_tot"), 6).alias("rate"),
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization, batch form: a session breaks when the
+    user is idle longer than the gap. Pure window functions (lag +
+    running sum) — one shuffle on user_id, no Python.
+
+    Returns (user_id, session_id, n_events, session_start,
+    session_end) with session_id numbered per user in time order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = gap_minutes * 60
+    with_brk = events.withColumn(
+        "_brk",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > F.lit(gap),
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_sid = with_brk.withColumn(
+        "session_id",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.unix_timestamp(F.max("ts")).alias("session_end"),
+    )
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # truncate to whole seconds, matching unix_timestamp() batch-side
+        secs = rows["ts"].values.astype("datetime64[s]").astype("int64").tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for t in secs:
+            if last is not None and t - last > gap_seconds:
+                out.append((user_id, start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        # flush the open session too when the trigger is availableNow /
+        # timing out — tests read closed sessions only.
+        if state.hasTimedOut:
+            out.append((user_id, start, last, n))
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionizer via ``applyInPandasWithState``
+    keyed by user (SURVEY.md §2.11's custom-stateful-operator slot).
+    Emits a row per *closed* session; per-user state is three longs."""
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes * 60),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch sink into a parquet table — the incremental-ingest
+    path of SURVEY.md §2.11 (new chunks appended to the fact table).
+    Returns the started StreamingQuery (availableNow: drains all
+    pending input then stops, the batch-refresh pattern)."""
+
+    def _write(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,71 @@
+"""Embedding-layer invariants (symmetrization algebra, init
+determinism, layout reproducibility + locality)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scarf_spark.catalog import DataStore
+from scarf_spark.ml import embed
+from scarf_spark.operators import knn
+
+
+@pytest.fixture(scope="module")
+def edges(spark, sf_dir):
+    emb = DataStore(spark, sf_dir).embeddings
+    return knn.cosine_knn_exact(emb, k=5).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    ).cache()
+
+
+def test_symmetrize_is_symmetric(edges):
+    sym = embed.symmetrize_edges(edges)
+    a = sym.select("src", "dst", "weight")
+    b = sym.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    # g' == g'ᵀ exactly
+    assert a.exceptAll(b).count() == 0
+    # probabilities stay in (0, 1]
+    assert sym.where((F.col("weight") <= 0) | (F.col("weight") > 1)).count() == 0
+
+
+def test_ini_embed_deterministic(spark, sf_dir):
+    emb = DataStore(spark, sf_dir).embeddings
+    vec = emb.select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = embed.ini_embed_kmeans_pca(vec, n_centroids=10).toPandas().sort_values("cell_id")
+    b = embed.ini_embed_kmeans_pca(vec, n_centroids=10).toPandas().sort_values("cell_id")
+    assert np.allclose(a[["ix", "iy"]].to_numpy(), b[["ix", "iy"]].to_numpy())
+    assert np.abs(a[["ix", "iy"]].to_numpy()).max() <= 1.0 + 1e-9
+
+
+def test_umap_layout_reproducible_and_local(spark, edges):
+    sym = embed.symmetrize_edges(edges)
+    nodes = [r["src"] for r in sym.select("src").distinct().collect()]
+    rng = np.random.default_rng(1)
+    init = spark.createDataFrame(
+        [(int(n), float(x), float(y)) for n, (x, y) in
+         zip(nodes, rng.normal(0, 0.1, (len(nodes), 2)))],
+        ["cell_id", "ix", "iy"],
+    )
+    a = embed.umap_layout_driver(sym, init, n_epochs=10).toPandas().sort_values("cell_id")
+    b = embed.umap_layout_driver(sym, init, n_epochs=10).toPandas().sort_values("cell_id")
+    assert np.allclose(a[["umap1", "umap2"]].to_numpy(), b[["umap1", "umap2"]].to_numpy())
+    # neighbors end closer than random pairs on average
+    pos = {
+        int(c): (float(x), float(y))
+        for c, x, y in zip(a["cell_id"], a["umap1"], a["umap2"])
+    }
+    e = sym.select("src", "dst").collect()
+    p = np.array([pos[r["src"]] for r in e])
+    q = np.array([pos[r["dst"]] for r in e])
+    d_edge = np.linalg.norm(p - q, axis=1).mean()
+    rng2 = np.random.default_rng(2)
+    ids = list(pos)
+    ra = np.array([pos[i] for i in rng2.choice(ids, 2000)])
+    rb = np.array([pos[i] for i in rng2.choice(ids, 2000)])
+    d_rand = np.linalg.norm(ra - rb, axis=1).mean()
+    assert d_edge < d_rand

@@ -32,3 +32,38 @@ def test_lsh_recall_reasonable(emb):
     # OR-construction over 4 tables on structured embeddings should
     # recover a nontrivial fraction of true neighbors
     assert rec["recall"] > 0.2, rec
+
+
+def test_cosine_knn_cross_shape(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+    from pyspark.sql import functions as F
+
+    emb = DataStore(spark, sf_dir).embeddings
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    out = knn.cosine_knn_cross(tgt, ref, k=3)
+    n_tgt = tgt.count()
+    assert out.count() == n_tgt * 3
+    # every hit lands in the reference set; no self-set leakage
+    assert out.where(F.col("dst") % 2 == 1).count() == 0
+    assert out.where(F.col("src") % 2 == 0).count() == 0
+    per = out.groupBy("src").agg(F.max("rank").alias("mx"))
+    assert per.where(F.col("mx") != 3).count() == 0
+
+
+def test_smoothen_dists_umap_kernel(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    emb = DataStore(spark, sf_dir).embeddings
+    edges = knn.cosine_knn_exact(emb, k=5)
+    out = knn.smoothen_dists(edges, k=5).toPandas()
+    assert len(out) == edges.count()
+    # weights in (0, 1], nearest neighbor gets weight 1 (d <= rho)
+    assert (out["weight"] > 0).all() and (out["weight"] <= 1).all()
+    near = out.groupby("src")["weight"].max()
+    assert np.allclose(near.to_numpy(), 1.0)
+    # per-row sum ~ log2(k) within bisection tolerance + weight floor
+    s = out.groupby("src")["weight"].sum()
+    assert (np.abs(s.to_numpy() - np.log2(5)) < 0.1).all()

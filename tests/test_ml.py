@@ -1,0 +1,106 @@
+"""ML-layer invariants (the tolerance-band tier of SURVEY.md §5 —
+properties the reference asserts on its golden pipelines, adapted)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scarf_spark.ml import cluster, hvg, metrics, pseudotime, reduction
+from scarf_spark.operators import knn
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def edges(emb):
+    return knn.cosine_knn_exact(emb, k=5).cache()
+
+
+def test_pca_orthonormal_and_ordered(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+
+    ds = DataStore(spark, sf_dir)
+    counts = ds.counts()
+    feats = [
+        int(r["feat_id"])
+        for r in counts.groupBy("feat_id").agg(F.sum("value").alias("t"))
+        .orderBy(F.desc("t"), "feat_id").limit(8).collect()
+    ]
+    vec = reduction.assemble_vectors(counts, feats)
+    z = reduction.zscore_vectors(vec)
+    loadings, ev = reduction.pca_fit(z, k=3)
+    # orthonormal columns
+    assert np.allclose(loadings.T @ loadings, np.eye(3), atol=1e-8)
+    # explained variance is sorted descending and positive
+    assert ev == sorted(ev, reverse=True) and ev[-1] > 0
+
+
+def test_kmeans_deterministic_partition(emb):
+    """The testdata embeddings are isotropic (no geometric label
+    structure), so the invariant is determinism + shape: same seed →
+    identical assignment, k clusters, all cells covered."""
+    feats = emb.select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("v"))
+    km1 = cluster.kmeans_mllib(feats, k=4, seed=4466).toPandas().sort_values("cell_id")
+    km2 = cluster.kmeans_mllib(feats, k=4, seed=4466).toPandas().sort_values("cell_id")
+    assert (km1["cluster"].to_numpy() == km2["cluster"].to_numpy()).all()
+    assert km1["cluster"].nunique() == 4
+    assert len(km1) == emb.count()
+
+
+def test_label_prop_coarsens(edges):
+    out = cluster.label_propagation(edges, n_iter=3)
+    n_clusters = out.select("cluster").distinct().count()
+    n_nodes = out.count()
+    assert n_clusters < n_nodes / 2
+
+
+def test_louvain_deterministic(edges):
+    a = cluster.louvain_driver(edges, seed=4466).toPandas().sort_values("node")
+    b = cluster.louvain_driver(edges, seed=4466).toPandas().sort_values("node")
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+    assert a["cluster"].nunique() >= 2
+
+
+def test_pseudotime_range_and_source(edges):
+    pt = pseudotime.pba_pseudotime(
+        edges.withColumn("weight", 1.0 / (1.0 + F.col("distance"))), source_node=0
+    ).toPandas()
+    assert pt["pseudotime"].between(0, 1).all()
+    assert len(pt) == edges.select("src").distinct().count()
+
+
+def test_lisi_bounds(edges, emb):
+    labels = emb.select(F.col("vec_id").alias("cell_id"), "label")
+    n_labels = emb.select("label").distinct().count()
+    out = metrics.lisi(edges, labels, perplexity=3.0).toPandas()
+    assert (out["lisi"] >= 1.0 - 1e-9).all()
+    assert (out["lisi"] <= n_labels + 1e-9).all()
+
+
+def test_hvg_top_n(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+
+    ds = DataStore(spark, sf_dir)
+    counts = ds.counts()
+    n_cells = counts.select("cell_id").distinct().count()
+    out = hvg.mark_hvgs_binned(counts, n_cells, n_bins=10, top_n=50)
+    assert out.count() == 50
+    assert out.agg(F.max("hvg_rank")).collect()[0][0] == 50
+
+
+def test_dendrogram_cut(edges):
+    lim = edges.limit(200).withColumn("weight", 1.0 / (1.0 + F.col("distance")))
+    merges, leaf_ids = cluster.paris_like_dendrogram(lim)
+    labels = cluster.cut_dendrogram(merges, leaf_ids, n_clusters=4)
+    assert set(labels) == {int(r["src"]) for r in lim.collect()} | {
+        int(r["dst"]) for r in lim.collect()
+    }
+    # a cut at k can only produce <= k + (n_components - 1) groups;
+    # with 200 edges over 500 nodes the graph is disconnected, so just
+    # check the cut reduced the leaf count and is deterministic
+    labels2 = cluster.cut_dendrogram(merges, leaf_ids, n_clusters=4)
+    assert labels == labels2
+    assert len(set(labels.values())) < len(leaf_ids)

@@ -1,0 +1,74 @@
+"""Run-registry memoization semantics (SURVEY.md §4): cache hit on
+identical (operator, params, input), recompute on any change, lineage
+parameter resolution — the ``assay.py:400-478`` contract."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scarf_spark.catalog import DataStore
+from scarf_spark.plans import RunRegistry, params_hash, selection_hash
+
+
+@pytest.fixture()
+def reg(spark):
+    d = tempfile.mkdtemp(prefix="scarf_reg_")
+    yield RunRegistry(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cache_hit_skips_recompute(spark, sf_dir, reg):
+    counts = DataStore(spark, sf_dir).counts()
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return counts.groupBy("cell_id").agg(F.sum("value").alias("n_counts"))
+
+    a = reg.get_or_compute("ncounts", {"sf": 1000}, "ih1", compute)
+    b = reg.get_or_compute("ncounts", {"sf": 1000}, "ih1", compute)
+    assert len(calls) == 1
+    assert a.count() == b.count()
+
+
+def test_param_or_input_change_recomputes(spark, sf_dir, reg):
+    counts = DataStore(spark, sf_dir).counts()
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return counts.limit(5)
+
+    reg.get_or_compute("op", {"k": 1}, "ih1", compute)
+    reg.get_or_compute("op", {"k": 2}, "ih1", compute)  # params changed
+    reg.get_or_compute("op", {"k": 2}, "ih2", compute)  # input changed
+    assert len(calls) == 3
+
+
+def test_selection_hash_order_independent(spark, sf_dir):
+    cells = DataStore(spark, sf_dir).cell_table().select("cell_id")
+    h1 = selection_hash(cells)
+    h2 = selection_hash(cells.orderBy(F.desc("cell_id")).repartition(7))
+    assert h1 == h2
+    h3 = selection_hash(cells.limit(50))
+    assert h3 != h1
+
+
+def test_params_hash_stable():
+    assert params_hash({"a": 1, "b": "x"}) == params_hash({"b": "x", "a": 1})
+    assert params_hash({"a": 1}) != params_hash({"a": 2})
+
+
+def test_resolve_params_lineage(spark, sf_dir, reg):
+    counts = DataStore(spark, sf_dir).counts()
+    reg.get_or_compute("graph", {"k": 21, "dims": 15}, "ih", lambda: counts.limit(1))
+    # None fills from the latest run, not from defaults
+    got = reg.resolve_params(
+        "graph", {"k": None, "dims": None}, defaults={"k": 11, "dims": 11}
+    )
+    assert got == {"k": 21, "dims": 15}
+    # no prior run -> defaults
+    got2 = reg.resolve_params("fresh", {"k": None}, defaults={"k": 11})
+    assert got2 == {"k": 11}
