@@ -1496,21 +1496,28 @@ def ml_wnn(spark, sf_dir):
 
 @q(
     "ml_silhouette",
+    # squared-euclidean silhouette via cluster sufficient statistics —
+    # O(n·C), no pairwise join; mirrors metrics.silhouette_squared
     "WITH pts AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv, "
     "label AS plab FROM embeddings), "
-    "pairs AS (SELECT a.pid, a.plab, b.plab AS qlab, "
-    "ROUND(list_distance(a.pv, b.pv), 6) AS d "
-    "FROM pts a JOIN pts b ON a.pid != b.pid), "
-    "agg AS (SELECT pid, plab, qlab, SUM(d) AS sd, COUNT(*) AS nd "
-    "FROM pairs GROUP BY 1, 2, 3), "
+    "n2 AS (SELECT pid, pv, plab, "
+    "list_aggregate(list_transform(pv, x -> x * x), 'sum') AS norm2 FROM pts), "
+    "el AS (SELECT plab, generate_subscripts(pv, 1) AS i, unnest(pv) AS x FROM pts), "
+    "sv AS (SELECT plab, list(sx ORDER BY i) AS s_c FROM "
+    "(SELECT plab, i, SUM(x) AS sx FROM el GROUP BY 1, 2) GROUP BY 1), "
+    "cl AS (SELECT n2.plab AS clab, COUNT(*) AS n_c, SUM(norm2) AS q_c, ANY_VALUE(s_c) AS s_c "
+    "FROM n2 JOIN sv ON n2.plab = sv.plab GROUP BY 1), "
+    "pc AS (SELECT p.pid, p.plab, c.clab, c.n_c, "
+    "c.q_c + c.n_c * p.norm2 - 2 * list_inner_product(p.pv, c.s_c) AS sq "
+    "FROM n2 p CROSS JOIN cl c), "
     "per AS (SELECT pid, plab, "
-    "MAX(CASE WHEN plab = qlab THEN sd END) AS intra_sd, "
-    "MAX(CASE WHEN plab = qlab THEN nd END) AS intra_n, "
-    "MIN(CASE WHEN plab != qlab THEN sd / nd END) AS b "
-    "FROM agg GROUP BY 1, 2) "
-    "SELECT pid AS vec_id, ROUND(CASE WHEN intra_n IS NULL THEN 0.0 "
-    "ELSE (b - intra_sd / intra_n) / GREATEST(b, intra_sd / intra_n) END, 6) "
-    "AS silhouette FROM per",
+    "ROUND(MAX(CASE WHEN plab = clab THEN sq END) / "
+    "NULLIF(MAX(CASE WHEN plab = clab THEN n_c END) - 1, 0), 4) AS a, "
+    "ROUND(MIN(CASE WHEN plab != clab THEN sq / n_c END), 4) AS b, "
+    "MAX(CASE WHEN plab = clab THEN n_c END) AS n_own "
+    "FROM pc GROUP BY 1, 2) "
+    "SELECT pid AS vec_id, ROUND(CASE WHEN n_own = 1 THEN 0.0 "
+    "ELSE (b - a) / GREATEST(a, b) END, 6) AS silhouette FROM per",
 )
 def ml_silhouette(spark, sf_dir):
     from scarf_spark.ml import metrics
@@ -1518,7 +1525,7 @@ def ml_silhouette(spark, sf_dir):
     emb = _ds(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").alias("v"), "label"
     )
-    return metrics.silhouette_exact(emb)
+    return metrics.silhouette_squared(emb, dim=64)
 
 
 @q(
@@ -1800,6 +1807,197 @@ def stream_type_rate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 additions: as-of join, rollup, IVF ANN, GFF promoters, BED bins,
+# wide export, Paris dendrogram cut
+# ---------------------------------------------------------------------------
+
+@q(
+    "join_asof",
+    # most recent click at-or-before each view per user; ties at equal ts
+    # resolve click-before-view then larger event_id (kind, id ordering)
+    "WITH u AS (SELECT user_id, ts, 0 AS kind, event_id, value FROM events "
+    "WHERE event_type = 'click' "
+    "UNION ALL SELECT user_id, ts, 1 AS kind, event_id, NULL AS value FROM events "
+    "WHERE event_type = 'view'), "
+    "m AS (SELECT *, "
+    "LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY ts, kind, event_id ROWS UNBOUNDED PRECEDING) AS match_id, "
+    "LAST_VALUE(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY ts, kind, event_id ROWS UNBOUNDED PRECEDING) AS match_value "
+    "FROM u) "
+    "SELECT event_id, user_id, ts, match_id, ROUND(match_value, 6) AS match_value "
+    "FROM m WHERE kind = 1",
+)
+def join_asof(spark, sf_dir):
+    ev = _ds(spark, sf_dir).events
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = joins.asof_join(views, clicks)
+    return out.withColumn("match_value", F.round("match_value", 6))
+
+
+@q(
+    "agg_rollup",
+    # grouping-sets extension flagged in SURVEY.md §2.5 (reference has
+    # none; Spark/DuckDB both have native ROLLUP)
+    f"WITH {COUNTS_CTE}, "
+    "j AS (SELECT c.value, cu.c_mktsegment AS segment, p.p_brand AS brand "
+    "FROM counts c JOIN orders o ON c.cell_id = o.o_orderkey "
+    "JOIN customer cu ON o.o_custkey = cu.c_custkey "
+    "JOIN part p ON c.feat_id = p.p_partkey) "
+    "SELECT COALESCE(segment, 'ALL') AS segment, COALESCE(brand, 'ALL') AS brand, "
+    "CAST(SUM(value) AS DOUBLE) AS sum_value, COUNT(*) AS n "
+    "FROM j GROUP BY ROLLUP (segment, brand)",
+)
+def agg_rollup(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    j = (
+        ds.counts()
+        .join(ds.orders, F.col("cell_id") == F.col("o_orderkey"))
+        .join(ds.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ds.part), F.col("feat_id") == F.col("p_partkey"))
+        .select("value", F.col("c_mktsegment").alias("segment"), F.col("p_brand").alias("brand"))
+    )
+    return (
+        j.rollup("segment", "brand")
+        .agg(F.sum("value").cast("double").alias("sum_value"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("segment", F.lit("ALL")).alias("segment"),
+            F.coalesce("brand", F.lit("ALL")).alias("brand"),
+            "sum_value",
+            "n",
+        )
+    )
+
+
+_IVF_CTE = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+    "sd AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nv "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
+    "scored AS (SELECT a.vec_id, a.v, a.nrm, s.cid, "
+    "1.0 - list_inner_product(a.v, s.cv) / (a.nrm * s.cnrm) AS cd, "
+    "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+    "1.0 - list_inner_product(a.v, s.cv) / (a.nrm * s.cnrm), s.cid) AS crank "
+    "FROM nv a CROSS JOIN sd s), "
+    "asg AS (SELECT vec_id AS dst, v AS vb, nrm AS nb, cid FROM scored WHERE crank = 1), "
+    "probe AS (SELECT vec_id AS src, v AS va, nrm AS na, cid FROM scored WHERE crank <= 2), "
+    "ivf AS (SELECT src, rank, dst, ROUND(d, 6) AS distance FROM "
+    "(SELECT p.src, a.dst, 1.0 - list_inner_product(p.va, a.vb) / (p.na * a.nb) AS d, "
+    "ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY "
+    "1.0 - list_inner_product(p.va, a.vb) / (p.na * a.nb), a.dst) AS rank "
+    "FROM probe p JOIN asg a ON p.cid = a.cid AND p.src != a.dst) WHERE rank <= 5)"
+)
+
+
+@q("ann_ivf", f"WITH {_IVF_CTE} SELECT src, rank, dst, distance FROM ivf")
+def ann_ivf(spark, sf_dir):
+    return knn.cosine_knn_ivf(
+        _ds(spark, sf_dir).embeddings, k=5, n_cells=8, n_probe=2
+    )
+
+
+@q("ann_ivf_recall")  # weak: single-row recall metric vs exact KNN
+def ann_ivf_recall(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    exact = knn.cosine_knn_exact(ds.embeddings, k=5)
+    ivf = knn.cosine_knn_ivf(ds.embeddings, k=5, n_cells=8, n_probe=2)
+    return knn.knn_recall(ivf, exact)
+
+
+_GFF_CTE = (
+    # synthetic GFF3-like projection of events: one gene per event
+    "gff AS (SELECT 'chr' || CAST(user_id % 3 AS VARCHAR) AS seqid, "
+    "CASE WHEN event_type IN ('view', 'click') THEN 'gene' ELSE 'exon' END AS type, "
+    "CAST(FLOOR(value * 100) AS BIGINT) AS start, "
+    "CAST(FLOOR(value * 100) AS BIGINT) + 500 AS \"end\", "
+    "CASE WHEN event_id % 2 = 0 THEN '+' ELSE '-' END AS strand, "
+    "'g' || CAST(event_id AS VARCHAR) AS gene_id FROM events)"
+)
+
+
+@q(
+    "src_gff_promoters",
+    f"WITH {_GFF_CTE} "
+    "SELECT seqid AS chrom, "
+    "CASE WHEN strand = '+' THEN GREATEST(start - 2000, 0) "
+    "ELSE GREATEST(\"end\" - 500, 0) END AS start, "
+    "CASE WHEN strand = '+' THEN start + 500 ELSE \"end\" + 2000 END AS \"end\", "
+    "gene_id, strand FROM gff WHERE type = 'gene'",
+)
+def src_gff_promoters(spark, sf_dir):
+    from scarf_spark.sources import readers as src
+
+    ev = _ds(spark, sf_dir).events
+    gff = ev.select(
+        F.concat(F.lit("chr"), (F.col("user_id") % 3).cast("string")).alias("seqid"),
+        F.when(F.col("event_type").isin("view", "click"), "gene").otherwise("exon").alias("type"),
+        (F.col("value") * 100).cast("long").alias("start"),
+        ((F.col("value") * 100).cast("long") + 500).alias("end"),
+        F.when(F.col("event_id") % 2 == 0, "+").otherwise("-").alias("strand"),
+        F.concat(F.lit("g"), F.col("event_id").cast("string")).alias("gene_id"),
+    )
+    return src.gff_promoters(gff, flank_up=2000, flank_down=500)
+
+
+@q(
+    "src_bed_bins",
+    # fragment BED → binned counts + background-barcode cutoff
+    # (writers.py:1307-1395): barcodes with < 3 fragments dropped
+    "WITH frag AS (SELECT 'bc' || CAST(user_id AS VARCHAR) AS barcode, "
+    "'chr' || CAST(event_id % 5 AS VARCHAR) AS chrom, "
+    "value AS start, value + 40.0 AS \"end\" FROM events WHERE event_type = 'error'), "
+    "b AS (SELECT barcode, chrom, "
+    "CAST(FLOOR((start + (\"end\" - start) / 2) / 1000) AS BIGINT) AS bin FROM frag), "
+    "c AS (SELECT barcode, chrom, bin, COUNT(*) AS n_fragments FROM b GROUP BY 1, 2, 3), "
+    "keep AS (SELECT barcode FROM c GROUP BY barcode HAVING SUM(n_fragments) >= 3) "
+    "SELECT c.barcode, c.chrom, c.bin, c.n_fragments FROM c "
+    "JOIN keep ON c.barcode = keep.barcode",
+)
+def src_bed_bins(spark, sf_dir):
+    from scarf_spark.sources import readers as src
+
+    ev = _ds(spark, sf_dir).events
+    frag = ev.where(F.col("event_type") == "error").select(
+        F.concat(F.lit("bc"), F.col("user_id").cast("string")).alias("barcode"),
+        F.concat(F.lit("chr"), (F.col("event_id") % 5).cast("string")).alias("chrom"),
+        F.col("value").alias("start"),
+        (F.col("value") + 40.0).alias("end"),
+    )
+    return src.bed_to_bins(frag, bin_size=1000, min_fragments_per_cell=3)
+
+
+@q(
+    "sink_wide",
+    f"WITH {COUNTS_CTE} "
+    "SELECT cell_id, "
+    "CAST(COALESCE(SUM(value) FILTER (WHERE feat_id = 1), 0.0) AS DOUBLE) AS f1, "
+    "CAST(COALESCE(SUM(value) FILTER (WHERE feat_id = 2), 0.0) AS DOUBLE) AS f2, "
+    "CAST(COALESCE(SUM(value) FILTER (WHERE feat_id = 3), 0.0) AS DOUBLE) AS f3 "
+    "FROM counts GROUP BY cell_id",
+)
+def sink_wide(spark, sf_dir):
+    from scarf_spark.sources import sinks
+
+    return sinks.to_wide(_ds(spark, sf_dir).counts(), feat_ids=[1, 2, 3])
+
+
+@q("clust_paris_cut")  # weak: driver_compute dendrogram (rows-only check)
+def clust_paris_cut(spark, sf_dir):
+    from scarf_spark.ml import cluster as cl
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
+    )
+    merges, leaves = cl.paris_like_dendrogram(edges)
+    labels = cl.cut_dendrogram(merges, leaves, n_clusters=5)
+    return spark.createDataFrame(
+        sorted(labels.items()), "node long, cluster int"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1827,9 +2025,64 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so every float column gets ``+ 0.0`` appended.
+
+    IEEE identity except ``-0.0 + 0.0 = +0.0``: DuckDB's ROUND yields
+    ``-0.0`` for tiny negatives where Spark yields ``+0.0``, and the
+    driver's value-hash is byte-level, so signed zeros must be
+    normalized on BOTH sides (see the matching oracle wrapper below)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.types import DoubleType, FloatType
+
+        df = fn(spark, sf_dir)
+        cols = [
+            (F.col(f.name) + F.lit(0.0)).alias(f.name)
+            if isinstance(f.dataType, (DoubleType, FloatType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        return df.select(*cols)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return {name: _unsign_zero(fn) for name, fn in _QUERIES.items()}
+
+
+_ORACLE_SQL_CACHE: dict[str, str] | None = None
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    """Oracle SQL with the same signed-zero normalization as queries():
+    each statement is wrapped in a projection adding ``+ 0`` to every
+    DOUBLE/FLOAT column (schema discovered via DuckDB DESCRIBE, which
+    plans but does not execute)."""
+    global _ORACLE_SQL_CACHE
+    if _ORACLE_SQL_CACHE is not None:
+        return dict(_ORACLE_SQL_CACHE)
+    import duckdb
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.01"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out = {}
+    for name, sql in _ORACLES.items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            cols = [
+                f'"{c}" + 0 AS "{c}"' if t.upper() in ("DOUBLE", "FLOAT", "REAL")
+                else f'"{c}"'
+                for c, t, *_ in desc
+            ]
+            out[name] = f"SELECT {', '.join(cols)} FROM ({sql}) __q"
+        except Exception:
+            out[name] = sql
+    _ORACLE_SQL_CACHE = out
+    return dict(out)

@@ -113,6 +113,60 @@ def lisi(edges: DataFrame, labels: DataFrame, perplexity: float = 5.0) -> DataFr
     return nb.groupBy("src").applyInPandas(calc, "src long, lisi double")
 
 
+def silhouette_squared(vec: DataFrame, dim: int, id_col: str = "vec_id",
+                       vec_col: str = "v", label_col: str = "label") -> DataFrame:
+    """Silhouette on *squared* euclidean distances via cluster
+    sufficient statistics — the O(n·C) scale path (the O(n²) pairwise
+    variant is :func:`silhouette_exact`).
+
+    Mean squared distance from point i to cluster c decomposes as
+      Σ_j ||x_i − x_j||² = Q_c + n_c·||x_i||² − 2·x_i·S_c
+    with per-cluster stats n_c (count), S_c (elementwise sum vector),
+    Q_c (Σ||x||²). One groupBy over the points plus a broadcast join of
+    C cluster rows — no pairwise join, survives any scale-up in n.
+
+    a and b are rounded to 4 decimals before the ratio so the result is
+    bit-stable across engines (summation order differs; see the DuckDB
+    oracle twin). Singletons get s = 0 (sklearn convention)."""
+    pts = vec.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
+        F.col(label_col).alias("plab"),
+    ).withColumn(
+        "norm2",
+        F.aggregate(F.transform("pv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x),
+    )
+    clusters = pts.groupBy(F.col("plab").alias("clab")).agg(
+        F.count("*").alias("n_c"),
+        F.sum("norm2").alias("q_c"),
+        F.array(*[F.sum(F.col("pv")[i]) for i in range(dim)]).alias("s_c"),
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "s_c", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    pc = pts.crossJoin(F.broadcast(clusters)).select(
+        "pid",
+        "plab",
+        "clab",
+        "n_c",
+        (F.col("q_c") + F.col("n_c") * F.col("norm2") - 2 * dot).alias("sq"),
+    )
+    own = F.col("plab") == F.col("clab")
+    per = pc.groupBy("pid", "plab").agg(
+        F.round(
+            F.max(F.when(own, F.col("sq")))
+            / F.nullif(F.max(F.when(own, F.col("n_c"))) - 1, F.lit(0)),
+            4,
+        ).alias("a"),
+        F.round(F.min(F.when(~own, F.col("sq") / F.col("n_c"))), 4).alias("b"),
+        F.max(F.when(own, F.col("n_c"))).alias("n_own"),
+    )
+    s = F.when(F.col("n_own") == 1, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return per.select(F.col("pid").alias(id_col), F.round(s, 6).alias("silhouette"))
+
+
 def silhouette_exact(vec: DataFrame, id_col: str = "vec_id", vec_col: str = "v",
                      label_col: str = "label") -> DataFrame:
     """Exact euclidean silhouette per point (the distance-ratio half of

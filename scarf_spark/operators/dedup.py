@@ -42,11 +42,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def word_shingles(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    """Word n-gram shingles per doc: (doc_id, shingle).
     Documents are whitespace-tokenized; shingles built JVM-side with
-    higher-order array functions (no Python, no UDF)."""
+    higher-order array functions (no Python, no UDF).
+
+    ``distinct=False`` skips the dedup shuffle — correct for any
+    duplicate-insensitive consumer (e.g. the MIN aggregate of minhash),
+    wrong for set-cardinality consumers (Jaccard)."""
     words = F.split(F.col(text_col), " ")
     # guard: Spark's sequence(0, stop) walks BACKWARDS when stop < 0, so
     # short documents must yield an empty shingle list explicitly
@@ -59,11 +67,10 @@ def word_shingles(
             " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-        .distinct()
+    out = docs.select(F.col(id_col), F.explode(sh).alias("shingle")).where(
+        F.col("shingle").isNotNull()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -71,18 +78,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per (doc, seed): lexicographic min of
     md5(seed || '_' || shingle) — a string-valued minhash that any
-    engine reproduces exactly. (doc_id, seed, mh)."""
-    spark = shingles.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        shingles.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("_"), F.col("shingle")))
-            ).alias("mh")
-        )
+    engine reproduces exactly. (doc_id, seed, mh).
+
+    Long-form view over :func:`minhash_signatures_wide` (kept for API
+    compatibility; the wide form is the execution shape)."""
+    wide = minhash_signatures_wide(shingles, n_hashes, id_col)
+    pairs = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"mh{s}").alias("mh"))
+        for s in range(n_hashes)
+    ])
+    return wide.select(id_col, F.explode(pairs).alias("_e")).select(
+        id_col, F.col("_e.seed").alias("seed"), F.col("_e.mh").alias("mh")
     )
+
+
+def minhash_signatures_wide(
+    shingles: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """All n_hashes minhashes in ONE hash aggregation: per-seed MIN
+    expressions computed map-side (partial agg) — no seeds cross join,
+    no n_hashes× row blowup through the shuffle. (doc_id, mh0..mhN)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}_"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -90,7 +110,7 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """Band the signature (seed // rows_per_band) and hash each band's
     concatenated minhashes (seed order) into a bucket key:
-    (doc_id, band, bucket)."""
+    (doc_id, band, bucket). Accepts the long (doc_id, seed, mh) form."""
     banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     return (
         banded.groupBy(id_col, "band")
@@ -103,6 +123,26 @@ def lsh_band_buckets(
     )
 
 
+def lsh_band_buckets_wide(
+    wide: DataFrame, n_hashes: int = 8, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band buckets straight from the wide signature row — pure
+    projection, zero extra shuffles: (doc_id, band, bucket)."""
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)])
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    return wide.select(id_col, F.explode(bands).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -112,12 +152,14 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band
-    bucket. The whole pipeline is shingle-explode → two hash aggs →
-    one equi-self-join on (band, bucket): linear in corpus size until
-    the (intended) bucket collisions."""
-    sh = word_shingles(docs, n, text_col, id_col)
-    sigs = minhash_signatures(sh, n_hashes, id_col)
-    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands, id_col)
+    bucket. Execution shape: shingle-explode → ONE hash agg (all
+    minhashes as per-seed MIN expressions, banded by projection) → one
+    equi-self-join on (band, bucket). Two shuffles total (agg +
+    distinct), linear in corpus size until the intended bucket
+    collisions."""
+    sh = word_shingles(docs, n, text_col, id_col, distinct=False)
+    wide = minhash_signatures_wide(sh, n_hashes, id_col)
+    buckets = lsh_band_buckets_wide(wide, n_hashes, n_bands, id_col)
     a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
     return (

@@ -16,7 +16,7 @@ its covering bins."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,12 +46,14 @@ def interval_overlap_join(
     )
 
 
-def overlap_sum(queries: DataFrame, refs: DataFrame) -> DataFrame:
+def overlap_sum(queries: DataFrame, refs: DataFrame, bin_size: int = 100) -> DataFrame:
     """Meld aggregation (``meld_assay.py:384-433``): overlapping ref
     values are SUMMED per query feature; queries with no overlap keep no
-    row (COO semantics)."""
+    row (COO semantics). Executes via the binned equi-join rewrite —
+    same result set as the naive range join, but shuffle-hash-joinable
+    and linear at scale."""
     return (
-        interval_overlap_join(queries, refs)
+        interval_overlap_join_binned(queries, refs, bin_size=bin_size)
         .groupBy("q_id")
         .agg(
             F.sum("r_value").cast("double").alias("sum_value"),
@@ -64,9 +66,14 @@ def interval_overlap_join_binned(
     queries: DataFrame, refs: DataFrame, bin_size: int = 100
 ) -> DataFrame:
     """Scale path: decompose each interval into covering fixed-width
-    bins, equi-join on (chrom, bin), dedup, then apply the exact overlap
-    predicate. Equi-join keys let Spark use a shuffle hash join with
-    pruning instead of a per-chrom quadratic filter-join.
+    bins and equi-join on (chrom, bin), so Spark plans a shuffle-hash /
+    sort-merge join on real keys instead of a per-chrom quadratic
+    nested-loop with post-filter.
+
+    Dedup without a shuffle ("report-bin" trick): an overlapping pair
+    meets in every shared covering bin, so it is emitted only from the
+    bin containing the overlap start max(q_start, r_start) — exactly
+    one bin per pair, hence no ``distinct``.
 
     Returns the same rows as :func:`interval_overlap_join`."""
     def binned(df: DataFrame, prefix: str) -> DataFrame:
@@ -89,14 +96,15 @@ def interval_overlap_join_binned(
         ),
         "r",
     )
-    joined = q.join(
-        r,
-        (F.col("q_chrom") == F.col("r_chrom")) & (q["bin"] == r["bin"]),
-        "inner",
-    ).where((F.col("q_start") < F.col("r_end")) & (F.col("q_end") > F.col("r_start")))
+    report_bin = F.floor(F.greatest("q_start", "r_start") / bin_size).cast("long")
+    joined = (
+        q.join(r, (F.col("q_chrom") == F.col("r_chrom")) & (q["bin"] == r["bin"]), "inner")
+        .where((F.col("q_start") < F.col("r_end")) & (F.col("q_end") > F.col("r_start")))
+        .where(q["bin"] == report_bin)
+    )
     return joined.select(
         "q_id", "q_chrom", "q_start", "q_end", "r_id", "r_chrom", "r_start", "r_end", "r_value"
-    ).distinct()
+    )
 
 
 def genome_bin_counts(intervals: DataFrame, bin_size: float = 50.0) -> DataFrame:
@@ -108,6 +116,66 @@ def genome_bin_counts(intervals: DataFrame, bin_size: float = 50.0) -> DataFrame
         intervals.withColumn("bin", F.floor(mid / F.lit(bin_size)).cast("long"))
         .groupBy("chrom", "bin")
         .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("sum_value"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_col: str = "user_id",
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    right_value_col: str = "value",
+) -> DataFrame:
+    """As-of join: each left row matched to the most recent right row
+    (right.order <= left.order) within the partition key. Not in the
+    reference (SURVEY.md §2.4 notes no as-of joins); added for the
+    event-pipeline extension.
+
+    Spark-first shape: NO join at all — tag both sides, union, and
+    carry the last right row forward with an ignore-nulls last() over
+    (partition ORDER BY order, kind, id). One shuffle on the partition
+    key, linear, skew-tolerant; ties at equal order resolve
+    right-before-left, then by id (deterministic).
+
+    Returns (left id, partition, order, matched right id, right value)."""
+    r = right.select(
+        F.col(partition_col).alias("_p"),
+        F.col(order_col).alias("_o"),
+        F.lit(0).alias("_kind"),
+        F.col(id_col).alias("_id"),
+        F.col(right_value_col).alias("_rv"),
+    )
+    l = left.select(
+        F.col(partition_col).alias("_p"),
+        F.col(order_col).alias("_o"),
+        F.lit(1).alias("_kind"),
+        F.col(id_col).alias("_id"),
+        F.lit(None).cast("double").alias("_rv"),
+    )
+    w = (
+        Window.partitionBy("_p")
+        .orderBy("_o", "_kind", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).select(
+        "_p",
+        "_o",
+        "_kind",
+        "_id",
+        F.last(F.when(F.col("_kind") == 0, F.col("_id")), ignorenulls=True)
+        .over(w)
+        .alias("match_id"),
+        F.last(F.when(F.col("_kind") == 0, F.col("_rv")), ignorenulls=True)
+        .over(w)
+        .alias("match_value"),
+    )
+    return carried.where(F.col("_kind") == 1).select(
+        F.col("_id").alias(id_col),
+        F.col("_p").alias(partition_col),
+        F.col("_o").alias(order_col),
+        "match_id",
+        "match_value",
     )
 
 

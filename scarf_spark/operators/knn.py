@@ -193,6 +193,63 @@ def cosine_knn_lsh(
     )
 
 
+def cosine_knn_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate KNN — the coarse-quantizer scale path next
+    to :func:`cosine_knn_lsh`.
+
+    Deterministic coarse quantizer: the ``n_cells`` centroid vectors
+    are the rows with the smallest md5(vec_id) (a seeded sample any
+    engine reproduces — no Lloyd iterations, IVF over sampled seeds).
+    Every vector is assigned to its nearest centroid (inverted list);
+    each query probes its ``n_probe`` nearest centroids and searches
+    exactly within those lists only.
+
+    All relational: one n×C broadcast cross for assignment, one for
+    probing, one equi-join probe→list, one window top-k. Candidate
+    count per query ≈ n_probe·n/C — the recall/cost dial. At 100 TB the
+    inverted lists are the partitioning: assignment key = centroid id
+    co-locates each list."""
+    e = _as_double_vec(emb, id_col, vec_col)
+    seeds = (
+        e.select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"),
+            F.md5(F.col("vid").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_cells)
+        .drop("_h")
+    )
+    cdist = F.lit(1.0) - _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    wq = Window.partitionBy("vid").orderBy(F.col("cd"), F.col("cid"))
+    scored = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vid", "v", "nrm", "cid", cdist.alias("cd"))
+        .withColumn("crank", F.row_number().over(wq))
+    )
+    assign = scored.where(F.col("crank") == 1).select(
+        F.col("vid").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cid"
+    )
+    probe = scored.where(F.col("crank") <= n_probe).select(
+        F.col("vid").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cid"
+    )
+    pairs = probe.join(assign, "cid").where(F.col("src") != F.col("dst"))
+    dist = F.lit(1.0) - _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
+    return (
+        pairs.select("src", "dst", dist.alias("distance"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
+    )
+
+
 def knn_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall of an approximate KNN vs the exact result: fraction of
     exact (src, dst) edges recovered (``knn_utils.py:74-76``)."""

@@ -90,16 +90,14 @@ def to_wide(counts: DataFrame, feat_ids: list[int], prefix: str = "f") -> DataFr
     one column per selected feature, absent entries zero-filled.
     Bounded by an explicit feature list — never pivot an unbounded
     feature space."""
-    sel = counts.where(F.col("feat_id").isin([int(f) for f in feat_ids]))
-    wide = (
-        sel.groupBy("cell_id")
-        .pivot("feat_id", [int(f) for f in feat_ids])
-        .agg(F.first("value"))
-    )
-    for f in feat_ids:
-        wide = wide.withColumnRenamed(str(f), f"{prefix}{f}")
-    out_cols = ["cell_id"] + [f"{prefix}{f}" for f in feat_ids]
-    return wide.select(
-        "cell_id",
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols[1:]],
-    )
+    fids = [int(f) for f in feat_ids]
+    # one conditional-sum aggregate per selected feature over ALL cells —
+    # cells expressing none of them still get an (all-zero) row, matching
+    # the dense export; single hash agg, no pivot shuffle, no cell dropped
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("feat_id") == f, F.col("value"))), F.lit(0.0)
+        ).cast("double").alias(f"{prefix}{f}")
+        for f in fids
+    ]
+    return counts.groupBy("cell_id").agg(*aggs)

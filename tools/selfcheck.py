@@ -60,6 +60,11 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
             nan_a, nan_b = np.isnan(av), np.isnan(bv)
             if not (nan_a == nan_b).all():
                 return False, f"col {c}: nan mismatch"
+            # driver hashes bytes: -0.0 vs +0.0 is a real mismatch
+            sz = np.signbit(av) != np.signbit(bv)
+            sz &= (av == 0) & (bv == 0)
+            if sz.any():
+                return False, f"col {c}: signed-zero mismatch ({int(sz.sum())} rows)"
             dev = np.abs(av[~nan_a] - bv[~nan_b])
             d = float(dev.max()) if dev.size else 0.0
             max_dev = max(max_dev, d)
