@@ -1983,6 +1983,41 @@ def sink_wide(spark, sf_dir):
     return sinks.to_wide(_ds(spark, sf_dir).counts(), feat_ids=[1, 2, 3])
 
 
+@q(
+    "qc_prevalence",
+    # ATAC peak prevalence (assay.py:1138-1168): per-feature sum of
+    # TF-IDF normalized values, top 25 peaks (assay.py:1193-1197)
+    f"WITH {COUNTS_CTE}, "
+    "tot AS (SELECT cell_id, SUM(value) AS t FROM counts GROUP BY cell_id), "
+    "df AS (SELECT feat_id, COUNT(*) FILTER (WHERE value > 0) AS d FROM counts GROUP BY feat_id), "
+    "tf AS (SELECT c.feat_id, "
+    f"(c.value / tot.t) * LOG2(1 + {_N_CELLS_SQL} / (df.d + 1.0)) AS nv "
+    "FROM counts c JOIN tot ON c.cell_id = tot.cell_id JOIN df ON c.feat_id = df.feat_id) "
+    "SELECT feat_id, ROUND(SUM(nv), 6) AS prevalence FROM tf GROUP BY feat_id "
+    "ORDER BY SUM(nv) DESC, feat_id LIMIT 25",
+)
+def qc_prevalence(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    tf = normalize.norm_tf_idf(ds.counts(), n_cells=_n_cells(ds), rounded=False)
+    prev = tf.groupBy("feat_id").agg(F.sum("norm_value").alias("_p"))
+    top = windows.top_n_by_stat(prev, "_p", 25, "feat_id")
+    return top.select("feat_id", F.round("_p", 6).alias("prevalence"))
+
+
+@q("ml_lsi")  # weak: eigendecomposition not SQL-expressible (rows-only)
+def ml_lsi(spark, sf_dir):
+    from scarf_spark.ml import reduction
+
+    ds = _ds(spark, sf_dir)
+    tf = normalize.norm_tf_idf(ds.counts(), n_cells=_n_cells(ds), rounded=False)
+    vec = reduction.assemble_vectors(tf, feat_ids=list(range(1, 21)), value_col="norm_value")
+    loadings, _ev = reduction.lsi_fit(vec, k=5, skip_first=True)
+    out = reduction.pca_transform(vec, loadings)
+    return out.select(
+        "cell_id", *[F.round(f"pc{i}", 6).alias(f"lsi{i}") for i in range(1, 6)]
+    )
+
+
 @q("clust_paris_cut")  # weak: driver_compute dendrogram (rows-only check)
 def clust_paris_cut(spark, sf_dir):
     from scarf_spark.ml import cluster as cl

@@ -89,6 +89,12 @@ def _extra_headliners() -> set[str]:
         "mm_frame_sample",
         "mm_image_decode",
         "samp_downsample",
+        # round-2 additions
+        "join_asof",
+        "agg_rollup",
+        "ann_ivf",
+        "knn_smooth_weights",
+        "ml_lisi",
     }
 
 

@@ -32,7 +32,15 @@ def label_propagation(
 
     Each iteration is one shuffle (groupBy node); the label table is
     node-sized and broadcastable against the edge list."""
-    und = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    # persist the symmetrized edge list: it is consumed once per
+    # iteration, and its upstream (typically a full KNN build) would
+    # otherwise be recomputed on every action of every iteration
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst"), F.col("src")))
+        .distinct()
+        .persist()
+    )
     if nodes is None:
         nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("cluster"))
@@ -45,10 +53,14 @@ def label_propagation(
             .agg(F.count("*").alias("n"))
         )
         w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("cluster"))
+        # persist each round's (node-sized) label table so the next
+        # round joins a materialized input instead of re-deriving the
+        # whole lineage; also keeps the plan depth constant
         labels = (
             nb.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("node", "cluster")
+            .persist()
         )
     return labels
 

@@ -50,17 +50,21 @@ def mark_hvgs_binned(
     )
     if blacklist is not None:
         mv = mv.join(F.broadcast(blacklist.select("feat_id")), "feat_id", "left_anti")
-    wb = Window.orderBy(F.col("mean"), F.col("feat_id"))
-    binned = mv.withColumn("bin", F.ntile(n_bins).over(wb))
+    from scarf_spark.operators.windows import global_ntile
+
+    binned = global_ntile(mv, ["mean", "feat_id"], n_bins)
     trend = binned.groupBy("bin").agg(F.median(F.log("variance")).alias("trend"))
     corrected = (
         binned.join(F.broadcast(trend), "bin")
         .withColumn("c_var", F.round(F.log("variance") - F.col("trend"), 6))
     )
+    # distributed top-n (TakeOrderedAndProject), then rank the ≤ top_n
+    # survivors — the only global window runs over a constant-size set
     wr = Window.orderBy(F.col("c_var").desc(), F.col("feat_id"))
     return (
-        corrected.withColumn("hvg_rank", F.row_number().over(wr))
-        .where(F.col("hvg_rank") <= top_n)
+        corrected.orderBy(F.col("c_var").desc(), F.col("feat_id"))
+        .limit(top_n)
+        .withColumn("hvg_rank", F.row_number().over(wr))
         .select(
             "feat_id",
             F.round("mean", 6).alias("mean"),

@@ -81,11 +81,15 @@ def lisi(edges: DataFrame, labels: DataFrame, perplexity: float = 5.0) -> DataFr
     import numpy as np
 
     lab = labels.select(F.col("cell_id").alias("dst"), "label")
-    nb = edges.join(F.broadcast(lab), "dst").select("src", "distance", "label")
+    # one hash agg builds the neighbor list, then the bisection kernel
+    # runs per Arrow batch (not one Python round-trip per cell)
+    nb = (
+        edges.join(F.broadcast(lab), "dst")
+        .groupBy("src")
+        .agg(F.collect_list(F.struct("distance", "label")).alias("_nb"))
+    )
 
-    def calc(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        d = pdf["distance"].to_numpy(dtype=float)
-        lbl = pdf["label"].to_numpy()
+    def _one(d: "np.ndarray", lbl: "np.ndarray") -> float:
         beta, lo, hi = 1.0, 0.0, float("inf")
         target = np.log(perplexity)
         for _ in range(50):
@@ -108,9 +112,19 @@ def lisi(edges: DataFrame, labels: DataFrame, perplexity: float = 5.0) -> DataFr
         simpson = 0.0
         for u in np.unique(lbl):
             simpson += p[lbl == u].sum() ** 2
-        return pd.DataFrame({"src": [key[0]], "lisi": [round(1.0 / simpson, 6)]})
+        return round(1.0 / simpson, 6)
 
-    return nb.groupBy("src").applyInPandas(calc, "src long, lisi double")
+    def calc(batches):
+        for b in batches:
+            out_src, out_lisi = [], []
+            for src, nbl in zip(b["src"], b["_nb"]):
+                d = np.array([x["distance"] for x in nbl], dtype=float)
+                lbl = np.array([x["label"] for x in nbl])
+                out_src.append(src)
+                out_lisi.append(_one(d, lbl))
+            yield pd.DataFrame({"src": out_src, "lisi": out_lisi})
+
+    return nb.mapInPandas(calc, "src long, lisi double")
 
 
 def silhouette_squared(vec: DataFrame, dim: int, id_col: str = "vec_id",

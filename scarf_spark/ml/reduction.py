@@ -91,6 +91,16 @@ def pca_fit(cells_vec: DataFrame, k: int = 5, drop_first: bool = False):
     return loadings, [float(evals[i]) for i in idx]
 
 
+def lsi_fit(cells_vec: DataFrame, k: int = 5, skip_first: bool = True):
+    """LSI (``ann.py:258-288``): truncated SVD of the (TF-IDF
+    normalized, un-centered) matrix. The right singular vectors of X
+    are the eigenvectors of the Gram matrix X'X, so this is the same
+    one-pass Gram aggregate as :func:`pca_fit` on un-scaled vectors;
+    ``skip_first`` drops the depth component exactly like the
+    reference's ``lsi_skip_first``."""
+    return pca_fit(cells_vec, k=k, drop_first=skip_first)
+
+
 def pca_transform(cells_vec: DataFrame, loadings) -> DataFrame:
     """Apply broadcast loadings: reduced = v · L, one arithmetic
     expression per output dim — the embarrassingly-parallel projection

@@ -55,7 +55,12 @@ def word_shingles(
     ``distinct=False`` skips the dedup shuffle — correct for any
     duplicate-insensitive consumer (e.g. the MIN aggregate of minhash),
     wrong for set-cardinality consumers (Jaccard)."""
-    words = F.split(F.col(text_col), " ")
+    # materialize the token array as a real column FIRST: an inline
+    # split() expression referenced from inside a higher-order-function
+    # lambda is re-evaluated per element reference (no common-subexpr
+    # elimination across the HOF boundary) — a ~10× slowdown on real text
+    tok = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
     # guard: Spark's sequence(0, stop) walks BACKWARDS when stop < 0, so
     # short documents must yield an empty shingle list explicitly
     idx = F.when(
@@ -67,7 +72,7 @@ def word_shingles(
             " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    out = docs.select(F.col(id_col), F.explode(sh).alias("shingle")).where(
+    out = tok.select(F.col(id_col), F.explode(sh).alias("shingle")).where(
         F.col("shingle").isNotNull()
     )
     return out.distinct() if distinct else out

@@ -326,9 +326,8 @@ def smoothen_dists(
 
     target = float(np.log2(k))
 
-    def calc(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(pdf["distance"].to_numpy(dtype=float))
-        d_orig = pdf["distance"].to_numpy(dtype=float)
+    def _one(d_orig: "np.ndarray") -> "np.ndarray":
+        d = np.sort(d_orig)
         nz = d[d > 0]
         rho = float(nz[min(int(local_connectivity) - 1, len(nz) - 1)]) if len(nz) else 0.0
         lo, hi, mid = 0.0, np.inf, 1.0
@@ -343,15 +342,32 @@ def smoothen_dists(
                 lo = mid
                 mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
         w = np.exp(-np.maximum(d_orig - rho, 0.0) / max(mid, 1e-12))
-        w = np.maximum(w, 1e-4)  # global-min fix (knn_utils.py:152-158)
-        return pd.DataFrame(
-            {
-                "src": pdf["src"].to_numpy(),
-                "dst": pdf["dst"].to_numpy(),
-                "weight": np.round(w, 6),
-            }
-        )
+        return np.maximum(w, 1e-4)  # global-min fix (knn_utils.py:152-158)
 
-    return edges.select("src", "dst", "distance").groupBy("src").applyInPandas(
-        calc, "src long, dst long, weight double"
+    # neighbor lists assembled by ONE hash aggregation, then the kernel
+    # runs over whole Arrow batches (one Python call per batch, not one
+    # per cell — per-group applyInPandas pays ~1 interpreter round-trip
+    # per cell, which is the difference at millions of cells)
+    nbr = edges.groupBy("src").agg(
+        F.collect_list(F.struct("dst", "distance")).alias("_nb")
     )
+
+    def calc(batches):
+        for b in batches:
+            src_out, dst_out, w_out = [], [], []
+            for src, nb in zip(b["src"], b["_nb"]):
+                dsts = np.array([x["dst"] for x in nb], dtype=np.int64)
+                dists = np.array([x["distance"] for x in nb], dtype=float)
+                w = _one(dists)
+                src_out.append(np.full(len(dsts), src, dtype=np.int64))
+                dst_out.append(dsts)
+                w_out.append(np.round(w, 6))
+            yield pd.DataFrame(
+                {
+                    "src": np.concatenate(src_out) if src_out else [],
+                    "dst": np.concatenate(dst_out) if dst_out else [],
+                    "weight": np.concatenate(w_out) if w_out else [],
+                }
+            )
+
+    return nbr.mapInPandas(calc, "src long, dst long, weight double")

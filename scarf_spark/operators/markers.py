@@ -171,13 +171,11 @@ def feature_module_knn(
     reuses :func:`scarf_spark.operators.knn.cosine_knn_exact` with the
     feature id as the vector id. Returns (src, rank, dst, distance)
     over feat_ids."""
-    from pyspark.sql import Window
-
     from scarf_spark.operators import knn as knn_mod
+    from scarf_spark.operators.windows import global_ntile
 
-    w = Window.orderBy(F.col(order_col), F.col("cell_id"))
-    binned_cells = cell_order.select(
-        "cell_id", F.ntile(n_bins).over(w).alias("bin")
+    binned_cells = global_ntile(cell_order, [order_col, "cell_id"], n_bins).select(
+        "cell_id", "bin"
     )
     prof = (
         counts.join(F.broadcast(binned_cells), "cell_id")

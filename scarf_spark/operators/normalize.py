@@ -64,22 +64,27 @@ def norm_clr(counts: DataFrame, n_cells: int, out: str = "norm_value") -> DataFr
     )
 
 
-def norm_tf_idf(counts: DataFrame, n_cells: int, out: str = "norm_value") -> DataFrame:
+def norm_tf_idf(
+    counts: DataFrame, n_cells: int, out: str = "norm_value", rounded: bool = True
+) -> DataFrame:
     """TF-IDF (``assay.py:81-94``): tf = x / row_sum;
     idf = log2(1 + N / (doc_freq + 1)); value = tf * idf.
 
     Two independent single-key aggs (per-cell row sum, per-feature doc
-    freq) joined back — the per-feature table broadcasts."""
+    freq) joined back — the per-feature table broadcasts.
+    ``rounded=False`` keeps full precision for downstream consumers
+    that aggregate further (prevalence, LSI) and round at the end."""
     row_tot = counts.groupBy("cell_id").agg(F.sum("value").alias("_tot"))
     doc_freq = counts.groupBy("feat_id").agg(
         F.count(F.when(F.col("value") > 0, 1)).alias("_df")
     )
     tf = F.col("value") / F.col("_tot")
     idf = F.log2(F.lit(1.0) + F.lit(float(n_cells)) / (F.col("_df") + F.lit(1.0)))
+    val = F.round(tf * idf, 6) if rounded else (tf * idf)
     return (
         counts.join(row_tot, "cell_id")
         .join(F.broadcast(doc_freq), "feat_id")
-        .select("cell_id", "feat_id", F.round(tf * idf, 6).alias(out))
+        .select("cell_id", "feat_id", val.alias(out))
     )
 
 

@@ -24,10 +24,14 @@ def _words(text_col: str) -> F.Column:
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens, alphabetic regex tokens, and
     character length."""
-    w = _words(text_col)
-    return docs.select(
+    # tokenize once into a real column — an inline split() referenced
+    # repeatedly is re-evaluated per reference (see word_shingles)
+    tok = docs.select(
+        F.col(id_col), F.col(text_col), _words(text_col).alias("_w")
+    )
+    return tok.select(
         F.col(id_col),
-        F.size(w).alias("n_tokens"),
+        F.size("_w").alias("n_tokens"),
         F.size(F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+', 0)")).alias("n_alpha_tokens"),
         F.length(F.col(text_col)).alias("n_chars_computed"),
     )
@@ -38,7 +42,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     stopword ratio, alpha-char ratio, plus a deterministic blend. The
     kind of cheap per-doc signal a corpus filter runs before expensive
     model scoring."""
-    w = _words(text_col)
+    tok = docs.select(
+        F.col(id_col), F.col(text_col), _words(text_col).alias("_w")
+    )
+    w = F.col("_w")
     n_tokens = F.size(w)
     mean_tok_len = F.aggregate(
         w, F.lit(0.0), lambda acc, x: acc + F.length(x)
@@ -55,7 +62,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.3) * F.least(mean_tok_len / 10.0, F.lit(1.0))
     )
-    return docs.select(
+    return tok.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
@@ -69,7 +76,8 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Stopword-hit language ID: count hits against each language's
     list, argmax with deterministic tie-break (hit count desc, then
     language code). Returns (doc_id, pred_lang, n_hits)."""
-    w = _words(text_col)
+    tok = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    w = F.col("_w")
 
     def _hits(swl):
         # NB: a default-arg lambda (x, sw=sw) would be read by PySpark's
@@ -90,7 +98,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         for c in hit_cols
     ])
     best = F.sort_array(arr)[0]
-    return docs.select(
+    return tok.select(
         F.col(id_col), best["lang"].alias("pred_lang"), best["hits"].alias("n_hits")
     )
 

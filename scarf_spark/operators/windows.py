@@ -37,6 +37,74 @@ def rolling_mean(
     return df.withColumn(out, F.round(F.avg(value_col).over(w), 6))
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_bins: int,
+    out: str = "bin",
+    grid: int = 1 << 16,
+) -> DataFrame:
+    """Distributed EXACT global ntile — same output as
+    ``ntile(n_bins).over(Window.orderBy(...))`` without the
+    single-partition window collapse.
+
+    Plan: quantize the (numeric, non-null) primary order column onto a
+    deterministic fixed grid between its min and max (one agg job),
+    count rows per grid bucket (second tiny job, ≤ grid rows to the
+    driver), broadcast the cumulative offsets back, and compute
+    rank = bucket offset + row_number within the bucket. The ntile is
+    then pure arithmetic on the 0-based rank with Spark's
+    larger-buckets-first semantics.
+
+    Every step is seedless — unlike repartitionByRange, whose sampled
+    range boundaries change between the size job and the final job
+    (the sampling seed derives from the RDD id), which would silently
+    corrupt the offsets. Windows run per grid bucket, so skew is
+    bounded by how many rows share ~1/grid of the key range.
+
+    ``order_cols`` must end in a unique tiebreak column (callers pass
+    the row id) so the total order, and therefore the binning, is
+    deterministic."""
+    cols = [F.col(c) for c in order_cols]
+    key = F.col(order_cols[0]).cast("double")
+    mm = df.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    n_total = mm["n"]
+    if not n_total:
+        return df.withColumn(out, F.lit(None).cast("int"))
+    lo, span = float(mm["lo"]), float(mm["hi"]) - float(mm["lo"]) or 1.0
+    bucket = F.least(
+        F.floor((key - F.lit(lo)) / F.lit(span) * grid), F.lit(grid - 1)
+    ).cast("long")
+    bdf = df.withColumn("_bkt", bucket)
+    counts = sorted(
+        (r["_bkt"], r["cnt"])
+        for r in bdf.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    )
+    offs, acc = [], 0
+    for b, cnt in counts:
+        offs.append((b, acc))
+        acc += cnt
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offs, "_bkt long, _off long")
+    )
+    w = Window.partitionBy("_bkt").orderBy(*cols)
+    rn0 = F.row_number().over(w) + F.col("_off") - F.lit(1)  # 0-based global rank
+    # ntile semantics: first (N % b) buckets hold ceil(N/b) rows
+    q, r = divmod(n_total, n_bins)
+    if q == 0:
+        bin_expr = rn0 + F.lit(1)  # fewer rows than bins: one row per bin
+    else:
+        cut = (q + 1) * r
+        bin_expr = F.when(
+            rn0 < cut, F.floor(rn0 / (q + 1)) + 1
+        ).otherwise(F.lit(r) + F.floor((rn0 - cut) / q) + 1)
+    return bdf.join(off_df, "_bkt").withColumn(out, bin_expr.cast("int")).drop(
+        "_bkt", "_off"
+    )
+
+
 def ntile_bin_agg(
     df: DataFrame,
     order_cols: list[str],
@@ -45,13 +113,10 @@ def ntile_bin_agg(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Pseudotime binning (``assay.py:643-665``): order rows globally,
-    split into n_bins equal-count bins, aggregate per bin.
-
-    NOTE: a global ntile is a single-partition sort — fine for the
-    cell-table sizes this is used on (≤ millions of rows); for a 100 TB
-    fact table use repartitionByRange + per-range ntile instead."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    split into n_bins equal-count bins, aggregate per bin. Binning runs
+    through :func:`global_ntile` (distributed, no single-partition
+    window)."""
+    binned = global_ntile(df, order_cols, n_bins)
     keys = (group_cols or []) + ["bin"]
     return binned.groupBy(*keys).agg(
         F.round(F.avg(value_col), 6).alias("mean_value"),
@@ -86,10 +151,13 @@ def top_n_by_stat(
 ) -> DataFrame:
     """Top-n selection (``assay.py:1049-1053``): n-th largest statistic
     defines the cut; deterministic tie-break column keeps the oracle
-    stable."""
+    stable.
+
+    Executed as sort + limit, which Spark plans as TakeOrderedAndProject
+    (per-partition top-n, merged once) — distributed, unlike a global
+    row_number window."""
     order = [F.col(stat_col).desc() if desc else F.col(stat_col).asc(), F.col(tiebreak_col)]
-    w = Window.orderBy(*order)
-    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
+    return df.orderBy(*order).limit(n)
 
 
 def top_k_per_group(

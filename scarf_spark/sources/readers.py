@@ -181,3 +181,168 @@ def gff_promoters(
         "gene_id",
         "strand",
     )
+
+
+# ---------------------------------------------------------------------------
+# HDF5-family readers (CrH5Reader readers.py:192-294, H5adReader
+# readers.py:588-919, LoomReader readers.py:975-1117). The container may
+# lack h5py — the chunk-plan + mapInPandas plumbing below is the real
+# production path and is exercised whenever h5py is importable; without
+# it the entry points raise NotImplementedError (SURVEY.md §2.1).
+# ---------------------------------------------------------------------------
+
+def h5_chunk_specs(n_rows: int, batch_size: int) -> list[tuple[int, int]]:
+    """Half-open row ranges covering [0, n_rows) in batch_size steps —
+    the distributed scan plan for an HDF5 matrix: one range per task,
+    each task opens the file independently (shared storage) and reads
+    only its slice. Pure function so the planning layer is testable
+    without h5py."""
+    if n_rows <= 0:
+        return []
+    return [
+        (start, min(start + batch_size, n_rows))
+        for start in range(0, n_rows, batch_size)
+    ]
+
+
+def _require_h5py():
+    try:
+        import h5py  # noqa: F401
+
+        return h5py
+    except ImportError as e:  # pragma: no cover - env without h5py
+        raise NotImplementedError(
+            "h5py is not installed in this environment; the distributed "
+            "chunk-scan below is the production path (tasks open the file "
+            "from shared storage and read only their row range)"
+        ) from e
+
+
+def read_sparse_h5(
+    spark: SparkSession,
+    path: str,
+    group: str = "matrix",
+    orientation: str = "csc",
+    batch_size: int = 5000,
+) -> DataFrame:
+    """Scan a 10x-style sparse HDF5 matrix (``data``/``indices``/
+    ``indptr`` under ``group``) into COO triplets (cell_id, feat_id,
+    value).
+
+    Distribution model: the driver reads ONLY the shape (a few bytes),
+    plans half-open major-axis ranges via :func:`h5_chunk_specs`, and
+    ships one range per task; each task opens the file (HDF5 readers
+    are independent per process) and slices ``indptr[start:end+1]`` +
+    the corresponding data/indices run — exactly the reference's
+    ``consume(batch_size)`` loop (``readers.py:275-290``) but with the
+    chunks running in parallel. ``orientation='csc'`` means the major
+    axis is cells (10x layout); ``'csr'`` means features."""
+    h5py = _require_h5py()
+    with h5py.File(path, "r") as f:
+        n_major = int(f[group]["indptr"].shape[0]) - 1
+    specs = h5_chunk_specs(n_major, batch_size)
+    spec_df = spark.createDataFrame(specs, "start long, end long").repartition(
+        max(len(specs), 1)
+    )
+    is_csc = orientation == "csc"
+
+    def scan(batches):
+        import h5py as _h5
+        import numpy as _np
+        import pandas as _pd
+
+        with _h5.File(path, "r") as f:
+            g = f[group]
+            indptr = g["indptr"][:]
+            for b in batches:
+                for start, end in zip(b["start"], b["end"]):
+                    lo, hi = int(indptr[start]), int(indptr[end])
+                    if hi == lo:
+                        continue
+                    data = g["data"][lo:hi]
+                    minor = g["indices"][lo:hi]
+                    reps = _np.diff(indptr[start : end + 1]).astype(_np.int64)
+                    major = _np.repeat(
+                        _np.arange(start, end, dtype=_np.int64), reps
+                    )
+                    out = _pd.DataFrame(
+                        {
+                            "cell_id": major if is_csc else minor.astype(_np.int64),
+                            "feat_id": minor.astype(_np.int64) if is_csc else major,
+                            "value": data.astype(float),
+                        }
+                    )
+                    yield out[out["value"] != 0]
+
+    return spec_df.mapInPandas(scan, "cell_id long, feat_id long, value double")
+
+
+def read_h5ad(
+    spark: SparkSession, path: str, batch_size: int = 5000
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Scan an AnnData ``.h5ad``: X (CSR group) → COO counts plus the
+    obs/var attribute tables with categorical decode
+    (``readers.py:588-919``; categorical decode ``readers.py:781-820``
+    = join codes → categories, done driver-side on the small attribute
+    arrays). Returns (counts, cells, feats)."""
+    h5py = _require_h5py()
+    import pandas as pd
+
+    counts = read_sparse_h5(spark, path, group="X", orientation="csr",
+                            batch_size=batch_size)
+
+    def _table(f, key: str, id_name: str) -> pd.DataFrame:
+        grp = f[key]
+        cols = {}
+        for name, ds in grp.items():
+            if isinstance(ds, h5py.Group) and "codes" in ds and "categories" in ds:
+                cats = ds["categories"].asstr()[:]
+                cols[name] = [cats[c] if c >= 0 else None for c in ds["codes"][:]]
+            elif hasattr(ds, "shape") and ds.shape is not None and ds.ndim == 1:
+                v = ds.asstr()[:] if ds.dtype.kind in ("S", "O") else ds[:]
+                cols[name] = list(v)
+        df = pd.DataFrame(cols)
+        df.insert(0, id_name, range(len(df)))
+        return df
+
+    with h5py.File(path, "r") as f:
+        cells = spark.createDataFrame(_table(f, "obs", "cell_id"))
+        feats = spark.createDataFrame(_table(f, "var", "feat_id"))
+    return counts, cells, feats
+
+
+def read_loom(
+    spark: SparkSession, path: str, batch_size: int = 5000
+) -> DataFrame:
+    """Scan a Loom HDF5 (dense ``matrix`` stored features×cells,
+    transposed on consume, ``readers.py:975-1117``): row-range tasks
+    over the feature axis, melt each dense slab to COO with the keys
+    swapped (transpose = swap key columns, SURVEY.md §2.1)."""
+    h5py = _require_h5py()
+    with h5py.File(path, "r") as f:
+        n_feats = int(f["matrix"].shape[0])
+    specs = h5_chunk_specs(n_feats, batch_size)
+    spec_df = spark.createDataFrame(specs, "start long, end long").repartition(
+        max(len(specs), 1)
+    )
+
+    def scan(batches):
+        import h5py as _h5
+        import numpy as _np
+        import pandas as _pd
+
+        with _h5.File(path, "r") as f:
+            m = f["matrix"]
+            for b in batches:
+                for start, end in zip(b["start"], b["end"]):
+                    slab = m[start:end, :]
+                    fi, ci = _np.nonzero(slab)
+                    yield _pd.DataFrame(
+                        {
+                            "cell_id": ci.astype(_np.int64),
+                            "feat_id": (fi + start).astype(_np.int64),
+                            "value": slab[fi, ci].astype(float),
+                        }
+                    )
+
+    return spec_df.mapInPandas(scan, "cell_id long, feat_id long, value double")

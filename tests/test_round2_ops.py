@@ -1,0 +1,137 @@
+"""Round-2 operators: as-of join, distributed global ntile, IVF ANN,
+silhouette sufficient statistics, H5 chunk planning — hand-computable
+toys with exact expected outputs (SURVEY.md §5 tier-2 strategy)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import joins, knn
+from scarf_spark.operators.windows import global_ntile
+from scarf_spark.sources.readers import h5_chunk_specs
+
+
+def test_asof_join_matches_most_recent(spark):
+    right = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 20, 101, 2.0), (2, 15, 102, 3.0)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [(1, 15, 200), (1, 20, 201), (1, 5, 202), (2, 14, 203)],
+        "user_id long, ts long, event_id long",
+    )
+    out = {
+        r["event_id"]: (r["match_id"], r["match_value"])
+        for r in joins.asof_join(left, right).collect()
+    }
+    assert out[200] == (100, 1.0)          # most recent click at ts<=15
+    assert out[201] == (101, 2.0)          # equal ts: click before view
+    assert out[202] == (None, None)        # nothing before ts=5
+    assert out[203] == (None, None)        # user 2 click is at 15 > 14
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    df = spark.range(997).select(
+        F.col("id"), ((F.col("id") * 7919) % 997).cast("double").alias("x")
+    )
+    for n_bins in (3, 10, 32):
+        a = {
+            r["id"]: r["bin"]
+            for r in global_ntile(df, ["x", "id"], n_bins).collect()
+        }
+        w = Window.orderBy("x", "id")
+        b = {
+            r["id"]: r["bin"]
+            for r in df.select("id", F.ntile(n_bins).over(w).alias("bin")).collect()
+        }
+        assert a == b
+
+
+def test_global_ntile_deterministic_across_actions(spark):
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") * 31) % 500).cast("double").alias("x")
+    )
+    out = global_ntile(df, ["x", "id"], 7)
+    first = sorted((r["id"], r["bin"]) for r in out.collect())
+    second = sorted((r["id"], r["bin"]) for r in out.collect())
+    assert first == second
+
+
+def test_ivf_knn_subset_of_probed_cells(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn.cosine_knn_ivf(emb, k=3, n_cells=4, n_probe=2)
+    pdf = out.toPandas()
+    # every src has ≤ k neighbors, ranks contiguous from 1, no self hits
+    for src, grp in pdf.groupby("src"):
+        assert list(grp.sort_values("rank")["rank"]) == list(range(1, len(grp) + 1))
+        assert src not in set(grp["dst"])
+    # recall vs exact should be high on random gaussian data with 2/4 probes
+    exact = knn.cosine_knn_exact(emb, k=3).toPandas()
+    hits = set(map(tuple, pdf[["src", "dst"]].values)) & set(
+        map(tuple, exact[["src", "dst"]].values)
+    )
+    assert len(hits) / len(exact) > 0.5
+
+
+def test_silhouette_squared_matches_bruteforce(spark):
+    import numpy as np
+
+    from scarf_spark.ml.metrics import silhouette_squared
+
+    rng = np.random.RandomState(3)
+    pts = []
+    for lab, center in [(0, 0.0), (1, 6.0), (2, -6.0)]:
+        for i in range(10):
+            pts.append((len(pts), [float(center + x) for x in rng.randn(4)], lab))
+    vec = spark.createDataFrame(pts, "vec_id long, v array<double>, label int")
+    got = {
+        r["vec_id"]: r["silhouette"] for r in silhouette_squared(vec, dim=4).collect()
+    }
+    arr = np.array([p[1] for p in pts])
+    labs = np.array([p[2] for p in pts])
+    for i in range(len(pts)):
+        d2 = ((arr - arr[i]) ** 2).sum(axis=1)
+        a = round(d2[(labs == labs[i])].sum() / (np.sum(labs == labs[i]) - 1), 4)
+        b = round(
+            min(
+                d2[labs == l].mean()
+                for l in set(labs.tolist())
+                if l != labs[i]
+            ),
+            4,
+        )
+        exp = round((b - a) / max(a, b), 6)
+        assert got[i] == pytest.approx(exp, abs=2e-6)
+
+
+def test_h5_chunk_specs():
+    assert h5_chunk_specs(10, 4) == [(0, 4), (4, 8), (8, 10)]
+    assert h5_chunk_specs(4, 4) == [(0, 4)]
+    assert h5_chunk_specs(0, 4) == []
+
+
+def test_h5_readers_gated_or_working(spark, tmp_path):
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+
+    from scarf_spark.sources.readers import read_sparse_h5
+
+    # 3 cells x 4 feats CSC (major axis = cells)
+    path = str(tmp_path / "toy.h5")
+    indptr = np.array([0, 2, 3, 5])
+    indices = np.array([0, 2, 1, 0, 3])
+    data = np.array([2.0, 1.0, 5.0, 7.0, 1.0])
+    with h5py.File(path, "w") as f:
+        g = f.create_group("matrix")
+        g["indptr"] = indptr
+        g["indices"] = indices
+        g["data"] = data
+    out = sorted(
+        (r["cell_id"], r["feat_id"], r["value"])
+        for r in read_sparse_h5(spark, path, batch_size=2).collect()
+    )
+    assert out == [(0, 0, 2.0), (0, 2, 1.0), (1, 1, 5.0), (2, 0, 7.0), (2, 3, 1.0)]
