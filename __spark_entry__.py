@@ -2032,6 +2032,20 @@ def clust_paris_cut(spark, sf_dir):
     )
 
 
+@q("clust_balanced_cut")  # weak: size-constrained dendrogram cut (rows-only)
+def clust_balanced_cut(spark, sf_dir):
+    from scarf_spark.ml import cluster as cl
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
+    )
+    merges, leaves = cl.paris_like_dendrogram(edges)
+    labels = cl.cut_dendrogram_balanced(merges, leaves, max_size=100)
+    return spark.createDataFrame(
+        sorted(labels.items()), "node long, cluster int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

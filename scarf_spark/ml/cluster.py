@@ -185,3 +185,61 @@ def cut_dendrogram(merges, leaf_ids, n_clusters: int) -> dict[int, int]:
         for m in members:
             out[leaf_ids[m]] = ci
     return out
+
+
+def cut_dendrogram_balanced(
+    merges, leaf_ids, max_size: int, min_size: int = 1
+) -> dict[int, int]:
+    """BalancedCut analog (``scarf/dendrogram.py:106-239``): walk the
+    dendrogram top-down and split any cluster larger than ``max_size``;
+    children smaller than ``min_size`` stay merged with their sibling's
+    cluster id. Deterministic: clusters renumbered by smallest member.
+
+    driver_compute over the (n-1, 4) merge list — linear in nodes, with
+    an explicit visit cap so a malformed dendrogram cannot hang."""
+    n_leaves = len(leaf_ids)
+    children = {}
+    size = {i: 1 for i in range(n_leaves)}
+    for mi, (a, b, _d, s) in enumerate(merges):
+        node = n_leaves + mi
+        children[node] = (a, b)
+        size[node] = s
+
+    roots = [n_leaves + len(merges) - 1] if merges else list(range(n_leaves))
+    final: list[list[int]] = []
+    budget = 2 * (n_leaves + len(merges)) + 1
+
+    def leaves_under(x: int) -> list[int]:
+        out, stack = [], [x]
+        for _ in range(budget):
+            if not stack:
+                return out
+            y = stack.pop()
+            if y < n_leaves:
+                out.append(y)
+            else:
+                stack.extend(children[y])
+        raise ValueError("cycle in dendrogram")
+
+    stack = list(roots)
+    for _ in range(budget):
+        if not stack:
+            break
+        node = stack.pop()
+        if node < n_leaves or size[node] <= max_size:
+            final.append(leaves_under(node))
+            continue
+        a, b = children[node]
+        # a too-small child is not split off on its own
+        if size.get(a, 1) < min_size or size.get(b, 1) < min_size:
+            final.append(leaves_under(node))
+            continue
+        stack.extend((a, b))
+    else:
+        raise ValueError("cycle in dendrogram")
+
+    out = {}
+    for ci, members in enumerate(sorted(final, key=min)):
+        for m in members:
+            out[leaf_ids[m]] = ci
+    return out

@@ -52,6 +52,10 @@ def mark_hvgs_binned(
         mv = mv.join(F.broadcast(blacklist.select("feat_id")), "feat_id", "left_anti")
     from scarf_spark.operators.windows import global_ntile
 
+    # persist the (feature-sized) stats table: global_ntile issues two
+    # small driver jobs over it, which would otherwise re-run the full
+    # fact-table aggregation three times
+    mv = mv.persist()
     binned = global_ntile(mv, ["mean", "feat_id"], n_bins)
     trend = binned.groupBy("bin").agg(F.median(F.log("variance")).alias("trend"))
     corrected = (

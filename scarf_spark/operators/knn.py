@@ -211,11 +211,16 @@ def cosine_knn_ivf(
     each query probes its ``n_probe`` nearest centroids and searches
     exactly within those lists only.
 
-    All relational: one n×C broadcast cross for assignment, one for
-    probing, one equi-join probe→list, one window top-k. Candidate
-    count per query ≈ n_probe·n/C — the recall/cost dial. At 100 TB the
-    inverted lists are the partitioning: assignment key = centroid id
-    co-locates each list."""
+    Execution shape — the textbook distributed IVF: assignment and
+    probing are an n×C broadcast cross (relational, C tiny); the
+    within-list search cogroups probes and list members BY CENTROID ID
+    and runs dense BLAS (Q @ M.T) per list inside ``applyInPandas``,
+    emitting each query's per-list top-k; a final window merges the
+    n_probe lists. The shuffle key is the centroid id, so each inverted
+    list is co-located — at 100 TB the lists are the partitioning, and
+    no quadratic pair stream ever materializes as rows."""
+    import numpy as np
+
     e = _as_double_vec(emb, id_col, vec_col)
     seeds = (
         e.select(
@@ -226,25 +231,93 @@ def cosine_knn_ivf(
         .limit(n_cells)
         .drop("_h")
     )
-    cdist = F.lit(1.0) - _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    wq = Window.partitionBy("vid").orderBy(F.col("cd"), F.col("cid"))
-    scored = (
-        e.crossJoin(F.broadcast(seeds))
-        .select("vid", "v", "nrm", "cid", cdist.alias("cd"))
-        .withColumn("crank", F.row_number().over(wq))
+    # assignment + probing: broadcast the C centroid vectors (tiny) and
+    # rank them per input vector with one BLAS matmul per Arrow batch —
+    # no n×C cross join, no window; deterministic (distance, cid) ties
+    srows = seeds.collect()
+    c_ids = np.array([r["cid"] for r in srows], dtype=np.int64)
+    c_mat = np.array([r["cv"] for r in srows], dtype=np.float64)
+    c_mat = c_mat / np.maximum(
+        np.array([r["cnrm"] for r in srows])[:, None], 1e-300
     )
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+
+    def rank_centroids(batches):
+        cids, cn = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            q = np.array(b["v"].tolist(), dtype=np.float64)
+            qn = q / np.maximum(b["nrm"].to_numpy()[:, None], 1e-300)
+            cd = 1.0 - qn @ cn.T
+            out = []
+            for r in range(cd.shape[0]):
+                order = np.lexsort((cids, cd[r]))[: max(1, n_probe)]
+                for crank, ci in enumerate(order, start=1):
+                    out.append(
+                        (
+                            int(b["vid"].iloc[r]),
+                            b["v"].iloc[r],
+                            float(b["nrm"].iloc[r]),
+                            int(cids[ci]),
+                            crank,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["vid", "v", "nrm", "cid", "crank"]
+            )
+
+    scored = e.mapInPandas(
+        rank_centroids,
+        "vid long, v array<double>, nrm double, cid long, crank int",
+    )
+    # distinct column names per side: cogrouping two children of the
+    # same plan trips Spark's ambiguous-self-join analysis otherwise
     assign = scored.where(F.col("crank") == 1).select(
-        F.col("vid").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cid"
+        F.col("vid").alias("m_vid"), F.col("v").alias("m_v"),
+        F.col("nrm").alias("m_nrm"), "cid",
     )
     probe = scored.where(F.col("crank") <= n_probe).select(
-        F.col("vid").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cid"
+        F.col("vid").alias("q_vid"), F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"), F.col("cid").alias("q_cid"),
     )
-    pairs = probe.join(assign, "cid").where(F.col("src") != F.col("dst"))
-    dist = F.lit(1.0) - _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def search(key, probes: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if probes.empty or members.empty:
+            return pd.DataFrame(columns=["src", "dst", "distance"])
+        q = np.array(probes["q_v"].tolist(), dtype=np.float64)
+        qn = q / np.maximum(probes["q_nrm"].to_numpy()[:, None], 1e-300)
+        m = np.array(members["m_v"].tolist(), dtype=np.float64)
+        mn = m / np.maximum(members["m_nrm"].to_numpy()[:, None], 1e-300)
+        dist = 1.0 - qn @ mn.T
+        src = probes["q_vid"].to_numpy()
+        dst = members["m_vid"].to_numpy()
+        out_s, out_d, out_x = [], [], []
+        kk = min(k + 1, dist.shape[1])
+        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk] if dist.shape[1] > kk else (
+            np.tile(np.arange(dist.shape[1]), (dist.shape[0], 1))
+        )
+        for r in range(dist.shape[0]):
+            cand = part[r]
+            cand = cand[np.lexsort((dst[cand], dist[r, cand]))]
+            cand = cand[dst[cand] != src[r]][:k]
+            out_s.append(np.full(len(cand), src[r], dtype=np.int64))
+            out_d.append(dst[cand])
+            out_x.append(dist[r, cand])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "distance": np.concatenate(out_x),
+            }
+        )
+
+    per_list = probe.groupBy("q_cid").cogroup(assign.groupBy("cid")).applyInPandas(
+        search, "src long, dst long, distance double"
+    )
     w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
     return (
-        pairs.select("src", "dst", dist.alias("distance"))
-        .withColumn("rank", F.row_number().over(w))
+        per_list.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
     )

@@ -135,3 +135,39 @@ def test_h5_readers_gated_or_working(spark, tmp_path):
         for r in read_sparse_h5(spark, path, batch_size=2).collect()
     )
     assert out == [(0, 0, 2.0), (0, 2, 1.0), (1, 1, 5.0), (2, 0, 7.0), (2, 3, 1.0)]
+
+
+def test_balanced_cut_splits_oversized():
+    from scarf_spark.ml.cluster import (
+        cut_dendrogram_balanced,
+        paris_like_dendrogram,
+    )
+
+    # two tight 4-cliques joined by one weak bridge → dendrogram merges
+    # cliques first; max_size=4 must split the 8-leaf root into the two
+    # cliques
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j, 10.0))
+    edges.append((0, 4, 0.1))
+
+    class _FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def select(self, *cols):
+            return self
+
+        def collect(self):
+            return [
+                {"src": a, "dst": b, "weight": w} for a, b, w in self._rows
+            ]
+
+    merges, leaves = paris_like_dendrogram(_FakeDF(edges))
+    labels = cut_dendrogram_balanced(merges, leaves, max_size=4)
+    groups = {}
+    for node, c in labels.items():
+        groups.setdefault(c, set()).add(node)
+    assert sorted(map(sorted, groups.values())) == [[0, 1, 2, 3], [4, 5, 6, 7]]
