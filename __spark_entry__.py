@@ -1091,6 +1091,20 @@ _WORDS_CTE = (
     "FROM documents)"
 )
 
+# BPE-ish pretokenizer (GPT-2-style word/number/punct-run splits,
+# ASCII-restricted so the regex is portable between Java and RE2)
+_BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@q(
+    "text_bpe_tokens",
+    f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens, "
+    "len(list_distinct(regexp_extract_all(text, "
+    f"'{_BPE_PAT}'))) AS n_unique_tokens FROM documents",
+)
+def text_bpe_tokens(spark, sf_dir):
+    return text.bpe_token_counts(_ds(spark, sf_dir).documents, pattern=_BPE_PAT)
+
 
 @q(
     "text_token_stats",
@@ -1404,7 +1418,7 @@ _FEAT_KNN_CTE = (
     "1.0 - COALESCE(d.dot, 0) / (na.nrm * nb.nrm) AS distance "
     "FROM nrm na JOIN nrm nb ON na.feat_id != nb.feat_id "
     "LEFT JOIN dots d ON d.src = na.feat_id AND d.dst = nb.feat_id), "
-    "knn AS (SELECT src, rn AS rank, dst, distance FROM "
+    "knn AS MATERIALIZED (SELECT src, rn AS rank, dst, distance FROM "
     "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
     "FROM fpairs) WHERE rn <= 5)"
 )
@@ -1423,7 +1437,10 @@ def mark_feat_knn(spark, sf_dir):
 @q(
     "mark_feat_modules",
     f"WITH {_FEAT_KNN_CTE}, "
-    + "und AS (SELECT DISTINCT src, dst FROM "
+    # MATERIALIZED: und is consumed once per label-prop iteration and
+    # its upstream is the full feature-KNN — inlined it re-executes per
+    # reference (~4x the oracle runtime)
+    + "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
     "(SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)), "
     "l0 AS (SELECT DISTINCT src AS node, src AS cluster FROM und), "
     + ", ".join(

@@ -121,3 +121,23 @@ def fingerprint(
         .groupBy(id_col)
         .agg((F.sum("t") % F.lit(mod)).alias("fingerprint"))
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    pattern: str = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pretokenizer regex (word
+    runs, number runs, punctuation runs, each optionally preceded by a
+    space) evaluated JVM-side with regexp_extract_all — the cheap
+    token-budget estimator a corpus pipeline runs before a real BPE
+    pass. Returns (doc_id, n_bpe_tokens, n_unique_tokens)."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+    t = docs.select(F.col(id_col), toks.alias("_t"))
+    return t.select(
+        id_col,
+        F.size("_t").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("_t")).alias("n_unique_tokens"),
+    )

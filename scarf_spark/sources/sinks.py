@@ -101,3 +101,63 @@ def to_wide(counts: DataFrame, feat_ids: list[int], prefix: str = "f") -> DataFr
         for f in fids
     ]
     return counts.groupBy("cell_id").agg(*aggs)
+
+
+def coo_to_csr_arrays(counts: DataFrame, n_cells: int, n_feats: int):
+    """Collect the COO table into CSR arrays (indptr, indices, data) —
+    the reconstruction step of the reference's AnnData export
+    (``writers.py:1113-1259`` to_h5ad; ``datastore.py:1118-1157``
+    to_anndata). driver_compute by definition (the export target is a
+    single in-memory object); sorted (cell, feat) order is enforced so
+    the arrays are deterministic."""
+    import numpy as np
+
+    rows = (
+        counts.select("cell_id", "feat_id", "value")
+        .orderBy("cell_id", "feat_id")
+        .collect()
+    )
+    ci = np.fromiter((r["cell_id"] for r in rows), dtype=np.int64, count=len(rows))
+    fi = np.fromiter((r["feat_id"] for r in rows), dtype=np.int64, count=len(rows))
+    data = np.fromiter((r["value"] for r in rows), dtype=np.float64, count=len(rows))
+    indptr = np.zeros(n_cells + 1, dtype=np.int64)
+    np.add.at(indptr[1:], ci, 1)
+    indptr = np.cumsum(indptr)
+    return indptr, fi, data
+
+
+def to_h5ad(
+    counts: DataFrame,
+    cells: DataFrame,
+    feats: DataFrame,
+    path: str,
+    n_cells: int,
+    n_feats: int,
+) -> str:
+    """Export to an AnnData-compatible ``.h5ad`` (CSR X group + obs/var
+    tables, ``writers.py:1113-1259``). Gated on h5py — absent in this
+    container, so the entry raises NotImplementedError; the CSR
+    reconstruction itself (:func:`coo_to_csr_arrays`) is exercised
+    either way."""
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover - env without h5py
+        raise NotImplementedError(
+            "h5py is not installed; CSR reconstruction is available via "
+            "coo_to_csr_arrays, only the HDF5 write is gated"
+        ) from e
+
+    indptr, indices, data = coo_to_csr_arrays(counts, n_cells, n_feats)
+    with h5py.File(path, "w") as f:
+        x = f.create_group("X")
+        x["indptr"] = indptr
+        x["indices"] = indices
+        x["data"] = data
+        x.attrs["shape"] = (n_cells, n_feats)
+        for key, df in (("obs", cells), ("var", feats)):
+            g = f.create_group(key)
+            pdf = df.toPandas()
+            for c in pdf.columns:
+                v = pdf[c].to_numpy()
+                g[c] = v.astype("S") if v.dtype.kind == "O" else v
+    return path

@@ -1,0 +1,119 @@
+"""Property-based invariants (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5 notes it has no randomized testing). Each
+property uses few, small examples: Spark jobs per example are the cost.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import joins
+from scarf_spark.operators.windows import global_ntile
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SET
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    bins=st.integers(min_value=1, max_value=17),
+    mult=st.integers(min_value=1, max_value=9973),
+)
+def test_global_ntile_equals_window_ntile(spark, n, bins, mult):
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * mult) % 1009).cast("double").alias("x")
+    )
+    a = {r["id"]: r["bin"] for r in global_ntile(df, ["x", "id"], bins).collect()}
+    w = Window.orderBy("x", "id")
+    b = {
+        r["id"]: r["bin"]
+        for r in df.select("id", F.ntile(bins).over(w).alias("bin")).collect()
+    }
+    assert a == b
+
+
+@SET
+@given(
+    starts=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=30
+    ),
+    widths=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=1, max_size=30
+    ),
+    bin_size=st.sampled_from([7, 16, 50, 128]),
+)
+def test_binned_interval_join_equals_naive(spark, starts, widths, bin_size):
+    n = min(len(starts), len(widths))
+    rows = [
+        (i, "chr%d" % (i % 2), float(starts[i]), float(starts[i] + widths[i]))
+        for i in range(n)
+    ]
+    qi = spark.createDataFrame(rows, "id long, chrom string, start double, end double")
+    ri = spark.createDataFrame(
+        [(i + 1000, c, s, e, 1.0) for i, c, s, e in rows],
+        "id long, chrom string, start double, end double, value double",
+    )
+    naive = {
+        (r["q_id"], r["r_id"])
+        for r in joins.interval_overlap_join(qi, ri).collect()
+    }
+    binned = joins.interval_overlap_join_binned(qi, ri, bin_size=bin_size).collect()
+    pairs = [(r["q_id"], r["r_id"]) for r in binned]
+    assert len(pairs) == len(set(pairs))  # report-bin dedup emits exactly once
+    assert set(pairs) == naive
+
+
+@SET
+@given(
+    clicks=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0,
+        max_size=20,
+    ),
+    views=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_asof_join_matches_naive(spark, clicks, views):
+    right = spark.createDataFrame(
+        [(u, t, i, float(i)) for i, (u, t) in enumerate(clicks)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [(u, t, 1000 + i) for i, (u, t) in enumerate(views)],
+        "user_id long, ts long, event_id long",
+    )
+    got = {
+        r["event_id"]: r["match_id"]
+        for r in joins.asof_join(left, right).collect()
+    }
+    for i, (u, t) in enumerate(views):
+        cand = [
+            (ct, ci)
+            for ci, (cu, ct) in enumerate(clicks)
+            if cu == u and ct <= t
+        ]
+        want = max(cand)[1] if cand else None
+        assert got[1000 + i] == want, (u, t, cand)
+
+
+def test_merge_count_conservation(spark, sf_dir):
+    # union-merge invariant from the reference's own suite
+    # (tests/test_merger.py): sum(merged) == k * sum(orig)
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators import setops
+
+    counts = DataStore(spark, sf_dir).counts().limit(2000)
+    t = counts.select(F.col("cell_id").cast("string").alias("id"), "value")
+    merged = setops.merge_cell_tables([("a", t), ("b", t)])
+    tot = merged.agg(F.sum("value")).collect()[0][0]
+    orig = t.agg(F.sum("value")).collect()[0][0]
+    assert tot == 2 * orig

@@ -171,3 +171,16 @@ def test_balanced_cut_splits_oversized():
     for node, c in labels.items():
         groups.setdefault(c, set()).add(node)
     assert sorted(map(sorted, groups.values())) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+
+def test_coo_to_csr_arrays(spark):
+    from scarf_spark.sources.sinks import coo_to_csr_arrays
+
+    counts = spark.createDataFrame(
+        [(0, 0, 2.0), (0, 2, 1.0), (2, 1, 5.0)],
+        "cell_id long, feat_id long, value double",
+    )
+    indptr, indices, data = coo_to_csr_arrays(counts, n_cells=3, n_feats=4)
+    assert list(indptr) == [0, 2, 2, 3]
+    assert list(indices) == [0, 2, 1]
+    assert list(data) == [2.0, 1.0, 5.0]
