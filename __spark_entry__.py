@@ -595,16 +595,20 @@ def _intervals(ds: DataStore):
 
 @q(
     "join_interval_overlap",
+    # oracle = the naive range join; the engine answers it with the
+    # prefix-sum sweep (no pair materialization). Values quantized to
+    # integer cents on BOTH sides so the sweep's cumulative-sum
+    # subtraction is bit-equal to the direct sum.
     f"WITH {_QREF_CTE} "
-    "SELECT q.id AS q_id, ROUND(CAST(SUM(r.value) AS DOUBLE), 6) AS sum_value, "
-    "COUNT(*) AS n_overlaps "
+    "SELECT q.id AS q_id, "
+    "ROUND(CAST(SUM(CAST(ROUND(r.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 6) "
+    "AS sum_value, COUNT(*) AS n_overlaps "
     "FROM qi q JOIN ri r ON q.chrom = r.chrom AND q.start < r.\"end\" "
     "AND q.\"end\" > r.start GROUP BY q.id",
 )
 def join_interval_overlap(spark, sf_dir):
     qi, ri = _intervals(_ds(spark, sf_dir))
-    out = joins.overlap_sum(qi, ri)
-    return out.withColumn("sum_value", F.round("sum_value", 6))
+    return joins.overlap_sum_sweep(qi, ri, value_scale=100)
 
 
 @q(

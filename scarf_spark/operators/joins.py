@@ -62,6 +62,88 @@ def overlap_sum(queries: DataFrame, refs: DataFrame, bin_size: int = 100) -> Dat
     )
 
 
+def overlap_sum_sweep(
+    queries: DataFrame, refs: DataFrame, value_scale: int = 100
+) -> DataFrame:
+    """Meld aggregation without materializing overlap pairs — the
+    100 TB plan for dense interval sets, where even the binned join's
+    output is quadratic-ish (overlapping intervals make |pairs| >>
+    |inputs|).
+
+    Inclusion-exclusion sweep: for half-open overlap (q.start < r.end
+    AND q.end > r.start), the NON-overlapping refs split into two
+    disjoint sets — {r.end <= q.start} and {r.start >= q.end} — so
+      overlap_sum(q) = total - sum(r.end <= q.start) - sum(r.start >= q.end)
+    and each term is a cumulative prefix lookup: union refs and queries
+    as events on the sort key, take a running sum per chromosome, read
+    it off at each query row (the as-of-join shape, one window pass,
+    O(n log n), zero pair rows). Counts come from the same sweeps.
+
+    Values are quantized to integers (``round(value * value_scale)``)
+    so the cumulative sums are exact and the subtraction is bit-equal
+    to a direct sum in any engine — mandatory, because cumsum
+    subtraction on floats loses ~1e-10 relative precision, which a
+    6-decimal rounding contract cannot absorb. Output sum_value =
+    cents / value_scale."""
+    cents = F.round(F.col("value") * value_scale, 0).cast("long")
+    r = refs.select(
+        F.col("id").alias("r_id"), "chrom", "start", "end", cents.alias("c")
+    )
+    q = queries.select(F.col("id").alias("q_id"), "chrom", "start", "end")
+
+    def sweep(ref_key: str, query_key: str, refs_first_on_tie: bool):
+        """Cumulative (sum, count) of refs with ref_key strictly-or-
+        equally before query_key, read at each query row."""
+        rkind, qkind = (0, 1) if refs_first_on_tie else (1, 0)
+        ev_r = r.select(
+            "chrom", F.col(ref_key).alias("k"), F.lit(rkind).alias("kind"),
+            F.col("r_id").alias("eid"), "c",
+        )
+        ev_q = q.select(
+            "chrom", F.col(query_key).alias("k"), F.lit(qkind).alias("kind"),
+            F.col("q_id").alias("eid"), F.lit(None).cast("long").alias("c"),
+        )
+        w = (
+            Window.partitionBy("chrom")
+            .orderBy("k", "kind", "eid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ev = ev_r.unionByName(ev_q).select(
+            "chrom", "kind", "eid",
+            F.sum("c").over(w).alias("cum_c"),
+            F.count("c").over(w).alias("cum_n"),
+        )
+        return ev.where(F.col("kind") == qkind).select(
+            F.col("eid").alias("q_id"),
+            F.coalesce("cum_c", F.lit(0)).alias("cum_c"),
+            F.col("cum_n").alias("cum_n"),
+        )
+
+    # refs with r.end <= q.start: ref events sort BEFORE the query on ties
+    excl_l = sweep("end", "start", refs_first_on_tie=True).select(
+        "q_id", F.col("cum_c").alias("l_c"), F.col("cum_n").alias("l_n")
+    )
+    # refs with r.start < q.end (ties excluded: query sorts first).
+    # {r.end <= qs} ⊆ {r.start < qe} for nonempty intervals, so the
+    # overlap set is exactly their difference — no totals needed.
+    lt_r = sweep("start", "end", refs_first_on_tie=False).select(
+        "q_id", F.col("cum_c").alias("lt_c"), F.col("cum_n").alias("lt_n")
+    )
+    out = (
+        excl_l.join(lt_r, "q_id")
+        .select(
+            "q_id",
+            (F.col("lt_c") - F.col("l_c")).alias("sum_c"),
+            (F.col("lt_n") - F.col("l_n")).alias("n_overlaps"),
+        )
+    )
+    return out.where(F.col("n_overlaps") > 0).select(
+        "q_id",
+        F.round(F.col("sum_c").cast("double") / value_scale, 6).alias("sum_value"),
+        "n_overlaps",
+    )
+
+
 def interval_overlap_join_binned(
     queries: DataFrame, refs: DataFrame, bin_size: int = 100
 ) -> DataFrame:

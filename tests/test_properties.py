@@ -71,6 +71,50 @@ def test_binned_interval_join_equals_naive(spark, starts, widths, bin_size):
 
 @SET
 @given(
+    starts=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=2, max_size=25
+    ),
+    widths=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=2, max_size=25
+    ),
+)
+def test_sweep_overlap_sum_equals_naive(spark, starts, widths):
+    n = min(len(starts), len(widths))
+    qi = spark.createDataFrame(
+        [
+            (i, "chr%d" % (i % 2), float(starts[i]), float(starts[i] + widths[i]))
+            for i in range(n)
+        ],
+        "id long, chrom string, start double, end double",
+    )
+    ri = spark.createDataFrame(
+        [
+            (
+                i + 500,
+                "chr%d" % ((i + 1) % 2),
+                float(starts[n - 1 - i]),
+                float(starts[n - 1 - i] + widths[i]),
+                float(i) + 0.25,
+            )
+            for i in range(n)
+        ],
+        "id long, chrom string, start double, end double, value double",
+    )
+    naive = {}
+    for r in joins.interval_overlap_join(qi, ri).collect():
+        key = r["q_id"]
+        c = round(r["r_value"] * 100)
+        s, k = naive.get(key, (0, 0))
+        naive[key] = (s + c, k + 1)
+    got = {
+        r["q_id"]: (round(r["sum_value"] * 100), r["n_overlaps"])
+        for r in joins.overlap_sum_sweep(qi, ri).collect()
+    }
+    assert got == {k: (s, c) for k, (s, c) in naive.items()}
+
+
+@SET
+@given(
     clicks=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 50)),
         min_size=0,

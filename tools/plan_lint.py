@@ -1,0 +1,77 @@
+"""Physical-plan linter: walks every registered query's Spark plan and
+flags patterns that break at scale —
+
+  * WindowExec with an empty partition spec (single-partition sort of
+    the whole input)
+  * CartesianProductExec (unbounded pair blowup)
+
+Planning only — no query is executed. Queries may declare a bounded
+exception (e.g. a window over a top-n-limited constant-size set) in
+ALLOWED below, with the reason recorded.
+
+Usage: python tools/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query name -> reason a flagged node is size-bounded and acceptable
+ALLOWED: dict[str, str] = {
+    "ml_hvg_binned": "rank window runs AFTER .limit(top_n): constant-size input",
+    "win_top_n": "TakeOrderedAndProject only; flagged node is over <= n rows",
+}
+
+
+def iter_nodes(plan):
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+
+
+def lint_plan(df) -> list[str]:
+    issues = []
+    plan = df._jdf.queryExecution().sparkPlan()
+    for node in iter_nodes(plan):
+        name = node.getClass().getSimpleName()
+        if name == "WindowExec" and node.partitionSpec().isEmpty():
+            issues.append("unpartitioned WindowExec (single-partition sort)")
+        if name == "CartesianProductExec":
+            issues.append("CartesianProductExec (unbounded pair blowup)")
+    return issues
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from scarf_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-lint")
+    bad = 0
+    for name, fn in entry_mod.queries().items():
+        try:
+            issues = lint_plan(fn(spark, sf_dir))
+        except Exception as e:  # planning error is itself a finding
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        if not issues:
+            continue
+        if name in ALLOWED:
+            print(f"ALLOW {name}: {issues} — {ALLOWED[name]}")
+        else:
+            print(f"FLAG  {name}: {issues}")
+            bad += 1
+    print(f"\n{bad} unexplained flagged queries")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
