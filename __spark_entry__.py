@@ -821,11 +821,25 @@ _KNN_CTE = (
 )
 
 
+_KNN_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _knn_edges(spark, sf_dir, k: int = 5):
     """Exact-KNN edge table (src, rank, dst, distance[rounded]) — the
     rounded distances make every downstream consumer bit-deterministic
-    across engines."""
-    return knn.cosine_knn_exact(_ds(spark, sf_dir).embeddings, k=k)
+    across engines.
+
+    Persisted and memoized per (session, sf_dir, k): a dozen graph
+    consumers all start from this table (and several consume it more
+    than once in one plan), exactly like the reference materializes the
+    KNN graph once in the Zarr tree and every downstream step loads it
+    (``graph_datastore.py:474-511``)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _KNN_EDGE_CACHE:
+        _KNN_EDGE_CACHE[key] = knn.cosine_knn_exact(
+            _ds(spark, sf_dir).embeddings, k=k
+        ).persist()
+    return _KNN_EDGE_CACHE[key]
 
 
 @q("knn_exact_topk", f"WITH {_KNN_CTE} SELECT src, rank, dst FROM knn")

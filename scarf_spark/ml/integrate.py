@@ -39,6 +39,10 @@ def wnn_blend(
     4. top-k per src by blended weight (ties → smaller dst).
 
     Returns (src, rank, dst, weight[rounded 6])."""
+    # each edge table is consumed twice (affinity agg + candidate join);
+    # persist so an expensive upstream (a full KNN build) runs once
+    edges_a = edges_a.persist()
+    edges_b = edges_b.persist()
     aff_a = edges_a.groupBy("src").agg(F.avg(_affinity()).alias("aff_a"))
     aff_b = edges_b.groupBy("src").agg(F.avg(_affinity()).alias("aff_b"))
     wts = aff_a.join(aff_b, "src", "full_outer").select(
