@@ -52,8 +52,16 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+_DS_CACHE: dict[tuple, DataStore] = {}
+
+
 def _ds(spark: SparkSession, sf_dir: str) -> DataStore:
-    return DataStore(spark, sf_dir)
+    """One DataStore per (session, sf_dir): table DataFrames (and their
+    parquet footer reads) are set up once, not once per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DS_CACHE:
+        _DS_CACHE[key] = DataStore(spark, sf_dir)
+    return _DS_CACHE[key]
 
 
 _NCELLS_CACHE: dict[str, int] = {}
@@ -885,7 +893,7 @@ def knn_lsh_topk(spark, sf_dir):
 @q("knn_lsh_recall")  # no oracle: a derived quality metric, rows-only check
 def knn_lsh_recall(spark, sf_dir):
     emb = _ds(spark, sf_dir).embeddings
-    exact = knn.cosine_knn_exact(emb, k=5)
+    exact = _knn_edges(spark, sf_dir)  # memoized
     approx = knn.cosine_knn_lsh(emb, k=5, n_tables=4, n_planes=4)
     return knn.knn_recall(approx, exact)
 
@@ -1523,7 +1531,7 @@ def ml_wnn(spark, sf_dir):
     from scarf_spark.ml import integrate
 
     emb = _ds(spark, sf_dir).embeddings
-    edges_a = knn.cosine_knn_exact(emb, k=5)
+    edges_a = _knn_edges(spark, sf_dir)  # memoized full-dim KNN
     emb32 = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
     edges_b = knn.cosine_knn_exact(emb32, k=5)
     return integrate.wnn_blend(edges_a, edges_b, k=5)
@@ -1936,7 +1944,7 @@ def ann_ivf(spark, sf_dir):
 @q("ann_ivf_recall")  # weak: single-row recall metric vs exact KNN
 def ann_ivf_recall(spark, sf_dir):
     ds = _ds(spark, sf_dir)
-    exact = knn.cosine_knn_exact(ds.embeddings, k=5)
+    exact = _knn_edges(spark, sf_dir)  # memoized
     ivf = knn.cosine_knn_ivf(ds.embeddings, k=5, n_cells=8, n_probe=2)
     return knn.knn_recall(ivf, exact)
 
