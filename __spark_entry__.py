@@ -1913,6 +1913,33 @@ def agg_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "agg_distinct_stats",
+    # distinct-aggregation family (SURVEY.md §2.5 notes the reference
+    # has none; Spark plans it as a two-phase expand+agg)
+    f"WITH {COUNTS_CTE}, "
+    "j AS (SELECT c.cell_id, c.feat_id, c.value, cu.c_mktsegment AS segment "
+    "FROM counts c JOIN orders o ON c.cell_id = o.o_orderkey "
+    "JOIN customer cu ON o.o_custkey = cu.c_custkey) "
+    "SELECT segment, COUNT(DISTINCT cell_id) AS n_cells, "
+    "COUNT(DISTINCT feat_id) AS n_feats, "
+    "CAST(SUM(value) AS DOUBLE) AS sum_value FROM j GROUP BY segment",
+)
+def agg_distinct_stats(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    j = (
+        ds.counts()
+        .join(ds.orders, F.col("cell_id") == F.col("o_orderkey"))
+        .join(ds.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("cell_id", "feat_id", "value", F.col("c_mktsegment").alias("segment"))
+    )
+    return j.groupBy("segment").agg(
+        F.countDistinct("cell_id").alias("n_cells"),
+        F.countDistinct("feat_id").alias("n_feats"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
 _IVF_CTE = (
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
     "nv AS (SELECT vec_id, v, "

@@ -184,3 +184,22 @@ def test_coo_to_csr_arrays(spark):
     assert list(indptr) == [0, 2, 2, 3]
     assert list(indices) == [0, 2, 1]
     assert list(data) == [2.0, 1.0, 5.0]
+
+
+def test_plan_lint_representative_queries(spark, sf_dir):
+    """Plan-hygiene guard: no unpartitioned windows / cartesian products
+    in a representative slice of the query surface (full sweep:
+    tools/plan_lint.py)."""
+    import __spark_entry__ as entry_mod
+    from tools.plan_lint import ALLOWED, lint_plan
+
+    names = [
+        "qc_ncounts", "norm_tf_idf", "agg_make_bulk", "win_ntile_bins",
+        "join_interval_overlap", "mark_stats", "dedup_minhash_bands",
+        "knn_lsh_topk", "graph_snn_rerank", "stream_sessionize",
+        "agg_distinct_stats",
+    ]
+    qs = entry_mod.queries()
+    for name in names:
+        issues = lint_plan(qs[name](spark, sf_dir))
+        assert not issues or name in ALLOWED, f"{name}: {issues}"
