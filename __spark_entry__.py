@@ -890,7 +890,24 @@ def knn_lsh_topk(spark, sf_dir):
     ).select("src", "rank", "dst")
 
 
-@q("knn_lsh_recall")  # no oracle: a derived quality metric, rows-only check
+@q(
+    "knn_lsh_recall",
+    # recall of the LSH candidate top-k vs the exact top-k — both sets
+    # SQL-expressible, so the metric itself is oracle-verified
+    f"WITH {_KNN_CTE}, {_PLANE_CTE}, "
+    "cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM sigs a JOIN sigs b "
+    "ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id), "
+    "approx AS (SELECT src, dst FROM "
+    "(SELECT c.src, c.dst, ROW_NUMBER() OVER (PARTITION BY c.src "
+    "ORDER BY 1.0 - list_inner_product(x.v, y.v) / (x.nrm * y.nrm), c.dst) AS rn "
+    "FROM cand c JOIN nv x ON c.src = x.vec_id JOIN nv y ON c.dst = y.vec_id) "
+    "WHERE rn <= 5), "
+    "hit AS (SELECT COUNT(*) AS n_hit FROM knn k "
+    "JOIN approx a ON k.src = a.src AND k.dst = a.dst), "
+    "tot AS (SELECT COUNT(*) AS n_exact FROM knn) "
+    "SELECT CAST(n_hit AS BIGINT) AS n_hit, CAST(n_exact AS BIGINT) AS n_exact, "
+    "ROUND(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall FROM hit, tot",
+)
 def knn_lsh_recall(spark, sf_dir):
     emb = _ds(spark, sf_dir).embeddings
     exact = _knn_edges(spark, sf_dir)  # memoized
@@ -1940,10 +1957,9 @@ def agg_distinct_stats(spark, sf_dir):
     )
 
 
-_IVF_CTE = (
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    "nv AS (SELECT vec_id, v, "
-    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+# tail shared with the recall oracle (which brings its own e/nv via
+# _KNN_CTE — DuckDB rejects duplicate CTE names)
+_IVF_TAIL = (
     "sd AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nv "
     "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
     "scored AS (SELECT a.vec_id, a.v, a.nrm, s.cid, "
@@ -1961,6 +1977,14 @@ _IVF_CTE = (
 )
 
 
+_IVF_CTE = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+    f"{_IVF_TAIL}"
+)
+
+
 @q("ann_ivf", f"WITH {_IVF_CTE} SELECT src, rank, dst, distance FROM ivf")
 def ann_ivf(spark, sf_dir):
     return knn.cosine_knn_ivf(
@@ -1968,7 +1992,16 @@ def ann_ivf(spark, sf_dir):
     )
 
 
-@q("ann_ivf_recall")  # weak: single-row recall metric vs exact KNN
+@q(
+    "ann_ivf_recall",
+    f"WITH {_KNN_CTE}, {_IVF_TAIL} "
+    "SELECT CAST((SELECT COUNT(*) FROM knn k JOIN ivf a "
+    "ON k.src = a.src AND k.dst = a.dst) AS BIGINT) AS n_hit, "
+    "CAST((SELECT COUNT(*) FROM knn) AS BIGINT) AS n_exact, "
+    "ROUND((SELECT COUNT(*) FROM knn k JOIN ivf a "
+    "ON k.src = a.src AND k.dst = a.dst) / "
+    "CAST((SELECT COUNT(*) FROM knn) AS DOUBLE), 6) AS recall",
+)
 def ann_ivf_recall(spark, sf_dir):
     ds = _ds(spark, sf_dir)
     exact = _knn_edges(spark, sf_dir)  # memoized

@@ -128,13 +128,25 @@ def lsh_signatures(
 ) -> DataFrame:
     """Random-hyperplane signature for one LSH table: plane (t, h)
     component i = md5-hash01('p_t_h_i') - 0.5; sig = concatenated sign
-    bits. Deterministic and engine-portable."""
+    bits. Deterministic and engine-portable.
+
+    The plane components are CONSTANTS, so they are evaluated
+    driver-side with hashlib and embedded as literals — bit-identical
+    to the SQL oracle's ``('0x'||substr(md5(...),1,15))::BIGINT /
+    2^60 - 0.5`` (same integer, same IEEE ops), but without shipping
+    n_planes×dim md5 expression nodes into the Catalyst plan (plan
+    compile time and per-row work both drop)."""
+    import hashlib
+
     e = _as_double_vec(emb, id_col, vec_col)
     bits = []
     for h in range(n_planes):
         comps = F.array(*[
-            (F.conv(F.substring(F.md5(F.lit(f"p_{table}_{h}_{i}")), 1, 15), 16, 10)
-             .cast("double") / F.lit(float(1 << 60)) - 0.5)
+            F.lit(
+                int(hashlib.md5(f"p_{table}_{h}_{i}".encode()).hexdigest()[:15], 16)
+                / float(1 << 60)
+                - 0.5
+            )
             for i in range(dim)
         ])
         dot = _dot(F.col("v"), comps)
