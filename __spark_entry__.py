@@ -1798,7 +1798,17 @@ def mm_audio_energy(spark, sf_dir):
     return mm.audio_frame_energy(media, frame_bytes=100)
 
 
-@q("mm_resize")  # weak: numpy stride-slice downsample inside mapInPandas
+@q(
+    "mm_resize",
+    # the numpy stride-slice downsample is reproducible in SQL because
+    # payloads are ASCII text bytes: every 4th byte = chars at 1,5,9,…
+    f"WITH {_MEDIA_CTE}, "
+    "img AS (SELECT doc_id, text FROM media WHERE modality = 'image'), "
+    "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p "
+    "FROM img, UNNEST(range(1, length(text) + 1, 4)) AS t(i)) "
+    "SELECT doc_id, 4 AS factor, COUNT(*) AS n_out, "
+    "ROUND(AVG(p), 6) AS mean_out FROM px GROUP BY doc_id",
+)
 def mm_resize(spark, sf_dir):
     from scarf_spark.operators import multimodal as mm
 

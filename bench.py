@@ -46,13 +46,29 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n in _extra_headliners() and n not in HEADLINE
     ]
-    # warm-up: touch each parquet input once so JVM/IO warmup doesn't
-    # dominate the first query's time
+    # warm-up: touch each parquet input, then exercise one shuffle, one
+    # window, and one Python-worker stage so the first measured queries
+    # see a steady-state JVM (codegen JIT, shuffle service, Arrow
+    # workers) rather than absorbing session bring-up
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from scarf_spark.catalog import DataStore
 
     ds = DataStore(spark, sf_dir)
     for t in ds.table_names():
         ds.table(t).count()
+    li = ds.table("lineitem")
+    li.groupBy("l_orderkey").agg(F.sum("l_quantity")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 2).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    li.limit(1024).mapInPandas(
+        lambda it: it, schema=li.schema
+    ).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in names:
