@@ -203,3 +203,34 @@ def test_plan_lint_representative_queries(spark, sf_dir):
     for name in names:
         issues = lint_plan(qs[name](spark, sf_dir))
         assert not issues or name in ALLOWED, f"{name}: {issues}"
+
+
+def test_salted_aggregates_match_unsalted(spark):
+    from scarf_spark.operators.skew import (
+        salted_collect_list,
+        salted_count_distinct,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("k"),           # 3 hot keys
+        (F.col("id") % 157).alias("v"),
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["k"], "v", n_salts=8).collect()
+    }
+    want = {
+        r["k"]: r["nd"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("nd")).collect()
+    }
+    assert got == want
+
+    lists = {
+        r["k"]: r["values"]
+        for r in salted_collect_list(df, ["k"], "v", n_salts=8).collect()
+    }
+    plain = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    assert lists == plain
