@@ -1081,6 +1081,35 @@ def dedup_minhash_bands(spark, sf_dir):
 
 
 @q(
+    "dedup_components",
+    # near-duplicate clusters + canonical keep-list: 3 rounds of
+    # synchronous min-label propagation over the LSH candidate pairs
+    f"WITH {_MINHASH_CTE}, "
+    "prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
+    "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+    # MATERIALIZED: each round references the previous twice; inlined,
+    # the whole minhash pipeline re-executes 2^rounds times
+    "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs "
+    "UNION ALL SELECT b, a FROM prs), "
+    "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents), "
+    + " ".join(
+        (
+            "l{t} AS MATERIALIZED (SELECT n.node, "
+            "LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl "
+            "FROM l{p} n LEFT JOIN und u ON u.src = n.node "
+            "LEFT JOIN l{p} l ON l.node = u.dst GROUP BY n.node, n.lbl),"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    ).rstrip(",")
+    + " SELECT node AS doc_id, lbl AS cluster, node = lbl AS keep FROM l3",
+)
+def dedup_components(spark, sf_dir):
+    docs = _ds(spark, sf_dir).documents
+    pairs = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
+    return dedup.min_label_components(pairs, docs, n_iter=3)
+
+
+@q(
     "dedup_ngram_jaccard",
     f"WITH {_SHINGLE_CTE}, "
     "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "

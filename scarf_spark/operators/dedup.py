@@ -243,6 +243,51 @@ def simhash(
     return summed.select(id_col, fp.alias("simhash"))
 
 
+def min_label_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster labeling: synchronous min-label propagation
+    over the candidate-pair graph for a FIXED number of iterations
+    (deterministic and oracle-reproducible; components wider than
+    n_iter hops keep distinct labels, which only splits a cluster,
+    never merges two). The release keep-list is ``keep = (doc ==
+    cluster)`` — one canonical doc per near-duplicate cluster,
+    singletons kept.
+
+    Each iteration is one join + hash agg on the (sparse) pair graph —
+    the same shape as distributed label propagation, linear per round."""
+    und = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b"), F.col("a")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).persist()
+    for _ in range(n_iter):
+        nb_min = (
+            und.join(
+                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("_nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nbl"))
+        )
+        labels = labels.join(
+            nb_min.select(F.col("src").alias("node"), "_nbl"), "node", "left_outer"
+        ).select(
+            "node", F.least(F.col("lbl"), F.coalesce("_nbl", F.col("lbl"))).alias("lbl")
+        ).persist()
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster"),
+        (F.col("node") == F.col("lbl")).alias("keep"),
+    )
+
+
 def embedding_near_dups(knn_edges: DataFrame, max_distance: float = 0.05) -> DataFrame:
     """Embedding-cosine near-duplicate pairs from a KNN edge table:
     unordered pairs with distance ≤ threshold."""

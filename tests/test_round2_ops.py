@@ -234,3 +234,19 @@ def test_salted_aggregates_match_unsalted(spark):
         for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
     }
     assert lists == plain
+
+
+def test_min_label_components_chain_and_singleton(spark):
+    from scarf_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup.min_label_components(pairs, nodes, n_iter=3).collect()
+    }
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[4] == (4, True) and out[7] == (7, True)  # singletons kept
