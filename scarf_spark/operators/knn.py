@@ -154,6 +154,57 @@ def lsh_signatures(
     return e.select("vid", F.concat(*bits).alias("sig"), "v", "nrm")
 
 
+def lsh_signatures_all(
+    emb: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """All tables' signatures in ONE pass: the (n_tables·n_planes)×dim
+    plane matrix is a constant (md5-derived, see
+    :func:`lsh_signatures`), so every signature is one BLAS matmul per
+    Arrow batch — (vid, t, sig) long form, no per-plane expression
+    trees, one scan of the input."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.array(
+        [
+            [
+                int(hashlib.md5(f"p_{t}_{h}_{i}".encode()).hexdigest()[:15], 16)
+                / float(1 << 60)
+                - 0.5
+                for i in range(dim)
+            ]
+            for t in range(n_tables)
+            for h in range(n_planes)
+        ]
+    )
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    def sign(batches):
+        pl = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            q = np.array(b["v"].tolist(), dtype=np.float64)
+            bits = (q @ pl.T) >= 0  # rows × (n_tables·n_planes)
+            out_v, out_t, out_s = [], [], []
+            for r in range(bits.shape[0]):
+                for t in range(n_tables):
+                    seg = bits[r, t * n_planes : (t + 1) * n_planes]
+                    out_v.append(int(b["vid"].iloc[r]))
+                    out_t.append(t)
+                    out_s.append("".join("1" if x else "0" for x in seg))
+            yield pd.DataFrame({"vid": out_v, "t": out_t, "sig": out_s})
+
+    return e.mapInPandas(sign, "vid long, t int, sig string")
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_tables: int = 4,
@@ -163,17 +214,18 @@ def lsh_candidate_pairs(
     dim: int = 64,
 ) -> DataFrame:
     """OR-construction candidate generation: a pair is a candidate if it
-    collides in ANY of the n_tables signatures. Each table is an
-    equi-self-join on the signature — candidates per vector ≈
-    n_tables · n / 2^n_planes, the recall/cost dial."""
-    cands = None
-    for t in range(n_tables):
-        sigs = lsh_signatures(emb, t, n_planes, id_col, vec_col, dim).select("vid", "sig")
-        a = sigs.select(F.col("sig"), F.col("vid").alias("src"))
-        b = sigs.select(F.col("sig"), F.col("vid").alias("dst"))
-        p = a.join(b, "sig").where(F.col("src") != F.col("dst")).select("src", "dst")
-        cands = p if cands is None else cands.union(p)
-    return cands.distinct()
+    collides in ANY of the n_tables signatures — one equi-self-join on
+    (table, signature) over the single-pass signature table; candidates
+    per vector ≈ n_tables · n / 2^n_planes, the recall/cost dial."""
+    sigs = lsh_signatures_all(emb, n_tables, n_planes, id_col, vec_col, dim)
+    a = sigs.select("t", "sig", F.col("vid").alias("src"))
+    b = sigs.select("t", "sig", F.col("vid").alias("dst"))
+    return (
+        a.join(b, ["t", "sig"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
 
 
 def cosine_knn_lsh(
@@ -189,17 +241,39 @@ def cosine_knn_lsh(
     bucket collisions, top-k per src. The scale path — never a full
     cross join; recall vs :func:`cosine_knn_exact` is measurable per
     run, mirroring the reference's recall logging
-    (``knn_utils.py:74-76``)."""
-    e = _as_double_vec(emb, id_col, vec_col)
+    (``knn_utils.py:74-76``).
+
+    Candidate scoring gathers rows of the broadcast normalized matrix
+    per Arrow batch (vectorized row-wise dots) — same broadcast-index
+    envelope as :func:`cosine_knn_exact`; for indexes too big to
+    broadcast use :func:`cosine_knn_ivf`, whose lists shuffle by
+    centroid instead."""
+    import numpy as np
+
     cand = lsh_candidate_pairs(emb, n_tables, n_planes, id_col, vec_col, dim)
-    x = e.select(F.col("vid").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    y = e.select(F.col("vid").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = cand.join(x, "src").join(y, "dst")
-    dist = F.lit(1.0) - _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    bc = emb.sparkSession.sparkContext.broadcast((idx, m_n))
+
+    def score(batches):
+        lookup, mat = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            si = np.fromiter((lookup[int(x)] for x in b["src"]), dtype=np.int64)
+            di = np.fromiter((lookup[int(x)] for x in b["dst"]), dtype=np.int64)
+            d = 1.0 - np.einsum("ij,ij->i", mat[si], mat[di])
+            yield pd.DataFrame(
+                {"src": b["src"], "dst": b["dst"], "distance": d}
+            )
+
+    scored = cand.mapInPandas(score, "src long, dst long, distance double")
     w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
     return (
-        pairs.select("src", "dst", dist.alias("distance"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
     )
