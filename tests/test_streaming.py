@@ -104,3 +104,56 @@ def test_stream_to_parquet_ingest(spark, sf_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Late-data semantics: in append mode a window finalized by the
+    watermark is emitted once; an event arriving after the watermark
+    passed its window is DROPPED (no re-emit, no state). Parquet sink +
+    checkpoint so the second availableNow run resumes the watermark."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "sink"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(ts, "view", 1.0) for ts in rows],
+            "ts timestamp, event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        out = strm.tumbling_window_counts(stream, streaming=True)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df = spark.read.parquet(str(sink))
+        return [(r["window_start"], r["n_events"]) for r in df.collect()]
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    ws10 = int(t(10).replace(tzinfo=dt.timezone.utc).timestamp())
+    ws12 = int(t(12).replace(tzinfo=dt.timezone.utc).timestamp())
+    # run 1: 10:00 and 12:30 -> watermark 11:30 -> window [10,11) closes
+    write_batch("b1", [t(10), t(12, 30)])
+    got1 = run_once()
+    assert (ws10, 1) in got1
+    # run 2: LATE event 10:15 (window already finalized) + 15:00 ->
+    # watermark 14:00 -> closes [12,13); the late event must not re-emit
+    write_batch("b2", [t(10, 15), t(15)])
+    got2 = run_once()
+    assert got2.count((ws10, 1)) == 1, "late event re-emitted a finalized window"
+    assert (ws12, 1) in got2  # only the 12:30 event; late 10:15 dropped
+    assert not any(w == ws10 and n != 1 for w, n in got2)
