@@ -45,3 +45,22 @@ def test_feat_major_projection_prunes_shuffle(spark, bucketed):
     )
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Catalyst partition pruning: a filter on the partition column must
+    reach the file index (PartitionFilters), scanning only that
+    partition's files."""
+    from scarf_spark.catalog import DataStore
+
+    out = str(tmp_path / "events_by_type")
+    ev = DataStore(spark, sf_dir).events
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    n_click = ev.where("event_type = 'click'").count()
+    assert df.count() == n_click
