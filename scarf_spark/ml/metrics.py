@@ -89,40 +89,71 @@ def lisi(edges: DataFrame, labels: DataFrame, perplexity: float = 5.0) -> DataFr
         .agg(F.collect_list(F.struct("distance", "label")).alias("_nb"))
     )
 
-    def _one(d: "np.ndarray", lbl: "np.ndarray") -> float:
-        beta, lo, hi = 1.0, 0.0, float("inf")
-        target = np.log(perplexity)
+    target = float(np.log(perplexity))
+
+    def _betas(d_mat: "np.ndarray", pad: "np.ndarray") -> "np.ndarray":
+        """Vectorized beta bisection over all rows at once (padding
+        masked); converged/degenerate rows freeze, matching the scalar
+        per-row loop exactly — 50 numpy passes per batch instead of
+        50 × rows Python iterations."""
+        R = d_mat.shape[0]
+        beta = np.ones(R)
+        lo = np.zeros(R)
+        hi = np.full(R, np.inf)
+        done = np.zeros(R, dtype=bool)
         for _ in range(50):
-            w = np.exp(-d * beta)
-            s = w.sum()
-            if s <= 0:
+            w = np.where(pad, 0.0, np.exp(-d_mat * beta[:, None]))
+            s = w.sum(axis=1)
+            done |= s <= 0
+            p = w / np.maximum(s, 1e-300)[:, None]
+            h = -(p * np.log(np.maximum(p, 1e-300))).sum(axis=1)
+            done |= np.abs(h - target) < 1e-5
+            act = ~done
+            if not act.any():
                 break
-            p = w / s
-            h = -(p * np.log(np.maximum(p, 1e-300))).sum()
-            if abs(h - target) < 1e-5:
-                break
-            if h > target:
-                lo = beta
-                beta = beta * 2 if hi == float("inf") else (beta + hi) / 2
-            else:
-                hi = beta
-                beta = (lo + beta) / 2
-        w = np.exp(-d * beta)
-        p = w / w.sum() if w.sum() > 0 else np.ones_like(w) / len(w)
-        simpson = 0.0
-        for u in np.unique(lbl):
-            simpson += p[lbl == u].sum() ** 2
-        return round(1.0 / simpson, 6)
+            over = act & (h > target)
+            under = act & ~over
+            lo[over] = beta[over]
+            inf_hi = over & np.isinf(hi)
+            beta[inf_hi] = beta[inf_hi] * 2
+            fin = over & ~np.isinf(hi)
+            beta[fin] = (beta[fin] + hi[fin]) / 2
+            hi[under] = beta[under]
+            beta[under] = (lo[under] + beta[under]) / 2
+        return beta
 
     def calc(batches):
         for b in batches:
-            out_src, out_lisi = [], []
-            for src, nbl in zip(b["src"], b["_nb"]):
-                d = np.array([x["distance"] for x in nbl], dtype=float)
-                lbl = np.array([x["label"] for x in nbl])
-                out_src.append(src)
-                out_lisi.append(_one(d, lbl))
-            yield pd.DataFrame({"src": out_src, "lisi": out_lisi})
+            if b.empty:
+                continue
+            n_nb = np.array([len(nb) for nb in b["_nb"]], dtype=np.int64)
+            max_k = int(n_nb.max())
+            R = len(b)
+            d_mat = np.zeros((R, max_k))
+            lbl_mat = np.zeros((R, max_k), dtype=object)
+            pad = np.ones((R, max_k), dtype=bool)
+            for r, nbl in enumerate(b["_nb"]):
+                kk = len(nbl)
+                d_mat[r, :kk] = [x["distance"] for x in nbl]
+                lbl_mat[r, :kk] = [x["label"] for x in nbl]
+                pad[r, :kk] = False
+            beta = _betas(d_mat, pad)
+            w = np.where(pad, 0.0, np.exp(-d_mat * beta[:, None]))
+            s = w.sum(axis=1)
+            out = []
+            for r in range(R):
+                kk = n_nb[r]
+                p = (
+                    w[r, :kk] / s[r]
+                    if s[r] > 0
+                    else np.ones(kk) / kk
+                )
+                lbl = lbl_mat[r, :kk]
+                simpson = sum(
+                    p[lbl == u].sum() ** 2 for u in np.unique(lbl)
+                )
+                out.append(round(1.0 / simpson, 6))
+            yield pd.DataFrame({"src": b["src"], "lisi": out})
 
     return nb.mapInPandas(calc, "src long, lisi double")
 

@@ -485,22 +485,42 @@ def smoothen_dists(
 
     target = float(np.log2(k))
 
-    def _one(d_orig: "np.ndarray") -> "np.ndarray":
-        d = np.sort(d_orig)
-        nz = d[d > 0]
-        rho = float(nz[min(int(local_connectivity) - 1, len(nz) - 1)]) if len(nz) else 0.0
-        lo, hi, mid = 0.0, np.inf, 1.0
+    def _smooth_matrix(d_mat: "np.ndarray", n_nb: "np.ndarray") -> "np.ndarray":
+        """Vectorized bisection over ALL rows of a (rows × max_k)
+        distance matrix at once (padding = +inf, masked out). Matches
+        the scalar per-row loop exactly: converged rows freeze (their
+        lo/hi/mid stop updating), every row runs the same update rule.
+        64 numpy passes over the batch instead of 64 × rows Python
+        iterations — the shape that holds at millions of cells."""
+        R = d_mat.shape[0]
+        pad = ~np.isfinite(d_mat)
+        # rho: local_connectivity-th smallest positive distance per row
+        pos = np.where((d_mat > 0) & ~pad, d_mat, np.inf)
+        pos_sorted = np.sort(pos, axis=1)
+        li = np.minimum(int(local_connectivity) - 1, np.maximum(n_nb - 1, 0))
+        rho = pos_sorted[np.arange(R), li]
+        rho = np.where(np.isfinite(rho), rho, 0.0)
+        lo = np.zeros(R)
+        hi = np.full(R, np.inf)
+        mid = np.ones(R)
+        done = np.zeros(R, dtype=bool)
+        excess = np.maximum(d_mat - rho[:, None], 0.0)
         for _ in range(64):
-            psum = np.exp(-np.maximum(d - rho, 0.0) / mid).sum()
-            if abs(psum - target) < 1e-5:
+            psum = np.where(pad, 0.0, np.exp(-excess / mid[:, None])).sum(axis=1)
+            done |= np.abs(psum - target) < 1e-5
+            act = ~done
+            if not act.any():
                 break
-            if psum > target:
-                hi = mid
-                mid = (lo + hi) / 2.0
-            else:
-                lo = mid
-                mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
-        w = np.exp(-np.maximum(d_orig - rho, 0.0) / max(mid, 1e-12))
+            over = act & (psum > target)
+            under = act & ~over
+            hi[over] = mid[over]
+            mid[over] = (lo[over] + hi[over]) / 2.0
+            lo[under] = mid[under]
+            inf_hi = under & np.isinf(hi)
+            mid[inf_hi] = mid[inf_hi] * 2
+            fin = under & ~np.isinf(hi)
+            mid[fin] = (lo[fin] + hi[fin]) / 2.0
+        w = np.exp(-excess / np.maximum(mid, 1e-12)[:, None])
         return np.maximum(w, 1e-4)  # global-min fix (knn_utils.py:152-158)
 
     # neighbor lists assembled by ONE hash aggregation, then the kernel
@@ -513,19 +533,24 @@ def smoothen_dists(
 
     def calc(batches):
         for b in batches:
-            src_out, dst_out, w_out = [], [], []
-            for src, nb in zip(b["src"], b["_nb"]):
-                dsts = np.array([x["dst"] for x in nb], dtype=np.int64)
-                dists = np.array([x["distance"] for x in nb], dtype=float)
-                w = _one(dists)
-                src_out.append(np.full(len(dsts), src, dtype=np.int64))
-                dst_out.append(dsts)
-                w_out.append(np.round(w, 6))
+            if b.empty:
+                continue
+            n_nb = np.array([len(nb) for nb in b["_nb"]], dtype=np.int64)
+            max_k = int(n_nb.max())
+            R = len(b)
+            d_mat = np.full((R, max_k), np.inf)
+            dst_mat = np.zeros((R, max_k), dtype=np.int64)
+            for r, nb in enumerate(b["_nb"]):
+                d_mat[r, : len(nb)] = [x["distance"] for x in nb]
+                dst_mat[r, : len(nb)] = [x["dst"] for x in nb]
+            w = _smooth_matrix(d_mat, n_nb)
+            mask = np.arange(max_k)[None, :] < n_nb[:, None]
+            src_rep = np.repeat(b["src"].to_numpy(), n_nb)
             yield pd.DataFrame(
                 {
-                    "src": np.concatenate(src_out) if src_out else [],
-                    "dst": np.concatenate(dst_out) if dst_out else [],
-                    "weight": np.concatenate(w_out) if w_out else [],
+                    "src": src_rep,
+                    "dst": dst_mat[mask],
+                    "weight": np.round(w[mask], 6),
                 }
             )
 
