@@ -1385,7 +1385,52 @@ def ml_louvain(spark, sf_dir):
     return out.groupBy("cluster").agg(F.count("*").alias("n"))
 
 
-@q("ml_lisi")  # weak: per-cell bandwidth bisection (pandas UDF)
+# LISI bandwidth bisection mirrored as a DuckDB recursive CTE: per-src
+# neighbor distance+label lists, 50 frozen-when-converged bisection steps
+# on beta targeting entropy ln(perplexity=3), then Simpson index over
+# per-label probability masses (the exact schedule of metrics.lisi._betas).
+_LISI_TARGET = 1.0986122886681098  # ln(3.0)
+_LISI_SQL = (
+    f"WITH RECURSIVE {_KNN_CTE}, "
+    "lab AS (SELECT vec_id AS dst, label FROM embeddings), "
+    "nb AS (SELECT k.src, list(k.distance ORDER BY k.rank) AS ds, "
+    "list(l.label ORDER BY k.rank) AS ls "
+    "FROM knn k JOIN lab l ON k.dst = l.dst GROUP BY k.src), "
+    "bis AS ("
+    "SELECT src, ds, 0 AS it, CAST(0.0 AS DOUBLE) AS lo, "
+    "CAST('infinity' AS DOUBLE) AS hi, CAST(1.0 AS DOUBLE) AS beta, "
+    "FALSE AS done FROM nb "
+    "UNION ALL "
+    "SELECT src, ds, it + 1, "
+    f"CASE WHEN newdone THEN lo WHEN h > {_LISI_TARGET!r} THEN beta ELSE lo END, "
+    f"CASE WHEN newdone THEN hi WHEN h > {_LISI_TARGET!r} THEN hi ELSE beta END, "
+    "CASE WHEN newdone THEN beta "
+    f"WHEN h > {_LISI_TARGET!r} AND isinf(hi) THEN beta * 2.0 "
+    f"WHEN h > {_LISI_TARGET!r} THEN (beta + hi) / 2.0 "
+    "ELSE (lo + beta) / 2.0 END, "
+    "newdone FROM ("
+    f"SELECT *, done OR s <= 0 OR abs(h - {_LISI_TARGET!r}) < 1e-5 AS newdone "
+    "FROM (SELECT *, list_aggregate(list_transform(ws, "
+    "w -> -(w / greatest(s, 1e-300)) * "
+    "ln(greatest(w / greatest(s, 1e-300), 1e-300))), 'sum') AS h "
+    "FROM (SELECT *, list_aggregate(ws, 'sum') AS s "
+    "FROM (SELECT *, list_transform(ds, d -> exp(-d * beta)) AS ws "
+    "FROM bis WHERE it < 50))))), "
+    "fin AS (SELECT src, beta FROM bis WHERE it = 50), "
+    "wexp AS (SELECT n.src, n.ds, n.ls, "
+    "list_transform(n.ds, d -> exp(-d * f.beta)) AS ws "
+    "FROM nb n JOIN fin f ON n.src = f.src), "
+    "wsum AS (SELECT *, list_aggregate(ws, 'sum') AS s FROM wexp), "
+    "pl AS (SELECT src, unnest(ls) AS label, "
+    "CASE WHEN s > 0 THEN unnest(ws) / s ELSE 1.0 / len(ds) END AS p "
+    "FROM wsum), "
+    "bylab AS (SELECT src, label, sum(p) AS sp FROM pl GROUP BY src, label), "
+    "simp AS (SELECT src, sum(sp * sp) AS simpson FROM bylab GROUP BY src) "
+    "SELECT src, ROUND(1.0 / simpson, 6) AS lisi FROM simp"
+)
+
+
+@q("ml_lisi", _LISI_SQL)
 def ml_lisi(spark, sf_dir):
     from scarf_spark.ml import metrics
 
@@ -1435,7 +1480,46 @@ def knn_cross_topk(spark, sf_dir):
     return knn.cosine_knn_cross(tgt, ref, k=3)
 
 
-@q("knn_smooth_weights")  # weak: per-row sigma bisection (grouped pandas UDF)
+# UMAP-kernel bisection mirrored as a DuckDB recursive CTE: per-src
+# excess-distance lists, 64 frozen-when-converged bisection steps on
+# sigma (the exact update schedule of knn.smoothen_dists._smooth_matrix),
+# then weight = exp(-excess/sigma) floored at 1e-4. log2(5) target.
+_SMOOTH_TARGET = 2.321928094887362  # log2(k=5)
+_SMOOTH_SQL = (
+    f"WITH RECURSIVE {_KNN_CTE}, "
+    "rhot AS (SELECT src, "
+    "coalesce(min(CASE WHEN distance > 0 THEN distance END), 0.0) AS rho "
+    "FROM knn GROUP BY src), "
+    "exc AS (SELECT k.src, "
+    "list(greatest(k.distance - r.rho, 0.0) ORDER BY k.rank) AS ex "
+    "FROM knn k JOIN rhot r ON k.src = r.src GROUP BY k.src), "
+    "bis AS ("
+    "SELECT src, ex, 0 AS it, CAST(0.0 AS DOUBLE) AS lo, "
+    "CAST('infinity' AS DOUBLE) AS hi, CAST(1.0 AS DOUBLE) AS mid, "
+    "FALSE AS done FROM exc "
+    "UNION ALL "
+    "SELECT src, ex, it + 1, "
+    f"CASE WHEN newdone THEN lo WHEN psum > {_SMOOTH_TARGET!r} THEN lo "
+    "ELSE mid END, "
+    f"CASE WHEN newdone THEN hi WHEN psum > {_SMOOTH_TARGET!r} THEN mid "
+    "ELSE hi END, "
+    "CASE WHEN newdone THEN mid "
+    f"WHEN psum > {_SMOOTH_TARGET!r} THEN (lo + mid) / 2.0 "
+    "WHEN isinf(hi) THEN mid * 2.0 ELSE (mid + hi) / 2.0 END, "
+    "newdone FROM ("
+    f"SELECT *, done OR abs(psum - {_SMOOTH_TARGET!r}) < 1e-5 AS newdone "
+    "FROM (SELECT *, "
+    "list_aggregate(list_transform(ex, x -> exp(-x / mid)), 'sum') AS psum "
+    "FROM bis WHERE it < 64))), "
+    "fin AS (SELECT src, mid FROM bis WHERE it = 64) "
+    "SELECT k.src, k.dst, "
+    "ROUND(greatest(exp(-greatest(k.distance - r.rho, 0.0) / "
+    "greatest(f.mid, 1e-12)), 1e-4), 6) AS weight "
+    "FROM knn k JOIN rhot r ON k.src = r.src JOIN fin f ON k.src = f.src"
+)
+
+
+@q("knn_smooth_weights", _SMOOTH_SQL)
 def knn_smooth_weights(spark, sf_dir):
     edges = _knn_edges(spark, sf_dir)
     return knn.smoothen_dists(edges, k=5)
