@@ -83,12 +83,28 @@ class DataStore:
         lineitem may hold several rows per (order, part); the canonical
         COO has one row per (cell, feature) with summed value — sums of
         small integers stay exact in double.
+
+        Materialized ONCE per store and reused by every operator: the
+        reference writes the assay matrix to Zarr a single time
+        (``scarf/writers.py:172-266``) and every downstream step reads
+        that store, never the raw input again. Here that is a lazy
+        ``persist()`` — the first action pays the derivation shuffle,
+        every later query reads the columnar cache. At warehouse scale
+        the same role is played by the bucketed tables written by
+        ``tools/materialize.py`` (disk-backed, shuffle-free joins);
+        the in-memory persist is the session-local equivalent.
         """
-        li = self.table("lineitem")
-        return li.groupBy(
-            F.col("l_orderkey").alias("cell_id"),
-            F.col("l_partkey").alias("feat_id"),
-        ).agg(F.sum("l_quantity").cast("double").alias("value"))
+        if "_counts" not in self._cache:
+            li = self.table("lineitem")
+            self._cache["_counts"] = (
+                li.groupBy(
+                    F.col("l_orderkey").alias("cell_id"),
+                    F.col("l_partkey").alias("feat_id"),
+                )
+                .agg(F.sum("l_quantity").cast("double").alias("value"))
+                .persist()
+            )
+        return self._cache["_counts"]
 
     def cell_table(self) -> DataFrame:
         """Cell attribute table (MetaData, ``scarf/metadata.py:35-54``)."""
