@@ -59,12 +59,14 @@ class DataStore:
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             if name == "events":
-                # events.parquet stores TIMESTAMP(NANOS) which Spark's
-                # vectorized reader rejects; read nanos as long and
-                # rebuild a (microsecond) timestamp column.
+                # events.parquet may store TIMESTAMP(NANOS), which Spark's
+                # vectorized reader rejects: read nanos as long and rebuild
+                # a microsecond timestamp. Newer testdata already stores
+                # TIMESTAMP(MICROS); in that case keep the column as-is.
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = self.spark.read.parquet(path)
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+                if dict(df.dtypes).get("ts") in ("bigint", "long"):
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
                 self._cache[name] = df
             else:
                 self._cache[name] = self.spark.read.parquet(path)

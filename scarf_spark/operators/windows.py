@@ -66,7 +66,14 @@ def global_ntile(
     the row id) so the total order, and therefore the binning, is
     deterministic."""
     cols = [F.col(c) for c in order_cols]
-    key = F.col(order_cols[0]).cast("double")
+    # Timestamps can't cast to double directly; go through unix_micros
+    # (session tz is UTC, so NTZ→TZ is monotonic and the grid order
+    # matches the window order).
+    first_dtype = dict(df.dtypes).get(order_cols[0], "")
+    if first_dtype.startswith("timestamp"):
+        key = F.unix_micros(F.col(order_cols[0]).cast("timestamp")).cast("double")
+    else:
+        key = F.col(order_cols[0]).cast("double")
     mm = df.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi"), F.count("*").alias("n")
     ).collect()[0]

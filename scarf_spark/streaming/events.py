@@ -26,11 +26,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-# The events parquet stores TIMESTAMP(NANOS); the batch catalog reads it
-# with nanosAsLong (scarf_spark/catalog.py). The stream reader does the
-# same so batch and stream agree bit-for-bit.
-_RAW_SCHEMA = (
+# Older events parquet stores TIMESTAMP(NANOS) — read with nanosAsLong
+# and rebuild micros, matching the batch catalog (scarf_spark/catalog.py).
+# Newer testdata stores TIMESTAMP(MICROS) (TIMESTAMP_NTZ in Spark); the
+# stream schema is sniffed from a static read so batch and stream agree
+# bit-for-bit either way.
+_RAW_SCHEMA_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+_RAW_SCHEMA_MICROS = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -40,13 +46,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-only ingest path. maxFilesPerTrigger bounds per-batch work
     on a real cluster; schema is pinned (required for file streams)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    ts_is_long = dict(static.dtypes).get("ts") in ("bigint", "long")
     df = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(
+            _RAW_SCHEMA_NANOS if ts_is_long else _RAW_SCHEMA_MICROS
+        )
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # Watermarks require TIMESTAMP (not NTZ); session tz is UTC so
+        # the cast is value-preserving and batch/stream windows agree.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_window_counts(
