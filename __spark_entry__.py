@@ -1365,15 +1365,51 @@ def ml_pca_project(spark, sf_dir):
     )
 
 
-@q("ml_kmeans")  # weak: MLlib init is seed-deterministic but not SQL-expressible
+# Deterministic Lloyd: seedless md5-order init + 5 iterations, replayed
+# exactly by a recursive CTE (assignment = MIN([dist, cid]) lexicographic,
+# update = per-dim AVG). list_distance is sqrt'd but argmin-equivalent to
+# the engine's squared distances.
+_KMEANS_CTE = (
+    "pts AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> "
+    "CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "dims AS MATERIALIZED (SELECT vec_id, i AS dim, v[i] AS val FROM pts, "
+    "UNNEST(range(1, 65)) AS t(i)), "
+    "km(it, cid, c) AS ("
+    "SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+    "vec_id) AS BIGINT), v "
+    "FROM (SELECT vec_id, v FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+    "vec_id LIMIT 4) "
+    "UNION ALL "
+    "SELECT a.it + 1, a.cid, list(a.m ORDER BY a.dim) FROM ("
+    "SELECT asg.it AS it, asg.cid AS cid, d.dim AS dim, AVG(d.val) AS m FROM ("
+    "SELECT km.it AS it, p.vec_id AS pid, "
+    "CAST(MIN([list_distance(p.v, km.c), CAST(km.cid AS DOUBLE)])[2] AS BIGINT) AS cid "
+    "FROM km, pts p GROUP BY km.it, p.vec_id) asg "
+    "JOIN dims d ON d.vec_id = asg.pid "
+    "GROUP BY asg.it, asg.cid, d.dim) a "
+    "WHERE a.it < 5 GROUP BY a.it, a.cid), "
+    "kfinal AS (SELECT cid, c FROM km WHERE it = 5), "
+    "kassign AS (SELECT p.vec_id, "
+    "CAST(MIN([list_distance(p.v, f.c), CAST(f.cid AS DOUBLE)])[2] AS BIGINT) AS cluster "
+    "FROM pts p, kfinal f GROUP BY p.vec_id)"
+)
+
+
+@q(
+    "ml_kmeans",
+    f"WITH RECURSIVE {_KMEANS_CTE} "
+    "SELECT cluster, COUNT(*) AS n FROM kassign GROUP BY cluster",
+)
 def ml_kmeans(spark, sf_dir):
     from scarf_spark.ml import cluster
 
     emb = _ds(spark, sf_dir).embeddings.select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("v")
     )
-    out = cluster.kmeans_mllib(emb, k=4, seed=4466)
-    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+    out = cluster.kmeans_lloyd(emb, k=4, n_iter=5)
+    return out.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count("*").alias("n")
+    )
 
 
 @q("ml_louvain")  # weak: community detection runs driver-side (networkx, seeded)
@@ -1786,7 +1822,71 @@ def ml_umap_embed(spark, sf_dir):
     return embed.umap_layout_driver(sym, init, n_epochs=20)
 
 
-@q("demux_hto")  # weak: KMeans cluster ids are seed-deterministic, not SQL
+# Full HTO demux replayed in SQL: CLR → deterministic Lloyd (recursive
+# CTE, k=5) → background cluster → exact 0.99-quantile cutoffs →
+# Negative/Singlet/Doublet cascade. Cutoffs and values are ROUND(,6)-ed
+# before comparison on both sides so interpolation eps can't flip flags.
+_DEMUX_CTE = (
+    "tops AS (SELECT feat_id FROM (SELECT feat_id, SUM(value) AS t FROM counts "
+    "GROUP BY feat_id ORDER BY t DESC, feat_id LIMIT 4)), "
+    "hc AS MATERIALIZED (SELECT c.cell_id, c.feat_id, c.value FROM counts c "
+    "JOIN tops USING (feat_id)), "
+    "geo AS (SELECT feat_id, EXP(SUM(LN(1 + value)) / "
+    "(SELECT COUNT(DISTINCT cell_id) FROM hc)) AS gm FROM hc GROUP BY feat_id), "
+    "clr AS MATERIALIZED (SELECT cell_id, h.feat_id, LN(1 + value / gm) AS value "
+    "FROM hc h JOIN geo USING (feat_id)), "
+    "hids AS (SELECT feat_id, CAST(ROW_NUMBER() OVER (ORDER BY feat_id) AS BIGINT) "
+    "AS slot FROM tops), "
+    "cells AS (SELECT DISTINCT cell_id FROM hc), "
+    "pts AS MATERIALIZED (SELECT c.cell_id AS vec_id, "
+    "list(COALESCE(x.value, 0.0) ORDER BY h.slot) AS v "
+    "FROM cells c CROSS JOIN hids h "
+    "LEFT JOIN clr x ON x.cell_id = c.cell_id AND x.feat_id = h.feat_id "
+    "GROUP BY c.cell_id), "
+    "dims AS MATERIALIZED (SELECT vec_id, i AS dim, v[i] AS val FROM pts, "
+    "UNNEST(range(1, 5)) AS t(i)), "
+    "km(it, cid, c) AS ("
+    "SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+    "vec_id) AS BIGINT), v "
+    "FROM (SELECT vec_id, v FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+    "vec_id LIMIT 5) "
+    "UNION ALL "
+    "SELECT a.it + 1, a.cid, list(a.m ORDER BY a.dim) FROM ("
+    "SELECT asg.it AS it, asg.cid AS cid, d.dim AS dim, AVG(d.val) AS m FROM ("
+    "SELECT km.it AS it, p.vec_id AS pid, "
+    "CAST(MIN([list_distance(p.v, km.c), CAST(km.cid AS DOUBLE)])[2] AS BIGINT) AS cid "
+    "FROM km, pts p GROUP BY km.it, p.vec_id) asg "
+    "JOIN dims d ON d.vec_id = asg.pid "
+    "GROUP BY asg.it, asg.cid, d.dim) a "
+    "WHERE a.it < 5 GROUP BY a.it, a.cid), "
+    "kfinal AS (SELECT cid, c FROM km WHERE it = 5), "
+    "kassign AS (SELECT p.vec_id, "
+    "CAST(MIN([list_distance(p.v, f.c), CAST(f.cid AS DOUBLE)])[2] AS BIGINT) AS cluster "
+    "FROM pts p, kfinal f GROUP BY p.vec_id), "
+    "lab AS MATERIALIZED (SELECT l.cell_id, l.feat_id, l.value, a.cluster "
+    "FROM clr l JOIN kassign a ON a.vec_id = l.cell_id), "
+    "bgc AS (SELECT cluster FROM (SELECT cluster, AVG(value) AS m FROM lab "
+    "GROUP BY cluster ORDER BY m, cluster LIMIT 1)), "
+    "cuts AS (SELECT feat_id, ROUND(quantile_cont(value, 0.99), 6) AS cut "
+    "FROM lab WHERE cluster = (SELECT cluster FROM bgc) GROUP BY feat_id), "
+    "pos AS (SELECT c.cell_id, c.feat_id, c.value, "
+    "CASE WHEN ROUND(c.value, 6) > cut THEN 1 ELSE 0 END AS is_pos "
+    "FROM clr c JOIN cuts USING (feat_id)), "
+    "percell AS (SELECT cell_id, SUM(is_pos) AS n_positive, "
+    "MAX(CASE WHEN rn = 1 THEN feat_id END) AS top_hto FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id "
+    "ORDER BY is_pos DESC, value DESC, feat_id) AS rn FROM pos) GROUP BY cell_id)"
+)
+
+
+@q(
+    "demux_hto",
+    f"WITH RECURSIVE {COUNTS_CTE}, {_DEMUX_CTE} "
+    "SELECT assignment, COUNT(*) AS n FROM ("
+    "SELECT CASE WHEN n_positive = 0 THEN 'Negative' "
+    "WHEN n_positive = 1 THEN 'HTO_' || top_hto "
+    "ELSE 'Doublet' END AS assignment FROM percell) GROUP BY assignment",
+)
 def demux_hto(spark, sf_dir):
     from scarf_spark.operators import demux
 
@@ -2353,13 +2453,13 @@ _PRIORITY = [
     "graph_membership", "graph_snn", "graph_magic_t1",
     # ML core
     "ml_hvg_binned", "ml_label_prop", "ml_lisi", "ml_wnn", "ml_silhouette",
-    "ml_umap_sym",
+    "ml_umap_sym", "ml_kmeans",
     # dedup family
     "dedup_exact", "dedup_minhash_bands", "dedup_simhash", "dedup_embedding",
     # text analysis
     "text_token_stats", "text_quality_score", "text_lang_id",
     # multimodal + streaming + sampling
-    "mm_image_decode", "mm_frame_sample",
+    "mm_image_decode",
     "stream_window_tumbling", "stream_sessionize",
     "samp_downsample",
 ]

@@ -15,6 +15,12 @@ Spark-first we provide:
   * kmeans_mllib — MLlib KMeans on embedding vectors (seeded), the
     distributed centroid path used for the initial embedding
     (``ann.py:328-346``).
+  * kmeans_lloyd — deterministic distributed Lloyd iterations with a
+    seedless md5-order init, fully reproducible by any engine (the
+    DuckDB oracle replays it with a recursive CTE). Same execution
+    shape as MLlib's KMeans: broadcast the k centroids, assign
+    JVM-side, one map-side-combined shuffle of k×d partial sums per
+    iteration.
 """
 
 from __future__ import annotations
@@ -105,6 +111,80 @@ def kmeans_mllib(
     model = KMeans(k=k, seed=seed, initMode="k-means||").fit(feats)
     out = model.transform(feats)
     return out.select("cell_id", F.col("prediction").alias("cluster"))
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 4,
+    n_iter: int = 5,
+    id_col: str = "cell_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic distributed Lloyd KMeans over (id, array<double>)
+    rows. Returns (cell_id, cluster) with cluster ∈ 1..k.
+
+    Init is seedless: the k rows with the smallest
+    (md5(id), id) become centroids 1..k in that order — any engine
+    reproduces it, unlike k-means||'s RNG stream. Each iteration
+    broadcasts the k×d centroid literals into a JVM-side HOF distance
+    expression (no Python in the hot path) and recomputes means with
+    ONE map-side-combined shuffle of k rows × (d+1) partial sums; the
+    only driver traffic is the k×d centroid matrix per iteration.
+    Ties go to the smallest centroid id (array_position finds the
+    first minimum; centroid literals are ordered by id).
+    """
+    pts = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).persist()
+    d = len(pts.select("_v").first()["_v"])
+    seeds = (
+        pts.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(k).collect()
+    )
+    cents: list[list[float]] = [list(r["_v"]) for r in seeds]
+
+    def assign_expr(cs: list[list[float]]):
+        c_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cs])
+        dists = F.transform(
+            c_lit,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+        )
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    cids = list(range(1, k + 1))
+    for _ in range(n_iter):
+        assigned = pts.withColumn("_c", assign_expr(cents))
+        rows = (
+            assigned.groupBy("_c")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(d)],
+            )
+            .collect()
+        )
+        by_c = {r["_c"]: r for r in rows}
+        # clusters that lost every point drop out, same as the oracle's
+        # GROUP BY over assigned ids only
+        next_cids, next_cents = [], []
+        for pos, cid in enumerate(cids):
+            r = by_c.get(pos + 1)
+            if r is None:
+                continue
+            next_cids.append(cid)
+            next_cents.append([r[f"_s{i}"] / r["_n"] for i in range(d)])
+        cids, cents = next_cids, next_cents
+    out = pts.withColumn("_c", assign_expr(cents)).select(
+        F.col("_id").alias(id_col),
+        F.element_at(
+            F.array(*[F.lit(c) for c in cids]), F.col("_c")
+        ).alias("cluster"),
+    )
+    pts.unpersist()
+    return out
 
 
 def paris_like_dendrogram(edges: DataFrame, weight_col: str = "weight"):

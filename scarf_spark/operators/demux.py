@@ -76,23 +76,30 @@ def hto_demux(
     without scipy (documented deviation).
 
     Returns (cell_id, n_positive, assignment)."""
-    from scarf_spark.ml.cluster import kmeans_mllib
+    from scarf_spark.ml.cluster import kmeans_lloyd
     from scarf_spark.ml.reduction import assemble_vectors
 
-    # CLR per feature: log1p(x / geometric-mean) (``assay.py:67-78``)
+    # CLR per feature: ln(1 + x / geometric-mean) (``assay.py:67-78``;
+    # written as LN(1+x) rather than log1p so the DuckDB oracle replays
+    # the identical libm call — inputs are ≥ 0, so equally conditioned)
     n_cells = counts_hto.select("cell_id").distinct().count()
     geo = counts_hto.groupBy("feat_id").agg(
-        F.exp(F.sum(F.log1p("value")) / n_cells).alias("gm")
+        F.exp(F.sum(F.log(F.lit(1.0) + F.col("value"))) / n_cells).alias("gm")
     )
     clr = counts_hto.join(F.broadcast(geo), "feat_id").select(
-        "cell_id", "feat_id", F.log1p(F.col("value") / F.col("gm")).alias("value")
+        "cell_id",
+        "feat_id",
+        F.log(F.lit(1.0) + F.col("value") / F.col("gm")).alias("value"),
     )
     hto_ids = [
         int(r["feat_id"])
         for r in counts_hto.select("feat_id").distinct().orderBy("feat_id").limit(n_htos).collect()
     ]
     vec = assemble_vectors(clr, hto_ids)
-    km = kmeans_mllib(vec, k=n_htos + 1, seed=seed)
+    # deterministic Lloyd (md5-order init) — seed kept for signature
+    # compatibility but unused; the clustering is seedless-reproducible
+    # and replayed exactly by the SQL oracle's recursive CTE
+    km = kmeans_lloyd(vec, k=n_htos + 1, n_iter=5)
     labeled = clr.join(km, "cell_id")
     # background cluster = lowest mean CLR signal
     bg = (
@@ -102,14 +109,19 @@ def hto_demux(
         .limit(1)
         .collect()[0]["cluster"]
     )
+    # exact interpolated percentile (the reference fits a
+    # NegativeBinomial; distribution-free quantile keeps the contract —
+    # exact, not approx, so any engine reproduces the cutoff)
     cutoffs = (
         labeled.where(F.col("cluster") == bg)
         .groupBy("feat_id")
-        .agg(F.percentile_approx("value", quantile).alias("cut"))
+        .agg(F.round(F.percentile("value", F.lit(quantile)), 6).alias("cut"))
     )
     pos = (
         clr.join(F.broadcast(cutoffs), "feat_id")
-        .withColumn("is_pos", (F.col("value") > F.col("cut")).cast("int"))
+        .withColumn(
+            "is_pos", (F.round(F.col("value"), 6) > F.col("cut")).cast("int")
+        )
     )
     w = Window.partitionBy("cell_id").orderBy(
         F.desc("is_pos"), F.desc("value"), "feat_id"

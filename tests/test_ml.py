@@ -50,6 +50,36 @@ def test_kmeans_deterministic_partition(emb):
     assert len(km1) == emb.count()
 
 
+def test_kmeans_lloyd_matches_numpy(emb):
+    """kmeans_lloyd is seedless-deterministic: replay the exact md5
+    init + 5 Lloyd iterations in numpy and require identical
+    assignments (the SQL oracle replays the same recipe)."""
+    import hashlib
+
+    feats = emb.select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("v"))
+    got = {
+        r["cell_id"]: r["cluster"]
+        for r in cluster.kmeans_lloyd(feats, k=4, n_iter=5).collect()
+    }
+    rows = feats.collect()
+    ids = np.array([r["cell_id"] for r in rows])
+    X = np.array([list(map(float, r["v"])) for r in rows])
+    order = sorted(
+        range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i])
+    )
+    cents = X[order[:4]].copy()
+    cids = np.arange(1, 5)
+    for _ in range(5):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        keep = np.unique(a)
+        cents = np.array([X[a == c].mean(axis=0) for c in keep])
+        cids = cids[keep]
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = cids[d.argmin(axis=1)]
+    assert all(got[i] == w for i, w in zip(ids, want))
+
+
 def test_label_prop_coarsens(edges):
     out = cluster.label_propagation(edges, n_iter=3)
     n_clusters = out.select("cluster").distinct().count()
