@@ -1351,7 +1351,124 @@ def _top_feats(ds: DataStore, n: int = 10) -> list[int]:
     return [int(r["feat_id"]) for r in rows]
 
 
-@q("ml_pca_project")  # weak: eigen decomposition has no SQL oracle
+def _jacobi_cte(d: int, sweeps: int = 8, pfx: str = "j") -> str:
+    """Recursive-CTE cyclic Jacobi eigensolver: consumes ``{pfx}mat(fi,
+    val)`` (the flattened row-major d×d symmetric DOUBLE matrix) and
+    yields ``{pfx}fin(a, v)`` — the diagonalized matrix and accumulated
+    rotations after ``sweeps`` fixed sweeps. Bit-for-bit replay of
+    ``scarf_spark.ml.reduction.jacobi_eigh`` (same formula sequence,
+    same exact-zero skip, s = t·c)."""
+    n_pairs = d * (d - 1) // 2
+    n_rot = sweeps * n_pairs
+    dd = d * d
+    return (
+        "{pfx}pairs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY p, q) - 1 AS BIGINT) "
+        "AS pi, p, q FROM (SELECT a.i AS p, b.i AS q FROM "
+        f"UNNEST(range(0,{d})) a(i), UNNEST(range(0,{d})) b(i) WHERE b.i > a.i)), "
+        "{pfx}ac(it, a, v) AS ("
+        "SELECT 0, (SELECT list(val ORDER BY fi) FROM {pfx}mat), "
+        f"list_transform(range(0, {dd}), fi -> CASE WHEN fi // {d} = fi % {d} "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) "
+        "UNION ALL "
+        "SELECT s5.it + 1, "
+        "CASE WHEN s5.apq = 0.0 THEN s5.a ELSE "
+        f"list_transform(range(0, {dd}), fi -> (CASE "
+        f"WHEN fi // {d} = s5.p AND fi % {d} = s5.p THEN s5.app - s5.t * s5.apq "
+        f"WHEN fi // {d} = s5.q AND fi % {d} = s5.q THEN s5.aqq + s5.t * s5.apq "
+        f"WHEN (fi // {d} = s5.p AND fi % {d} = s5.q) OR (fi // {d} = s5.q AND "
+        f"fi % {d} = s5.p) THEN CAST(0.0 AS DOUBLE) "
+        f"WHEN fi // {d} = s5.p THEN s5.c * s5.a[fi + 1] - s5.s * "
+        f"s5.a[s5.q * {d} + (fi % {d}) + 1] "
+        f"WHEN fi // {d} = s5.q THEN s5.s * s5.a[s5.p * {d} + (fi % {d}) + 1] "
+        "+ s5.c * s5.a[fi + 1] "
+        f"WHEN fi % {d} = s5.p THEN s5.c * s5.a[fi + 1] - s5.s * "
+        f"s5.a[(fi // {d}) * {d} + s5.q + 1] "
+        f"WHEN fi % {d} = s5.q THEN s5.s * s5.a[(fi // {d}) * {d} + s5.p + 1] "
+        "+ s5.c * s5.a[fi + 1] "
+        "ELSE s5.a[fi + 1] END)) END, "
+        "CASE WHEN s5.apq = 0.0 THEN s5.v ELSE "
+        f"list_transform(range(0, {dd}), fi -> (CASE "
+        f"WHEN fi % {d} = s5.p THEN s5.c * s5.v[fi + 1] - s5.s * "
+        f"s5.v[(fi // {d}) * {d} + s5.q + 1] "
+        f"WHEN fi % {d} = s5.q THEN s5.s * s5.v[(fi // {d}) * {d} + s5.p + 1] "
+        "+ s5.c * s5.v[fi + 1] "
+        "ELSE s5.v[fi + 1] END)) END "
+        "FROM (SELECT s4.*, s4.t * s4.c AS s FROM "
+        "(SELECT s3.*, 1.0 / SQRT(1.0 + s3.t * s3.t) AS c FROM "
+        "(SELECT s2.*, CASE WHEN s2.apq = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "(CASE WHEN s2.tau >= 0.0 THEN 1.0 ELSE -1.0 END) / "
+        "(ABS(s2.tau) + SQRT(1.0 + s2.tau * s2.tau)) END AS t FROM "
+        "(SELECT s1.*, CASE WHEN s1.apq = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "(s1.aqq - s1.app) / (2.0 * s1.apq) END AS tau FROM "
+        "(SELECT j.it, j.a, j.v, pr.p, pr.q, "
+        f"j.a[pr.p * {d} + pr.p + 1] AS app, "
+        f"j.a[pr.q * {d} + pr.q + 1] AS aqq, "
+        f"j.a[pr.p * {d} + pr.q + 1] AS apq "
+        f"FROM {pfx}ac j JOIN {pfx}pairs pr ON pr.pi = j.it % {n_pairs} "
+        f"WHERE j.it < {n_rot}) s1) s2) s3) s4) s5), "
+        f"{pfx}fin AS MATERIALIZED (SELECT a, v FROM {pfx}ac WHERE it = {n_rot})"
+    ).replace("{pfx}", pfx)
+
+
+def _pca_tail_sql(d: int, k: int, lo: int, out_prefix: str) -> str:
+    """Shared oracle tail after ``zdims(cell_id, slot, val)`` + jfin:
+    eigen-selection by (eigenvalue desc, index), first-max-|component|
+    sign convention, projection, round-6 pivot to {out_prefix}1..k."""
+    comps = ", ".join(
+        f"ROUND(MAX(CASE WHEN comp = {c} THEN pc END), 6) AS {out_prefix}{c}"
+        for c in range(1, k + 1)
+    )
+    return (
+        f"evs AS (SELECT i, a[i * {d} + i + 1] AS ev FROM jfin, "
+        f"UNNEST(range(0, {d})) t(i)), "
+        "esel AS (SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY ev DESC, i) "
+        f"AS BIGINT) - {lo} AS comp FROM evs), "
+        f"load0 AS (SELECT s.comp, r.i AS row_i, v[r.i * {d} + s.i + 1] AS w "
+        f"FROM jfin, esel s, UNNEST(range(0, {d})) r(i) "
+        f"WHERE s.comp BETWEEN 1 AND {k}), "
+        "sgn AS (SELECT comp, CASE WHEN MIN([-ABS(w), CAST(row_i AS DOUBLE), "
+        "w])[3] < 0 THEN -1.0 ELSE 1.0 END AS f FROM load0 GROUP BY comp), "
+        "loads AS (SELECT l.comp, l.row_i, l.w * g.f AS w FROM load0 l "
+        "JOIN sgn g USING (comp)), "
+        "proj AS (SELECT z.cell_id, l.comp, SUM(z.val * l.w) AS pc "
+        "FROM zdims z JOIN loads l ON l.row_i = z.slot - 1 "
+        "GROUP BY z.cell_id, l.comp) "
+        f"SELECT cell_id, {comps} FROM proj GROUP BY cell_id"
+    )
+
+
+_PCA_PREP_CTE = (
+    # top-10 features by total (sums are integer-valued doubles → exact
+    # in both engines, so the slot order matches Spark's _top_feats)
+    "tops AS (SELECT feat_id, CAST(ROW_NUMBER() OVER (ORDER BY t DESC, feat_id) "
+    "AS BIGINT) AS slot FROM (SELECT feat_id, SUM(value) AS t FROM counts "
+    "GROUP BY feat_id ORDER BY t DESC, feat_id LIMIT 10)), "
+    "pcells AS (SELECT DISTINCT c.cell_id FROM counts c JOIN tops USING (feat_id)), "
+    "raw AS MATERIALIZED (SELECT l.cell_id, t.slot, "
+    "COALESCE(x.value, 0.0) AS val FROM pcells l CROSS JOIN tops t "
+    "LEFT JOIN counts x ON x.cell_id = l.cell_id AND x.feat_id = t.feat_id), "
+    "zstat AS (SELECT slot, SUM(val) / COUNT(*) AS mu, "
+    "SQRT(GREATEST(SUM(val * val) / COUNT(*) - (SUM(val) / COUNT(*)) * "
+    "(SUM(val) / COUNT(*)), 1e-12)) AS sd FROM raw GROUP BY slot), "
+    "zdims AS MATERIALIZED (SELECT r.cell_id, r.slot, (r.val - zs.mu) / zs.sd "
+    "AS val FROM raw r JOIN zstat zs USING (slot)), "
+    "nrow AS (SELECT COUNT(DISTINCT cell_id) AS n FROM zdims), "
+    # exact-symmetric covariance: compute the upper triangle once and
+    # mirror it, as the Spark side does
+    "jm0 AS (SELECT a.slot - 1 AS i, b.slot - 1 AS j, SUM(a.val * b.val) / "
+    "GREATEST((SELECT n FROM nrow) - 1, 1) AS val FROM zdims a "
+    "JOIN zdims b ON a.cell_id = b.cell_id AND a.slot <= b.slot "
+    "GROUP BY a.slot, b.slot), "
+    "jmat AS MATERIALIZED (SELECT i * 10 + j AS fi, val FROM jm0 "
+    "UNION ALL SELECT j * 10 + i AS fi, val FROM jm0 WHERE i < j)"
+)
+
+
+@q(
+    "ml_pca_project",
+    f"WITH RECURSIVE {COUNTS_CTE}, {_PCA_PREP_CTE}, {_jacobi_cte(10)}, "
+    + _pca_tail_sql(10, 3, 0, "pc"),
+)
 def ml_pca_project(spark, sf_dir):
     from scarf_spark.ml import reduction
 
@@ -1898,7 +2015,67 @@ def demux_hto(spark, sf_dir):
     return out.groupBy("assignment").agg(F.count("*").alias("n"))
 
 
-@q("ml_coral")  # weak: eigendecomposition-based alignment, no SQL oracle
+# CORAL: whiten source with Cs^(-1/2), re-color with Ct^(1/2). Two
+# Jacobi replays (prefixes s/t); the fractional powers are spectral
+# functions V·f(Λ)·Vᵀ — basis-invariant, so no sign/order conventions.
+def _coral_cov_cte(pfx: str, parity: int) -> str:
+    return (
+        f"{pfx}vecs AS MATERIALIZED (SELECT vec_id, i AS dim, "
+        "CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, "
+        f"UNNEST(range(1, 9)) t(i) WHERE vec_id % 2 = {parity}), "
+        f"{pfx}mu AS (SELECT dim, AVG(val) AS mu FROM {pfx}vecs GROUP BY dim), "
+        f"{pfx}cv0 AS (SELECT a.dim - 1 AS i, b.dim - 1 AS j, "
+        "AVG(a.val * b.val) - ma.mu * mb.mu AS val "
+        f"FROM {pfx}vecs a JOIN {pfx}vecs b ON a.vec_id = b.vec_id "
+        "AND a.dim <= b.dim "
+        f"JOIN {pfx}mu ma ON ma.dim = a.dim JOIN {pfx}mu mb ON mb.dim = b.dim "
+        "GROUP BY a.dim, b.dim, ma.mu, mb.mu), "
+        f"{pfx}mat AS MATERIALIZED (SELECT i * 8 + j AS fi, val FROM {pfx}cv0 "
+        f"UNION ALL SELECT j * 8 + i AS fi, val FROM {pfx}cv0 WHERE i < j)"
+    )
+
+
+def _coral_pow_cte(pfx: str, power: str, out: str) -> str:
+    # P[i][j] = Σ_e V[i,e] · clamp(Λ_e)^power · V[j,e]
+    return (
+        f"{out} AS MATERIALIZED (SELECT r.i AS i, c.i AS j, "
+        f"SUM(v[r.i * 8 + e.i + 1] * POWER(GREATEST(a[e.i * 8 + e.i + 1], "
+        f"1e-9), {power}) * v[c.i * 8 + e.i + 1]) AS val "
+        f"FROM {pfx}fin, UNNEST(range(0, 8)) r(i), UNNEST(range(0, 8)) c(i), "
+        "UNNEST(range(0, 8)) e(i) GROUP BY r.i, c.i)"
+    )
+
+
+_CORAL_SQL = (
+    "WITH RECURSIVE "
+    + _coral_cov_cte("s", 0)
+    + ", "
+    + _coral_cov_cte("t", 1)
+    + ", "
+    + _jacobi_cte(8, pfx="s")
+    + ", "
+    + _jacobi_cte(8, pfx="t")
+    + ", "
+    + _coral_pow_cte("s", "-0.5", "ps")
+    + ", "
+    + _coral_pow_cte("t", "0.5", "pt")
+    + ", "
+    "amat AS (SELECT ps.i AS i, pt.j AS j, SUM(ps.val * pt.val) AS val "
+    "FROM ps JOIN pt ON ps.j = pt.i GROUP BY ps.i, pt.j), "
+    "proj AS (SELECT sv.vec_id AS cell_id, am.j AS comp, "
+    "SUM((sv.val - mu.mu) * am.val) AS c FROM svecs sv "
+    "JOIN smu mu ON mu.dim = sv.dim "
+    "JOIN amat am ON am.i = sv.dim - 1 GROUP BY sv.vec_id, am.j) "
+    "SELECT cell_id, "
+    + ", ".join(
+        f"ROUND(MAX(CASE WHEN comp = {j} THEN c END), 6) AS c{j}"
+        for j in range(8)
+    )
+    + " FROM proj GROUP BY cell_id"
+)
+
+
+@q("ml_coral", _CORAL_SQL)
 def ml_coral(spark, sf_dir):
     from scarf_spark.ml import integrate
 
@@ -2330,7 +2507,40 @@ def qc_prevalence(spark, sf_dir):
     return top.select("feat_id", F.round("_p", 6).alias("prevalence"))
 
 
-@q("ml_lsi")  # weak: eigendecomposition not SQL-expressible (rows-only)
+# LSI = truncated SVD of the un-centered TF-IDF matrix via the Gram
+# matrix's eigenvectors — same Jacobi replay as ml_pca_project, over
+# the fixed feature set 1..20, skip-first (depth component) like the
+# reference's lsi_skip_first.
+_LSI_PREP_CTE = (
+    "tot AS (SELECT cell_id, SUM(value) AS t FROM counts GROUP BY cell_id), "
+    "dfq AS (SELECT feat_id, COUNT(*) FILTER (WHERE value > 0) AS d "
+    "FROM counts GROUP BY feat_id), "
+    "tfidf AS MATERIALIZED (SELECT c.cell_id, c.feat_id, "
+    f"(c.value / tot.t) * LOG2(1 + {_N_CELLS_SQL} / (dfq.d + 1.0)) AS norm_value "
+    "FROM counts c JOIN tot ON c.cell_id = tot.cell_id "
+    "JOIN dfq ON c.feat_id = dfq.feat_id "
+    "WHERE c.feat_id BETWEEN 1 AND 20), "
+    "lcells AS (SELECT DISTINCT cell_id FROM tfidf), "
+    # slot i ↔ feat_id i (the Spark side passes feat_ids=range(1,21))
+    "zdims AS MATERIALIZED (SELECT l.cell_id, s.i AS slot, "
+    "COALESCE(x.norm_value, 0.0) AS val "
+    "FROM lcells l CROSS JOIN UNNEST(range(1, 21)) s(i) "
+    "LEFT JOIN tfidf x ON x.cell_id = l.cell_id AND x.feat_id = s.i), "
+    "nrow AS (SELECT COUNT(DISTINCT cell_id) AS n FROM zdims), "
+    "jm0 AS (SELECT a.slot - 1 AS i, b.slot - 1 AS j, SUM(a.val * b.val) / "
+    "GREATEST((SELECT n FROM nrow) - 1, 1) AS val FROM zdims a "
+    "JOIN zdims b ON a.cell_id = b.cell_id AND a.slot <= b.slot "
+    "GROUP BY a.slot, b.slot), "
+    "jmat AS MATERIALIZED (SELECT i * 20 + j AS fi, val FROM jm0 "
+    "UNION ALL SELECT j * 20 + i AS fi, val FROM jm0 WHERE i < j)"
+)
+
+
+@q(
+    "ml_lsi",
+    f"WITH RECURSIVE {COUNTS_CTE}, {_LSI_PREP_CTE}, {_jacobi_cte(20)}, "
+    + _pca_tail_sql(20, 5, 1, "lsi"),
+)
 def ml_lsi(spark, sf_dir):
     from scarf_spark.ml import reduction
 

@@ -93,11 +93,18 @@ def _gram(vec_df: DataFrame, d: int):
 
 
 def _mat_pow(cov, power: float, eps: float = 1e-9):
+    """Spectral fractional power via the deterministic Jacobi solver
+    (``reduction.jacobi_eigh``). V·f(Λ)·Vᵀ is basis- and
+    order-invariant, so the SQL oracle's replay needs no sign or
+    ordering convention — only the same clamp and exponent."""
     import numpy as np
 
-    evals, evecs = np.linalg.eigh(cov)
-    evals = np.maximum(evals, eps)
-    return evecs @ np.diag(evals**power) @ evecs.T
+    from scarf_spark.ml.reduction import jacobi_eigh
+
+    evals, evecs = jacobi_eigh([list(map(float, row)) for row in cov])
+    v = np.array(evecs)
+    w = np.maximum(np.array(evals), eps)
+    return v @ np.diag(w**power) @ v.T
 
 
 def coral_align(source_vec: DataFrame, target_vec: DataFrame) -> DataFrame:

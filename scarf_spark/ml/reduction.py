@@ -48,19 +48,78 @@ def zscore_vectors(cells_vec: DataFrame) -> DataFrame:
         *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(d)],
         *[F.sum(F.col("v")[i] * F.col("v")[i]).alias(f"q{i}") for i in range(d)],
     )
+    import math
+
     r = stats.collect()[0]
     n = float(r["n"])
     mu = [r[f"s{i}"] / n for i in range(d)]
-    sd = [max((r[f"q{i}"] / n - mu[i] ** 2), 1e-12) ** 0.5 for i in range(d)]
+    # math.sqrt (not **0.5) so the SQL oracle's SQRT replays the same
+    # correctly-rounded operation; mu*mu (not mu**2) for the same reason
+    sd = [
+        math.sqrt(max(r[f"q{i}"] / n - mu[i] * mu[i], 1e-12)) for i in range(d)
+    ]
     z = F.array(*[(F.col("v")[i] - F.lit(mu[i])) / F.lit(sd[i]) for i in range(d)])
     return cells_vec.select("cell_id", z.alias("v"))
+
+
+JACOBI_SWEEPS = 8
+
+
+def jacobi_eigh(mat: list[list[float]], sweeps: int = JACOBI_SWEEPS):
+    """Cyclic-Jacobi eigendecomposition of a small symmetric matrix,
+    written with a FIXED operation sequence (upper-triangle sweep
+    order, exact-zero rotation skip, s = t·c) so any engine — here the
+    DuckDB oracle's recursive CTE — replays it bit-for-bit. Fixed
+    sweep count instead of a residual threshold: 8 sweeps is machine
+    precision for the d ≤ 64 matrices this engine builds (Jacobi
+    converges quadratically), and a threshold would make the replay
+    diverge at eps while a fixed count cannot.
+
+    Returns (evals list, evecs row-major list-of-rows: column c of the
+    returned matrix is the eigenvector of evals[c])."""
+    import math
+
+    d = len(mat)
+    a = [row[:] for row in mat]
+    v = [[1.0 if i == j else 0.0 for j in range(d)] for i in range(d)]
+    for _ in range(sweeps):
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = a[p][q]
+                if apq == 0.0:
+                    continue
+                app, aqq = a[p][p], a[q][q]
+                tau = (aqq - app) / (2.0 * apq)
+                t = (1.0 if tau >= 0.0 else -1.0) / (
+                    abs(tau) + math.sqrt(1.0 + tau * tau)
+                )
+                c = 1.0 / math.sqrt(1.0 + t * t)
+                s = t * c
+                for r in range(d):
+                    if r != p and r != q:
+                        arp, arq = a[r][p], a[r][q]
+                        a[r][p] = c * arp - s * arq
+                        a[p][r] = a[r][p]
+                        a[r][q] = s * arp + c * arq
+                        a[q][r] = a[r][q]
+                a[p][p] = app - t * apq
+                a[q][q] = aqq + t * apq
+                a[p][q] = 0.0
+                a[q][p] = 0.0
+                for r in range(d):
+                    vrp, vrq = v[r][p], v[r][q]
+                    v[r][p] = c * vrp - s * vrq
+                    v[r][q] = s * vrp + c * vrq
+    return [a[i][i] for i in range(d)], v
 
 
 def pca_fit(cells_vec: DataFrame, k: int = 5, drop_first: bool = False):
     """Distributed PCA via the Gram matrix: X'X is a d×d aggregate
     (one pass, d = |HVG| is small by construction), eigendecomposed on
-    the driver with numpy — deterministic, no MLlib RNG. Returns
-    (loadings ndarray d×k, explained_variance list).
+    the driver with the deterministic :func:`jacobi_eigh` — no MLlib
+    RNG, and the whole fit is replayable in SQL (see the
+    ``ml_pca_project`` oracle). Returns (loadings ndarray d×k,
+    explained_variance list).
 
     drop_first mirrors the reference's LSI skip-first
     (``ann.py:286``)."""
@@ -73,16 +132,15 @@ def pca_fit(cells_vec: DataFrame, k: int = 5, drop_first: bool = False):
             gram_cols.append(F.sum(F.col("v")[i] * F.col("v")[j]).alias(f"g_{i}_{j}"))
     row = cells_vec.agg(F.count("*").alias("n"), *gram_cols).collect()[0]
     n = row["n"]
-    g = np.zeros((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            g[i, j] = g[j, i] = row[f"g_{i}_{j}"]
-    cov = g / max(n - 1, 1)
-    evals, evecs = np.linalg.eigh(cov)
-    order = np.argsort(evals)[::-1]
+    denom = float(max(n - 1, 1))
+    cov = [[row[f"g_{min(i, j)}_{max(i, j)}"] / denom for j in range(d)] for i in range(d)]
+    evals, evecs = jacobi_eigh(cov)
+    # deterministic ordering: (eigenvalue desc, original index asc) —
+    # np.argsort is unstable on ties, this never is
+    order = sorted(range(d), key=lambda i: (-evals[i], i))
     lo = 1 if drop_first else 0
     idx = order[lo : lo + k]
-    loadings = evecs[:, idx]
+    loadings = np.array([[evecs[r][c] for c in idx] for r in range(d)])
     # deterministic sign convention: largest-|component| entry positive
     for c in range(loadings.shape[1]):
         m = np.argmax(np.abs(loadings[:, c]))
