@@ -43,6 +43,7 @@ def global_ntile(
     n_bins: int,
     out: str = "bin",
     grid: int = 1 << 16,
+    small_threshold: int = 1 << 20,
 ) -> DataFrame:
     """Distributed EXACT global ntile — same output as
     ``ntile(n_bins).over(Window.orderBy(...))`` without the
@@ -64,7 +65,15 @@ def global_ntile(
 
     ``order_cols`` must end in a unique tiebreak column (callers pass
     the row id) so the total order, and therefore the binning, is
-    deterministic."""
+    deterministic.
+
+    Adaptive (AQE-style): the first agg job returns the exact row count;
+    below ``small_threshold`` rows the single-partition
+    ``ntile().over(Window.orderBy(...))`` is strictly cheaper than the
+    grid plan (no bucket-count collect, no broadcast join, one window
+    over a set that fits comfortably in one task), so use it. The grid
+    path is the ≥threshold branch that keeps the operator distributed
+    at 100 TB."""
     cols = [F.col(c) for c in order_cols]
     # Timestamps can't cast to double directly; go through unix_micros
     # (session tz is UTC, so NTZ→TZ is monotonic and the grid order
@@ -80,6 +89,9 @@ def global_ntile(
     n_total = mm["n"]
     if not n_total:
         return df.withColumn(out, F.lit(None).cast("int"))
+    if n_total <= small_threshold:
+        w = Window.orderBy(*cols)
+        return df.withColumn(out, F.ntile(n_bins).over(w))
     lo, span = float(mm["lo"]), float(mm["hi"]) - float(mm["lo"]) or 1.0
     bucket = F.least(
         F.floor((key - F.lit(lo)) / F.lit(span) * grid), F.lit(grid - 1)

@@ -29,7 +29,15 @@ def test_global_ntile_equals_window_ntile(spark, n, bins, mult):
     df = spark.range(n).select(
         F.col("id"), ((F.col("id") * mult) % 1009).cast("double").alias("x")
     )
-    a = {r["id"]: r["bin"] for r in global_ntile(df, ["x", "id"], bins).collect()}
+    # small_threshold=0 forces the distributed grid branch — the small
+    # branch IS the window ntile, so only the grid branch needs the
+    # property check
+    a = {
+        r["id"]: r["bin"]
+        for r in global_ntile(
+            df, ["x", "id"], bins, small_threshold=0
+        ).collect()
+    }
     w = Window.orderBy("x", "id")
     b = {
         r["id"]: r["bin"]

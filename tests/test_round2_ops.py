@@ -35,16 +35,42 @@ def test_global_ntile_matches_window_ntile(spark):
         F.col("id"), ((F.col("id") * 7919) % 997).cast("double").alias("x")
     )
     for n_bins in (3, 10, 32):
-        a = {
-            r["id"]: r["bin"]
-            for r in global_ntile(df, ["x", "id"], n_bins).collect()
-        }
-        w = Window.orderBy("x", "id")
-        b = {
-            r["id"]: r["bin"]
-            for r in df.select("id", F.ntile(n_bins).over(w).alias("bin")).collect()
-        }
-        assert a == b
+        # both the adaptive small branch (default threshold) and the
+        # distributed grid branch (threshold forced to 0) must equal the
+        # single-partition window ntile
+        for thr in (1 << 20, 0):
+            a = {
+                r["id"]: r["bin"]
+                for r in global_ntile(
+                    df, ["x", "id"], n_bins, small_threshold=thr
+                ).collect()
+            }
+            w = Window.orderBy("x", "id")
+            b = {
+                r["id"]: r["bin"]
+                for r in df.select(
+                    "id", F.ntile(n_bins).over(w).alias("bin")
+                ).collect()
+            }
+            assert a == b, f"bins={n_bins} threshold={thr}"
+
+
+def test_global_ntile_grid_path(spark):
+    """The >=threshold branch (grid plan) stays exact and distributed:
+    no single-partition WindowExec in its physical plan."""
+    df = spark.range(2048).select(
+        F.col("id"), ((F.col("id") * 131) % 2039).cast("double").alias("x")
+    )
+    out = global_ntile(df, ["x", "id"], 13, small_threshold=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    a = {r["id"]: r["bin"] for r in out.collect()}
+    w = Window.orderBy("x", "id")
+    b = {
+        r["id"]: r["bin"]
+        for r in df.select("id", F.ntile(13).over(w).alias("bin")).collect()
+    }
+    assert a == b
 
 
 def test_global_ntile_deterministic_across_actions(spark):

@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED: dict[str, str] = {
     "ml_hvg_binned": "rank window runs AFTER .limit(top_n): constant-size input",
     "win_top_n": "TakeOrderedAndProject only; flagged node is over <= n rows",
+    "win_ntile_bins": (
+        "global_ntile adaptive small branch: exact row count (from the "
+        "first agg job) <= 1M picked the single-partition ntile; the "
+        "distributed grid path engages above the threshold "
+        "(test_global_ntile_grid_path)"
+    ),
 }
 
 
