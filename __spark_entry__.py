@@ -1241,6 +1241,52 @@ def text_fingerprint(spark, sf_dir):
     return text.fingerprint(_ds(spark, sf_dir).documents)
 
 
+@q(
+    "text_chunk",
+    # sliding-window chunking: starts at every multiple of the stride
+    # below the text length; chunk_id = start / stride
+    "WITH st AS (SELECT doc_id, text, UNNEST(range(0, length(text), 150)) AS s "
+    "FROM documents) "
+    "SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id, s AS chunk_start, "
+    "length(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_len, "
+    "substr(text, CAST(s AS INT) + 1, 200) AS chunk_text FROM st",
+)
+def text_chunk(spark, sf_dir):
+    return text.chunk_documents(
+        _ds(spark, sf_dir).documents, chunk_size=200, stride=150
+    )
+
+
+_EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@q(
+    "text_pii_redact",
+    "WITH a AS (SELECT doc_id, "
+    f"len(regexp_extract_all(text, '{_EMAIL_RE_SQL}')) AS n_emails, "
+    f"regexp_replace(text, '{_EMAIL_RE_SQL}', '<EMAIL>', 'g') AS t1 "
+    "FROM documents) "
+    "SELECT doc_id, n_emails, "
+    "len(regexp_extract_all(t1, '[0-9]{6,}')) AS n_number_runs, "
+    "regexp_replace(t1, '[0-9]{6,}', '<NUM>', 'g') AS redacted FROM a",
+)
+def text_pii_redact(spark, sf_dir):
+    return text.pii_redact(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "samp_stratified",
+    "WITH s AS (SELECT doc_id, lang, "
+    "ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
+    "SELECT doc_id, lang FROM s WHERE rn <= CEIL(0.25 * n)",
+)
+def samp_stratified(spark, sf_dir):
+    docs = _ds(spark, sf_dir).documents.select("doc_id", "lang")
+    return filters.stratified_sample(docs, "lang", 0.25, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # §2.10 ML: HVG selection, clustering, reduction, metrics, pseudotime
 # ---------------------------------------------------------------------------
@@ -2264,6 +2310,23 @@ def stream_type_rate(spark, sf_dir):
     from scarf_spark import streaming as strm
 
     return strm.event_type_rate(_ds(spark, sf_dir).events)
+
+
+@q(
+    "stream_dedup",
+    # earliest event per (tumbling hour, user, type) — arrival-order
+    # independent, so batch and watermark-stream modes agree exactly
+    "WITH r AS (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY FLOOR(epoch(ts) / 3600), user_id, event_type "
+    "ORDER BY ts, event_id) AS rn FROM events) "
+    "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
+    "user_id, event_type, event_id AS first_event_id, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) AS first_ts FROM r WHERE rn = 1",
+)
+def stream_dedup(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    return strm.first_event_dedup(_ds(spark, sf_dir).events, window="1 hour")
 
 
 # ---------------------------------------------------------------------------

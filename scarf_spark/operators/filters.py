@@ -17,7 +17,7 @@ hand-implements by slicing the Dask array before arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,4 +126,29 @@ def clean_array(df: DataFrame, col: str, fill: float = 0.0) -> DataFrame:
     return df.withColumn(
         col,
         F.when(F.isnan(c) | (c == float("inf")) | (c == float("-inf")), F.lit(fill)).otherwise(c),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, frac: float, id_col: str
+) -> DataFrame:
+    """Deterministic exact-count stratified sampling: per stratum keep
+    exactly ``ceil(frac * n)`` rows, chosen by md5-hash order of the id
+    (seedless, so the same rows are selected by any engine — unlike
+    ``df.sampleBy``, whose Bernoulli draw gives only the expected
+    fraction and depends on partitioning).
+
+    A training-data pipeline uses this to build class-balanced
+    evaluation splits. Cost: one shuffle on the stratum key; the
+    per-stratum window sort is over hash values, so it is skew-bounded
+    by the largest class — salt the window's order key if one class
+    dominates at extreme scale."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    cnt = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cnt))
+        .where(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_n")))
+        .drop("_rn", "_n")
     )

@@ -123,6 +123,66 @@ def fingerprint(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the standard LLM-pipeline
+    preprocessing step that splits long documents into fixed-size
+    character windows with overlap (stride < chunk_size ⇒ consecutive
+    chunks share chunk_size - stride chars).
+
+    Chunk starts are every multiple of ``stride`` below the text
+    length, generated JVM-side with ``sequence`` + ``posexplode`` — a
+    narrow (shuffle-free) transform: each input row expands to its own
+    chunks inside the task that read it, so it scales linearly with
+    corpus size. Empty documents produce no chunks."""
+    n = F.length(F.col(text_col))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = docs.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk_text = F.substring(F.col(text_col), F.col("start") + 1, chunk_size)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.length(chunk_text).alias("chunk_len"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+# Conservative regexes that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+NUMRUN_RE = "[0-9]{6,}"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: replace email addresses with ``<EMAIL>`` and long
+    (6+) digit runs — phone/account/SSN-shaped tokens — with ``<NUM>``,
+    reporting per-doc match counts. Emails are redacted first so their
+    digits can't double-count as number runs. Pure ``regexp_replace`` /
+    ``regexp_count`` expressions: whole-stage codegen, no UDFs, safe at
+    corpus scale."""
+    n_email = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE))
+    after_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    n_num = F.regexp_count(after_email, F.lit(NUMRUN_RE))
+    return docs.select(
+        F.col(id_col),
+        n_email.alias("n_emails"),
+        n_num.alias("n_number_runs"),
+        F.regexp_replace(after_email, NUMRUN_RE, "<NUM>").alias("redacted"),
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     pattern: str = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+",

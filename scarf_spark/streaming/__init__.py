@@ -12,6 +12,7 @@ sessionization — with batch twins for oracle verification.
 
 from scarf_spark.streaming.events import (  # noqa: F401
     event_type_rate,
+    first_event_dedup,
     read_events_stream,
     sessionize_batch,
     sessionize_stream,

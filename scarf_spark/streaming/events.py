@@ -131,6 +131,35 @@ def event_type_rate(events: DataFrame) -> DataFrame:
     )
 
 
+def first_event_dedup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Streaming deduplication: one row per (tumbling window, user,
+    event_type), keeping the earliest event by (ts, event_id) — the
+    ingest-side dedup a training-data pipeline runs on raw event feeds.
+
+    Expressed as a windowed MIN-of-struct aggregation (not
+    ``dropDuplicates``, whose keep-first depends on arrival order and
+    is irreproducible): deterministic in both batch and stream modes,
+    and in streaming the watermark bounds the state store to the open
+    horizon exactly like the other windowed aggs."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "user_id", "event_type")
+        .agg(F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("_first"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "user_id",
+            "event_type",
+            F.col("_first.event_id").alias("first_event_id"),
+            F.unix_timestamp(F.col("_first.ts")).alias("first_ts"),
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization, batch form: a session breaks when the
     user is idle longer than the gap. Pure window functions (lag +

@@ -90,6 +90,28 @@ def test_sessionize_stream_closed_sessions(spark, sf_dir, events_batch):
     assert got == expect
 
 
+def test_first_event_dedup_stream_matches_batch(spark, sf_dir, events_batch):
+    batch = {
+        (r["window_start"], r["user_id"], r["event_type"]): (
+            r["first_event_id"],
+            r["first_ts"],
+        )
+        for r in strm.first_event_dedup(events_batch).collect()
+    }
+    sdf = strm.first_event_dedup(
+        strm.read_events_stream(spark, sf_dir), streaming=True
+    )
+    _run_stream(sdf, "dedup_first")
+    got = {
+        (r["window_start"], r["user_id"], r["event_type"]): (
+            r["first_event_id"],
+            r["first_ts"],
+        )
+        for r in spark.sql("SELECT * FROM dedup_first").collect()
+    }
+    assert got == batch
+
+
 def test_stream_to_parquet_ingest(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="scarf_ingest_")
     ckpt = tempfile.mkdtemp(prefix="scarf_ckpt_")
