@@ -2707,7 +2707,7 @@ _PRIORITY = [
     # qc / aggregations over the sparse COO fact table
     "qc_ncounts", "qc_feature_stats", "qc_percent_feature",
     # filters / predicate semantics
-    "filt_sift_bounds", "filt_multi_sift", "filt_auto_filter",
+    "filt_sift_bounds", "filt_multi_sift",
     # normalization
     "norm_lib_size_log", "norm_tf_idf", "norm_zscale",
     # windows / ranking
@@ -2721,7 +2721,7 @@ _PRIORITY = [
     # marker search
     "mark_stats", "mark_regression",
     # similarity search: exact + LSH + IVF
-    "knn_exact_topk", "knn_lsh_topk", "knn_lsh_recall", "ann_ivf", "ann_ivf_recall",
+    "knn_exact_topk", "knn_lsh_topk", "ann_ivf",
     # graph operators
     "graph_membership", "graph_snn", "graph_magic_t1",
     # ML core
@@ -2729,12 +2729,12 @@ _PRIORITY = [
     "ml_umap_sym", "ml_kmeans",
     # dedup family
     "dedup_exact", "dedup_minhash_bands", "dedup_simhash", "dedup_embedding",
-    # text analysis
-    "text_token_stats", "text_quality_score", "text_lang_id",
+    # text analysis (incl. chunking + PII scrubbing)
+    "text_quality_score", "text_lang_id", "text_chunk", "text_pii_redact",
     # multimodal + streaming + sampling
     "mm_image_decode",
-    "stream_window_tumbling", "stream_sessionize",
-    "samp_downsample",
+    "stream_window_tumbling", "stream_sessionize", "stream_dedup",
+    "samp_downsample", "samp_stratified",
 ]
 
 
