@@ -133,6 +133,11 @@ def _extra_headliners() -> set[str]:
         "ann_ivf",
         "knn_smooth_weights",
         "ml_lisi",
+        # round-5 additions
+        "text_chunk",
+        "text_pii_redact",
+        "samp_stratified",
+        "stream_dedup",
     }
 
 
