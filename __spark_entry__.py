@@ -2140,7 +2140,105 @@ def ml_coral(spark, sf_dir):
     )
 
 
-@q("ml_harmony")  # weak: iterative soft-kmeans correction, driver centroids
+def _harmony_sql(k: int = 3, d: int = 8, n_iter: int = 2) -> str:
+    """Oracle replay of ``integrate.harmony_lite`` (n_clusters=k, dims=d,
+    sigma=auto): every step is smooth (soft assignments, exp/divisions,
+    no argmax or branch), so engine-level float noise (sum order, pow
+    vs multiply, libm exp) stays at ~1e-15 relative and vanishes under
+    the final ROUND(x, 6). The two iterations are unrolled as chained
+    CTEs; the only subtlety is reproducing the reference expression
+    shapes exactly (left-associated sums, GREATEST guards, eps terms).
+    """
+    C = range(k)
+    D = range(d)
+    vs = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS v{i}" for i in D)
+    base = (
+        f"c0 AS (SELECT vec_id AS cell_id, vec_id % 2 AS batch, {vs} "
+        "FROM embeddings), "
+        "sd AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cell_id) AS rn FROM c0), "
+        "cent0 AS (SELECT "
+        + ", ".join(
+            f"MAX(CASE WHEN rn = {c + 1} THEN v{i} END) AS m{c}_{i}"
+            for c in C
+            for i in D
+        )
+        + f" FROM sd WHERE rn <= {k})"
+    )
+
+    def it(t: int, cells: str, cent: str) -> tuple[str, str, str]:
+        p = f"t{t}_"
+        d2 = ", ".join(
+            "("
+            + " + ".join(f"POWER(v{i} - m{c}_{i}, 2)" for i in D)
+            + f") AS d{c}"
+            for c in C
+        )
+        dsum = " + ".join(f"d{c}" for c in C)
+        dmin = f"LEAST({', '.join(f'd{c}' for c in C)})"
+        e = ", ".join(f"EXP(-(d{c} - dmin) / sig) AS n{c}" for c in C)
+        nsum = " + ".join(f"n{c}" for c in C)
+        q_ = ", ".join(f"n{c} / ({nsum}) AS q{c}" for c in C)
+        ob = ", ".join(f"SUM(q{c}) AS o{c}" for c in C)
+        cm = ", ".join(f"SUM(o{c}) AS cm{c}" for c in C)
+        pen = ", ".join(
+            f"(cm{c} * nb / n_total + 1e-9) / (o{c} + 1e-9) AS p{c}" for c in C
+        )
+        pn = ", ".join(f"n{c} * p{c} AS pn{c}" for c in C)
+        pnsum = " + ".join(f"pn{c}" for c in C)
+        r_ = ", ".join(f"pn{c} / ({pnsum}) AS r{c}" for c in C)
+        ms = ", ".join(f"SUM(r{c}) AS nn{c}" for c in C) + ", " + ", ".join(
+            f"SUM(r{c} * v{i}) AS s{c}_{i}" for c in C for i in D
+        )
+        cent1 = ", ".join(
+            f"s{c}_{i} / GREATEST(nn{c}, 1e-12) AS m{c}_{i}" for c in C for i in D
+        )
+        bo = ", ".join(f"SUM(r{c}) AS bn{c}" for c in C) + ", " + ", ".join(
+            f"SUM(r{c} * v{i}) AS bs{c}_{i}" for c in C for i in D
+        )
+        off = ", ".join(
+            f"bs{c}_{i} / GREATEST(bn{c}, 1e-12) - m{c}_{i} AS f{c}_{i}"
+            for c in C
+            for i in D
+        )
+        corr = ", ".join(
+            f"v{i} - ("
+            + " + ".join(f"r{c} * f{c}_{i}" for c in C)
+            + f") AS v{i}"
+            for i in D
+        )
+        sql = (
+            f"{p}d AS (SELECT c.*, {d2} FROM {cells} c, {cent}), "
+            f"{p}dm AS (SELECT *, {dmin} AS dmin FROM {p}d), "
+            f"{p}sp AS (SELECT GREATEST(0.3 * AVG(({dsum}) / {k} - dmin), 1e-6) "
+            f"AS sig FROM {p}dm), "
+            f"{p}e AS (SELECT m.*, {e} FROM {p}dm m, {p}sp), "
+            f"{p}q AS (SELECT *, {q_} FROM {p}e), "
+            f"{p}ob AS (SELECT batch, {ob}, COUNT(*) AS nb FROM {p}q GROUP BY batch), "
+            f"{p}tot AS (SELECT SUM(nb) AS n_total, {cm} FROM {p}ob), "
+            f"{p}pen AS (SELECT batch, {pen} FROM {p}ob, {p}tot), "
+            f"{p}pn AS (SELECT q.*, {pn} FROM {p}q q JOIN {p}pen pe ON q.batch = pe.batch), "
+            f"{p}r AS (SELECT *, {r_} FROM {p}pn), "
+            f"{p}ms AS (SELECT {ms} FROM {p}r), "
+            f"{p}cent AS (SELECT {cent1} FROM {p}ms), "
+            f"{p}bo AS (SELECT batch, {bo} FROM {p}r GROUP BY batch), "
+            f"{p}off AS (SELECT batch, {off} FROM {p}bo, {p}cent), "
+            f"{p}c AS (SELECT r.cell_id, r.batch, {corr} FROM {p}r r "
+            f"JOIN {p}off o ON r.batch = o.batch)"
+        )
+        return sql, f"{p}c", f"{p}cent"
+
+    parts = [base]
+    cells, cent = "c0", "cent0"
+    for t in range(1, n_iter + 1):
+        sql, cells, cent = it(t, cells, cent)
+        parts.append(sql)
+    out = ", ".join(f"ROUND(v{i}, 6) AS h{i}" for i in D)
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT cell_id, {out} FROM {cells}"
+    )
+
+
+@q("ml_harmony", _harmony_sql())  # oracle: smooth-math CTE replay
 def ml_harmony(spark, sf_dir):
     from scarf_spark.ml import integrate
 
