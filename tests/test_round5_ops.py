@@ -74,6 +74,40 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert a == b
 
 
+def test_chunk_reconstruction_property(spark):
+    """With stride == chunk_size (no overlap), concatenating a doc's
+    chunks in chunk_id order reproduces the document exactly."""
+    import hashlib
+
+    texts = [
+        hashlib.md5(str(i).encode()).hexdigest() * (i % 7 + 1)  # 32..224 chars
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_size=50, stride=50)
+    got = {}
+    for r in sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])):
+        got[r["doc_id"]] = got.get(r["doc_id"], "") + r["chunk_text"]
+    assert got == {i: t for i, t in enumerate(texts)}
+
+
+def test_pii_redact_idempotent(spark):
+    """Redacting already-redacted text changes nothing and counts 0."""
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith99@example.co.uk or call 5551234567 now")],
+        "doc_id long, text string",
+    )
+    once = pii_redact(docs).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    twice = pii_redact(once).collect()[0]
+    assert twice["n_emails"] == 0
+    assert twice["n_number_runs"] == 0
+    assert twice["redacted"] == "mail <EMAIL> or call <NUM> now"
+
+
 def test_first_event_dedup_batch_earliest_wins(spark):
     import datetime as dt
 
