@@ -1275,6 +1275,19 @@ def text_pii_redact(spark, sf_dir):
 
 
 @q(
+    "text_ngram_top",
+    f"WITH {_WORDS_CTE}, "
+    "g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(ws)), "
+    "i -> ws[i] || ' ' || ws[i + 1])) AS ngram FROM w) "
+    "SELECT ngram, COUNT(*) AS n_occurrences, "
+    "COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY ngram "
+    "ORDER BY n_occurrences DESC, ngram LIMIT 20",
+)
+def text_ngram_top(spark, sf_dir):
+    return text.ngram_top(_ds(spark, sf_dir).documents, n_top=20)
+
+
+@q(
     "samp_stratified",
     "WITH s AS (SELECT doc_id, lang, "
     "ROW_NUMBER() OVER (PARTITION BY lang "

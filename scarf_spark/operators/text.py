@@ -157,6 +157,43 @@ def chunk_documents(
     )
 
 
+def ngram_top(
+    docs: DataFrame,
+    n_top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus bigram statistics: the global top-``n_top`` word bigrams
+    by occurrence count (tie → lexicographically smaller bigram) with
+    document frequency — the vocabulary/contamination report a corpus
+    pipeline produces before training.
+
+    Bigrams are built JVM-side (transform over the token array, a
+    narrow op), then one hash agg on the bigram key; the final top-k is
+    sort+limit (TakeOrderedAndProject — per-partition top-k merged
+    once, no global sort of the full vocabulary)."""
+    tok = docs.select(F.col(id_col), _words(text_col).alias("ws"))
+    grams = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr("transform(sequence(0, size(ws) - 2), i -> "
+                       "concat(ws[i], ' ', ws[i + 1]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(n_top)
+    )
+
+
 # Conservative regexes that parse identically under Java regex (Spark)
 # and RE2 (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
