@@ -2567,6 +2567,31 @@ def ann_ivf(spark, sf_dir):
 
 
 @q(
+    "ann_quantize",
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS v FROM embeddings), "
+    "m AS (SELECT vec_id, v, list_min(v) AS qmin, list_max(v) AS qmax FROM e), "
+    "s AS (SELECT *, CASE WHEN qmax > qmin THEN (qmax - qmin) / 255.0 "
+    "ELSE 0.0 END AS qscale, "
+    "CASE WHEN qmax > qmin THEN list_transform(v, x -> "
+    "CAST(ROUND((x - qmin) * 255.0 / (qmax - qmin)) AS INT)) "
+    "ELSE list_transform(v, x -> 0) END AS codes FROM m) "
+    # qmin/qscale exact (bit-identical expression results — ROUND's
+    # shortest-decimal semantics differ between engines at boundaries);
+    # mse as floored parts-per-billion over a left fold that replays
+    # Spark's F.aggregate accumulation order exactly
+    "SELECT vec_id, qmin, qscale, "
+    "CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum, "
+    "CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(v) + 1), i -> "
+    "(v[i] - (qmin + codes[i] * qscale)) * (v[i] - (qmin + codes[i] * qscale)))), "
+    "(acc, x) -> acc + x) / len(v) * 1000000000.0) AS BIGINT) AS mse_ppb FROM s",
+)
+def ann_quantize(spark, sf_dir):
+    return knn.quantize_int8(_ds(spark, sf_dir).embeddings)
+
+
+@q(
     "ann_ivf_recall",
     f"WITH {_KNN_CTE}, {_IVF_TAIL} "
     "SELECT CAST((SELECT COUNT(*) FROM knn k JOIN ivf a "

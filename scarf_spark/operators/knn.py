@@ -555,3 +555,64 @@ def smoothen_dists(
             )
 
     return nbr.mapInPandas(calc, "src long, dst long, weight double")
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector scalar quantization to uint8 codes — the compression
+    step a large-scale ANN index applies before storage (4x smaller
+    than float32, 8x than float64): code_j = round((v_j - min) * 255 /
+    (max - min)), reconstruction v̂_j = min + code_j * scale.
+
+    Every step is a JVM array expression (array_min/max, transform,
+    aggregate fold) — narrow, shuffle-free, whole-stage codegen; the
+    codes are bit-deterministic because min/max/codes are computed by
+    identical expression shapes on identical doubles (no cross-row
+    accumulation). Returns per-vector summary columns (qmin, qscale,
+    code checksum, reconstruction MSE) rather than the code array
+    itself so results compare portably across engines.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    vmin = F.array_min("v")
+    vmax = F.array_max("v")
+    scale = F.when(vmax > vmin, (vmax - vmin) / F.lit(255.0)).otherwise(F.lit(0.0))
+    codes = F.when(
+        vmax > vmin,
+        F.transform(
+            F.col("v"),
+            lambda x: F.round((x - vmin) * F.lit(255.0) / (vmax - vmin)).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    q = e.select(
+        "vec_id",
+        "v",
+        vmin.alias("qmin"),
+        scale.alias("qscale"),
+        codes.alias("codes"),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            "v",
+            "codes",
+            lambda x, c: (x - (F.col("qmin") + c * F.col("qscale")))
+            * (x - (F.col("qmin") + c * F.col("qscale"))),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # qmin/qscale/code_sum/mse_ppb are all bit-deterministic (identical
+    # expression shapes over identical doubles, ordered fold for the
+    # error sum), so they are emitted EXACT — no ROUND, whose
+    # shortest-decimal-string semantics differ across engines right at
+    # grid boundaries; mse is floored to integer parts-per-billion.
+    return q.select(
+        "vec_id",
+        F.col("qmin"),
+        F.col("qscale"),
+        F.aggregate("codes", F.lit(0), lambda acc, x: acc + x).alias("code_sum"),
+        F.floor(err2 / F.size("v") * F.lit(1e9)).cast("long").alias("mse_ppb"),
+    )

@@ -108,6 +108,62 @@ def test_pii_redact_idempotent(spark):
     assert twice["redacted"] == "mail <EMAIL> or call <NUM> now"
 
 
+def test_quantize_int8_reconstruction(spark):
+    from scarf_spark.operators.knn import quantize_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5]),          # exact grid: codes 0,255,128(127.5->128)
+            (2, [3.0, 3.0, 3.0]),          # constant vector -> scale 0, codes 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    assert out[1]["qmin"] == 0.0
+    assert abs(out[1]["qscale"] - 1.0 / 255.0) < 1e-15
+    assert out[1]["code_sum"] == 0 + 255 + 128
+    # max per-element error is half a step: (1/255/2)^2 ~ 3.8e-6 = 3846 ppb
+    assert out[1]["mse_ppb"] <= 3846
+    assert out[2]["qscale"] == 0.0
+    assert out[2]["code_sum"] == 0
+    # constant vector reconstructs exactly: qmin + 0*0 = value
+    assert out[2]["mse_ppb"] == 0
+
+
+def test_datastore_events_handles_nanos_and_micros(spark, tmp_path):
+    """Round-4 regression: events.parquet has shipped as both
+    TIMESTAMP(NANOS) (read as long under nanosAsLong, rebuilt to
+    micros) and TIMESTAMP(MICROS) (kept as-is). DataStore must load
+    either to the same timestamp values."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scarf_spark.catalog import DataStore
+
+    ts = [dt.datetime(2024, 1, 1, 10, 0, 0), dt.datetime(2024, 1, 1, 11, 30, 0)]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["", ""]),
+    }
+    got = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table({**cols, "ts": pa.array(ts, pa.timestamp(unit))})
+        pq.write_table(table, d / "events.parquet")
+        df = DataStore(spark, str(d)).events
+        assert dict(df.dtypes)["ts"].startswith("timestamp")
+        got[unit] = sorted(
+            (r["event_id"], r["ts"].replace(tzinfo=None)) for r in df.collect()
+        )
+    assert got["ns"] == got["us"] == [(1, ts[0]), (2, ts[1])]
+
+
 def test_first_event_dedup_batch_earliest_wins(spark):
     import datetime as dt
 
