@@ -136,8 +136,10 @@ def _extra_headliners() -> set[str]:
         # round-5 additions
         "text_chunk",
         "text_pii_redact",
+        "text_ngram_top",
         "samp_stratified",
         "stream_dedup",
+        "ann_quantize",
     }
 
 
