@@ -2782,6 +2782,176 @@ def clust_balanced_cut(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round 5: relational surface completions (pivot, exact quantiles,
+# sketches, JSON), graph analytics (triangles, PageRank), dedup
+# containment, PQ compression
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "agg_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"COALESCE(ROUND(SUM(value) FILTER (WHERE event_type = '{t}'), 6), 0.0) "
+        f"AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def agg_pivot(spark, sf_dir):
+    return aggregate.pivot_wide(
+        _ds(spark, sf_dir).events, "user_id", "event_type", _EVENT_TYPES, "value"
+    )
+
+
+@q(
+    "agg_exact_median",
+    "SELECT event_type, "
+    "ROUND(quantile_cont(value, 0.25), 6) AS q25, "
+    "ROUND(quantile_cont(value, 0.50), 6) AS q50, "
+    "ROUND(quantile_cont(value, 0.75), 6) AS q75 "
+    "FROM events GROUP BY event_type",
+)
+def agg_exact_median(spark, sf_dir):
+    return aggregate.exact_quantiles(
+        _ds(spark, sf_dir).events, "event_type", "value", (0.25, 0.5, 0.75)
+    )
+
+
+@q(
+    "sketch_kmv",
+    "WITH hashed AS (SELECT DISTINCT event_type AS grp, "
+    "((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h FROM events), "
+    "kth AS (SELECT grp, h AS h_k FROM "
+    "(SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn "
+    "FROM hashed) WHERE rn = 64), "
+    "ex AS (SELECT grp, COUNT(*) AS exact_ndv FROM hashed GROUP BY grp) "
+    "SELECT ex.grp AS event_type, exact_ndv, h_k, "
+    "ROUND(CASE WHEN h_k IS NOT NULL THEN 63.0 / (h_k / 2147483647.0) "
+    "ELSE CAST(exact_ndv AS DOUBLE) END, 6) AS est_ndv "
+    "FROM ex LEFT JOIN kth ON ex.grp = kth.grp",
+)
+def sketch_kmv(spark, sf_dir):
+    return aggregate.kmv_distinct(
+        _ds(spark, sf_dir).events, "event_type", "user_id", k=64
+    )
+
+
+@q(
+    "evt_json_extract",
+    "SELECT event_type, "
+    "COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, "
+    "MIN(k) AS min_k, MAX(k) AS max_k, COUNT(DISTINCT k) AS ndv_k "
+    "FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k "
+    "FROM events) GROUP BY event_type",
+)
+def evt_json_extract(spark, sf_dir):
+    return aggregate.json_props_stats(_ds(spark, sf_dir).events)
+
+
+_UND_CTE = (
+    "und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w "
+    "FROM knn WHERE src <> dst)"
+)
+
+
+@q(
+    "graph_triangles",
+    f"WITH {_KNN_CTE}, {_UND_CTE}, "
+    "tri AS (SELECT a.u AS x, a.w AS y, b.w AS z FROM und a "
+    "JOIN und b ON a.w = b.u JOIN und c ON c.u = a.u AND c.w = b.w) "
+    "SELECT v, COUNT(*) AS n_triangles FROM "
+    "(SELECT x AS v FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY v",
+)
+def graph_triangles(spark, sf_dir):
+    return graph.triangle_counts(_knn_edges(spark, sf_dir))
+
+
+# PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and
+# 1.0/n literals are spelled as the same float expressions Python
+# computes driver-side (1.0-0.85 != 0.15 in IEEE — the SQL must
+# replicate the subtraction, not the shorthand constant).
+_PR_ITER = (
+    "c{i} AS (SELECT ed.dst, SUM(r.r / d.deg) AS c FROM ed "
+    "JOIN r{p} r ON ed.src = r.v JOIN deg d ON ed.src = d.src GROUP BY ed.dst), "
+    "r{i} AS (SELECT nodes.v, (1.0 - 0.85) / (SELECT n FROM nn) "
+    "+ 0.85 * COALESCE(c{i}.c, 0.0) AS r FROM nodes "
+    "LEFT JOIN c{i} ON nodes.v = c{i}.dst)"
+)
+
+
+@q(
+    "graph_pagerank",
+    f"WITH {_KNN_CTE}, "
+    "ed AS (SELECT src, dst FROM knn), "
+    "nodes AS (SELECT DISTINCT v FROM "
+    "(SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)), "
+    "nn AS (SELECT COUNT(*) AS n FROM nodes), "
+    "deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src), "
+    "r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes), "
+    + ", ".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + " SELECT v, ROUND(r, 9) AS pagerank FROM r3",
+)
+def graph_pagerank(spark, sf_dir):
+    return graph.pagerank(_knn_edges(spark, sf_dir), n_iter=3, damping=0.85)
+
+
+@q(
+    "dedup_containment",
+    f"WITH {_SHINGLE_CTE}, "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n "
+    "FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT a, b, ROUND(n / CAST(sa.sz AS DOUBLE), 6) AS containment "
+    "FROM inter JOIN sizes sa ON inter.a = sa.doc_id "
+    "WHERE ROUND(n / CAST(sa.sz AS DOUBLE), 6) >= 0.5",
+)
+def dedup_containment(spark, sf_dir):
+    return dedup.ngram_containment(
+        _ds(spark, sf_dir).documents, n=3, min_containment=0.5
+    )
+
+
+@q(
+    "ann_pq",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "seeds AS (SELECT vec_id AS cid, v AS cv FROM e "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
+    "subs AS (SELECT vec_id AS vid, s, "
+    "list_slice(v, s * 16 + 1, (s + 1) * 16) AS sv "
+    "FROM e, (SELECT UNNEST(range(4)) AS s) ss), "
+    "cw AS (SELECT cid, s, list_slice(cv, s * 16 + 1, (s + 1) * 16) AS cw "
+    "FROM seeds, (SELECT UNNEST(range(4)) AS s) ss), "
+    # squared L2 replayed as the same left fold Spark's F.aggregate runs
+    "d AS (SELECT vid, subs.s, cid, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip(sv, cw.cw), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, x) -> acc + x) AS d2 FROM subs JOIN cw ON subs.s = cw.s), "
+    "best AS (SELECT vid, s, cid AS code, d2 FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d2, cid) AS rn "
+    "FROM d) WHERE rn = 1), "
+    "wide AS (SELECT vid, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN s = {i} THEN code END) AS BIGINT) AS code_{i}, "
+        f"SUM(CASE WHEN s = {i} THEN d2 END) AS _d{i}"
+        for i in range(4)
+    )
+    + " FROM best GROUP BY vid) "
+    # error folded subspace 0..3 left-to-right — same pinned order as
+    # the engine, so floor(ppb) is bit-exact
+    "SELECT vid AS vec_id, code_0, code_1, code_2, code_3, "
+    "CAST(FLOOR((((_d0 + _d1) + _d2) + _d3) * 1000000000.0) AS BIGINT) "
+    "AS err_ppb FROM wide",
+)
+def ann_pq(spark, sf_dir):
+    return knn.pq_quantize(_ds(spark, sf_dir).embeddings, m=4, n_codes=8)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -160,3 +160,133 @@ def smart_label_argmax(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select(a_col, F.col(b_col).alias("best_" + b_col), F.col("n").alias("n_best"))
     )
+
+
+def pivot_wide(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    pivot_values: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Long-to-wide pivot: one output column per ``pivot_values`` entry
+    holding SUM(value_col), absent combinations as 0.0 (the dense-matrix
+    export surface, e.g. the reference's dense assay views
+    (``scarf/assay.py:198-226``) and ``to_pandas`` style tables).
+
+    ``pivot_values`` is explicit: without it Spark runs an extra
+    distinct pass to discover the domain, and the output schema would
+    depend on the data — fatal for a 100 TB pipeline where the schema
+    must be known before the job runs. With the list given the plan is
+    ONE hash aggregation (pivot_col folded into the aggregate
+    expressions, no shuffle beyond the groupBy key)."""
+    return (
+        df.groupBy(key_col)
+        .pivot(pivot_col, pivot_values)
+        .agg(F.round(F.sum(value_col), 6))
+        .select(
+            key_col,
+            *[F.coalesce(F.col(v), F.lit(0.0)).alias(v) for v in pivot_values],
+        )
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group
+    (``percentile``, not ``percentile_approx``): the reference computes
+    exact percentiles driver-side on small summaries
+    (``scarf/utils.py`` fit thresholds); here it is Spark's exact
+    distributed percentile aggregate — one shuffle keyed by the group,
+    per-group sorted state. For quantiles over a 100 TB UNGROUPED
+    column switch to ``approx_percentile`` (t-digest, mergeable,
+    bounded state); per-group with bounded group cardinality the exact
+    form is the right default."""
+    cols = [
+        F.round(
+            F.expr(f"percentile({value_col}, {q!r})"), 6
+        ).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return df.groupBy(group_col).agg(*cols)
+
+
+# KMV (k-minimum-values) sketch hash: an explicit LCG over a Mersenne
+# prime so Spark and any oracle engine agree bit-for-bit (both sides do
+# exact BIGINT arithmetic; (P-1)*A < 2^63 so no overflow).
+KMV_P = 2147483647  # 2^31 - 1
+KMV_A = 1103515245
+KMV_B = 12345
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group: hash each key
+    with a fixed LCG, keep the k smallest DISTINCT hash values, estimate
+    ndv = (k-1) / (h_(k) / P). The mergeable-sketch building block of a
+    100 TB profiling pass (union of sketches = k smallest of the
+    union), with a deterministic hash so the estimate is reproducible
+    across engines — unlike HLL register layouts, which never are.
+
+    Plan shape: distinct (group, hash) → per-group ordered top-k
+    (row_number window) → one row per group. On a cluster the heavy
+    lifting is the distinct's partial aggregation; the window sees at
+    most |distinct| rows, and only rank k survives. Emits the exact
+    distinct count alongside so the estimate's error is visible."""
+    h = ((F.col(key_col).cast("long") % KMV_P) * KMV_A + KMV_B) % KMV_P
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select("grp", F.col("h").alias("h_k"))
+    )
+    exact = hashed.groupBy("grp").agg(F.count("*").alias("exact_ndv"))
+    return (
+        exact.join(kth, "grp", "left_outer")
+        .select(
+            F.col("grp").alias(group_col),
+            "exact_ndv",
+            "h_k",
+            F.round(
+                F.when(
+                    F.col("h_k").isNotNull(),
+                    F.lit(float(k - 1)) / (F.col("h_k") / F.lit(float(KMV_P))),
+                ).otherwise(F.col("exact_ndv").cast("double")),
+                6,
+            ).alias("est_ndv"),
+        )
+    )
+
+
+def json_props_stats(
+    events: DataFrame,
+    json_col: str = "props",
+    path: str = "$.k",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured column surface: extract a typed field from a JSON
+    string column (``get_json_object`` — JVM-side Jackson, no Python)
+    and aggregate it per group. The schema-on-read pattern every event
+    pipeline needs; at scale prefer ``from_json`` with an explicit
+    schema so the parse happens once per row for all fields."""
+    v = F.get_json_object(F.col(json_col), path).cast("int")
+    return (
+        events.select(F.col(group_col), v.alias("k"))
+        .groupBy(group_col)
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("ndv_k"),
+        )
+    )

@@ -301,3 +301,41 @@ def embedding_near_dups(knn_edges: DataFrame, max_distance: float = 0.05) -> Dat
         .groupBy("a", "b")
         .agg(F.min("distance").alias("distance"))
     )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric n-gram containment C(A→B) = |A∩B| / |A|: catches
+    near-SUPERSET duplication (a short doc wholly contained in a longer
+    one) that symmetric Jaccard dilutes away — the standard complement
+    to Jaccard in training-data dedup (e.g. suffix-array containment in
+    public dedup pipelines).
+
+    Same shingle equi-join spine as :func:`ngram_jaccard` — never a
+    cross join; both directions of each intersecting pair are emitted
+    and filtered on the containment floor."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    x = sh.select(F.col(id_col).alias("a"), "shingle")
+    y = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )

