@@ -3017,7 +3017,7 @@ _PRIORITY = [
     # normalization
     "norm_lib_size_log", "norm_tf_idf", "norm_zscale",
     # windows / ranking
-    "win_rolling_mean", "win_ntile_bins", "win_avg_rank", "win_topk_per_group",
+    "win_rolling_mean", "win_ntile_bins", "agg_exact_median", "win_topk_per_group",
     # grouped aggregation
     "agg_make_bulk", "agg_group_mean_z", "agg_rollup",
     # joins (range, genomic-bin, alignment, as-of)
@@ -3029,12 +3029,12 @@ _PRIORITY = [
     # similarity search: exact + LSH + IVF
     "knn_exact_topk", "knn_lsh_topk", "ann_ivf",
     # graph operators
-    "graph_membership", "graph_snn", "graph_magic_t1",
+    "graph_pagerank", "graph_snn", "graph_magic_t1",
     # ML core
     "ml_hvg_binned", "ml_label_prop", "ml_lisi", "ml_wnn", "ml_silhouette",
     "ml_umap_sym", "ml_kmeans",
     # dedup family
-    "dedup_exact", "dedup_minhash_bands", "dedup_simhash", "dedup_embedding",
+    "dedup_exact", "dedup_minhash_bands", "dedup_simhash", "sketch_kmv",
     # text analysis (incl. chunking + PII scrubbing)
     "text_quality_score", "text_lang_id", "text_chunk", "text_pii_redact",
     # multimodal + streaming + sampling

@@ -132,6 +132,11 @@ def _extra_headliners() -> set[str]:
         "agg_rollup",
         "ann_ivf",
         "knn_smooth_weights",
+        "agg_pivot",
+        "sketch_kmv",
+        "graph_pagerank",
+        "graph_triangles",
+        "ann_pq",
         "ml_lisi",
         # round-5 additions
         "text_chunk",
