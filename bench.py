@@ -86,6 +86,15 @@ def main() -> None:
         li.limit(1024).mapInPandas(
             lambda it: it, schema=li.schema
         ).write.mode("overwrite").format("noop").save()
+        # one broadcast hash join: the BroadcastExchange build path
+        # (threadpool, Torrent blocks, codegen of the build side) is
+        # another ~5s one-time cost otherwise absorbed by whichever
+        # measured query happens to broadcast first
+        part = ds.table("part")
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+        ).write.mode("overwrite").format("noop").save()
     except Exception as exc:  # noqa: BLE001
         print(f"warmup failed: {exc}", file=sys.stderr)
 
