@@ -29,6 +29,10 @@ ALLOWED: dict[str, str] = {
         "distributed grid path engages above the threshold "
         "(test_global_ntile_grid_path)"
     ),
+    "mark_feat_knn": (
+        "same global_ntile adaptive small branch (cell ordering at "
+        "sf0.1 is 150k rows < 1M); at scale the grid path engages"
+    ),
 }
 
 
