@@ -2951,6 +2951,44 @@ def ann_pq(spark, sf_dir):
     return knn.pq_quantize(_ds(spark, sf_dir).embeddings, m=4, n_codes=8)
 
 
+@q(
+    "text_boilerplate",
+    f"WITH {_SHINGLE_CTE}, "
+    "nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), "
+    "dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle), "
+    "boiler AS (SELECT shingle FROM dfreq, nd WHERE df >= 0.02 * n), "
+    "fl AS (SELECT sh.doc_id, CASE WHEN b.shingle IS NOT NULL THEN 1 END AS _b "
+    "FROM sh LEFT JOIN boiler b ON sh.shingle = b.shingle) "
+    "SELECT doc_id, COUNT(*) AS n_shingles, COUNT(_b) AS n_boiler, "
+    "ROUND(COUNT(_b) / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_ratio "
+    "FROM fl GROUP BY doc_id",
+)
+def text_boilerplate(spark, sf_dir):
+    return text.boilerplate_stats(
+        _ds(spark, sf_dir).documents, n=3, min_doc_frac=0.02
+    )
+
+
+@q(
+    "samp_temperature",
+    # FLOOR(SQRT(n)) integer weights + integer-division quotas: every
+    # step bit-exact cross-engine (see operator docstring)
+    "WITH sizes AS (SELECT source, COUNT(*) AS _n FROM documents GROUP BY source), "
+    "wts AS (SELECT source, _n, "
+    "CAST(FLOOR(SQRT(CAST(_n AS DOUBLE))) AS BIGINT) AS _w FROM sizes), "
+    "tw AS (SELECT SUM(_w) AS _tw FROM wts), "
+    "quota AS (SELECT source, LEAST(_n, (1000 * _w) // _tw) AS _q FROM wts, tw), "
+    "rk AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "SELECT rk.doc_id, rk.source FROM rk JOIN quota ON rk.source = quota.source "
+    "WHERE rn <= _q",
+)
+def samp_temperature(spark, sf_dir):
+    return filters.temperature_sample(
+        _ds(spark, sf_dir).documents, "source", "doc_id", total=1000, temperature=2.0
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -146,6 +146,8 @@ def _extra_headliners() -> set[str]:
         "graph_pagerank",
         "graph_triangles",
         "ann_pq",
+        "text_boilerplate",
+        "samp_temperature",
         "ml_lisi",
         # round-5 additions
         "text_chunk",

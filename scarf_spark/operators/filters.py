@@ -152,3 +152,60 @@ def stratified_sample(
         .where(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_n")))
         .drop("_rn", "_n")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    total: int,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled source mixing: draw ``total`` documents with
+    per-source quotas proportional to n_s^(1/T) — the standard
+    multilingual/multi-source rebalancing rule (T=1 reproduces natural
+    proportions, T→∞ uniform across sources). Rows within a source are
+    chosen by md5-hash order of the id: seedless, engine-portable, and
+    stable under repartitioning — the same contract as
+    :func:`stratified_sample`.
+
+    Quotas are computed on the tiny per-source histogram (driver-safe:
+    one groupBy the size of the source domain) and broadcast back; the
+    only large-data cost is the per-source hash-order window, bounded by
+    the largest source.
+
+    Determinism: for T=2 the weight is FLOOR(SQRT(n)) — IEEE sqrt is
+    correctly rounded in every engine, so the weight, the integer
+    weight total, and the integer-division quota are all bit-exact
+    cross-engine (pow() carries no such guarantee, and a float quota
+    like 200.0±1ulp would flip FLOOR at uniform source sizes). Other
+    temperatures fall back to pow(): Spark-deterministic, not
+    oracle-replayable."""
+    sizes = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    if temperature == 2.0:
+        w_raw = F.floor(F.sqrt(F.col("_n").cast("double"))).cast("long")
+    else:
+        w_raw = F.floor(
+            F.pow(F.col("_n").cast("double"), F.lit(1.0 / temperature))
+        ).cast("long")
+    weights = sizes.select(source_col, "_n", w_raw.alias("_w"))
+    tot_w = weights.agg(F.sum("_w").alias("_tw"))
+    quota = (
+        weights.crossJoin(F.broadcast(tot_w))
+        # integer-division quota, capped at the stratum size — exact
+        .select(
+            source_col,
+            F.least(
+                F.col("_n"),
+                F.expr(f"({int(total)} * _w) div _tw"),
+            ).alias("_q"),
+        )
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return (
+        docs.join(F.broadcast(quota), source_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_q"))
+        .drop("_rn", "_q")
+    )

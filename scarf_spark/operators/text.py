@@ -238,3 +238,48 @@ def bpe_token_counts(
         F.size("_t").alias("n_bpe_tokens"),
         F.size(F.array_distinct("_t")).alias("n_unique_tokens"),
     )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_doc_frac: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate detection: an n-gram shingle that occurs
+    in at least ``min_doc_frac`` of all documents is boilerplate (nav
+    bars, license headers, templated footers); report per document how
+    many of its shingles are boilerplate and the boilerplate ratio —
+    the pre-filter every web-scale corpus cleaning pass runs (CCNet /
+    C4-style repeated-line removal generalized to shingles, since the
+    synthetic docs carry no newlines).
+
+    Two aggregations over one shingle table: document frequency per
+    shingle (corpus-wide), then a per-doc rollup flagging shingles whose
+    df clears the threshold. Both shuffle on the shingle/doc key; the
+    df table is naturally heavy-hitter-truncated at scale (broadcast the
+    boilerplate set, not the full df table — it is ≤ |shingles| ·
+    min_doc_frac⁻¹ entries)."""
+    from scarf_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n, text_col, id_col)
+    n_docs = docs.select(id_col).distinct().count()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    boiler = dfreq.where(F.col("df") >= float(min_doc_frac) * n_docs).select("shingle")
+    flagged = sh.join(
+        F.broadcast(boiler.withColumn("_b", F.lit(1))), "shingle", "left_outer"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_b").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_ratio"),
+        )
+    )

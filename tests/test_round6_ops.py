@@ -128,3 +128,42 @@ def test_pq_quantize_seeds_reconstruct_exactly(spark):
         for i in range(4):
             assert r[f"code_{i}"] in seed_ids
     assert all(r["err_ppb"] >= 0 for r in out)
+
+
+def test_boilerplate_stats_flags_common_shingle(spark):
+    from scarf_spark.operators.text import boilerplate_stats
+
+    # "x y z" appears in 3/4 docs -> boilerplate at 50% threshold
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),
+            (2, "x y z d e f"),
+            (3, "x y z g h i"),
+            (4, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in boilerplate_stats(docs, n=3, min_doc_frac=0.5).collect()}
+    assert out[1]["n_shingles"] == 4
+    assert out[1]["n_boiler"] == 1
+    assert out[4]["n_boiler"] == 0
+    assert out[1]["boiler_ratio"] == 0.25
+
+
+def test_temperature_sample_quota_and_determinism(spark):
+    from scarf_spark.operators.filters import temperature_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(docs, "source", "doc_id", total=100, temperature=2.0)
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    # weights: floor(sqrt(400))=20, floor(sqrt(100))=10, tw=30
+    # quotas: (100*20)//30=66, (100*10)//30=33
+    assert by_src == {"big": 66, "small": 33}
+    # determinism: same rows on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_sample(docs, "source", "doc_id", 100, 2.0).collect())
+    assert a == b
