@@ -2989,6 +2989,41 @@ def samp_temperature(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@q(
+    "win_lead_lag",
+    "WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events), "
+    "g AS (SELECT user_id, us - LAG(us) OVER "
+    "(PARTITION BY user_id ORDER BY us, event_id) AS gap FROM t) "
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "ROUND(CAST(SUM(gap) AS DOUBLE) / 1000000.0, 6) AS sum_gap_s, "
+    "ROUND(CAST(MAX(gap) AS DOUBLE) / 1000000.0, 6) AS max_gap_s "
+    "FROM g GROUP BY user_id",
+)
+def win_lead_lag(spark, sf_dir):
+    return windows.event_gaps(_ds(spark, sf_dir).events)
+
+
+@q(
+    "agg_corr",
+    "WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS _n, "
+    "SUM(value) AS _sx, SUM(k) AS _sy, SUM(value * k) AS _sxy, "
+    "SUM(value * value) AS _sxx, SUM(k * k) AS _syy FROM "
+    "(SELECT event_type, value, "
+    "CAST(CAST(json_extract(props, '$.k') AS INT) AS DOUBLE) AS k FROM events) "
+    "GROUP BY event_type) "
+    "SELECT event_type, CAST(_n AS BIGINT) AS n, "
+    "ROUND((_n * _sxy - _sx * _sy) / "
+    "(SQRT(_n * _sxx - _sx * _sx) * SQRT(_n * _syy - _sy * _sy)), 6) AS corr "
+    "FROM s",
+)
+def agg_corr(spark, sf_dir):
+    ev = _ds(spark, sf_dir).events
+    k = F.get_json_object(F.col("props"), "$.k").cast("int").cast("double")
+    return aggregate.corr_manual(
+        ev.select("event_type", "value", k.alias("k")), "event_type", "value", "k"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ joins — the fact table is never re-shuffled for the label."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -289,4 +289,35 @@ def json_props_stats(
             F.max("k").alias("max_k"),
             F.count_distinct(F.col("k")).alias("ndv_k"),
         )
+    )
+
+
+def corr_manual(
+    df: DataFrame, group_col: str, x_col, y_col, out: str = "corr"
+) -> DataFrame:
+    """Per-group Pearson correlation from the six raw sums — NOT the
+    built-in ``corr`` aggregate, whose online co-moment update order is
+    engine-internal; the naive-sum formula has an identical expression
+    shape in any engine, so cross-engine agreement is limited only by
+    the (well-conditioned) sum accumulation order.
+
+    corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))"""
+    x = x_col if isinstance(x_col, Column) else F.col(x_col)
+    y = y_col if isinstance(y_col, Column) else F.col(y_col)
+    a = df.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * F.sqrt(
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    return a.select(
+        group_col,
+        F.col("_n").cast("long").alias("n"),
+        F.round(num / den, 6).alias(out),
     )

@@ -189,3 +189,25 @@ def top_k_per_group(
     return df.withColumn("rank_in_group", F.row_number().over(w)).where(
         F.col("rank_in_group") <= k
     )
+
+
+def event_gaps(events: DataFrame, ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Per-user inter-event gap statistics via LAG — the lead/lag
+    ordered-window surface (sessionization's batch sibling). Gaps are
+    computed on exact integer microseconds (``unix_micros``), so sum
+    and max are engine-exact; only the final seconds conversion is
+    float, with a pinned op order.
+
+    One shuffle keyed by user; the window sort is per-user (bounded by
+    the most active user — salt by day for pathological hot users)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us, F.col("event_id"))
+    g = events.select(
+        F.col(user_col),
+        (us - F.lag(us).over(w)).alias("_gap_us"),
+    )
+    return g.groupBy(user_col).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("_gap_us").cast("double") / F.lit(1000000.0), 6).alias("sum_gap_s"),
+        F.round(F.max("_gap_us").cast("double") / F.lit(1000000.0), 6).alias("max_gap_s"),
+    )

@@ -167,3 +167,36 @@ def test_temperature_sample_quota_and_determinism(spark):
     b = sorted(r["doc_id"] for r in
                temperature_sample(docs, "source", "doc_id", 100, 2.0).collect())
     assert a == b
+
+
+def test_event_gaps(spark):
+    import datetime as dt
+
+    from scarf_spark.operators.windows import event_gaps
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base, 10),
+        (1, base + dt.timedelta(seconds=5), 11),
+        (1, base + dt.timedelta(seconds=15), 12),
+        (2, base, 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r["user_id"]: r.asDict() for r in event_gaps(df).collect()}
+    assert out[1]["n_events"] == 3
+    assert out[1]["sum_gap_s"] == 15.0
+    assert out[1]["max_gap_s"] == 10.0
+    assert out[2]["n_events"] == 1
+    assert out[2]["sum_gap_s"] is None
+
+
+def test_corr_manual_perfect_and_anti(spark):
+    from scarf_spark.operators.aggregate import corr_manual
+
+    rows = [("pos", float(i), 2.0 * i + 1) for i in range(10)] + [
+        ("neg", float(i), -3.0 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r["corr"] for r in corr_manual(df, "g", "x", "y").collect()}
+    assert out["pos"] == 1.0
+    assert out["neg"] == -1.0
