@@ -177,18 +177,24 @@ def pivot_wide(
     ``pivot_values`` is explicit: without it Spark runs an extra
     distinct pass to discover the domain, and the output schema would
     depend on the data — fatal for a 100 TB pipeline where the schema
-    must be known before the job runs. With the list given the plan is
-    ONE hash aggregation (pivot_col folded into the aggregate
-    expressions, no shuffle beyond the groupBy key)."""
-    return (
-        df.groupBy(key_col)
-        .pivot(pivot_col, pivot_values)
-        .agg(F.round(F.sum(value_col), 6))
-        .select(
-            key_col,
-            *[F.coalesce(F.col(v), F.lit(0.0)).alias(v) for v in pivot_values],
-        )
-    )
+    must be known before the job runs.
+
+    Deliberately NOT ``df.groupBy().pivot()``: the built-in plans TWO
+    hash aggregations ((key, pivot) partial-sum, exchange, then
+    pivot_first by key — two shuffles). The conditional-aggregate
+    rewrite below is the single-shuffle form — one hash aggregate whose
+    state is the |values|-wide row, map-side combined — and is what the
+    built-in's logical plan should fold into anyway."""
+    aggs = [
+        F.coalesce(
+            F.round(
+                F.sum(F.when(F.col(pivot_col) == v, F.col(value_col))), 6
+            ),
+            F.lit(0.0),
+        ).alias(v)
+        for v in pivot_values
+    ]
+    return df.groupBy(key_col).agg(*aggs)
 
 
 def exact_quantiles(
@@ -236,34 +242,35 @@ def kmv_distinct(
     union), with a deterministic hash so the estimate is reproducible
     across engines — unlike HLL register layouts, which never are.
 
-    Plan shape: distinct (group, hash) → per-group ordered top-k
-    (row_number window) → one row per group. On a cluster the heavy
-    lifting is the distinct's partial aggregation; the window sees at
-    most |distinct| rows, and only rank k survives. Emits the exact
+    Plan shape: distinct (group, hash) → ONE per-group ordered window
+    (rank over hash) → ONE aggregation taking both the exact count and
+    the rank-k hash from the same pass — the window's exchange already
+    partitions by group, so the final aggregate adds no shuffle. On a
+    cluster the heavy lifting is the distinct's partial aggregation;
+    everything after sees only distinct hashes. Emits the exact
     distinct count alongside so the estimate's error is visible."""
     h = ((F.col(key_col).cast("long") % KMV_P) * KMV_A + KMV_B) % KMV_P
     hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
     w = Window.partitionBy("grp").orderBy("h")
-    kth = (
+    agg = (
         hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == k)
-        .select("grp", F.col("h").alias("h_k"))
-    )
-    exact = hashed.groupBy("grp").agg(F.count("*").alias("exact_ndv"))
-    return (
-        exact.join(kth, "grp", "left_outer")
-        .select(
-            F.col("grp").alias(group_col),
-            "exact_ndv",
-            "h_k",
-            F.round(
-                F.when(
-                    F.col("h_k").isNotNull(),
-                    F.lit(float(k - 1)) / (F.col("h_k") / F.lit(float(KMV_P))),
-                ).otherwise(F.col("exact_ndv").cast("double")),
-                6,
-            ).alias("est_ndv"),
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("exact_ndv"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
         )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "exact_ndv",
+        "h_k",
+        F.round(
+            F.when(
+                F.col("h_k").isNotNull(),
+                F.lit(float(k - 1)) / (F.col("h_k") / F.lit(float(KMV_P))),
+            ).otherwise(F.col("exact_ndv").cast("double")),
+            6,
+        ).alias("est_ndv"),
     )
 
 
