@@ -3024,6 +3024,70 @@ def agg_corr(spark, sf_dir):
     )
 
 
+@q(
+    "set_intersect",
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def set_intersect(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    cust = ds.customer.select("c_custkey", "c_mktsegment")
+    return setops.set_intersect(
+        cust, ds.orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    )
+
+
+@q(
+    "join_anti_orphans",
+    # customers who never generated an event — non-trivially sized at
+    # every SF (events' user domain is a small prefix of the customers)
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_custkey NOT IN (SELECT user_id FROM events)",
+)
+def join_anti_orphans(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    cust = ds.customer.select("c_custkey", "c_mktsegment")
+    return setops.set_anti(
+        cust, ds.events.select(F.col("user_id").alias("c_custkey")), "c_custkey"
+    )
+
+
+@q(
+    "win_percentile",
+    "SELECT event_type, event_id, "
+    "ROUND(PERCENT_RANK() OVER "
+    "(PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank, "
+    "ROUND(CUME_DIST() OVER "
+    "(PARTITION BY event_type ORDER BY value, event_id), 6) AS cume_dist "
+    "FROM events",
+)
+def win_percentile(spark, sf_dir):
+    return windows.rank_distribution(
+        _ds(spark, sf_dir).events, "event_type", "value", "event_id"
+    )
+
+
+@q(
+    "agg_moments",
+    "WITH a AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS _n, "
+    "SUM(value) AS _s1, SUM(value * value) AS _s2, "
+    "SUM(value * value * value) AS _s3, "
+    "SUM(value * value * value * value) AS _s4 FROM events GROUP BY event_type), "
+    "b AS (SELECT event_type, _n, _s1 / _n AS m, _s2, _s3, _s4 FROM a), "
+    "c AS (SELECT *, _s2 / _n - m * m AS var FROM b) "
+    "SELECT event_type, CAST(_n AS BIGINT) AS n, ROUND(m, 6) AS mean, "
+    "ROUND(var, 6) AS var_pop, "
+    # var^1.5 as var*sqrt(var) — pow() is not correctly rounded, these are
+    "ROUND((_s3 / _n - 3.0 * m * (_s2 / _n) + 2.0 * m * m * m) "
+    "/ (var * SQRT(var)), 6) AS skewness, "
+    "ROUND((_s4 / _n - 4.0 * m * (_s3 / _n) + 6.0 * m * m * (_s2 / _n) "
+    "- 3.0 * m * m * m * m) / (var * var) - 3.0, 6) AS kurtosis_excess "
+    "FROM c",
+)
+def agg_moments(spark, sf_dir):
+    return aggregate.moment_stats(_ds(spark, sf_dir).events, "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

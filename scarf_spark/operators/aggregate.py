@@ -328,3 +328,48 @@ def corr_manual(
         F.col("_n").cast("long").alias("n"),
         F.round(num / den, 6).alias(out),
     )
+
+
+def moment_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group mean/population-variance/skewness/excess-kurtosis from
+    the four raw power sums — the same pinned-expression-shape contract
+    as :func:`corr_manual` (the built-in skewness/kurtosis aggregates
+    use engine-internal online central-moment updates that no other
+    engine replays):
+
+      m = S1/n,  var = S2/n − m²,
+      skew = (S3/n − 3m·S2/n + 2m³) / var^1.5
+      kurt = (S4/n − 4m·S3/n + 6m²·S2/n − 3m⁴) / var² − 3
+    """
+    v = F.col(value_col)
+    a = df.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.sum(v * v * v).alias("_s3"),
+        F.sum(v * v * v * v).alias("_s4"),
+    )
+    n = F.col("_n")
+    m = F.col("_s1") / n
+    var = F.col("_s2") / n - m * m
+    # var^1.5 spelled var·sqrt(var): sqrt and multiply are correctly
+    # rounded in IEEE (pow is not), so any engine replays it bit-exactly
+    skew = (
+        F.col("_s3") / n - F.lit(3.0) * m * (F.col("_s2") / n) + F.lit(2.0) * m * m * m
+    ) / (var * F.sqrt(var))
+    kurt = (
+        F.col("_s4") / n
+        - F.lit(4.0) * m * (F.col("_s3") / n)
+        + F.lit(6.0) * m * m * (F.col("_s2") / n)
+        - F.lit(3.0) * m * m * m * m
+    ) / (var * var) - F.lit(3.0)
+    return a.select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )

@@ -205,15 +205,17 @@ def pagerank(
     kind of neighbourhood-degree prestige to pick seed cells,
     ``scarf/datastore/graph_datastore.py`` run_topacedo_sampler).
 
-    Iterative DataFrame loop: each iteration is one shuffle keyed by
-    dst (contributions summed) + a broadcast-size remap of ranks; the
-    edge table is persisted once and reused, the rank vector is the
-    only thing that changes — |V| rows joined back to |E| edges. A
-    fixed iteration count keeps it smooth math end-to-end (sums and
-    scalar ops, no data-dependent branches), so an unrolled SQL CTE
-    replays it exactly; dangling mass is redistributed uniformly each
-    step, keeping the distribution normalized."""
-    e = edges.select("src", "dst").persist()
+    Iterative DataFrame loop, shaped so the per-iteration cost is
+    minimal: the out-degree is folded into the edge table ONCE and the
+    result is hash-partitioned by src and persisted — every iteration's
+    edge ⋈ rank join then reuses that partitioning and exchanges only
+    the node-sized rank vector, followed by one shuffle keyed by dst
+    for the contribution sum. A fixed iteration count keeps it smooth
+    math end-to-end (sums and scalar ops, no data-dependent branches),
+    so an unrolled SQL CTE replays it exactly; dangling mass is
+    redistributed uniformly each step, keeping the distribution
+    normalized."""
+    e = edges.select("src", "dst")
     nodes = (
         e.select(F.col("src").alias("v"))
         .unionAll(e.select(F.col("dst").alias("v")))
@@ -222,11 +224,11 @@ def pagerank(
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(outdeg, "src").repartition("src").persist()
     ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks.withColumnRenamed("v", "src"), "src")
-            .join(outdeg, "src")
+            ed.join(ranks.withColumnRenamed("v", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
         )

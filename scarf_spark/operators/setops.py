@@ -69,3 +69,20 @@ def edge_union(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
     return edges_a.select("src", "dst").union(edges_b.select("src", "dst")).dropDuplicates(
         ["src", "dst"]
     )
+
+
+def set_intersect(df: DataFrame, other: DataFrame, key: str) -> DataFrame:
+    """Key intersection as a LEFT SEMI join — the selection twin of
+    :func:`set_subtract` (reference: boolean-index AND over cell keys,
+    ``scarf/datastore/base_datastore.py`` cell_key composition). Semi
+    joins shuffle only the key column of the probe side and never
+    duplicate rows, unlike an INNER join against a non-unique key."""
+    return df.join(other.select(key).distinct(), key, "left_semi")
+
+
+def set_anti(df: DataFrame, other: DataFrame, key: str) -> DataFrame:
+    """Orphan finder: rows of ``df`` whose key has NO match in ``other``
+    (LEFT ANTI join — NOT EXISTS). The referential-integrity audit every
+    warehouse load runs; Spark plans the same broadcast/shuffled hash
+    join as the semi form, moving only keys."""
+    return df.join(other.select(key).distinct(), key, "left_anti")

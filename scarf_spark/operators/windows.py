@@ -211,3 +211,20 @@ def event_gaps(events: DataFrame, ts_col: str = "ts", user_col: str = "user_id")
         F.round(F.sum("_gap_us").cast("double") / F.lit(1000000.0), 6).alias("sum_gap_s"),
         F.round(F.max("_gap_us").cast("double") / F.lit(1000000.0), 6).alias("max_gap_s"),
     )
+
+
+def rank_distribution(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """percent_rank + cume_dist per group — the relative-standing
+    surface next to rank/dense_rank (the reference expresses marker
+    ranks as fractional positions, ``scarf/markers.py`` rank
+    normalization). Ties broken on id for cross-engine determinism; one
+    shuffle keyed by the group."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )

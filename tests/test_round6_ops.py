@@ -200,3 +200,43 @@ def test_corr_manual_perfect_and_anti(spark):
     out = {r["g"]: r["corr"] for r in corr_manual(df, "g", "x", "y").collect()}
     assert out["pos"] == 1.0
     assert out["neg"] == -1.0
+
+
+def test_set_intersect_and_anti_partition(spark):
+    from scarf_spark.operators.setops import set_anti, set_intersect
+
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "k long, v string")
+    other = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "k long")
+    inter = sorted(r["k"] for r in set_intersect(df, other, "k").collect())
+    anti = sorted(r["k"] for r in set_anti(df, other, "k").collect())
+    assert inter == [0, 2, 4, 6, 8]
+    assert anti == [1, 3, 5, 7, 9]
+    assert sorted(inter + anti) == list(range(10))
+
+
+def test_rank_distribution(spark):
+    from scarf_spark.operators.windows import rank_distribution
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([10, 20, 30, 40])],
+        "grp string, id long, v double",
+    )
+    out = {r["id"]: (r["pct_rank"], r["cume_dist"])
+           for r in rank_distribution(df, "grp", "v", "id").collect()}
+    assert out[0] == (0.0, 0.25)
+    assert out[3] == (1.0, 1.0)
+    assert out[1] == (round(1 / 3, 6), 0.5)
+
+
+def test_moment_stats_known_distribution(spark):
+    # symmetric values -> skew 0; two-point +-1 -> kurtosis excess -2
+    df = spark.createDataFrame(
+        [("g", v) for v in [-1.0, 1.0] * 50], "grp string, v double"
+    )
+    from scarf_spark.operators.aggregate import moment_stats
+
+    row = moment_stats(df, "grp", "v").collect()[0]
+    assert row["mean"] == 0.0
+    assert row["var_pop"] == 1.0
+    assert row["skewness"] == 0.0
+    assert row["kurtosis_excess"] == -2.0
