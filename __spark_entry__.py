@@ -3089,6 +3089,83 @@ def agg_moments(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Pure-SQL front door: the same ANSI SQL text runs through spark.sql
+# over registered views AND through the DuckDB oracle — demonstrating
+# the engine's SQL surface (Catalyst parses, optimizes, and executes
+# the identical statement; TPC-H shapes Q1/Q3/Q6 on the star schema).
+# ---------------------------------------------------------------------------
+
+_VIEWS_REGISTERED: set = set()
+
+
+def _sql_query(spark, sf_dir, sql):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VIEWS_REGISTERED:
+        ds = _ds(spark, sf_dir)
+        for t in ds.table_names():
+            ds.table(t).createOrReplaceTempView(t)
+        _VIEWS_REGISTERED.add(key)
+    return spark.sql(sql)
+
+
+# All money math in DECIMAL: the inputs are cents-quantized doubles, so
+# the DECIMAL(18,2) cast is unambiguous, every product/sum is exact (no
+# accumulation-order sensitivity — a corpus-wide double SUM can drift
+# ~1e-5 between engines, past any ROUND), and the final DOUBLE cast of
+# an exact decimal is correctly rounded everywhere.
+_SQL_Q1 = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2))) "
+    "* (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+_SQL_Q3 = (
+    "SELECT o.o_orderkey, "
+    "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, "
+    "CAST(o.o_orderdate AS DATE) AS orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+    "AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+    "GROUP BY o.o_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+)
+
+_SQL_Q6 = (
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+)
+
+
+@q("sql_q1", _SQL_Q1)
+def sql_q1(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q1)
+
+
+@q("sql_q3", _SQL_Q3)
+def sql_q3(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q3)
+
+
+@q("sql_q6", _SQL_Q6)
+def sql_q6(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q6)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

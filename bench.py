@@ -148,6 +148,11 @@ def _extra_headliners() -> set[str]:
         "ann_pq",
         "text_boilerplate",
         "samp_temperature",
+        "sql_q1",
+        "sql_q3",
+        "win_lead_lag",
+        "agg_moments",
+        "win_percentile",
         "ml_lisi",
         # round-5 additions
         "text_chunk",
