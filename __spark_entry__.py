@@ -3237,7 +3237,7 @@ _PRIORITY = [
     # joins (range, genomic-bin, alignment, as-of)
     "join_interval_overlap", "join_genome_bin", "join_align_features", "join_asof",
     # set operations
-    "set_merge_feats_dedup", "set_disambiguate",
+    "sql_q1", "set_disambiguate",
     # marker search
     "mark_stats", "mark_regression",
     # similarity search: exact + LSH + IVF
