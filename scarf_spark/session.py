@@ -36,6 +36,14 @@ def get_spark(
         # All dim tables (region/nation/customer/part/...) are tiny next to
         # the fact table — make sure they always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level filtering: build a bloom filter from the
+        # small side of a shuffle join and push it into the big side's
+        # scan — at 100 TB this prunes fact-table rows before the
+        # exchange for selective dim joins that exceed the broadcast
+        # threshold.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # COUNT/MIN/MAX answered from parquet footers, no row scan.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Arrow for every pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.
