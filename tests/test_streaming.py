@@ -179,3 +179,31 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert got2.count((ws10, 1)) == 1, "late event re-emitted a finalized window"
     assert (ws12, 1) in got2  # only the 12:30 event; late 10:15 dropped
     assert not any(w == ws10 and n != 1 for w, n in got2)
+
+
+def test_kmv_stream_matches_batch_sketch(spark, sf_dir, events_batch):
+    """The streaming KMV sketch's final update per key equals the
+    oracle-verified batch sketch (same hash, same estimator)."""
+    from scarf_spark.operators.aggregate import kmv_distinct
+
+    batch = {
+        r["event_type"]: (r["exact_ndv"], r["h_k"], r["est_ndv"])
+        for r in kmv_distinct(events_batch, "event_type", "user_id", k=64).collect()
+    }
+    stream = strm.kmv_distinct_stream(
+        strm.read_events_stream(spark, sf_dir), k=64
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kmv_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # one file -> one trigger -> the last update per key is the total
+    got = {
+        r["event_type"]: (r["exact_ndv"], r["h_k"], r["est_ndv"])
+        for r in spark.sql("SELECT * FROM kmv_updates").collect()
+    }
+    assert got == batch
