@@ -3165,6 +3165,23 @@ def sql_q6(spark, sf_dir):
     return _sql_query(spark, sf_dir, _SQL_Q6)
 
 
+@q(
+    "norm_pearson_residual",
+    f"WITH {COUNTS_CTE}, "
+    "ct AS (SELECT cell_id, SUM(value) AS _nc FROM counts GROUP BY cell_id), "
+    "ft AS (SELECT feat_id, SUM(value) AS _fg FROM counts GROUP BY feat_id), "
+    "g AS (SELECT SUM(_fg) AS _N FROM ft) "
+    "SELECT c.cell_id, c.feat_id, "
+    "ROUND((c.value - _nc * _fg / _N) "
+    "/ SQRT(_nc * _fg / _N + (_nc * _fg / _N) * (_nc * _fg / _N) / 100.0), 6) "
+    "AS residual "
+    "FROM counts c JOIN ct ON c.cell_id = ct.cell_id "
+    "JOIN ft ON c.feat_id = ft.feat_id CROSS JOIN g",
+)
+def norm_pearson_residual(spark, sf_dir):
+    return normalize.norm_pearson_residual(_ds(spark, sf_dir).counts(), theta=100.0)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

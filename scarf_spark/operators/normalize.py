@@ -103,3 +103,35 @@ def zscale_per_feature(df: DataFrame, value_col: str = "value",
         df.join(F.broadcast(stats), "feat_id")
         .select("cell_id", "feat_id", F.round(z, 6).alias(out))
     )
+
+
+def norm_pearson_residual(
+    counts: DataFrame, theta: float = 100.0, out: str = "residual"
+) -> DataFrame:
+    """Analytic Pearson residuals (Lause/Berens/Kobak, Genome Biology
+    2021 — the modern replacement for log-library normalization in
+    scRNA pipelines; the reference's CLR/TF-IDF sit in the same slot):
+
+        mu_cg = n_c * f_g / N
+        r_cg  = (x_cg - mu_cg) / sqrt(mu_cg + mu_cg^2 / theta)
+
+    computed for the STORED (nonzero) entries of the sparse COO —
+    absent entries' residuals are a deterministic function of (c, g)
+    alone and are materialized only by densifying consumers, same
+    convention as the reference's sparse normalizations.
+
+    Plan: two dimension-sized aggregates (cell totals, feature totals —
+    one shuffle of state each), grand total from the feature totals,
+    then ONE broadcast join back to the fact table — the fact rows are
+    never shuffled."""
+    cell_tot = counts.groupBy("cell_id").agg(F.sum("value").alias("_nc"))
+    feat_tot = counts.groupBy("feat_id").agg(F.sum("value").alias("_fg"))
+    grand = feat_tot.agg(F.sum("_fg").alias("_N"))
+    mu = F.col("_nc") * F.col("_fg") / F.col("_N")
+    r = (F.col("value") - mu) / F.sqrt(mu + mu * mu / F.lit(theta))
+    return (
+        counts.join(F.broadcast(cell_tot), "cell_id")
+        .join(F.broadcast(feat_tot), "feat_id")
+        .crossJoin(F.broadcast(grand))
+        .select("cell_id", "feat_id", F.round(r, 6).alias(out))
+    )

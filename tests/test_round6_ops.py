@@ -240,3 +240,20 @@ def test_moment_stats_known_distribution(spark):
     assert row["var_pop"] == 1.0
     assert row["skewness"] == 0.0
     assert row["kurtosis_excess"] == -2.0
+
+
+def test_pearson_residual_properties(spark):
+    from scarf_spark.operators.normalize import norm_pearson_residual
+
+    # uniform matrix: every entry equals its expectation -> residual 0
+    rows = [(c, g, 2.0) for c in range(4) for g in range(3)]
+    counts = spark.createDataFrame(rows, "cell_id long, feat_id long, value double")
+    out = norm_pearson_residual(counts, theta=100.0).collect()
+    assert len(out) == 12
+    assert all(r["residual"] == 0.0 for r in out)
+    # an overexpressed entry gets a positive residual
+    rows[0] = (0, 0, 10.0)
+    counts2 = spark.createDataFrame(rows, "cell_id long, feat_id long, value double")
+    out2 = {(r["cell_id"], r["feat_id"]): r["residual"]
+            for r in norm_pearson_residual(counts2, theta=100.0).collect()}
+    assert out2[(0, 0)] > 0
