@@ -3182,6 +3182,19 @@ def norm_pearson_residual(spark, sf_dir):
     return normalize.norm_pearson_residual(_ds(spark, sf_dir).counts(), theta=100.0)
 
 
+@q(
+    "norm_quantile",
+    f"WITH {COUNTS_CTE}, "
+    "rk AS (SELECT cell_id, feat_id, value, ROW_NUMBER() OVER "
+    "(PARTITION BY cell_id ORDER BY value, feat_id) AS _rk FROM counts), "
+    "rm AS (SELECT _rk, SUM(value) / COUNT(*) AS _rm FROM rk GROUP BY _rk) "
+    "SELECT rk.cell_id, rk.feat_id, ROUND(_rm, 6) AS qnorm "
+    "FROM rk JOIN rm ON rk._rk = rm._rk",
+)
+def norm_quantile(spark, sf_dir):
+    return normalize.norm_quantile(_ds(spark, sf_dir).counts())
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ reused and the fact table shuffles once; denominator tables are tiny
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,4 +134,29 @@ def norm_pearson_residual(
         .join(F.broadcast(feat_tot), "feat_id")
         .crossJoin(F.broadcast(grand))
         .select("cell_id", "feat_id", F.round(r, 6).alias(out))
+    )
+
+
+def norm_quantile(counts: DataFrame, out: str = "qnorm") -> DataFrame:
+    """Quantile normalization (limma-style) over the stored entries:
+    rank values within each cell (deterministic (value, feat_id)
+    order), average the value at each rank across cells, then give
+    every entry the mean of its rank — after this, every cell has an
+    identical value distribution.
+
+    Plan: one per-cell ranking window (shuffle keyed by cell — bounded
+    by the largest cell), one rank-keyed aggregate whose state is
+    |ranks| rows (= max nnz per cell), broadcast the tiny rank→mean map
+    back. The fact table is shuffled once; the rank table is
+    dimension-sized."""
+    w = Window.partitionBy("cell_id").orderBy(F.col("value"), F.col("feat_id"))
+    ranked = counts.select(
+        "cell_id", "feat_id", "value", F.row_number().over(w).alias("_rk")
+    )
+    rank_means = ranked.groupBy("_rk").agg(
+        (F.sum("value") / F.count("*")).alias("_rm")
+    )
+    return (
+        ranked.join(F.broadcast(rank_means), "_rk")
+        .select("cell_id", "feat_id", F.round(F.col("_rm"), 6).alias(out))
     )

@@ -257,3 +257,19 @@ def test_pearson_residual_properties(spark):
     out2 = {(r["cell_id"], r["feat_id"]): r["residual"]
             for r in norm_pearson_residual(counts2, theta=100.0).collect()}
     assert out2[(0, 0)] > 0
+
+
+def test_quantile_normalization_equalizes_distributions(spark):
+    from scarf_spark.operators.normalize import norm_quantile
+
+    rows = [
+        (1, 10, 1.0), (1, 11, 5.0), (1, 12, 9.0),
+        (2, 10, 2.0), (2, 11, 4.0), (2, 12, 12.0),
+    ]
+    counts = spark.createDataFrame(rows, "cell_id long, feat_id long, value double")
+    out = norm_quantile(counts).collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r["cell_id"], []).append(r["qnorm"])
+    # identical sorted distributions per cell: rank means (1.5, 4.5, 10.5)
+    assert sorted(per_cell[1]) == sorted(per_cell[2]) == [1.5, 4.5, 10.5]
