@@ -64,3 +64,25 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     )[1][:200]
     n_click = ev.where("event_type = 'click'").count()
     assert df.count() == n_click
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Hive-style partitionBy layout: a filter on the partition column
+    must prune directories at planning time (PartitionFilters reach the
+    scan; non-matching partitions are never listed into the plan) — the
+    date/tenant layout of a 100 TB events table."""
+    from scarf_spark.catalog import DataStore
+
+    out = str(tmp_path_factory.mktemp("part_events"))
+    ev = DataStore(spark, sf_dir).events
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # count matches the unpartitioned filter
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
+    # only the matching partition directory is actually read at runtime
+    # (inputFiles() reports the pre-pruning listing, so ask execution)
+    read_files = [r[0] for r in back.select(F.input_file_name()).distinct().collect()]
+    assert read_files and all("event_type=click" in f for f in read_files)
+    shutil.rmtree(out, ignore_errors=True)
