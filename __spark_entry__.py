@@ -3195,6 +3195,24 @@ def norm_quantile(spark, sf_dir):
     return normalize.norm_quantile(_ds(spark, sf_dir).counts())
 
 
+@q(
+    "text_tfidf_top",
+    "WITH nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), "
+    "words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2), "
+    "dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "sc AS (SELECT doc_id, tf.term, "
+    "ROUND(tf * LN(CAST((SELECT n FROM nd) AS DOUBLE) / df), 6) AS tfidf "
+    "FROM tf JOIN dfx ON tf.term = dfx.term) "
+    "SELECT doc_id, rn AS rank, term, tfidf FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY tfidf DESC, term) AS rn FROM sc) WHERE rn <= 3",
+)
+def text_tfidf_top(spark, sf_dir):
+    return text.tfidf_top_terms(_ds(spark, sf_dir).documents, top_n=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

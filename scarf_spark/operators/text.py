@@ -6,7 +6,7 @@ they run inside whole-stage codegen at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -282,4 +282,40 @@ def boilerplate_stats(
             "n_boiler",
             F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_ratio"),
         )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-N terms by TF-IDF — the IR ranking twin of the
+    ATAC TF-IDF normalization (``scarf/assay.py:81-94``), over the
+    corpus table: tf = in-doc term count, idf = ln(N / df).
+
+    Scores are ROUND(6)-ed BEFORE ranking so the (score, term) order is
+    engine-portable (ln is only 1-ulp reproducible across libms; the
+    rounding collapses that under the tie-break). Two corpus-keyed
+    aggregates + a per-doc top-N window — shuffle keys are term and
+    doc, never a pair blowup."""
+    n_docs = docs.select(id_col).distinct().count()
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    ).alias("tfidf")
+    scored = tf.join(F.broadcast(df_), "term").select(id_col, "term", score)
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .select(id_col, F.col("rn").alias("rank"), "term", "tfidf")
     )

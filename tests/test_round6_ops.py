@@ -273,3 +273,23 @@ def test_quantile_normalization_equalizes_distributions(spark):
         per_cell.setdefault(r["cell_id"], []).append(r["qnorm"])
     # identical sorted distributions per cell: rank means (1.5, 4.5, 10.5)
     assert sorted(per_cell[1]) == sorted(per_cell[2]) == [1.5, 4.5, 10.5]
+
+
+def test_tfidf_top_terms(spark):
+    from scarf_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [r for r in tfidf_top_terms(docs, top_n=1).collect()]
+    best = {r["doc_id"]: r["term"] for r in out}
+    # the doc-unique rare term wins per doc: apple 2*ln(3) in doc 1,
+    # durian ln(3) > cherry 2*ln(3/2) in doc 3
+    assert best[1] == "apple"
+    assert best[3] == "durian"
+    assert all(r["rank"] == 1 for r in out)
