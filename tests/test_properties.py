@@ -169,3 +169,66 @@ def test_merge_count_conservation(spark, sf_dir):
     tot = merged.agg(F.sum("value")).collect()[0][0]
     orig = t.agg(F.sum("value")).collect()[0][0]
     assert tot == 2 * orig
+
+
+@SET
+@given(
+    n=st.integers(min_value=10, max_value=300),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_kmv_sketch_partitioning_invariant(spark, n, parts):
+    """The KMV sketch (hash order + distinct) must not depend on how the
+    input is partitioned — the core portability claim of the sketch."""
+    from scarf_spark.operators.aggregate import kmv_distinct
+
+    df = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 7919 % 997).alias("key"),
+    )
+    a = sorted(map(tuple, kmv_distinct(df, "grp", "key", k=8).collect()))
+    b = sorted(map(tuple, kmv_distinct(df.repartition(parts), "grp", "key", k=8).collect()))
+    assert a == b
+
+
+@SET
+@given(parts=st.integers(min_value=1, max_value=9))
+def test_temperature_sample_partitioning_invariant(spark, parts):
+    from scarf_spark.operators.filters import temperature_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in
+               temperature_sample(docs, "source", "doc_id", 50, 2.0).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_sample(docs.repartition(parts), "source", "doc_id", 50, 2.0).collect())
+    assert a == b
+
+
+def test_pagerank_mass_conserved_on_knn_graph(spark, sf_dir):
+    """No dangling nodes in a KNN graph -> total rank stays 1 after any
+    number of damped iterations."""
+    import __spark_entry__ as E
+    from scarf_spark.operators.graph import pagerank
+
+    edges = E._knn_edges(spark, sf_dir)
+    total = (
+        pagerank(edges, n_iter=2).agg(F.sum("pagerank").alias("s")).collect()[0]["s"]
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_pivot_preserves_group_totals(spark, sf_dir):
+    """Row sums of the pivot equal the per-user total of the long form."""
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.aggregate import pivot_wide
+
+    ev = DataStore(spark, sf_dir).events
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    wide = pivot_wide(ev, "user_id", "event_type", sorted(types), "value")
+    row_sum = sum(F.col(t) for t in sorted(types))
+    a = {r["user_id"]: round(r["s"], 4) for r in
+         wide.select("user_id", row_sum.alias("s")).collect()}
+    b = {r["user_id"]: round(r["s"], 4) for r in
+         ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("s")).collect()}
+    # pivot rounds per cell; compare at the coarser 1e-4 grid
+    assert a == b
