@@ -1,0 +1,126 @@
+"""Scale smoke: run the engine's scale-critical kernels on synthetic
+10M–50M-row inputs (100–1000× the sf0.1 fixtures) and print one JSON
+line per kernel — wall seconds and the rows-per-second the local[N] box
+sustains. This is the local evidence behind SCALE.md's claims: the same
+plans at 100 TB only change by partition count, not shape.
+
+Inputs are generated with spark.range (no driver materialization, no
+files): this harness exercises PLANS, shuffles, and memory behavior —
+correctness at these sizes is covered by the partitioning-invariance
+properties and the oracle gate at the fixture SFs.
+
+Usage: python tools/scale_smoke.py [rows_millions]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def timed(name, df, results):
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    results[name] = round(dt, 2)
+    print(f"  {name}: {dt:.1f}s", file=sys.stderr)
+
+
+def main() -> None:
+    from scarf_spark.session import get_spark
+
+    mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    n = int(mrows * 1e6)
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+
+    # synthetic COO fact table: ~n rows, 100k cells x 2k feats
+    counts = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 100_000).alias("cell_id"),
+            ((F.col("id") * 7919) % 2_000).alias("feat_id"),
+            ((F.col("id") % 50) + 1.0).alias("value"),
+        )
+    )
+
+    # 1. hash-agg QC: the engine's bread-and-butter single shuffle
+    timed("qc_agg_ncounts", counts.groupBy("cell_id").agg(F.sum("value")), results)
+
+    # 2. broadcast-join normalization: agg + broadcast back, fact never
+    # reshuffled
+    tot = counts.groupBy("cell_id").agg(F.sum("value").alias("_t"))
+    timed(
+        "norm_broadcast_join",
+        counts.join(F.broadcast(tot), "cell_id").select(
+            "cell_id", "feat_id", (F.col("value") / F.col("_t")).alias("nv")
+        ),
+        results,
+    )
+
+    # 3. distributed exact global ntile — grid branch (the plan that
+    # replaces the single-partition window at scale)
+    from scarf_spark.operators.windows import global_ntile
+
+    vals = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 2654435761) % 1_000_003).cast("double").alias("x")
+    )
+    timed(
+        "global_ntile_grid",
+        global_ntile(vals, ["x", "id"], 100, small_threshold=0),
+        results,
+    )
+
+    # 4. KMV sketch over a high-cardinality key (distinct + window + agg)
+    from scarf_spark.operators.aggregate import kmv_distinct
+
+    ev = spark.range(n).select(
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        ((F.col("id") * 104729) % 10_000_019).alias("user_id"),
+    )
+    timed("kmv_sketch", kmv_distinct(ev, "event_type", "user_id", k=64), results)
+
+    # 5. one PageRank iteration on a 5M-edge graph (edge join + agg)
+    e = spark.range(min(n, 5_000_000)).select(
+        (F.col("id") % 1_000_000).alias("src"),
+        ((F.col("id") * 31) % 1_000_000).alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = e.select(F.col("src").alias("v")).distinct().select(
+        "v", F.lit(1e-6).alias("r")
+    )
+    timed(
+        "pagerank_iteration",
+        e.join(deg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("r") / F.col("deg"))),
+        results,
+    )
+
+    total = round(sum(results.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke_total",
+                "value": total,
+                "unit": "sec",
+                "rows": n,
+                "kernels": results,
+                "mrows_per_sec": {
+                    k: round(n / 1e6 / v, 1) if v else None for k, v in results.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
