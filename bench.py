@@ -153,6 +153,10 @@ def _extra_headliners() -> set[str]:
         "win_lead_lag",
         "agg_moments",
         "win_percentile",
+        "mark_stats",
+        "norm_quantile",
+        "norm_pearson_residual",
+        "text_tfidf_top",
         "ml_lisi",
         # round-5 additions
         "text_chunk",
