@@ -37,40 +37,52 @@ def marker_stats(
     N = F.lit(float(n_cells))
     sizes = cell_groups.groupBy(group_col).agg(F.count("*").alias("n_g"))
 
-    # Per-feature global aggregates over present rows.
-    ftot = counts.groupBy("feat_id").agg(
-        F.sum("value").alias("tot"), F.count("*").alias("nnz")
+    # One (feat, value) histogram pass feeds BOTH the per-feature
+    # totals and the tie-correction: tot = Σ value·t, nnz = Σ t,
+    # tie_p = Σ (t³−t). One scan of the fact table instead of two, and
+    # the per-feature regroup moves only histogram rows.
+    vt = counts.groupBy("feat_id", "value").agg(F.count("*").alias("t"))
+    ftot = vt.groupBy("feat_id").agg(
+        F.sum(F.col("value") * F.col("t")).alias("tot"),
+        F.sum("t").alias("nnz"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_p"),
     )
 
-    # Ranks among present rows (ties averaged / dense), then offset by
-    # the n0 zero cells to recover dense-matrix ranks.
+    # Ranks computed on the HISTOGRAM, not the rows: for count data the
+    # (feat, value) histogram is tiny next to the fact table (discrete
+    # values), and every row tied at value v shares the identical
+    # average rank cum_before(v) + (t+1)/2 — so the per-group rank sum
+    # is c_gv · r_avg(v), summed over histogram cells. This removes the
+    # row-level window entirely (the old plan's dominant sort); all
+    # quantities are exactly-representable halves/integers in double,
+    # so the rewrite is bit-identical to the row-wise form.
     wv = Window.partitionBy("feat_id").orderBy("value")
-    wt = Window.partitionBy("feat_id", "value")
-    ranked = counts.select(
-        "cell_id",
+    hist = vt.select(
         "feat_id",
         "value",
-        (F.rank().over(wv) + (F.count("*").over(wt) - 1) / F.lit(2.0)).alias("r_avg_p"),
-        (F.dense_rank().over(wv)).alias("r_dense_p"),
+        "t",
+        ((F.sum("t").over(wv) - F.col("t")) + (F.col("t") + 1) / F.lit(2.0)).alias(
+            "r_avg_p"
+        ),
+        F.row_number().over(wv).alias("r_dense_p"),
     )
 
-    # Tie-correction term over present values: sum(t^3 - t).
-    ties = (
-        counts.groupBy("feat_id", "value")
-        .agg(F.count("*").alias("t"))
-        .groupBy("feat_id")
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_p"))
+    # Per (feat, group, value) present-row counts, then fold in the
+    # histogram ranks — the join key (feat, value) matches the window
+    # partitioning, so no extra shuffle of the histogram.
+    gv = (
+        counts.join(F.broadcast(cell_groups), "cell_id")
+        .groupBy("feat_id", group_col, "value")
+        .agg(F.count("*").alias("c"))
     )
-
-    # Per (feat, group) aggregates of present rows.
     g = (
-        ranked.join(F.broadcast(cell_groups), "cell_id")
+        gv.join(hist, ["feat_id", "value"])
         .groupBy("feat_id", group_col)
         .agg(
-            F.sum("value").alias("sum_g"),
-            F.count("*").alias("nnz_g"),
-            F.sum("r_avg_p").alias("rsum_p_g"),
-            F.sum("r_dense_p").alias("dsum_p_g"),
+            F.sum(F.col("value") * F.col("c")).alias("sum_g"),
+            F.sum("c").alias("nnz_g"),
+            F.sum(F.col("c") * F.col("r_avg_p")).alias("rsum_p_g"),
+            F.sum(F.col("c") * F.col("r_dense_p")).alias("dsum_p_g"),
         )
     )
 
@@ -111,7 +123,7 @@ def marker_stats(
     fold = F.when(mean_rest != 0, mean_g / mean_rest).otherwise(F.lit(0.0))
 
     return (
-        full.join(ties, "feat_id", "left_outer")
+        full
         .select(
             "feat_id",
             group_col,
