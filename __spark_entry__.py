@@ -1061,10 +1061,14 @@ _SHINGLE_CTE = (
 
 _MINHASH_CTE = (
     f"{_SHINGLE_CTE}, "
-    "sg AS (SELECT doc_id, t.seed, MIN(md5(t.seed || '_' || shingle)) AS mh "
+    # numeric 60-bit minhash (primitive agg state engine-side); bands
+    # hash the '_'-joined decimal renderings in seed order
+    "sg AS (SELECT doc_id, t.seed, "
+    "MIN(('0x' || substr(md5(t.seed || '_' || shingle), 1, 15))::BIGINT) AS mh "
     "FROM sh, generate_series(0, 7) t(seed) GROUP BY 1, 2), "
     "bk AS (SELECT doc_id, seed // 2 AS band, "
-    "md5(string_agg(mh, '' ORDER BY seed)) AS bucket FROM sg GROUP BY 1, 2)"
+    "md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed)) AS bucket "
+    "FROM sg GROUP BY 1, 2)"
 )
 
 

@@ -81,9 +81,12 @@ def word_shingles(
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per (doc, seed): lexicographic min of
-    md5(seed || '_' || shingle) — a string-valued minhash that any
-    engine reproduces exactly. (doc_id, seed, mh).
+    """MinHash signature per (doc, seed): numeric min of the first 60
+    bits of md5(seed || '_' || shingle) — engine-exact (both sides
+    parse the same 15 hex chars to a BIGINT) and, unlike a min over
+    hex STRINGS, aggregates in primitive long state: at 20M shingles
+    the string-state hash agg measured ~4x slower (tools/scale_smoke).
+    (doc_id, seed, mh).
 
     Long-form view over :func:`minhash_signatures_wide` (kept for API
     compatibility; the wide form is the execution shape)."""
@@ -104,7 +107,13 @@ def minhash_signatures_wide(
     expressions computed map-side (partial agg) — no seeds cross join,
     no n_hashes× row blowup through the shuffle. (doc_id, mh0..mhN)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}_"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}_"), F.col("shingle"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -123,7 +132,9 @@ def lsh_band_buckets(
         .select(
             id_col,
             "band",
-            F.md5(F.concat_ws("", F.transform(F.col("_s"), lambda s: s["mh"]))).alias("bucket"),
+            F.md5(
+                F.concat_ws("_", F.transform(F.col("_s"), lambda s: s["mh"].cast("string")))
+            ).alias("bucket"),
         )
     )
 
@@ -138,7 +149,13 @@ def lsh_band_buckets_wide(
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
-                F.concat(*[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)])
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
             ).alias("bucket"),
         )
         for b in range(n_bands)
