@@ -3217,6 +3217,41 @@ def text_tfidf_top(spark, sf_dir):
     return text.tfidf_top_terms(_ds(spark, sf_dir).documents, top_n=3)
 
 
+@q(
+    "text_quality_filter",
+    f"WITH {_WORDS_CTE}, "
+    "f AS (SELECT doc_id, "
+    "list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
+    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS mtl, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
+    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS sr, "
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+    "/ CAST(greatest(length(text), 1) AS DOUBLE) AS ar FROM w), "
+    "q AS (SELECT doc_id, "
+    "ROUND(0.4 * LEAST(sr * 5.0, 1.0) + 0.3 * ar + 0.3 * LEAST(mtl / 10.0, 1.0), 6) "
+    "AS quality FROM f), "
+    "h AS (SELECT doc_id, "
+    f"len(list_filter(ws, x -> list_contains({_DE_SW}, lower(x)))) AS h_de, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) AS h_en, "
+    f"len(list_filter(ws, x -> list_contains({_FR_SW}, lower(x)))) AS h_fr FROM w), "
+    "l AS (SELECT doc_id, CASE WHEN h_de >= h_en AND h_de >= h_fr THEN 'de' "
+    "WHEN h_en >= h_fr THEN 'en' ELSE 'fr' END AS pred_lang FROM h), "
+    "j AS (SELECT d.doc_id, length(d.text) AS n_chars, l.pred_lang, q.quality, "
+    "(CASE WHEN length(d.text) < 200 THEN 1 ELSE 0 END "
+    "+ CASE WHEN l.pred_lang NOT IN ('en', 'de') THEN 2 ELSE 0 END "
+    "+ CASE WHEN q.quality < 0.5 THEN 4 ELSE 0 END) AS reasons "
+    "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+    "JOIN l ON d.doc_id = l.doc_id) "
+    "SELECT doc_id, n_chars, pred_lang, quality, reasons, "
+    "reasons = 0 AS keep FROM j",
+)
+def text_quality_filter(spark, sf_dir):
+    return text.quality_filter(
+        _ds(spark, sf_dir).documents, min_chars=200, min_quality=0.5,
+        langs=("en", "de"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -319,3 +319,38 @@ def tfidf_top_terms(
         .where(F.col("rn") <= top_n)
         .select(id_col, F.col("rn").alias("rank"), "term", "tfidf")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_chars: int = 200,
+    min_quality: float = 0.5,
+    langs: tuple = ("en", "de"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite corpus admission filter — the decision layer every
+    training-data pipeline ships on top of the individual signals:
+    keep iff (length ≥ min_chars) ∧ (predicted language allowed) ∧
+    (quality ≥ min_quality), with a reason bitmask (1 = too short,
+    2 = language, 4 = quality) so rejected docs stay auditable.
+
+    Pure composition of :func:`quality_score` and :func:`lang_id` —
+    two codegen passes over the corpus joined on the doc key; the
+    thresholds compare ROUNDED scores, so the keep decision is as
+    engine-portable as the scores themselves."""
+    qs = quality_score(docs, id_col=id_col).select(id_col, "quality")
+    li = lang_id(docs, id_col=id_col).select(id_col, "pred_lang")
+    base = docs.select(id_col, F.length("text").alias("_len"))
+    j = base.join(qs, id_col).join(li, id_col)
+    r_short = F.when(F.col("_len") < min_chars, 1).otherwise(0)
+    r_lang = F.when(~F.col("pred_lang").isin(*langs), 2).otherwise(0)
+    r_qual = F.when(F.col("quality") < min_quality, 4).otherwise(0)
+    reasons = r_short + r_lang + r_qual
+    return j.select(
+        id_col,
+        F.col("_len").alias("n_chars"),
+        "pred_lang",
+        "quality",
+        reasons.alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )

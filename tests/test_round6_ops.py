@@ -293,3 +293,22 @@ def test_tfidf_top_terms(spark):
     assert best[1] == "apple"
     assert best[3] == "durian"
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_quality_filter_reason_bits(spark):
+    from scarf_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is it that for a " * 30),   # long, en, high quality
+            (2, "zz"),                                         # too short + low quality
+            (3, "le la les et est un une pour dans que " * 30),  # fr -> lang reject
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           quality_filter(docs, min_chars=100, min_quality=0.3,
+                          langs=("en", "de")).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == 0
+    assert out[2]["keep"] is False and out[2]["reasons"] & 1
+    assert out[3]["keep"] is False and out[3]["reasons"] == 2
