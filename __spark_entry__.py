@@ -3252,6 +3252,34 @@ def text_quality_filter(spark, sf_dir):
     )
 
 
+@q(
+    "mm_phash_dedup",
+    f"WITH {_MEDIA_CTE}, "
+    "img AS (SELECT doc_id, text FROM media WHERE modality = 'image'), "
+    "arr AS (SELECT doc_id, list_transform(range(1, length(text) + 1), "
+    "i -> ord(substr(text, CAST(i AS INT), 1))) AS a FROM img), "
+    "st AS (SELECT doc_id, a, CAST(list_aggregate(a, 'sum') AS BIGINT) AS tot, "
+    "CAST(len(a) AS BIGINT) AS n FROM arr), "
+    # 16-bit aHash: integer cross-multiplied chunk-mean bits (FLOOR'd
+    # slice bounds — DuckDB CAST rounds where Spark truncates)
+    "ph AS (SELECT doc_id, CAST(CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 0 / 16) AS INT) + 1, CAST(FLOOR(n * 1 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 1 / 16) AS INT)) - (CAST(FLOOR(n * 0 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 1 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 1 / 16) AS INT) + 1, CAST(FLOOR(n * 2 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 2 / 16) AS INT)) - (CAST(FLOOR(n * 1 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 2 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 2 / 16) AS INT) + 1, CAST(FLOOR(n * 3 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 3 / 16) AS INT)) - (CAST(FLOOR(n * 2 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 4 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 3 / 16) AS INT) + 1, CAST(FLOOR(n * 4 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 4 / 16) AS INT)) - (CAST(FLOOR(n * 3 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 8 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 4 / 16) AS INT) + 1, CAST(FLOOR(n * 5 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 5 / 16) AS INT)) - (CAST(FLOOR(n * 4 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 16 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 5 / 16) AS INT) + 1, CAST(FLOOR(n * 6 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 6 / 16) AS INT)) - (CAST(FLOOR(n * 5 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 32 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 6 / 16) AS INT) + 1, CAST(FLOOR(n * 7 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 7 / 16) AS INT)) - (CAST(FLOOR(n * 6 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 64 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 7 / 16) AS INT) + 1, CAST(FLOOR(n * 8 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 8 / 16) AS INT)) - (CAST(FLOOR(n * 7 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 128 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 8 / 16) AS INT) + 1, CAST(FLOOR(n * 9 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 9 / 16) AS INT)) - (CAST(FLOOR(n * 8 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 256 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 9 / 16) AS INT) + 1, CAST(FLOOR(n * 10 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 10 / 16) AS INT)) - (CAST(FLOOR(n * 9 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 512 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 10 / 16) AS INT) + 1, CAST(FLOOR(n * 11 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 11 / 16) AS INT)) - (CAST(FLOOR(n * 10 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 1024 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 11 / 16) AS INT) + 1, CAST(FLOOR(n * 12 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 12 / 16) AS INT)) - (CAST(FLOOR(n * 11 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 2048 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 12 / 16) AS INT) + 1, CAST(FLOOR(n * 13 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 13 / 16) AS INT)) - (CAST(FLOOR(n * 12 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 4096 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 13 / 16) AS INT) + 1, CAST(FLOOR(n * 14 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 14 / 16) AS INT)) - (CAST(FLOOR(n * 13 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 8192 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 14 / 16) AS INT) + 1, CAST(FLOOR(n * 15 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 15 / 16) AS INT)) - (CAST(FLOOR(n * 14 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 16384 ELSE 0 END + CASE WHEN CAST(list_aggregate(list_slice(a, CAST(FLOOR(n * 15 / 16) AS INT) + 1, CAST(FLOOR(n * 16 / 16) AS INT)), 'sum') AS BIGINT) * n > tot * CAST((CAST(FLOOR(n * 16 / 16) AS INT)) - (CAST(FLOOR(n * 15 / 16) AS INT) + 1) + 1 AS BIGINT) THEN 32768 ELSE 0 END AS BIGINT) AS phash FROM st), "
+    "bands AS (SELECT doc_id, phash, 0 AS band, phash % 256 AS key FROM ph "
+    "UNION ALL SELECT doc_id, phash, 1, phash // 256 FROM ph), "
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, "
+    "x.phash AS pa, y.phash AS pb FROM bands x JOIN bands y "
+    "ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) "
+    "SELECT a, b, CAST(bit_count(CAST(xor(pa, pb) AS BIGINT)) AS INT) AS hamming "
+    "FROM cand WHERE bit_count(CAST(xor(pa, pb) AS BIGINT)) <= 3",
+)
+def mm_phash_dedup(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents).where(
+        F.col("modality") == "image"
+    )
+    return mm.phash_near_pairs(mm.ahash16(media), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -240,3 +240,76 @@ def decode_image_real(media: DataFrame):  # pragma: no cover - env-gated
             "real image decode needs Pillow; use decode_image_stub"
         ) from e
     raise NotImplementedError("wire PIL decode here when the lib ships")
+
+
+def ahash16(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit average-hash (aHash) over the payload bytes — the
+    perceptual-dedup primitive for media columns: split the byte
+    stream into 16 contiguous sixteenths, bit c = (sum of chunk c) ·
+    n_total > (total sum) · (chunk length) — an INTEGER cross-multiply,
+    so the hash is bit-exact in any engine (no float means). With the
+    stubbed decode the "pixels" are the utf-8 payload bytes; with a
+    real decoder the same expression runs over the luma plane.
+
+    Pure JVM array expressions (transform/slice/aggregate) inside
+    whole-stage codegen — no Python, no shuffle; one narrow pass."""
+    tv = F.decode(F.col("payload"), "utf-8")
+    base = media.select(F.col(id_col), tv.alias("text_view"))
+    arr = F.expr(
+        "transform(sequence(1, length(text_view)), i -> ascii(substr(text_view, i, 1)))"
+    )
+    base = base.select(id_col, arr.alias("arr"))
+    tot = F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size("arr")
+    base = base.select(id_col, "arr", tot.alias("tot"), n.alias("n"))
+    bits = []
+    for c in range(16):
+        start = (F.col("n") * c / 16).cast("int") + 1
+        end = (F.col("n") * (c + 1) / 16).cast("int")
+        ln = end - start + 1
+        chunk = F.slice("arr", start, ln)
+        csum = F.aggregate(chunk, F.lit(0).cast("long"), lambda a, x: a + x)
+        bit = (csum * F.col("n") > F.col("tot") * ln.cast("long")).cast("long")
+        bits.append(bit * F.lit(1 << c))
+    phash = bits[0]
+    for x in bits[1:]:
+        phash = phash + x
+    return base.select(id_col, phash.alias("phash"))
+
+
+def phash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate media pairs by hamming distance on the 16-bit
+    aHash, banded LSH-style: candidates must share the high or the low
+    byte (a pair within hamming ≤ 3 shares at least one exact byte when
+    no byte holds >3 flipped bits — with d ≤ 3, pigeonhole guarantees
+    one byte is clean, so the band join is exact, not approximate),
+    then the exact popcount filter. Never a cross join; the shuffle key
+    is the byte band."""
+    h = hashes.select(F.col(id_col).alias("id"), "phash")
+    banded = h.select(
+        "id", "phash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("phash") % 256).alias("key")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.floor(F.col("phash") / 256).cast("long").alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = banded.select(F.col("id").alias("a"), F.col("phash").alias("pa"), "band", "key")
+    bb = banded.select(F.col("id").alias("b"), F.col("phash").alias("pb"), "band", "key")
+    return (
+        a.join(bb, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -60,3 +60,27 @@ def test_frame_sample_survives_repartition(media):
 def test_real_codec_gated(media):
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(media)
+
+
+def test_ahash_identical_payloads_collide(spark):
+    from pyspark.sql import functions as F
+
+    from scarf_spark.operators.multimodal import ahash16, phash_near_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzaaaaaaaaaaaaaaaaaaaaaabbbbbbbbbbbbbb"),
+        ],
+        "doc_id long, text string",
+    )
+    media = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    h = ahash16(media)
+    vals = {r["doc_id"]: r["phash"] for r in h.collect()}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < (1 << 16)
+    pairs = phash_near_pairs(h, max_hamming=0).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
