@@ -3280,6 +3280,40 @@ def mm_phash_dedup(spark, sf_dir):
     return mm.phash_near_pairs(mm.ahash16(media), max_hamming=3)
 
 
+# benchmark stand-in: the 25 docs with the smallest md5(doc_id) — a
+# deterministic held-out set any engine reproduces
+_SHINGLE8 = (
+    "s8_{src} AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 7, 0)), "
+    "i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] || ' ' || ws[i + 4] "
+    "|| ' ' || ws[i + 5] || ' ' || ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8]"
+    ")) AS shingle FROM w_{src})"
+)
+
+
+@q(
+    "dedup_decontaminate",
+    "WITH bench AS (SELECT doc_id, text FROM documents "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25), "
+    "w_tr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "w_bn AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bench), "
+    + _SHINGLE8.format(src="tr") + ", "
+    + _SHINGLE8.format(src="bn") + ", "
+    "bset AS (SELECT DISTINCT shingle FROM s8_bn) "
+    "SELECT t.doc_id, COUNT(*) AS n_contaminated_ngrams "
+    "FROM s8_tr t JOIN bset ON t.shingle = bset.shingle GROUP BY t.doc_id",
+)
+def dedup_decontaminate(spark, sf_dir):
+    docs = _ds(spark, sf_dir).documents
+    bench = (
+        docs.select("doc_id", "text", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(25)
+        .drop("_h")
+    )
+    return dedup.decontaminate(docs, bench, n=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

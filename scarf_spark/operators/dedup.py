@@ -356,3 +356,30 @@ def ngram_containment(
         )
         .where(F.col("containment") >= min_containment)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the canonical pre-training hygiene
+    pass: flag every training document sharing at least one word
+    ``n``-gram with a held-out benchmark set (n=8 is the n-gram length
+    used by public LLM decontamination pipelines, e.g. GPT-3's 13-gram
+    and Llama's 8-10-gram variants).
+
+    Plan: benchmark n-grams are a SMALL distinct set → broadcast
+    semi-ish join against the train shingles (inner + count), one
+    shuffle keyed by train doc. At 100 TB the benchmark side stays
+    KB–MB-sized no matter how big the corpus is — the join never
+    shuffles the corpus."""
+    tr = word_shingles(train, n, text_col, id_col)
+    bn = word_shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(bn), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )

@@ -312,3 +312,21 @@ def test_quality_filter_reason_bits(spark):
     assert out[1]["keep"] is True and out[1]["reasons"] == 0
     assert out[2]["keep"] is False and out[2]["reasons"] & 1
     assert out[3]["keep"] is False and out[3]["reasons"] == 2
+
+
+def test_decontaminate_flags_overlap(spark):
+    from scarf_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # contains the benchmark 8-gram
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_contaminated_ngrams"]
+           for r in decontaminate(train, bench, n=8).collect()}
+    assert out == {1: 1}
