@@ -3314,6 +3314,21 @@ def dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, bench, n=8)
 
 
+@q(
+    "agg_salted_distinct",
+    # the salted two-phase plan must return exactly the plain
+    # COUNT(DISTINCT) — the oracle IS the unsalted form
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
+    "FROM events GROUP BY event_type",
+)
+def agg_salted_distinct(spark, sf_dir):
+    from scarf_spark.operators import skew
+
+    return skew.salted_count_distinct(
+        _ds(spark, sf_dir).events, ["event_type"], "user_id", n_salts=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
