@@ -157,6 +157,10 @@ def _extra_headliners() -> set[str]:
         "norm_quantile",
         "norm_pearson_residual",
         "text_tfidf_top",
+        "text_quality_filter",
+        "mm_phash_dedup",
+        "dedup_decontaminate",
+        "agg_salted_distinct",
         "ml_lisi",
         # round-5 additions
         "text_chunk",
