@@ -3395,7 +3395,7 @@ _PRIORITY = [
     # normalization
     "norm_lib_size_log", "norm_tf_idf", "norm_zscale",
     # windows / ranking
-    "win_rolling_mean", "win_ntile_bins", "agg_exact_median", "win_topk_per_group",
+    "win_rolling_mean", "win_ntile_bins", "agg_exact_median", "dedup_decontaminate",
     # grouped aggregation
     "agg_make_bulk", "agg_group_mean_z", "agg_rollup",
     # joins (range, genomic-bin, alignment, as-of)
