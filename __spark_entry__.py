@@ -3329,6 +3329,54 @@ def agg_salted_distinct(spark, sf_dir):
     )
 
 
+@q(
+    "win_range_frame",
+    # RANGE frame on exact epoch seconds — trailing-hour activity
+    "SELECT event_id, user_id, "
+    "COUNT(*) OVER w AS n_in_window, "
+    "ROUND(SUM(value) OVER w, 6) AS sum_in_window "
+    "FROM (SELECT event_id, user_id, value, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY sec "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)",
+)
+def win_range_frame(spark, sf_dir):
+    return windows.range_frame_agg(_ds(spark, sf_dir).events, window_seconds=3600)
+
+
+@q(
+    "agg_cube",
+    # CUBE sibling of agg_rollup: all four grouping sets
+    f"WITH {COUNTS_CTE}, "
+    "j AS (SELECT c.value, cu.c_mktsegment AS segment, p.p_brand AS brand "
+    "FROM counts c JOIN orders o ON c.cell_id = o.o_orderkey "
+    "JOIN customer cu ON o.o_custkey = cu.c_custkey "
+    "JOIN part p ON c.feat_id = p.p_partkey) "
+    "SELECT COALESCE(segment, 'ALL') AS segment, COALESCE(brand, 'ALL') AS brand, "
+    "CAST(SUM(value) AS DOUBLE) AS sum_value, COUNT(*) AS n "
+    "FROM j GROUP BY CUBE (segment, brand)",
+)
+def agg_cube(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    j = (
+        ds.counts()
+        .join(ds.orders, F.col("cell_id") == F.col("o_orderkey"))
+        .join(ds.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ds.part), F.col("feat_id") == F.col("p_partkey"))
+        .select("value", F.col("c_mktsegment").alias("segment"), F.col("p_brand").alias("brand"))
+    )
+    return (
+        j.cube("segment", "brand")
+        .agg(F.sum("value").cast("double").alias("sum_value"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("segment", F.lit("ALL")).alias("segment"),
+            F.coalesce("brand", F.lit("ALL")).alias("brand"),
+            "sum_value",
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

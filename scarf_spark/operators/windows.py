@@ -228,3 +228,29 @@ def rank_distribution(
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
+
+
+def range_frame_agg(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Value-RANGE window frame: for each event, the count and sum of
+    the same user's events in the trailing ``window_seconds`` — the
+    "activity in the last hour" frame that ROWS windows cannot express
+    (a ROWS frame counts rows, not elapsed time). Frame bounds are on
+    exact integer epoch seconds, so the frame membership is
+    engine-exact; one shuffle keyed by user."""
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(secs.cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return events.select(
+        F.col("event_id"),
+        F.col(user_col),
+        F.count("*").over(w).alias("n_in_window"),
+        F.round(F.sum("value").over(w), 6).alias("sum_in_window"),
+    )

@@ -330,3 +330,22 @@ def test_decontaminate_flags_overlap(spark):
     out = {r["doc_id"]: r["n_contaminated_ngrams"]
            for r in decontaminate(train, bench, n=8).collect()}
     assert out == {1: 1}
+
+
+def test_range_frame_counts_trailing_window(spark):
+    import datetime as dt
+
+    from scarf_spark.operators.windows import range_frame_agg
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, base, 1.0),
+        (2, 1, base + dt.timedelta(seconds=1800), 2.0),
+        (3, 1, base + dt.timedelta(seconds=5400), 4.0),  # 1st is out of range
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["event_id"]: (r["n_in_window"], r["sum_in_window"])
+           for r in range_frame_agg(df, window_seconds=3600).collect()}
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 3.0)
+    assert out[3] == (2, 6.0)  # events at t=1800 and t=5400 only
