@@ -19,5 +19,6 @@ from scarf_spark.streaming.events import (  # noqa: F401
     sessionize_stream,
     sliding_window_counts,
     stream_to_parquet,
+    stream_upsert_parquet,
     tumbling_window_counts,
 )

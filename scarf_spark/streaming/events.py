@@ -357,3 +357,36 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_upsert_parquet(
+    stream_df: DataFrame, out_dir: str, key_col: str = "event_id"
+) -> "object":
+    """foreachBatch de-duplicating ingest: each micro-batch is
+    anti-joined against the keys already on disk before appending — the
+    exactly-once-per-key sink a replayed/overlapping source needs
+    (plain append would double-count on source retries or file
+    re-delivery).
+
+    Per batch: one read of the existing key column (column-pruned
+    parquet scan — the footprint is the key set, not the table) + one
+    left-anti join + append. Under a table format the same contract is
+    MERGE INTO; this is the format-free equivalent. State lives on
+    disk, not in the stream: restarts are safe."""
+    import os as _os
+
+    def _write(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([key_col])
+        if _os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(out_dir)
+        ):
+            seen = spark.read.parquet(out_dir).select(key_col)
+            fresh = fresh.join(seen, key_col, "left_anti")
+        fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+    )

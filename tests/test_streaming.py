@@ -207,3 +207,26 @@ def test_kmv_stream_matches_batch_sketch(spark, sf_dir, events_batch):
         for r in spark.sql("SELECT * FROM kmv_updates").collect()
     }
     assert got == batch
+
+
+def test_stream_upsert_skips_replayed_keys(spark, sf_dir, tmp_path):
+    """Running the same bounded stream twice must not duplicate rows —
+    the second run's batches anti-join away every existing key."""
+    out = str(tmp_path / "upsert_out")
+
+    def run_once(ckpt_suffix):
+        stream = strm.read_events_stream(spark, sf_dir)
+        q = (
+            strm.stream_upsert_parquet(stream, out)
+            .option("checkpointLocation", str(tmp_path / f"ck{ckpt_suffix}"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(1)
+    n1 = spark.read.parquet(out).count()
+    run_once(2)  # fresh checkpoint -> source replays everything
+    n2 = spark.read.parquet(out).count()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n1 == total
+    assert n2 == total  # no duplicates after the replay
