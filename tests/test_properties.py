@@ -232,3 +232,30 @@ def test_pivot_preserves_group_totals(spark, sf_dir):
          ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("s")).collect()}
     # pivot rounds per cell; compare at the coarser 1e-4 grid
     assert a == b
+
+
+@SET
+@given(parts=st.integers(min_value=1, max_value=9))
+def test_pq_codes_partitioning_invariant(spark, parts):
+    """PQ assignment (argmin over broadcast codewords) must not depend
+    on input partitioning — the broadcast + MIN(STRUCT) determinism."""
+    import numpy as np
+
+    from scarf_spark.operators.knn import pq_quantize
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, pq_quantize(emb, m=4, n_codes=4).collect()))
+    b = sorted(map(tuple, pq_quantize(emb.repartition(parts), m=4, n_codes=4).collect()))
+    assert a == b
+
+
+def test_triangle_counts_partitioning_invariant(spark, sf_dir):
+    import __spark_entry__ as E
+    from scarf_spark.operators.graph import triangle_counts
+
+    edges = E._knn_edges(spark, sf_dir)
+    a = sorted(map(tuple, triangle_counts(edges).collect()))
+    b = sorted(map(tuple, triangle_counts(edges.repartition(7)).collect()))
+    assert a == b
