@@ -297,7 +297,9 @@ def phash_near_pairs(
     one byte is clean, so the band join is exact, not approximate),
     then the exact popcount filter. Never a cross join; the shuffle key
     is the byte band."""
-    h = hashes.select(F.col(id_col).alias("id"), "phash")
+    # persist: both band-join sides (and the distinct) re-derive the
+    # hash pipeline otherwise — the aHash fold is the expensive parent
+    h = hashes.select(F.col(id_col).alias("id"), "phash").persist()
     banded = h.select(
         "id", "phash",
         F.explode(
