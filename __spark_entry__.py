@@ -3377,6 +3377,21 @@ def agg_cube(spark, sf_dir):
     )
 
 
+@q(
+    "text_unigram_logprob",
+    "WITH words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "lm AS (SELECT term, COUNT(*) AS c FROM words GROUP BY term), "
+    "tot AS (SELECT COUNT(*) AS _tot FROM words) "
+    "SELECT doc_id, COUNT(*) AS n_tokens, "
+    "ROUND(AVG(LN(c / CAST(_tot AS DOUBLE))), 6) AS mean_logprob "
+    "FROM words JOIN lm ON words.term = lm.term CROSS JOIN tot "
+    "GROUP BY doc_id",
+)
+def text_unigram_logprob(spark, sf_dir):
+    return text.unigram_logprob(_ds(spark, sf_dir).documents)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

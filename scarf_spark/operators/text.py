@@ -354,3 +354,35 @@ def quality_filter(
         reasons.alias("reasons"),
         (reasons == 0).alias("keep"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram log-probability per document — the KenLM-style
+    perplexity proxy used to score web text against a reference corpus
+    (here the corpus itself): mean over the doc's tokens of
+    ln(count(token)/total_tokens). Low scores flag gibberish and
+    boilerplate-heavy docs.
+
+    One corpus aggregate (token counts — map-side combined), broadcast
+    back to the token stream, one per-doc mean. The LM table is
+    vocabulary-sized, not corpus-sized, so the broadcast holds at any
+    corpus scale."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("term"),
+    )
+    lm = words.groupBy("term").agg(F.count("*").alias("c"))
+    tot = words.agg(F.count("*").alias("_tot"))
+    scored = (
+        words.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, F.log(F.col("c") / F.col("_tot")).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

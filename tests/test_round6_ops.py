@@ -349,3 +349,20 @@ def test_range_frame_counts_trailing_window(spark):
     assert out[1] == (1, 1.0)
     assert out[2] == (2, 3.0)
     assert out[3] == (2, 6.0)  # events at t=1800 and t=5400 only
+
+
+def test_unigram_logprob_orders_docs(spark):
+    import math
+
+    from scarf_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+    # corpus: common x3, rare x1, total 4
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_logprob"] == round(math.log(3 / 4), 6)
+    assert out[2]["mean_logprob"] == round(math.log(1 / 4), 6)
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
