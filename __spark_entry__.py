@@ -3392,6 +3392,39 @@ def text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(_ds(spark, sf_dir).documents)
 
 
+@q(
+    "evt_funnel",
+    # ordered signup -> click -> purchase funnel; each stage strictly
+    # after the user's previous stage
+    "WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS s FROM events), "
+    "s1 AS (SELECT u, MIN(s) AS ts_i FROM e WHERE t = 'signup' GROUP BY u), "
+    "s2 AS (SELECT e.u, MIN(e.s) AS ts_i FROM e JOIN s1 ON e.u = s1.u "
+    "WHERE e.t = 'click' AND e.s > s1.ts_i GROUP BY e.u), "
+    "s3 AS (SELECT e.u, MIN(e.s) AS ts_i FROM e JOIN s2 ON e.u = s2.u "
+    "WHERE e.t = 'purchase' AND e.s > s2.ts_i GROUP BY e.u) "
+    "SELECT 1 AS stage, 'signup' AS stage_name, (SELECT COUNT(*) FROM s1) AS n_users "
+    "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+    "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)",
+)
+def evt_funnel(spark, sf_dir):
+    return windows.funnel_stages(
+        _ds(spark, sf_dir).events, ["signup", "click", "purchase"]
+    )
+
+
+@q(
+    "evt_retention",
+    "WITH e AS (SELECT user_id AS u, "
+    "CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS p FROM events), "
+    "cohort AS (SELECT u, MIN(p) AS p0 FROM e GROUP BY u) "
+    "SELECT cohort.p0 AS cohort, e.p - cohort.p0 AS offset, "
+    "COUNT(DISTINCT e.u) AS n_users "
+    "FROM e JOIN cohort ON e.u = cohort.u GROUP BY cohort.p0, e.p - cohort.p0",
+)
+def evt_retention(spark, sf_dir):
+    return windows.cohort_retention(_ds(spark, sf_dir).events)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

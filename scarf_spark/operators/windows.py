@@ -254,3 +254,66 @@ def range_frame_agg(
         F.count("*").over(w).alias("n_in_window"),
         F.round(F.sum("value").over(w), 6).alias("sum_in_window"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached stage k — where
+    stage k counts only if it happened strictly AFTER the user's stage
+    k-1 (the sequence constraint that separates a funnel from plain
+    per-type counts). Returns (stage, stage_name, n_users).
+
+    One cascaded min-timestamp aggregate per stage, each keyed by user
+    (dimension-sized intermediates); the event table is scanned once
+    per stage with a pushed-down type filter — no window over the full
+    stream, no per-user sequence assembly."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(F.col(user_col).alias("u"), F.col(type_col).alias("t"), us.alias("s"))
+    spark = events.sparkSession
+    reached = None
+    counts = []
+    for i, st in enumerate(stages):
+        step = ev.where(F.col("t") == st)
+        if reached is None:
+            cur = step.groupBy("u").agg(F.min("s").alias("ts_i"))
+        else:
+            cur = (
+                step.join(reached, "u")
+                .where(F.col("s") > F.col("ts_i"))
+                .groupBy("u")
+                .agg(F.min("s").alias("ts_next"))
+                .withColumnRenamed("ts_next", "ts_i")
+            )
+        reached = cur
+        counts.append((i + 1, st, cur.count()))
+    return spark.createDataFrame(counts, "stage int, stage_name string, n_users long")
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity period
+    (cohort), counted per (cohort, periods-since-cohort) — the
+    engagement curve every event product tracks. Integer epoch-second
+    bucketing keeps every cell engine-exact.
+
+    Two aggregates: first-activity per user (dimension-sized), then a
+    distinct count per (cohort, offset) — the broadcast-joined cohort
+    table never reshuffles the event stream."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    period = F.floor(us / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    ev = events.select(F.col(user_col).alias("u"), period.alias("p"))
+    cohort = ev.groupBy("u").agg(F.min("p").alias("p0"))
+    return (
+        ev.join(F.broadcast(cohort), "u")
+        .groupBy(F.col("p0").alias("cohort"), (F.col("p") - F.col("p0")).alias("offset"))
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

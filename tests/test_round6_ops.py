@@ -366,3 +366,49 @@ def test_unigram_logprob_orders_docs(spark):
     assert out[1]["mean_logprob"] == round(math.log(3 / 4), 6)
     assert out[2]["mean_logprob"] == round(math.log(1 / 4), 6)
     assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_funnel_sequence_constraint(spark):
+    import datetime as dt
+
+    from scarf_spark.operators.windows import funnel_stages
+
+    base = dt.datetime(2026, 1, 1)
+
+    def ev(eid, u, t, secs):
+        return (eid, u, t, base + dt.timedelta(seconds=secs))
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, "signup", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # user 2: purchase BEFORE click -> stops at click
+        ev(4, 2, "signup", 0), ev(5, 2, "purchase", 5), ev(6, 2, "click", 10),
+        # user 3: never signed up -> not even stage 1
+        ev(7, 3, "click", 0), ev(8, 3, "purchase", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["stage_name"]: r["n_users"]
+           for r in funnel_stages(df, ["signup", "click", "purchase"]).collect()}
+    assert out == {"signup": 2, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from scarf_spark.operators.windows import cohort_retention
+
+    base = dt.datetime(2026, 1, 5)
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, 1, base), (2, 1, base + week),          # active weeks 0 and 1
+        (3, 2, base), (4, 2, base + 2 * week),      # active weeks 0 and 2
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {(r["cohort"], r["offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    c = min(k[0] for k in out)
+    assert out[(c, 0)] == 2
+    assert out[(c, 1)] == 1
+    assert out[(c, 2)] == 1
