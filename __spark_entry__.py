@@ -3425,6 +3425,19 @@ def evt_retention(spark, sf_dir):
     return windows.cohort_retention(_ds(spark, sf_dir).events)
 
 
+@q(
+    "agg_entropy",
+    "WITH hist AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "
+    "GROUP BY user_id, event_type), "
+    "tot AS (SELECT user_id, SUM(c) AS n FROM hist GROUP BY user_id) "
+    "SELECT hist.user_id, CAST(MAX(n) AS BIGINT) AS n, "
+    "ROUND(-SUM((c / CAST(n AS DOUBLE)) * LN(c / CAST(n AS DOUBLE))), 6) AS entropy "
+    "FROM hist JOIN tot ON hist.user_id = tot.user_id GROUP BY hist.user_id",
+)
+def agg_entropy(spark, sf_dir):
+    return aggregate.group_entropy(_ds(spark, sf_dir).events, "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

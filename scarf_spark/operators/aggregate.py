@@ -383,3 +383,26 @@ def moment_stats(
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis_excess"),
     )
+
+
+def group_entropy(
+    df: DataFrame, group_col: str, label_col: str
+) -> DataFrame:
+    """Shannon entropy of the label distribution per group — the
+    behavioral-diversity profiling metric (e.g. per-user event-type
+    entropy separates bots from organic users; same formula as the
+    cluster-purity entropy inside NMI). Two hash aggregates (the
+    (group, label) histogram, then the per-group fold) — entropy is
+    computed from exact integer counts, ln applied identically on both
+    engines."""
+    hist = df.groupBy(group_col, label_col).agg(F.count("*").alias("c"))
+    tot = hist.groupBy(group_col).agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        hist.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

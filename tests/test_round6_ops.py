@@ -412,3 +412,15 @@ def test_cohort_retention_offsets(spark):
     assert out[(c, 0)] == 2
     assert out[(c, 1)] == 1
     assert out[(c, 2)] == 1
+
+
+def test_group_entropy_uniform_and_point(spark):
+    import math
+
+    from scarf_spark.operators.aggregate import group_entropy
+
+    rows = [("u", t) for t in ["a", "b", "c", "d"]] + [("v", "a")] * 5
+    df = spark.createDataFrame(rows, "g string, t string")
+    out = {r["g"]: r["entropy"] for r in group_entropy(df, "g", "t").collect()}
+    assert out["u"] == round(math.log(4), 6)  # uniform over 4 labels
+    assert out["v"] == 0.0                    # point mass
