@@ -3438,6 +3438,19 @@ def agg_entropy(spark, sf_dir):
     return aggregate.group_entropy(_ds(spark, sf_dir).events, "user_id", "event_type")
 
 
+@q(
+    "norm_size_factors",
+    f"WITH {COUNTS_CTE}, "
+    "geo AS (SELECT feat_id, AVG(LN(value)) AS _lg FROM counts GROUP BY feat_id), "
+    "r AS (SELECT c.cell_id, c.value / EXP(_lg) AS _r "
+    "FROM counts c JOIN geo ON c.feat_id = geo.feat_id) "
+    "SELECT cell_id, ROUND(quantile_cont(_r, 0.5), 6) AS size_factor "
+    "FROM r GROUP BY cell_id",
+)
+def norm_size_factors(spark, sf_dir):
+    return normalize.size_factors_mor(_ds(spark, sf_dir).counts())
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

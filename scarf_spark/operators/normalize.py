@@ -160,3 +160,25 @@ def norm_quantile(counts: DataFrame, out: str = "qnorm") -> DataFrame:
         ranked.join(F.broadcast(rank_means), "_rk")
         .select("cell_id", "feat_id", F.round(F.col("_rm"), 6).alias(out))
     )
+
+
+def size_factors_mor(counts: DataFrame, out: str = "size_factor") -> DataFrame:
+    """Median-of-ratios size factors (DESeq2's estimateSizeFactors —
+    the cross-sample normalization standard in count-based genomics;
+    sits beside the library-size factor the reference uses,
+    ``scarf/assay.py:41-64``): per feature a geometric mean across
+    cells (over present rows), per (cell, feature) the ratio
+    value/geomean, per cell the exact median ratio.
+
+    Three dimension-keyed aggregates: avg-of-logs per feature
+    (broadcast back), then Spark's exact ``percentile`` per cell — the
+    same shapes as the QC aggregates, no fact-table reshuffle beyond
+    the per-cell median."""
+    geo = counts.groupBy("feat_id").agg(F.avg(F.log("value")).alias("_lg"))
+    ratio = (
+        counts.join(F.broadcast(geo), "feat_id")
+        .select("cell_id", (F.col("value") / F.exp(F.col("_lg"))).alias("_r"))
+    )
+    return ratio.groupBy("cell_id").agg(
+        F.round(F.expr("percentile(_r, 0.5)"), 6).alias(out)
+    )

@@ -424,3 +424,18 @@ def test_group_entropy_uniform_and_point(spark):
     out = {r["g"]: r["entropy"] for r in group_entropy(df, "g", "t").collect()}
     assert out["u"] == round(math.log(4), 6)  # uniform over 4 labels
     assert out["v"] == 0.0                    # point mass
+
+
+def test_size_factors_scale_recovery(spark):
+    """A cell whose counts are exactly 2x another's gets a 2x size
+    factor — the invariant DESeq2's median-of-ratios is built for."""
+    from scarf_spark.operators.normalize import size_factors_mor
+
+    base = [(1, f, float(v)) for f, v in zip(range(5), [2, 4, 8, 4, 2])]
+    doubled = [(2, f, 2.0 * v) for _, f, v in base]
+    counts = spark.createDataFrame(
+        base + doubled, "cell_id long, feat_id long, value double"
+    )
+    out = {r["cell_id"]: r["size_factor"]
+           for r in size_factors_mor(counts).collect()}
+    assert abs(out[2] / out[1] - 2.0) < 1e-6
