@@ -3451,6 +3451,44 @@ def norm_size_factors(spark, sf_dir):
     return normalize.size_factors_mor(_ds(spark, sf_dir).counts())
 
 
+# Logistic-regression GD oracle: 2 unrolled full-batch steps. The dot
+# product replays Spark's zip_with + left-fold order exactly
+# (list_prepend 0.0 + list_reduce); gradient sums differ only in
+# accumulation order, absorbed by the final ROUND.
+_LR_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> wl[i] * x[i])), (acc, v) -> acc + v)"
+)
+
+@q(
+    "ml_logreg_gd",
+    "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x, "
+    "CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y FROM embeddings), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM e), "
+    "dims AS (SELECT UNNEST(range(1, 65)) AS i), "
+    # step 1: w0 = 0 -> p = 0.5 for every row
+    "g1 AS (SELECT i - 1 AS d, SUM((0.5 - y) * x[i]) / (SELECT cnt FROM n) AS g "
+    "FROM e, dims GROUP BY i), "
+    "w1 AS (SELECT d, 0.0 - 0.5 * g AS wv FROM g1), "
+    "b1 AS (SELECT 0.0 - 0.5 * AVG(0.5 - y) AS bv FROM e), "
+    "w1l AS (SELECT list(wv ORDER BY d) AS wl FROM w1), "
+    # step 2
+    "m2 AS (SELECT x, y, "
+    f"{_LR_DOT} + (SELECT bv FROM b1) AS m FROM e, w1l), "
+    "e2 AS (SELECT x, y, 1.0 / (1.0 + EXP(-m)) - y AS err FROM m2), "
+    "g2 AS (SELECT i - 1 AS d, SUM(err * x[i]) / (SELECT cnt FROM n) AS g "
+    "FROM e2, dims GROUP BY i), "
+    "w2 AS (SELECT w1.d, wv - 0.5 * g AS wv FROM w1 JOIN g2 ON w1.d = g2.d), "
+    "b2 AS (SELECT (SELECT bv FROM b1) - 0.5 * AVG(err) AS bv FROM e2) "
+    "SELECT CAST(-1 AS INT) AS d, ROUND(bv, 6) AS w FROM b2 "
+    "UNION ALL SELECT CAST(d AS INT), ROUND(wv, 6) FROM w2",
+)
+def ml_logreg_gd(spark, sf_dir):
+    from scarf_spark.ml import supervised
+
+    return supervised.logreg_gd(_ds(spark, sf_dir).embeddings, n_iter=2, lr=0.5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -134,3 +134,26 @@ def test_dendrogram_cut(edges):
     labels2 = cluster.cut_dendrogram(merges, leaf_ids, n_clusters=4)
     assert labels == labels2
     assert len(set(labels.values())) < len(leaf_ids)
+
+
+def test_logreg_gd_learns_separating_direction(spark):
+    """On linearly separated data the learned weights point toward the
+    positive class along the separating dimension."""
+    import numpy as np
+
+    from scarf_spark.ml.supervised import logreg_gd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(100):
+        x = rng.normal(size=8)
+        y = 0 if i % 2 == 0 else 1
+        x[3] += 3.0 if y == 0 else -3.0  # dim 3 separates, pos_label=0
+        rows.append((i, [float(v) for v in x], y))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["d"]: r["w"] for r in logreg_gd(emb, n_iter=3, lr=0.5).collect()}
+    assert out[3] > 0.1  # strongly positive on the separating dim
+    assert abs(out[0]) < abs(out[3])  # noise dims stay small
+    # deterministic across runs
+    out2 = {r["d"]: r["w"] for r in logreg_gd(emb, n_iter=3, lr=0.5).collect()}
+    assert out == out2
