@@ -161,6 +161,14 @@ def _extra_headliners() -> set[str]:
         "mm_phash_dedup",
         "dedup_decontaminate",
         "agg_salted_distinct",
+        "ml_logreg_gd",
+        "evt_funnel",
+        "evt_retention",
+        "norm_size_factors",
+        "agg_entropy",
+        "text_unigram_logprob",
+        "win_range_frame",
+        "agg_cube",
         "ml_lisi",
         # round-5 additions
         "text_chunk",
