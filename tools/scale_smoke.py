@@ -130,6 +130,24 @@ def main() -> None:
     )
     timed("minhash_signatures", minhash_signatures_wide(sh, 8), results)
 
+    # 8. IVF ANN search over 200k synthetic vectors (dim 32): the
+    # centroid-ranking mapInPandas + cogrouped per-list BLAS path
+    from scarf_spark.operators.knn import cosine_knn_ivf
+
+    nv = min(200_000, n)
+    emb = spark.range(nv).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda d: ((F.col("id") * d * 2654435761) % 1000) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+    timed(
+        "ivf_ann_200k",
+        cosine_knn_ivf(emb, k=5, n_cells=256, n_probe=2),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
