@@ -63,34 +63,48 @@ def cosine_knn_exact(
     ids = pdf[id_col].to_numpy()
     m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # index sorted by id so candidate ordering ties resolve by dst via a
+    # stable sort — enables fully vectorized batch top-k (no per-row
+    # Python loop; same transformation as cosine_knn_ivf's search)
+    o = np.argsort(ids)
+    ids, m_n = ids[o], m_n[o]
     bc = spark.sparkContext.broadcast((ids, m_n))
 
     def score(batches):
         b_ids, b_m = bc.value
         for b in batches:
+            if b.empty:
+                continue
             q = np.array(b[vec_col].tolist(), dtype=np.float64)
             q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
             dist = 1.0 - q_n @ b_m.T
             src = b[id_col].to_numpy()
-            # top-(k+1) then strip self, deterministic (distance, dst)
-            kk = min(k + 1, dist.shape[1])
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            out = []
-            for r in range(dist.shape[0]):
-                cand = part[r]
-                cand = cand[np.lexsort((b_ids[cand], dist[r, cand]))]
-                cand = cand[b_ids[cand] != src[r]][:k]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "src": src[r],
-                            "rank": np.arange(1, len(cand) + 1),
-                            "dst": b_ids[cand],
-                            "distance": np.round(dist[r, cand], 6),
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+            nrow, ncol = dist.shape
+            kk = min(k + 1, ncol)
+            if ncol > kk:
+                part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+                pd_d = np.take_along_axis(dist, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()
+                pd_d = dist
+            cand_dst = b_ids[part]
+            ordr = np.lexsort((cand_dst, pd_d), axis=-1)
+            sel_dst = np.take_along_axis(cand_dst, ordr, axis=1)
+            sel_dist = np.take_along_axis(pd_d, ordr, axis=1)
+            keep = sel_dst != src[:, None]
+            rank_valid = np.cumsum(keep, axis=1)
+            take = keep & (rank_valid <= k)
+            n_take = take.sum(axis=1)
+            rows = np.repeat(np.arange(nrow), n_take)
+            ranks = rank_valid[take]
+            yield pd.DataFrame(
+                {
+                    "src": src[rows],
+                    "rank": ranks.astype("int32"),
+                    "dst": sel_dst[take],
+                    "distance": np.round(sel_dist[take], 6),
+                }
+            )
 
     return emb.mapInPandas(score, "src long, rank int, dst long, distance double")
 
