@@ -3489,6 +3489,27 @@ def ml_logreg_gd(spark, sf_dir):
     return supervised.logreg_gd(_ds(spark, sf_dir).embeddings, n_iter=2, lr=0.5)
 
 
+@q(
+    "ml_centroid_classify",
+    "WITH e AS (SELECT vec_id AS vid, label AS y, "
+    "CAST(embedding AS DOUBLE[]) AS x FROM embeddings), "
+    "ex AS (SELECT vid, y, i - 1 AS d, x[i] AS xv FROM e, "
+    "(SELECT UNNEST(range(1, 65)) AS i) dims), "
+    "cent AS (SELECT y AS cl, d, SUM(xv) / COUNT(*) AS cv FROM ex GROUP BY y, d), "
+    "dist AS (SELECT vid, y, cl, SUM((xv - cv) * (xv - cv)) AS d2 "
+    "FROM ex JOIN cent ON ex.d = cent.d GROUP BY vid, y, cl), "
+    "pred AS (SELECT vid, y, cl AS pred FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, y ORDER BY d2, cl) AS rn "
+    "FROM dist) WHERE rn = 1) "
+    "SELECT y AS true_label, pred AS pred_label, COUNT(*) AS n "
+    "FROM pred GROUP BY y, pred",
+)
+def ml_centroid_classify(spark, sf_dir):
+    from scarf_spark.ml import supervised
+
+    return supervised.centroid_classify(_ds(spark, sf_dir).embeddings)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -74,3 +74,47 @@ def logreg_gd(
     return spark.createDataFrame(rows, "d int, w double").select(
         "d", F.round("w", 6).alias("w")
     )
+
+
+def centroid_classify(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification (Rocchio) — the relational twin
+    of the reference's KNN label transfer
+    (``scarf/mapping_datastore.py:287-364``): per-label mean vector,
+    every point assigned to the closest centroid, reported as the
+    (true, predicted) confusion matrix.
+
+    Fully relational: one posexplode pass builds the per-(label, dim)
+    centroid table (dimension-sized), the distance is a (point, label)
+    grouped sum over the exploded join, argmin is MIN(STRUCT(dist,
+    label)). The only shuffles carry (n·d) exploded values and
+    aggregate state — no vector is ever broadcast whole."""
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("y"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+    )
+    ex = e.select("vid", "y", F.posexplode("x").alias("d", "xv"))
+    cent = ex.groupBy(F.col("y").alias("cl"), "d").agg(
+        (F.sum("xv") / F.count("*")).alias("cv")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "d")
+        .groupBy("vid", "y", "cl")
+        .agg(F.sum((F.col("xv") - F.col("cv")) * (F.col("xv") - F.col("cv"))).alias("d2"))
+    )
+    pred = (
+        dist.select(
+            "vid", "y", F.struct(F.col("d2"), F.col("cl")).alias("dc")
+        )
+        .groupBy("vid", "y")
+        .agg(F.min("dc").alias("m"))
+        .select("vid", "y", F.col("m.cl").alias("pred"))
+    )
+    return pred.groupBy(F.col("y").alias("true_label"), F.col("pred").alias("pred_label")).agg(
+        F.count("*").alias("n")
+    )

@@ -157,3 +157,23 @@ def test_logreg_gd_learns_separating_direction(spark):
     # deterministic across runs
     out2 = {r["d"]: r["w"] for r in logreg_gd(emb, n_iter=3, lr=0.5).collect()}
     assert out == out2
+
+
+def test_centroid_classify_separable(spark):
+    """Well-separated clusters classify perfectly; the confusion matrix
+    is diagonal."""
+    import numpy as np
+
+    from scarf_spark.ml.supervised import centroid_classify
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        y = i % 3
+        x = rng.normal(scale=0.1, size=8)
+        x[y] += 5.0
+        rows.append((i, [float(v) for v in x], y))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_classify(emb).collect()
+    assert all(r["true_label"] == r["pred_label"] for r in out)
+    assert sum(r["n"] for r in out) == 60
