@@ -162,6 +162,7 @@ def _extra_headliners() -> set[str]:
         "dedup_decontaminate",
         "agg_salted_distinct",
         "ml_logreg_gd",
+        "ml_centroid_classify",
         "evt_funnel",
         "evt_retention",
         "norm_size_factors",
