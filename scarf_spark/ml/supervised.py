@@ -34,39 +34,50 @@ def logreg_gd(
 
     Distribution shape: the weight vector is driver-state (64 floats —
     the same envelope as broadcast KMeans centroids); each step is ONE
-    pass over the data computing all d gradient components via
-    posexplode + hash agg (map-side combined, no shuffle of the
-    vectors themselves), then a driver update. n_iter scans total."""
+    ``mapInPandas`` job: every Arrow batch computes its partial
+    gradient with one numpy matmul and emits a single ``double[d+2]``
+    row, the driver sums the per-batch partials (count-weighted, so
+    the combine is exact in the same way a partial+final hash agg is).
+    No explode, no shuffle, no wide codegen expression — the per-step
+    plan is constant-size regardless of d, and the executor-side work
+    is vectorized BLAS over Arrow batches, the shape that holds at
+    2.5T rows."""
+    import numpy as np
+    import pandas as pd
+
     e = emb.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
         F.when(F.col(label_col) == pos_label, 1.0).otherwise(0.0).alias("y"),
     ).persist()
-    n = e.count()
-    dim = len(e.first()["x"])
+    head = e.agg(F.count("*").alias("n"), F.min(F.size("x")).alias("dim")).collect()[0]
+    n, dim = head["n"], head["dim"]
     w = [0.0] * dim
     b = 0.0
+    schema = "cnt double, se double, g array<double>"
     for _ in range(n_iter):
-        wlit = F.array(*[F.lit(v) for v in w])
-        m = (
-            F.aggregate(
-                F.zip_with(wlit, F.col("x"), lambda a, c: a * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            + F.lit(b)
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
-        err = (p - F.col("y")).alias("err")
-        g = (
-            e.select(err, F.posexplode("x").alias("d", "xv"))
-            .groupBy("d")
-            .agg((F.sum(F.col("err") * F.col("xv")) / F.lit(float(n))).alias("g"))
-            .collect()
-        )
-        gb = e.select(err).agg(F.avg("err").alias("g")).collect()[0]["g"]
-        grad = {r["d"]: r["g"] for r in g}
-        w = [w[d] - lr * grad[d] for d in range(dim)]
-        b = b - lr * gb
+        wv = np.asarray(w, dtype=np.float64)
+        bv = float(b)
+
+        def part_grad(batches, wv=wv, bv=bv):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array([np.asarray(r, dtype=np.float64) for r in pdf["x"]])
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                err = 1.0 / (1.0 + np.exp(-(X @ wv + bv))) - y
+                yield pd.DataFrame(
+                    {
+                        "cnt": [float(len(y))],
+                        "se": [float(err.sum())],
+                        "g": [(X.T @ err).tolist()],
+                    }
+                )
+
+        parts = e.mapInPandas(part_grad, schema=schema).collect()
+        se = sum(r["se"] for r in parts)
+        gs = np.sum([r["g"] for r in parts], axis=0)
+        w = [float(w[d] - lr * gs[d] / float(n)) for d in range(dim)]
+        b = float(b - lr * se / float(n))
     spark = emb.sparkSession
     rows = [(-1, b)] + [(d, w[d]) for d in range(dim)]
     # round via Spark (half-up), matching the oracle's ROUND — Python's

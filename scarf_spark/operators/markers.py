@@ -37,54 +37,71 @@ def marker_stats(
     N = F.lit(float(n_cells))
     sizes = cell_groups.groupBy(group_col).agg(F.count("*").alias("n_g"))
 
-    # One (feat, value) histogram pass feeds BOTH the per-feature
-    # totals and the tie-correction: tot = Σ value·t, nnz = Σ t,
-    # tie_p = Σ (t³−t). One scan of the fact table instead of two, and
-    # the per-feature regroup moves only histogram rows.
-    vt = counts.groupBy("feat_id", "value").agg(F.count("*").alias("t"))
-    ftot = vt.groupBy("feat_id").agg(
-        F.sum(F.col("value") * F.col("t")).alias("tot"),
-        F.sum("t").alias("nnz"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_p"),
-    )
-
-    # Ranks computed on the HISTOGRAM, not the rows: for count data the
-    # (feat, value) histogram is tiny next to the fact table (discrete
-    # values), and every row tied at value v shares the identical
-    # average rank cum_before(v) + (t+1)/2 — so the per-group rank sum
-    # is c_gv · r_avg(v), summed over histogram cells. This removes the
-    # row-level window entirely (the old plan's dominant sort); all
-    # quantities are exactly-representable halves/integers in double,
-    # so the rewrite is bit-identical to the row-wise form.
-    wv = Window.partitionBy("feat_id").orderBy("value")
-    hist = vt.select(
-        "feat_id",
-        "value",
-        "t",
-        ((F.sum("t").over(wv) - F.col("t")) + (F.col("t") + 1) / F.lit(2.0)).alias(
-            "r_avg_p"
-        ),
-        F.row_number().over(wv).alias("r_dense_p"),
-    )
-
-    # Per (feat, group, value) present-row counts, then fold in the
-    # histogram ranks — the join key (feat, value) matches the window
-    # partitioning, so no extra shuffle of the histogram.
+    # ONE scan of the fact table feeds everything downstream — a single
+    # linear chain, no self-joins, no duplicated subtrees:
+    #
+    #   counts ⋈bcast groups → (feat, group, value) cube   [shuffle 1]
+    #   → one feature-partitioned window pass               [shuffle 2]
+    #   → (feat, group) marker aggregates                   [shuffle 3]
+    #   → per-feature totals derived FROM those aggregates  [tiny]
+    #
+    # The group label is broadcast-joined into the scan (left outer:
+    # cells outside any group still count toward ranks and totals,
+    # matching the row-wise semantics).
     gv = (
-        counts.join(F.broadcast(cell_groups), "cell_id")
+        counts.join(F.broadcast(cell_groups), "cell_id", "left_outer")
         .groupBy("feat_id", group_col, "value")
         .agg(F.count("*").alias("c"))
     )
-    g = (
-        gv.join(hist, ["feat_id", "value"])
-        .groupBy("feat_id", group_col)
-        .agg(
-            F.sum(F.col("value") * F.col("c")).alias("sum_g"),
-            F.sum("c").alias("nnz_g"),
-            F.sum(F.col("c") * F.col("r_avg_p")).alias("rsum_p_g"),
-            F.sum(F.col("c") * F.col("r_dense_p")).alias("dsum_p_g"),
-        )
+
+    # Rank arithmetic on the cube: every row tied at value v shares the
+    # identical average rank cum_before(v) + (t+1)/2, so the per-group
+    # rank sum is c_gv · r_avg(v). Both t (count of the value across
+    # groups) and the cumulative count come out of ONE window shuffle
+    # keyed by feat_id: a RANGE frame pinned to the current row spans
+    # exactly the value's peer rows (t), the unbounded-preceding RANGE
+    # frame spans all values ≤ v (cum), and dense_rank gives the dense
+    # value index — WindowExec evaluates all three frames in the same
+    # sorted pass. All quantities are exactly-representable
+    # halves/integers in double, so the rewrite is bit-identical to the
+    # row-wise form.
+    wv = Window.partitionBy("feat_id").orderBy("value")
+    t = F.sum("c").over(wv.rangeBetween(0, 0))
+    cum = F.sum("c").over(wv.rangeBetween(Window.unboundedPreceding, 0))
+    windowed = gv.select(
+        "feat_id",
+        group_col,
+        "value",
+        "c",
+        ((cum - t) + (t + 1) / F.lit(2.0)).alias("r_avg_p"),
+        F.dense_rank().over(wv).alias("r_dense_p"),
+        # per-(feat,value) tie term (t³−t) distributed over the value's
+        # group rows in proportion c/t: (t³−t)·c/t = (t²−1)·c, so the
+        # plain per-group sum reassembles Σ(t³−t) exactly
+        ((t * t - 1) * F.col("c")).alias("tie_c"),
     )
+
+    # Marker aggregates per (feat, group) — the null group (cells
+    # outside every group) is kept HERE so per-feature totals can be
+    # derived from this tiny table, and dropped after that derivation.
+    g_all = windowed.groupBy("feat_id", group_col).agg(
+        F.sum(F.col("value") * F.col("c")).alias("sum_g"),
+        F.sum("c").alias("nnz_g"),
+        F.sum(F.col("c") * F.col("r_avg_p")).alias("rsum_p_g"),
+        F.sum(F.col("c") * F.col("r_dense_p")).alias("dsum_p_g"),
+        F.sum("tie_c").alias("tie_g"),
+    ).persist()  # |feat| × (|groups|+1) rows — dimension-scale cache
+    # Eager fill: two consumers (ftot + g) would otherwise race to
+    # compute the uncached chain concurrently, paying the fact-table
+    # scan twice in the same job.
+    g_all.count()
+
+    ftot = g_all.groupBy("feat_id").agg(
+        F.sum("sum_g").alias("tot"),
+        F.sum("nnz_g").alias("nnz"),
+        F.sum("tie_g").alias("tie_p"),
+    )
+    g = g_all.where(F.col(group_col).isNotNull()).drop("tie_g")
 
     # Dense-semantics completion: every (feat, group) pair exists even if
     # the group has no present rows → start from the full cross of

@@ -271,12 +271,14 @@ def funnel_stages(
     One cascaded min-timestamp aggregate per stage, each keyed by user
     (dimension-sized intermediates); the event table is scanned once
     per stage with a pushed-down type filter — no window over the full
-    stream, no per-user sequence assembly."""
+    stream, no per-user sequence assembly. All stages are counted in a
+    SINGLE job (union of tagged per-stage user sets → one tiny agg), so
+    the scheduler overhead is one action regardless of funnel depth."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ev = events.select(F.col(user_col).alias("u"), F.col(type_col).alias("t"), us.alias("s"))
     spark = events.sparkSession
     reached = None
-    counts = []
+    tagged = []
     for i, st in enumerate(stages):
         step = ev.where(F.col("t") == st)
         if reached is None:
@@ -290,8 +292,30 @@ def funnel_stages(
                 .withColumnRenamed("ts_next", "ts_i")
             )
         reached = cur
-        counts.append((i + 1, st, cur.count()))
-    return spark.createDataFrame(counts, "stage int, stage_name string, n_users long")
+        tagged.append(
+            cur.select(
+                F.lit(i + 1).alias("stage"), F.lit(st).alias("stage_name"), "u"
+            )
+        )
+    allst = tagged[0]
+    for t in tagged[1:]:
+        allst = allst.unionByName(t)
+    counted = allst.groupBy("stage", "stage_name").agg(
+        F.count("*").alias("n_users")
+    )
+    # stages nobody reached still get a row (count 0), preserving the
+    # fixed funnel-depth output contract
+    names = spark.createDataFrame(
+        [(i + 1, st) for i, st in enumerate(stages)], "stage int, stage_name string"
+    )
+    return (
+        names.join(counted, ["stage", "stage_name"], "left_outer")
+        .select(
+            "stage",
+            "stage_name",
+            F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+        )
+    )
 
 
 def cohort_retention(
