@@ -1292,6 +1292,29 @@ def text_ngram_top(spark, sf_dir):
 
 
 @q(
+    "text_collocation_pmi",
+    # PMI of the top-30 corpus bigrams (Church & Hanks collocations):
+    # zipped UNNEST slices give (w1, w2) pairs; expression shape of the
+    # ln() argument matches the Spark side exactly
+    f"WITH {_WORDS_CTE}, "
+    "bi AS (SELECT UNNEST(list_slice(ws, 1, len(ws) - 1)) AS w1, "
+    "UNNEST(list_slice(ws, 2, len(ws))) AS w2 FROM w), "
+    "uc AS (SELECT UNNEST(ws) AS term FROM w), "
+    "u AS (SELECT term, COUNT(*) AS cu FROM uc GROUP BY term), "
+    "nu AS (SELECT SUM(cu) AS nu FROM u), "
+    "nb AS (SELECT COUNT(*) AS nb FROM bi), "
+    "top AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2 "
+    "ORDER BY cb DESC, w1, w2 LIMIT 30) "
+    "SELECT top.w1 || ' ' || top.w2 AS ngram, top.cb AS n_occurrences, "
+    "ROUND(LN((CAST(top.cb AS DOUBLE) * nu.nu * nu.nu) / "
+    "(CAST(nb.nb AS DOUBLE) * u1.cu * u2.cu)), 6) AS pmi "
+    "FROM top JOIN u u1 ON top.w1 = u1.term JOIN u u2 ON top.w2 = u2.term, nu, nb",
+)
+def text_collocation_pmi(spark, sf_dir):
+    return text.collocation_pmi(_ds(spark, sf_dir).documents, n_top=30)
+
+
+@q(
     "samp_stratified",
     "WITH s AS (SELECT doc_id, lang, "
     "ROW_NUMBER() OVER (PARTITION BY lang "
@@ -3423,6 +3446,19 @@ def evt_funnel(spark, sf_dir):
 )
 def evt_retention(spark, sf_dir):
     return windows.cohort_retention(_ds(spark, sf_dir).events)
+
+
+@q(
+    "win_ewma",
+    # recursive EWMA as a relational fold: list_reduce replays the same
+    # left-to-right IEEE op sequence as Spark's aggregate() HOF
+    "SELECT user_id, len(l) AS n_events, "
+    "ROUND(list_reduce(l, (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma "
+    "FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l "
+    "FROM events GROUP BY user_id)",
+)
+def win_ewma(spark, sf_dir):
+    return windows.ewma_final(_ds(spark, sf_dir).events, alpha=0.1)
 
 
 @q(

@@ -178,6 +178,8 @@ def _extra_headliners() -> set[str]:
         "samp_stratified",
         "stream_dedup",
         "ann_quantize",
+        "win_ewma",
+        "text_collocation_pmi",
     }
 
 

@@ -386,3 +386,68 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    n_top: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of the corpus's top bigrams —
+    the collocation detector (Church & Hanks 1990) a corpus pipeline
+    runs to find multiword units worth preserving through tokenization:
+    PMI = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) over bigram positions
+    and p(x) over unigram positions.
+
+    Two corpus aggregates (unigram and bigram counts, both map-side
+    combined, vocabulary-sized results), the top-k bigram cut
+    (TakeOrderedAndProject), then two BROADCAST joins of the k surviving
+    bigrams against the unigram table — the corpus is scanned twice and
+    never reshuffled. The PMI expression is one division inside ln, the
+    same literal shape the oracle uses, so both engines run the same
+    IEEE op sequence."""
+    toks = docs.select(F.col(id_col), _words(text_col).alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cu"))
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), i -> "
+                    "struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    top = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .orderBy(F.col("cb").desc(), "w1", "w2")
+        .limit(n_top)
+    )
+    n_uni = uni.agg(F.sum("cu").alias("nu"))
+    n_bi = grams.agg(F.count("*").alias("nb"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
+    return (
+        top.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("ngram"),
+            F.col("cb").alias("n_occurrences"),
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") * F.col("nu") * F.col("nu"))
+                    / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

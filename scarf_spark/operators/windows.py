@@ -318,6 +318,50 @@ def funnel_stages(
     )
 
 
+def ewma_final(
+    events: DataFrame,
+    alpha: float = 0.1,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Final exponentially-weighted moving average of each user's value
+    series: y_0 = x_0, y_t = α·x_t + (1−α)·y_{t−1} — the recursive
+    smoothing that SQL window frames cannot express (every output
+    depends on the full prefix with geometrically decaying weights; a
+    closed-form rewrite via r^{-i} cumulative sums overflows for long
+    series).
+
+    Expressed as a relational FOLD: sort-collect each user's series
+    into an array (one shuffle keyed by user, state bounded by the
+    longest single-user series — the same envelope as sessionization),
+    then ``aggregate()`` folds it left-to-right JVM-side. The fold body
+    ``α·x + (1−α)·acc`` is the exact IEEE op sequence DuckDB's
+    ``list_reduce`` replays, so the result is engine-exact before the
+    final round."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    arr = events.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    us.alias("s"), F.col(id_col).alias("i"), F.col(value_col).alias("v")
+                )
+            )
+        ).alias("xs")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("xs"), F.lit(2), F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1)["v"].cast("double"),
+        lambda acc, x: F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc,
+    )
+    return arr.select(
+        F.col(user_col),
+        F.size("xs").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",

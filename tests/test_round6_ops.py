@@ -439,3 +439,50 @@ def test_size_factors_scale_recovery(spark):
     out = {r["cell_id"]: r["size_factor"]
            for r in size_factors_mor(counts).collect()}
     assert abs(out[2] / out[1] - 2.0) < 1e-6
+
+
+def test_ewma_final_matches_sequential(spark):
+    """The relational fold replays the recursion y_t = a*x_t + (1-a)*y_{t-1}
+    exactly, including the y_0 = x_0 init and (ts, id) tie-breaking."""
+    import datetime as dt
+
+    from scarf_spark.operators.windows import ewma_final
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, 10.0), (1, t0 + dt.timedelta(seconds=1), 8, 4.0),
+        (1, t0 + dt.timedelta(seconds=2), 9, 1.0),
+        # user 2: single event -> ewma == the value
+        (2, t0, 10, 5.0),
+        # user 3: two events sharing a timestamp -> event_id breaks the tie
+        (3, t0, 12, 2.0), (3, t0, 11, 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r["user_id"]: (r["n_events"], r["ewma"])
+           for r in ewma_final(ev, alpha=0.5).collect()}
+    # user 1: y = 10 -> 0.5*4+0.5*10 = 7 -> 0.5*1+0.5*7 = 4
+    assert out[1] == (3, 4.0)
+    assert out[2] == (1, 5.0)
+    # user 3 ordered by event_id at the tied ts: init 8, then 0.5*2+0.5*8
+    assert out[3] == (2, 5.0)
+
+
+def test_collocation_pmi_known_corpus(spark):
+    """Hand-checked PMI: a bigram that always co-occurs scores higher
+    than one diluted by independent occurrences of its words."""
+    import math
+
+    from scarf_spark.operators.text import collocation_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "the cat the dog")],
+        "doc_id long, text string",
+    )
+    out = {r["ngram"]: (r["n_occurrences"], r["pmi"])
+           for r in collocation_pmi(docs, n_top=10).collect()}
+    # corpus: 8 unigrams, 6 bigram positions
+    # "new york": cb=2, c(new)=2, c(york)=2 -> ln(2*64/(6*4)) = ln(16/3)
+    assert out["new york"][0] == 2
+    assert abs(out["new york"][1] - round(math.log(2 * 8.0 * 8 / (6.0 * 2 * 2)), 6)) < 1e-9
