@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 
 def timed(name, df, results):
+    """df: a DataFrame, or a zero-arg callable returning one (use the
+    callable form when the operator does eager work — persists,
+    counts — at construction time, so that work is inside the timer)."""
     t0 = time.time()
+    if callable(df):
+        df = df()
     df.write.mode("overwrite").format("noop").save()
     dt = time.time() - t0
     results[name] = round(dt, 2)
@@ -105,18 +110,18 @@ def main() -> None:
         results,
     )
 
-    # 6. marker rank statistics via the value histogram (the rewrite
-    # that replaces a row-level rank window — ~5x at this size)
-    from pyspark.sql import Window
+    # 6. the full marker-stats chain (round-5 single-scan shape:
+    # broadcast groups into the scan → contingency cube → one window
+    # pass → group aggregates) over synthetic cells/groups
+    from scarf_spark.operators.markers import marker_stats
 
-    wv = Window.partitionBy("feat_id").orderBy("value")
-    vt = counts.groupBy("feat_id", "value").agg(F.count("*").alias("t"))
+    groups = spark.range(100_000).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % 5).cast("string").alias("group"),
+    )
     timed(
-        "marker_hist_rank",
-        vt.select(
-            "feat_id", "value", "t",
-            ((F.sum("t").over(wv) - F.col("t")) + (F.col("t") + 1) / F.lit(2.0)).alias("r"),
-        ),
+        "marker_stats_chain",
+        lambda: marker_stats(counts, groups, n_cells=100_000, group_col="group"),
         results,
     )
 
