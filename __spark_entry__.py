@@ -1384,6 +1384,32 @@ def ml_label_prop(spark, sf_dir):
 
 
 @q(
+    "graph_modularity",
+    # Newman modularity per label-propagation cluster: E_c/2m − (D_c/2m)²
+    f"WITH {_KNN_CTE}, {_UND_CTE}, "
+    + ", ".join(_LP_ROUND.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + ", deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src), "
+    "tm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM und), "
+    "ec AS (SELECT la.cluster, COUNT(*) AS e_within FROM und u "
+    "JOIN l3 la ON u.src = la.node JOIN l3 lb ON u.dst = lb.node "
+    "WHERE la.cluster = lb.cluster GROUP BY la.cluster), "
+    "dc AS (SELECT l.cluster, COUNT(*) AS n_nodes, SUM(deg.d) AS deg_sum "
+    "FROM l3 l JOIN deg ON l.node = deg.src GROUP BY l.cluster) "
+    "SELECT dc.cluster, dc.n_nodes, COALESCE(ec.e_within, 0) AS e_within, "
+    "dc.deg_sum, ROUND(COALESCE(ec.e_within, 0) / tm.m2 "
+    "- (dc.deg_sum / tm.m2) * (dc.deg_sum / tm.m2), 6) AS q_contrib "
+    "FROM dc LEFT JOIN ec ON dc.cluster = ec.cluster, tm",
+)
+def graph_modularity(spark, sf_dir):
+    from scarf_spark.ml import cluster
+    from scarf_spark.operators import graph
+
+    edges = _knn_edges(spark, sf_dir)
+    labels = cluster.label_propagation(edges, n_iter=3)
+    return graph.modularity(edges, labels)
+
+
+@q(
     "ml_ari",
     "WITH ct AS (SELECT label AS a, vec_id % 4 AS b, COUNT(*) AS nij "
     "FROM embeddings GROUP BY 1, 2), "
@@ -3459,6 +3485,27 @@ def evt_retention(spark, sf_dir):
 )
 def win_ewma(spark, sf_dir):
     return windows.ewma_final(_ds(spark, sf_dir).events, alpha=0.1)
+
+
+@q(
+    "win_ohlc",
+    # first/last defined by the (ts, event_id) total order — ties safe
+    "WITH b AS (SELECT user_id, "
+    "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket, "
+    "value AS v, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, "
+    "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) "
+    "ORDER BY ts, event_id) AS ra, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, "
+    "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) "
+    "ORDER BY ts DESC, event_id DESC) AS rd FROM events) "
+    "SELECT user_id, bucket, "
+    "MAX(CASE WHEN ra = 1 THEN v END) AS open, MAX(v) AS high, "
+    "MIN(v) AS low, MAX(CASE WHEN rd = 1 THEN v END) AS close, "
+    "COUNT(*) AS n_events FROM b GROUP BY user_id, bucket",
+)
+def win_ohlc(spark, sf_dir):
+    return windows.ohlc_bars(_ds(spark, sf_dir).events, bucket_seconds=86400)
 
 
 @q(

@@ -180,6 +180,8 @@ def _extra_headliners() -> set[str]:
         "ann_quantize",
         "win_ewma",
         "text_collocation_pmi",
+        "win_ohlc",
+        "graph_modularity",
     }
 
 

@@ -244,3 +244,58 @@ def pagerank(
             )
         )
     return ranks.select("v", F.round("r", 9).alias("pagerank"))
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, node_col: str = "node", cluster_col: str = "cluster"
+) -> DataFrame:
+    """Newman modularity of a clustering, per cluster: for each cluster
+    c, its contribution Q_c = E_c/2m − (D_c/2m)² where E_c counts
+    directed (symmetrized) within-cluster edges, D_c the degree mass —
+    the objective Louvain/Leiden maximize (``leidenalg``'s
+    RBConfiguration at resolution 1 in the reference,
+    ``scarf/datastore/graph_datastore.py:1379-1459``), here as the
+    *evaluation* metric next to silhouette for any label column.
+
+    One symmetrized edge materialization; E_c and D_c are two
+    broadcast-label joins producing cluster-sized aggregates; 2m rides
+    along as a one-row broadcast. Integer counts stay exact; the only
+    float is the final contribution expression, whose shape the oracle
+    mirrors verbatim."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    la = F.broadcast(labels.select(F.col(node_col).alias("src"), F.col(cluster_col).alias("_ca")))
+    lb = F.broadcast(labels.select(F.col(node_col).alias("dst"), F.col(cluster_col).alias("_cb")))
+    tm = und.agg(F.count("*").cast("double").alias("m2"))
+    ec = (
+        und.join(la, "src").join(lb, "dst")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias(cluster_col))
+        .agg(F.count("*").alias("e_within"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("_deg"))
+    dc = (
+        deg.join(F.broadcast(labels.select(F.col(node_col).alias("src"), cluster_col)), "src")
+        .groupBy(cluster_col)
+        .agg(F.count("*").alias("n_nodes"), F.sum("_deg").alias("deg_sum"))
+    )
+    return (
+        dc.join(ec, cluster_col, "left_outer")
+        .na.fill({"e_within": 0})
+        .crossJoin(F.broadcast(tm))
+        .select(
+            cluster_col,
+            "n_nodes",
+            "e_within",
+            "deg_sum",
+            F.round(
+                F.col("e_within") / F.col("m2")
+                - (F.col("deg_sum") / F.col("m2")) * (F.col("deg_sum") / F.col("m2")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -385,3 +385,45 @@ def cohort_retention(
         .groupBy(F.col("p0").alias("cohort"), (F.col("p") - F.col("p0")).alias("offset"))
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    bucket_seconds: int = 86400,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per (user, time-bucket) OHLC bars: the first (open), max (high),
+    min (low) and last (close) value of each bucket — the downsampled
+    summary every time-series store exposes. First/last are defined by
+    the total order (ts, id), so the result is deterministic under
+    ties.
+
+    One shuffle keyed by (user, bucket): the two row_number windows and
+    the final aggregate all share that partitioning, so Spark reuses
+    the exchange; per-task state is one window buffer per (user,
+    bucket)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(us / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    base = events.select(
+        F.col(user_col), bucket.alias("bucket"), us.alias("_us"),
+        F.col(id_col).alias("_id"), F.col(value_col).alias("v"),
+    )
+    wa = Window.partitionBy(user_col, "bucket").orderBy("_us", "_id")
+    wd = Window.partitionBy(user_col, "bucket").orderBy(
+        F.col("_us").desc(), F.col("_id").desc()
+    )
+    marked = base.select(
+        user_col, "bucket", "v",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    return marked.groupBy(user_col, "bucket").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
+        F.count("*").alias("n_events"),
+    )

@@ -486,3 +486,46 @@ def test_collocation_pmi_known_corpus(spark):
     # "new york": cb=2, c(new)=2, c(york)=2 -> ln(2*64/(6*4)) = ln(16/3)
     assert out["new york"][0] == 2
     assert abs(out["new york"][1] - round(math.log(2 * 8.0 * 8 / (6.0 * 2 * 2)), 6)) < 1e-9
+
+
+def test_ohlc_bars_toy(spark):
+    import datetime as dt
+
+    from scarf_spark.operators.windows import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 5.0), (1, t0 + dt.timedelta(hours=1), 2, 9.0),
+        (1, t0 + dt.timedelta(hours=2), 3, 2.0),
+        (1, t0 + dt.timedelta(hours=3), 4, 7.0),
+        # next day, single event
+        (1, t0 + dt.timedelta(days=1), 5, 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {(r["user_id"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+           for r in ohlc_bars(ev, bucket_seconds=86400).collect()}
+    d0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert out[(1, d0)] == (5.0, 9.0, 2.0, 7.0, 4)
+    assert out[(1, d0 + 1)] == (3.0, 3.0, 3.0, 3.0, 1)
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles under their own labels: every edge is
+    within-cluster and Q = sum of contributions = 1/2 for two equal
+    communities with no inter-edges."""
+    from scarf_spark.operators.graph import modularity
+
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]
+    edges = spark.createDataFrame(
+        tri(0, 1, 2) + tri(10, 11, 12), "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(v, v // 10) for v in [0, 1, 2, 10, 11, 12]], "node long, cluster long"
+    )
+    out = {r["cluster"]: r for r in modularity(edges, labels).collect()}
+    # symmetrized: 2m = 12, each cluster: E_c = 6, D_c = 6
+    for c in (0, 1):
+        assert out[c]["e_within"] == 6 and out[c]["deg_sum"] == 6
+        assert out[c]["q_contrib"] == round(6 / 12.0 - (6 / 12.0) ** 2, 6)
