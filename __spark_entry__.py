@@ -1327,6 +1327,20 @@ def samp_stratified(spark, sf_dir):
     return filters.stratified_sample(docs, "lang", 0.25, "doc_id")
 
 
+@q(
+    "samp_hash_split",
+    # zero-shuffle deterministic train/val/test assignment
+    "SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' "
+    "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM "
+    "(SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 100 AS bucket FROM documents)",
+)
+def samp_hash_split(spark, sf_dir):
+    return filters.hash_split(
+        _ds(spark, sf_dir).documents.select("doc_id"), "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 ML: HVG selection, clustering, reduction, metrics, pseudotime
 # ---------------------------------------------------------------------------
@@ -3506,6 +3520,37 @@ def win_ewma(spark, sf_dir):
 )
 def win_ohlc(spark, sf_dir):
     return windows.ohlc_bars(_ds(spark, sf_dir).events, bucket_seconds=86400)
+
+
+@q(
+    "evt_markov",
+    "WITH p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS prev_type, event_type AS next_type FROM events), "
+    "m AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p "
+    "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) "
+    "SELECT prev_type, next_type, n, "
+    "ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob FROM m",
+)
+def evt_markov(spark, sf_dir):
+    return windows.event_transitions(_ds(spark, sf_dir).events)
+
+
+@q(
+    "agg_gini",
+    "WITH r AS (SELECT event_type, value AS x, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS i "
+    "FROM events), "
+    "a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six "
+    "FROM r GROUP BY event_type) "
+    "SELECT event_type, n, "
+    "ROUND((2.0 * six - (n + 1) * sx) / (n * sx), 6) AS gini FROM a",
+)
+def agg_gini(spark, sf_dir):
+    from scarf_spark.operators import aggregate
+
+    return aggregate.gini_per_group(
+        _ds(spark, sf_dir).events, "event_type", "value", "event_id"
+    )
 
 
 @q(

@@ -182,6 +182,9 @@ def _extra_headliners() -> set[str]:
         "text_collocation_pmi",
         "win_ohlc",
         "graph_modularity",
+        "samp_hash_split",
+        "evt_markov",
+        "agg_gini",
     }
 
 

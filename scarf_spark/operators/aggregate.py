@@ -406,3 +406,37 @@ def group_entropy(
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+def gini_per_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Gini coefficient of a value distribution per group, from the
+    rank formula over the ascending sort:
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — the concentration
+    measure a pipeline uses to spot sources dominated by a few heavy
+    documents/users. Ties broken by id so the rank assignment (and
+    hence the exact float sums) replays identically on any engine.
+
+    One shuffle keyed by the group; the rank window and the final
+    aggregate share that partitioning."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_x"),
+        F.row_number().over(w).alias("_i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        F.round(
+            (2.0 * F.col("_six") - (F.col("n") + 1) * F.col("_sx"))
+            / (F.col("n") * F.col("_sx")),
+            6,
+        ).alias("gini"),
+    )

@@ -209,3 +209,30 @@ def temperature_sample(
         .where(F.col("_rn") <= F.col("_q"))
         .drop("_rn", "_q")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: bucket = the
+    first 60 bits of md5(id) mod 100, split by fixed percent
+    thresholds. Seedless and engine-portable (any system that can md5
+    reproduces the exact membership), unlike ``randomSplit`` whose
+    assignment changes with partitioning and seed.
+
+    ZERO shuffles — a pure projection the scan pipeline absorbs, so
+    splitting a 100 TB corpus costs one pass and each split can be
+    re-derived on demand instead of materialized."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+    bucket = (h.cast("bigint") % 100).alias("bucket")
+    return df.select(
+        F.col(id_col),
+        bucket,
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

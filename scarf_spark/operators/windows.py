@@ -427,3 +427,35 @@ def ohlc_bars(
         F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: per
+    (prev_type, next_type) the transition count and row-normalized
+    probability, with consecutive pairs taken within each user's
+    (ts, id)-ordered stream — the behavioural model behind next-event
+    prediction and funnel leak analysis.
+
+    One shuffle keyed by user for the LAG window (per-user sort, the
+    sessionization envelope), then a transition-matrix-sized aggregate;
+    the probability normalizer is a window over the tiny matrix."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us, F.col(id_col))
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    mat = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("prev_type")
+    return mat.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wr), 6).alias("prob"),
+    )

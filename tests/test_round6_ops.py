@@ -529,3 +529,48 @@ def test_modularity_two_cliques(spark):
     for c in (0, 1):
         assert out[c]["e_within"] == 6 and out[c]["deg_sum"] == 6
         assert out[c]["q_contrib"] == round(6 / 12.0 - (6 / 12.0) ** 2, 6)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from scarf_spark.operators.filters import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = hash_split(df, "doc_id").collect()
+    assert len(out) == 1000
+    by_split = {}
+    for r in out:
+        assert r["split"] == ("train" if r["bucket"] < 80 else "val" if r["bucket"] < 90 else "test")
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+    # rough proportions (hash uniformity), exact determinism on repeat
+    assert 700 < by_split["train"] < 900
+    again = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime as dt
+
+    from scarf_spark.operators.windows import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "c"]  # transitions: a->b, b->a, a->c
+    rows = [(1, t0 + dt.timedelta(seconds=i), i, s) for i, s in enumerate(seq)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+           for r in event_transitions(ev).collect()}
+    assert out[("a", "b")] == (1, 0.5) and out[("a", "c")] == (1, 0.5)
+    assert out[("b", "a")] == (1, 1.0)
+
+
+def test_gini_extremes(spark):
+    from scarf_spark.operators.aggregate import gini_per_group
+
+    rows = [("eq", i, 5.0) for i in range(4)] + [
+        ("conc", 0, 0.0), ("conc", 1, 0.0), ("conc", 2, 0.0), ("conc", 3, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r["g"]: r["gini"] for r in gini_per_group(df, "g", "v", "id").collect()}
+    assert out["eq"] == 0.0           # perfectly equal -> 0
+    assert out["conc"] == 0.75        # all mass in 1 of 4 -> (n-1)/n
