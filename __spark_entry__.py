@@ -3232,6 +3232,30 @@ def sql_q6(spark, sf_dir):
     return _sql_query(spark, sf_dir, _SQL_Q6)
 
 
+# TPC-H Q5 shape: the 6-table join (fact + 5 dims). Catalyst broadcast-
+# joins every dimension and keeps lineitem unshuffled until the final
+# n_name aggregate — the plan that at 100 TB touches the fact table
+# once. DECIMAL money math as in Q1/Q6 (exact, order-free).
+_SQL_Q5 = (
+    "SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+    "AS DOUBLE) AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n_name"
+)
+
+
+@q("sql_q5", _SQL_Q5)
+def sql_q5(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q5)
+
+
 @q(
     "norm_pearson_residual",
     f"WITH {COUNTS_CTE}, "
@@ -3533,6 +3557,21 @@ def win_ohlc(spark, sf_dir):
 )
 def evt_markov(spark, sf_dir):
     return windows.event_transitions(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_anomaly",
+    "WITH d AS (SELECT event_type, "
+    "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket, "
+    "COUNT(*) AS n FROM events GROUP BY event_type, "
+    "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)) "
+    "SELECT event_type, bucket, n, "
+    "ROUND(CASE WHEN STDDEV(n) OVER (PARTITION BY event_type) > 0 "
+    "THEN (n - AVG(n) OVER (PARTITION BY event_type)) "
+    "/ STDDEV(n) OVER (PARTITION BY event_type) ELSE 0.0 END, 6) AS z FROM d",
+)
+def evt_anomaly(spark, sf_dir):
+    return windows.daily_anomaly(_ds(spark, sf_dir).events)
 
 
 @q(

@@ -110,6 +110,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # the headline set GROWS as operators land (27 queries in r3,
+        # 60+ since): compare totals across rounds via sec_per_query
+        "n_queries": len(times),
+        "sec_per_query": round(total / max(len(times), 1), 3),
         "queries": times,
         "sf": sf,
     }
@@ -185,6 +189,8 @@ def _extra_headliners() -> set[str]:
         "samp_hash_split",
         "evt_markov",
         "agg_gini",
+        "sql_q5",
+        "evt_anomaly",
     }
 
 

@@ -459,3 +459,33 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(wr), 6).alias("prob"),
     )
+
+
+def daily_anomaly(
+    events: DataFrame,
+    bucket_seconds: int = 86400,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-volume anomaly score: per (type, day) the event count and
+    its z-score against that type's own daily distribution — the
+    monitoring query that flags traffic spikes and outages. Counts are
+    exact integers; mean/stddev are per-type window aggregates over the
+    (types × days)-sized table, so after the one count shuffle nothing
+    row-scale moves."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day = F.floor(us / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    daily = events.groupBy(F.col(type_col), day.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy(type_col)
+    mu = F.avg("n").over(wt)
+    sd = F.stddev("n").over(wt)
+    return daily.select(
+        type_col,
+        "bucket",
+        "n",
+        F.round(
+            F.when(sd > 0, (F.col("n") - mu) / sd).otherwise(F.lit(0.0)), 6
+        ).alias("z"),
+    )
