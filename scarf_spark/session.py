@@ -49,6 +49,10 @@ def get_spark(
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SCARF_DRIVER_MEM", "16g"))
+        # FAIR scheduling: concurrent query streams (bench throughput
+        # run, multi-tenant notebooks) share executor slots round-robin
+        # instead of convoying behind the first submitted job.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
