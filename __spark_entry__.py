@@ -292,6 +292,42 @@ def filt_clean_array(spark, sf_dir):
     return filters.clean_array(ev, "value", 0.0)
 
 
+@q(
+    "filt_outlier_iqr",
+    # Tukey fences on per-cell totals; fences rounded before comparing
+    # so the boundary decision is engine-exact
+    f"WITH {COUNTS_CTE}, "
+    "nc AS (SELECT cell_id, CAST(SUM(value) AS DOUBLE) AS n_counts FROM counts "
+    "GROUP BY cell_id), "
+    "q AS (SELECT ROUND(quantile_cont(n_counts, 0.25), 6) AS q1, "
+    "ROUND(quantile_cont(n_counts, 0.75), 6) AS q3 FROM nc) "
+    "SELECT cell_id, ROUND(n_counts, 6) AS n_counts, "
+    "n_counts < ROUND(q1 - 1.5 * (q3 - q1), 6) "
+    "OR n_counts > ROUND(q3 + 1.5 * (q3 - q1), 6) AS is_outlier "
+    "FROM nc, q",
+)
+def filt_outlier_iqr(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    nc = ds.counts().groupBy("cell_id").agg(
+        F.sum("value").cast("double").alias("n_counts")
+    )
+    return filters.iqr_outliers(nc, "n_counts", "cell_id")
+
+
+@q(
+    "norm_robust_scale",
+    f"WITH {COUNTS_CTE}, "
+    "m AS (SELECT feat_id, ROUND(quantile_cont(value, 0.5), 6) AS med, "
+    "ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr "
+    "FROM counts GROUP BY feat_id) "
+    "SELECT c.cell_id, c.feat_id, "
+    "ROUND(CASE WHEN m.iqr != 0 THEN (c.value - m.med) / m.iqr ELSE 0.0 END, 6) "
+    "AS robust_value FROM counts c JOIN m ON c.feat_id = m.feat_id",
+)
+def norm_robust_scale(spark, sf_dir):
+    return normalize.robust_scale_per_feature(_ds(spark, sf_dir).counts())
+
+
 # ---------------------------------------------------------------------------
 # §2.10 normalization
 # ---------------------------------------------------------------------------

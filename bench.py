@@ -219,6 +219,8 @@ def _extra_headliners() -> set[str]:
         "agg_gini",
         "sql_q5",
         "evt_anomaly",
+        "filt_outlier_iqr",
+        "norm_robust_scale",
     }
 
 

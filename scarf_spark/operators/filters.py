@@ -236,3 +236,31 @@ def hash_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame, value_col: str, id_col: str, k: float = 1.5
+) -> DataFrame:
+    """Tukey-fence outlier flagging: rows outside
+    [q1 − k·IQR, q3 + k·IQR] of the value distribution — the robust
+    sibling of the Normal-fit thresholds in auto_filter_cells
+    (``scarf/datastore/datastore.py:140-197``). Fences are exact
+    distributed percentiles ROUNDED to 6 decimals before comparison, so
+    the boundary decision replays identically on any engine.
+
+    One percentile aggregate (single-row result, broadcast back); the
+    flagging itself is a pure projection."""
+    q = df.agg(
+        F.round(F.expr(f"percentile({value_col}, 0.25)"), 6).alias("_q1"),
+        F.round(F.expr(f"percentile({value_col}, 0.75)"), 6).alias("_q3"),
+    )
+    lo = F.round(F.col("_q1") - F.lit(k) * (F.col("_q3") - F.col("_q1")), 6)
+    hi = F.round(F.col("_q3") + F.lit(k) * (F.col("_q3") - F.col("_q1")), 6)
+    return (
+        df.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(F.col(value_col), 6).alias(value_col),
+            ((F.col(value_col) < lo) | (F.col(value_col) > hi)).alias("is_outlier"),
+        )
+    )

@@ -182,3 +182,38 @@ def size_factors_mor(counts: DataFrame, out: str = "size_factor") -> DataFrame:
     return ratio.groupBy("cell_id").agg(
         F.round(F.expr("percentile(_r, 0.5)"), 6).alias(out)
     )
+
+
+def robust_scale_per_feature(
+    counts: DataFrame, out: str = "robust_value"
+) -> DataFrame:
+    """Median/IQR scaling per feature: (x − median) / IQR over the
+    feature's present values — the outlier-insensitive sibling of
+    z-scaling (``assay.py:659-660``), standard for heavy-tailed counts.
+    IQR = 0 collapses the feature to 0.0 (constant features carry no
+    signal either way).
+
+    One exact-percentile aggregate per feature (feature-keyed shuffle of
+    aggregate state only), broadcast back; the scale expression is a
+    projection with a pinned op shape (round the quantiles, then one
+    subtraction and one division) the oracle mirrors."""
+    med = counts.groupBy("feat_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("_med"),
+        F.round(
+            F.expr("percentile(value, 0.75)") - F.expr("percentile(value, 0.25)"), 6
+        ).alias("_iqr"),
+    )
+    return (
+        counts.join(F.broadcast(med), "feat_id")
+        .select(
+            "cell_id",
+            "feat_id",
+            F.round(
+                F.when(
+                    F.col("_iqr") != 0,
+                    (F.col("value") - F.col("_med")) / F.col("_iqr"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(out),
+        )
+    )

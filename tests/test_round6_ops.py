@@ -574,3 +574,26 @@ def test_gini_extremes(spark):
     out = {r["g"]: r["gini"] for r in gini_per_group(df, "g", "v", "id").collect()}
     assert out["eq"] == 0.0           # perfectly equal -> 0
     assert out["conc"] == 0.75        # all mass in 1 of 4 -> (n-1)/n
+
+
+def test_iqr_outliers_flags_extreme(spark):
+    from scarf_spark.operators.filters import iqr_outliers
+
+    rows = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 100])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["id"]: r["is_outlier"] for r in iqr_outliers(df, "v", "id").collect()}
+    assert out[5] is True and not any(out[i] for i in range(5))
+
+
+def test_robust_scale_median_zero_iqr(spark):
+    from scarf_spark.operators.normalize import robust_scale_per_feature
+
+    rows = [(c, 1, float(v)) for c, v in enumerate([1, 2, 3, 4])] + [
+        (c, 2, 7.0) for c in range(3)  # constant feature -> IQR 0 -> 0.0
+    ]
+    counts = spark.createDataFrame(rows, "cell_id long, feat_id long, value double")
+    out = {(r["cell_id"], r["feat_id"]): r["robust_value"]
+           for r in robust_scale_per_feature(counts).collect()}
+    # feat 1: median 2.5, IQR 1.5 -> value 4 scales to 1.0
+    assert out[(3, 1)] == 1.0
+    assert all(out[(c, 2)] == 0.0 for c in range(3))
