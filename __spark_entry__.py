@@ -3629,6 +3629,36 @@ def agg_gini(spark, sf_dir):
 
 
 @q(
+    "agg_histogram",
+    "WITH mm AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo, "
+    "MAX(CAST(value AS DOUBLE)) AS hi FROM events) "
+    "SELECT event_type, CAST(CASE WHEN hi = lo THEN 0 ELSE "
+    "LEAST(FLOOR((value - lo) / ((hi - lo) / 10.0)), 9) END AS INTEGER) AS bin, "
+    "COUNT(*) AS n FROM events, mm GROUP BY event_type, bin",
+)
+def agg_histogram(spark, sf_dir):
+    from scarf_spark.operators import aggregate
+
+    return aggregate.equiwidth_histogram(
+        _ds(spark, sf_dir).events, "event_type", "value", n_bins=10
+    )
+
+
+@q(
+    "agg_mode",
+    "SELECT event_type, modal_value, n FROM ("
+    "SELECT event_type, value AS modal_value, COUNT(*) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY COUNT(*) DESC, value) AS rn "
+    "FROM events GROUP BY event_type, value) WHERE rn = 1",
+)
+def agg_mode(spark, sf_dir):
+    from scarf_spark.operators import aggregate
+
+    return aggregate.modal_value(_ds(spark, sf_dir).events, "event_type", "value")
+
+
+@q(
     "agg_entropy",
     "WITH hist AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "
     "GROUP BY user_id, event_type), "

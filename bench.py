@@ -221,6 +221,8 @@ def _extra_headliners() -> set[str]:
         "evt_anomaly",
         "filt_outlier_iqr",
         "norm_robust_scale",
+        "agg_histogram",
+        "agg_mode",
     }
 
 

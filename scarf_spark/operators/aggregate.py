@@ -440,3 +440,49 @@ def gini_per_group(
             6,
         ).alias("gini"),
     )
+
+
+def equiwidth_histogram(
+    df: DataFrame, group_col: str, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram of a value column per group over the GLOBAL
+    [min, max] range (shared bin edges make the per-group histograms
+    comparable) — the profiling aggregate behind data-quality dashboards
+    and optimizer statistics.
+
+    One tiny global min/max aggregate broadcast back, then one count
+    shuffle keyed by (group, bin); output is (groups × bins) rows. Bin
+    assignment is a pinned float expression both engines evaluate
+    identically; the top edge folds into the last bin."""
+    mm = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_expr = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / w), F.lit(n_bins - 1)
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .groupBy(F.col(group_col), bin_expr.cast("int").alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def modal_value(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group modal value (most frequent; ties → smallest value) with
+    its count — explicit count + deterministic argmax window rather than
+    an engine-specific mode() whose tie rule varies. One count shuffle
+    keyed by (group, value), then a window over the histogram-sized
+    result."""
+    cnt = df.groupBy(group_col, value_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col(value_col))
+    return (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(group_col, F.col(value_col).alias("modal_value"), "n")
+    )

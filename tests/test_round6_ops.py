@@ -597,3 +597,22 @@ def test_robust_scale_median_zero_iqr(spark):
     # feat 1: median 2.5, IQR 1.5 -> value 4 scales to 1.0
     assert out[(3, 1)] == 1.0
     assert all(out[(c, 2)] == 0.0 for c in range(3))
+
+
+def test_equiwidth_histogram_bins(spark):
+    from scarf_spark.operators.aggregate import equiwidth_histogram
+
+    rows = [("g", float(v)) for v in range(11)]  # 0..10, width 1 over 10 bins
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["bin"]: r["n"] for r in equiwidth_histogram(df, "g", "v").collect()}
+    # each bin gets one value, the top edge (10.0) folds into bin 9
+    assert out == {i: (2 if i == 9 else 1) for i in range(10)}
+
+
+def test_modal_value_tie_break(spark):
+    from scarf_spark.operators.aggregate import modal_value
+
+    rows = [("g", 2.0), ("g", 2.0), ("g", 1.0), ("g", 1.0), ("g", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = modal_value(df, "g", "v").collect()
+    assert len(out) == 1 and out[0]["modal_value"] == 1.0 and out[0]["n"] == 2
