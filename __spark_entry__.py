@@ -2954,7 +2954,10 @@ def evt_json_extract(spark, sf_dir):
     return aggregate.json_props_stats(_ds(spark, sf_dir).events)
 
 
-_UND_CTE = (
+# canonical-edge (u < w) undirected form for triangle counting — NOTE:
+# distinct from _UND_CTE above (symmetrized both-directions form used
+# by label propagation / modularity); keep the names separate
+_UND_CANON_CTE = (
     "und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w "
     "FROM knn WHERE src <> dst)"
 )
@@ -2962,7 +2965,7 @@ _UND_CTE = (
 
 @q(
     "graph_triangles",
-    f"WITH {_KNN_CTE}, {_UND_CTE}, "
+    f"WITH {_KNN_CTE}, {_UND_CANON_CTE}, "
     "tri AS (SELECT a.u AS x, a.w AS y, b.w AS z FROM und a "
     "JOIN und b ON a.w = b.u JOIN und c ON c.u = a.u AND c.w = b.w) "
     "SELECT v, COUNT(*) AS n_triangles FROM "
