@@ -896,6 +896,37 @@ def knn_exact_dist(spark, sf_dir):
     return _knn_edges(spark, sf_dir)
 
 
+@q(
+    "knn_radius",
+    # fixed-threshold dual of top-k: all pairs within cosine distance
+    # 0.62; rounded-before-compare boundary
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e) "
+    "SELECT a.vec_id AS src, b.vec_id AS dst, "
+    "ROUND(1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS distance "
+    "FROM nv a JOIN nv b ON a.vec_id != b.vec_id "
+    "WHERE ROUND(1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) <= 0.62",
+)
+def knn_radius(spark, sf_dir):
+    return knn.cosine_radius(_ds(spark, sf_dir).embeddings, radius=0.62)
+
+
+@q(
+    "agg_cooccur",
+    f"WITH {COUNTS_CTE} "
+    "SELECT a.feat_id AS fa, b.feat_id AS fb, COUNT(*) AS n_cells "
+    "FROM counts a JOIN counts b ON a.cell_id = b.cell_id "
+    "AND a.feat_id < b.feat_id "
+    "GROUP BY a.feat_id, b.feat_id "
+    "ORDER BY n_cells DESC, fa, fb LIMIT 50",
+)
+def agg_cooccur(spark, sf_dir):
+    from scarf_spark.operators import aggregate
+
+    return aggregate.feature_cooccurrence(_ds(spark, sf_dir).counts(), top_n=50)
+
+
 _PLANE_CTE = (
     "plane AS (SELECT tb.t, hh.h, ii.i, "
     "('0x' || substr(md5('p_' || tb.t || '_' || hh.h || '_' || ii.i), 1, 15))::BIGINT "

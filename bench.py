@@ -223,6 +223,8 @@ def _extra_headliners() -> set[str]:
         "norm_robust_scale",
         "agg_histogram",
         "agg_mode",
+        "knn_radius",
+        "agg_cooccur",
     }
 
 

@@ -486,3 +486,26 @@ def modal_value(
         .where(F.col("_rn") == 1)
         .select(group_col, F.col(value_col).alias("modal_value"), "n")
     )
+
+
+def feature_cooccurrence(
+    counts: DataFrame, top_n: int = 50
+) -> DataFrame:
+    """Top co-expressed feature pairs: how many cells express BOTH
+    features — the gene-gene co-occurrence screen behind co-expression
+    modules (the relational core of the reference's feature-module
+    clustering, ``scarf/markers.py:323-439``, without the KNN step).
+
+    A self-join of the COO table on cell_id with a canonical fa < fb
+    cut: pair volume is Σ nnz(cell)² — bounded by the densest cell, the
+    quantity to cap or salt at extreme scale. The pair aggregate is
+    map-side combined; the final top-n is TakeOrderedAndProject."""
+    a = counts.select("cell_id", F.col("feat_id").alias("fa"))
+    b = counts.select("cell_id", F.col("feat_id").alias("fb"))
+    pairs = a.join(b, "cell_id").where(F.col("fa") < F.col("fb"))
+    return (
+        pairs.groupBy("fa", "fb")
+        .agg(F.count("*").alias("n_cells"))
+        .orderBy(F.col("n_cells").desc(), "fa", "fb")
+        .limit(top_n)
+    )

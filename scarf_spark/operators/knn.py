@@ -732,3 +732,52 @@ def pq_quantize(
         *[F.col(f"code_{i}") for i in range(m)],
         F.floor(err * F.lit(1e9)).cast("long").alias("err_ppb"),
     )
+
+
+def cosine_radius(
+    emb: DataFrame,
+    radius: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius similarity search: every ordered pair (src, dst) with
+    cosine distance ≤ radius (self pairs excluded) — the fixed-
+    threshold dual of top-k search, the primitive behind near-duplicate
+    sweeps at a quality bar rather than a count. Distances are rounded
+    to 6 decimals BEFORE the threshold compare, so the boundary
+    decision replays identically on any engine.
+
+    Same broadcast-index + Arrow-batched BLAS shape as
+    :func:`cosine_knn_exact`; the numpy filter over-captures by 1e-7
+    and the final rounded compare happens JVM-side. For billion-scale
+    indexes the LSH/IVF bucketed variants bound the candidate pairs."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m_n))
+
+    def score(batches):
+        b_ids, b_m = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            q = np.array(b[vec_col].tolist(), dtype=np.float64)
+            q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - q_n @ b_m.T
+            src = b[id_col].to_numpy()
+            take = (dist <= radius + 1e-7) & (b_ids[None, :] != src[:, None])
+            rows, cols = np.nonzero(take)
+            yield pd.DataFrame(
+                {
+                    "src": src[rows],
+                    "dst": b_ids[cols],
+                    "distance": np.round(dist[rows, cols], 6),
+                }
+            )
+
+    out = emb.mapInPandas(score, "src long, dst long, distance double")
+    return out.where(F.col("distance") <= radius)

@@ -616,3 +616,31 @@ def test_modal_value_tie_break(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = modal_value(df, "g", "v").collect()
     assert len(out) == 1 and out[0]["modal_value"] == 1.0 and out[0]["n"] == 2
+
+
+def test_cosine_radius_matches_bruteforce(spark):
+    import numpy as np
+
+    from scarf_spark.operators.knn import cosine_radius
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["src"], r["dst"]) for r in cosine_radius(emb, radius=0.8).collect()}
+    m = vecs.astype("float64")
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    d = 1.0 - m @ m.T
+    want = {(i, j) for i in range(30) for j in range(30)
+            if i != j and round(d[i, j], 6) <= 0.8}
+    assert got == want
+
+
+def test_feature_cooccurrence_counts(spark):
+    from scarf_spark.operators.aggregate import feature_cooccurrence
+
+    rows = [(0, 1, 1.0), (0, 2, 1.0), (1, 1, 1.0), (1, 2, 1.0), (1, 3, 1.0)]
+    counts = spark.createDataFrame(rows, "cell_id long, feat_id long, value double")
+    out = {(r["fa"], r["fb"]): r["n_cells"]
+           for r in feature_cooccurrence(counts).collect()}
+    assert out == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
