@@ -36,6 +36,19 @@ TABLES = (
 )
 
 
+def _parquet_ts_is_nanos(path: str) -> bool:
+    """True iff the parquet file/dir at ``path`` stores its ``ts``
+    column as TIMESTAMP(NANOS) — a footer-only probe (no row reads)."""
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        field = schema.field("ts") if "ts" in schema.names else None
+        return field is not None and str(field.type) == "timestamp[ns]"
+    except Exception:  # noqa: BLE001 — fall back to the legacy-safe path
+        return True
+
+
 class DataStore:
     """Catalog over a directory of parquet tables.
 
@@ -60,10 +73,15 @@ class DataStore:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             if name == "events":
                 # events.parquet may store TIMESTAMP(NANOS), which Spark's
-                # vectorized reader rejects: read nanos as long and rebuild
-                # a microsecond timestamp. Newer testdata already stores
-                # TIMESTAMP(MICROS); in that case keep the column as-is.
-                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                # vectorized reader rejects. Probe the footer first and
+                # only flip the legacy conf when nanos are actually
+                # present (the conf must then stay set for the lifetime
+                # of the session's scans of this file); micros-typed
+                # testdata leaves session conf untouched.
+                if _parquet_ts_is_nanos(path):
+                    self.spark.conf.set(
+                        "spark.sql.legacy.parquet.nanosAsLong", "true"
+                    )
                 df = self.spark.read.parquet(path)
                 if dict(df.dtypes).get("ts") in ("bigint", "long"):
                     df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -227,12 +227,15 @@ def hash_split(
     splitting a 100 TB corpus costs one pass and each split can be
     re-derived on demand instead of materialized."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-    bucket = (h.cast("bigint") % 100).alias("bucket")
+    bucket = h.cast("bigint") % 100
+    # reuse the bound expression rather than re-resolving "bucket" by
+    # name: lateral alias resolution would prefer a pre-existing input
+    # column of the same name and silently mis-assign splits.
     return df.select(
         F.col(id_col),
-        bucket,
-        F.when(F.col("bucket") < train_pct, "train")
-        .when(F.col("bucket") < train_pct + val_pct, "val")
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
         .alias("split"),
     )

@@ -214,7 +214,14 @@ def pagerank(
     math end-to-end (sums and scalar ops, no data-dependent branches),
     so an unrolled SQL CTE replays it exactly; dangling mass is
     redistributed uniformly each step, keeping the distribution
-    normalized."""
+    normalized.
+
+    Lineage is bounded: every ``_CHECKPOINT_EVERY`` iterations the
+    node-sized rank vector is localCheckpoint()ed (truncating the
+    recursive plan) and the previous materialization released — without
+    this, raising ``n_iter`` grows an exponential-reuse plan that
+    eventually stalls the optimizer and re-executes early iterations."""
+    _CHECKPOINT_EVERY = 5
     e = edges.select("src", "dst")
     nodes = (
         e.select(F.col("src").alias("v"))
@@ -226,7 +233,7 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(outdeg, "src").repartition("src").persist()
     ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ed.join(ranks.withColumnRenamed("v", "src"), "src")
             .groupBy("dst")
@@ -243,6 +250,8 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", F.round("r", 9).alias("pagerank"))
 
 

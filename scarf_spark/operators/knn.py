@@ -743,9 +743,12 @@ def cosine_radius(
     """Radius similarity search: every ordered pair (src, dst) with
     cosine distance ≤ radius (self pairs excluded) — the fixed-
     threshold dual of top-k search, the primitive behind near-duplicate
-    sweeps at a quality bar rather than a count. Distances are rounded
-    to 6 decimals BEFORE the threshold compare, so the boundary
-    decision replays identically on any engine.
+    sweeps at a quality bar rather than a count. The pandas iterator
+    emits the RAW dot-product distance; rounding to 6 decimals and the
+    threshold compare both happen JVM-side (``F.round`` is
+    half-away-from-zero, matching the DuckDB oracle's ROUND, whereas
+    ``np.round`` is half-to-even — same convention as
+    ``supervised.py``), so the boundary decision replays identically.
 
     Same broadcast-index + Arrow-batched BLAS shape as
     :func:`cosine_knn_exact`; the numpy filter over-captures by 1e-7
@@ -775,9 +778,12 @@ def cosine_radius(
                 {
                     "src": src[rows],
                     "dst": b_ids[cols],
-                    "distance": np.round(dist[rows, cols], 6),
+                    "distance": dist[rows, cols],
                 }
             )
 
     out = emb.mapInPandas(score, "src long, dst long, distance double")
+    out = out.select(
+        "src", "dst", F.round(F.col("distance"), 6).alias("distance")
+    )
     return out.where(F.col("distance") <= radius)

@@ -14,6 +14,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _fair_allocation_file() -> str:
+    """Path to the shipped fairscheduler.xml (FAIR-mode default pool).
+
+    Falls back to an empty string (Spark ignores it) if the repo-root
+    copy is missing, e.g. when scarf_spark is installed standalone."""
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fairscheduler.xml",
+    )
+    return p if os.path.exists(p) else ""
+
+
 def get_spark(
     app_name: str = "scarf-spark",
     cpus: int | str | None = None,
@@ -51,8 +63,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SCARF_DRIVER_MEM", "16g"))
         # FAIR scheduling: concurrent query streams (bench throughput
         # run, multi-tenant notebooks) share executor slots round-robin
-        # instead of convoying behind the first submitted job.
+        # instead of convoying behind the first submitted job.  FAIR
+        # mode alone is not enough — jobs land in the single default
+        # pool whose INTERNAL order is FIFO — so the allocation file
+        # flips the default pool itself to FAIR (and bench threads
+        # additionally set a per-thread spark.scheduler.pool).
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
+    alloc = _fair_allocation_file()
+    if alloc:
+        builder = builder.config("spark.scheduler.allocation.file", alloc)
     return builder.getOrCreate()
