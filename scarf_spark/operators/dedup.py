@@ -198,24 +198,37 @@ def ngram_jaccard(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via a shingle equi-join:
     |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. With `pairs` given,
-    verification is restricted to LSH candidates (the scale path);
-    without, all intersecting pairs are scored (still an equi-join on
-    shingle — never a cross join)."""
+    scoring is restricted to LSH candidates and the semi-join lands
+    BELOW the pair aggregate — on the shingle-joined rows — so
+    non-candidate pairs never enter the groupBy state (the scale
+    path). Without `pairs`, all intersecting pairs are scored (still
+    an equi-join on shingle — never a cross join).
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    BEFORE the self-join; a stop-word shingle shared by 10⁶ docs is
+    otherwise a 10¹² pair blow-up at corpus scale. Sizes are computed
+    over the capped shingle universe, so Jaccard stays consistent
+    (intersection and union use the same vocabulary)."""
     sh = word_shingles(docs, n, text_col, id_col)
+    if df_cap is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     x = sh.select(F.col(id_col).alias("a"), "shingle")
     y = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        x.join(y, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+    joined = x.join(y, "shingle").where(F.col("a") < F.col("b"))
     if pairs is not None:
-        inter = inter.join(pairs, ["a", "b"], "left_semi")
+        joined = joined.join(pairs, ["a", "b"], "left_semi")
+    inter = joined.groupBy("a", "b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     return (

@@ -644,3 +644,52 @@ def test_feature_cooccurrence_counts(spark):
     out = {(r["fa"], r["fb"]): r["n_cells"]
            for r in feature_cooccurrence(counts).collect()}
     assert out == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_sharded_knn_matches_exact(spark):
+    from scarf_spark.operators.knn import cosine_knn_exact, cosine_knn_sharded
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["src"], r["rank"]): (r["dst"], r["distance"])
+             for r in cosine_knn_exact(emb, k=4).collect()}
+    sharded = {(r["src"], r["rank"]): (r["dst"], r["distance"])
+               for r in cosine_knn_sharded(emb, k=4, n_shards=5).collect()}
+    assert sharded == exact
+
+
+def test_ngram_jaccard_df_cap_and_pairs(spark):
+    from scarf_spark.operators.dedup import ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "a dog ran in the park"),
+            (4, "the cat sat on the mat"),  # dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    # unrestricted: 1-2, 1-4, 2-4 intersect ("the cat sat" etc.)
+    allp = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard(docs).collect()}
+    assert allp[(1, 4)] == 1.0
+    # pair restriction lands below the aggregate: only requested pairs out
+    pairs = spark.createDataFrame([(1, 4)], "a long, b long")
+    only = {(r["a"], r["b"]) for r in ngram_jaccard(docs, pairs=pairs).collect()}
+    assert only == {(1, 4)}
+    # df_cap=2 drops shingles present in >2 docs ("the cat sat" in 3)
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard(docs, df_cap=2).collect()}
+    assert (1, 4) in capped and capped[(1, 4)] == 1.0
+
+
+def test_pagerank_checkpoint_long_iteration(spark):
+    # n_iter above the checkpoint interval exercises localCheckpoint
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    out = {r["v"]: r["pagerank"] for r in pagerank(edges, n_iter=12).collect()}
+    assert set(out) == {1, 2, 3}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
