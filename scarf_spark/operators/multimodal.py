@@ -4,11 +4,13 @@ metadata.
 The reference is single-modality (counts matrices), but a large-scale
 training-data pipeline treats media as ``binary`` payload columns with
 a typed metadata struct, decoded/feature-extracted inside Arrow-batched
-``mapInPandas`` UDFs. The Spark-side plumbing here — schema, batch
-shape, partitioning, deterministic fake codecs — is real and tested;
-the actual image/audio codecs are stubbed behind import-try because
-the decode libraries are not in this container (decode_image_real
-raises NotImplementedError when PIL is absent).
+``mapInPandas`` UDFs. Two codec tiers ship here: deterministic fake
+codecs (byte-grid semantics, zero dependencies — the *_stub family)
+AND real byte-level codecs via ``operators/codecs.py`` (pure-python
+PNG encode/decode with scanline filters, stdlib WAV PCM) used by
+``attach_png_payload``/``decode_image_real`` and
+``attach_wav_payload``/``audio_energy_real`` — so the pipeline grades
+on genuinely encoded payloads without PIL/libsndfile.
 
 Scale notes: payloads stay opaque binary end-to-end (no base64 blowup,
 no driver collect); decode runs per-partition in Arrow batches so a
@@ -229,17 +231,124 @@ def audio_frame_energy(media: DataFrame, frame_bytes: int = 100) -> DataFrame:
     return auds.mapInPandas(energy, schema=_AUDIO_SCHEMA)
 
 
-# ---- real codecs, gated ----
+# ---- real codecs (pure-python PNG/WAV; see operators/codecs.py) ----
 
-def decode_image_real(media: DataFrame):  # pragma: no cover - env-gated
-    """Real image decode (PIL), unavailable in this container."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real image decode needs Pillow; use decode_image_stub"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the lib ships")
+
+def attach_png_payload(docs: DataFrame, width: int = 32) -> DataFrame:
+    """Deterministic REAL image payloads: each image-modality doc's
+    text bytes become a ``width``-wide grayscale pixel grid (trailing
+    partial row dropped) and are encoded as an actual PNG blob
+    executor-side. Docs whose text is shorter than one row get an
+    empty payload (PNG cannot express 0-height images). Output:
+    (doc_id, modality='image', payload binary)."""
+    from scarf_spark.operators import codecs
+
+    import numpy as np
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = len(b) // width
+                if h == 0:
+                    payloads.append(b"")
+                    continue
+                payloads.append(codecs.encode_png(b[: h * width].reshape(h, width)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    out = imgs.mapInPandas(encode, "doc_id long, payload binary")
+    return out.select("doc_id", F.lit("image").alias("modality"), "payload")
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse each payload as a PNG (pure-python
+    codec — zlib inflate + scanline unfilter) and emit the same stats
+    contract as :func:`decode_image_stub`. Empty payloads (too-short
+    sources) emit the zeros row, mirroring the stub's h==0 case."""
+    from scarf_spark.operators import codecs
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    out.append((doc_id, 0, 0, 0, 0, 0, 0))
+                    continue
+                px = codecs.decode_png(raw)
+                out.append(
+                    (
+                        doc_id,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.size),
+                        int(px.sum(dtype="int64")) * 1_000_000 // int(px.size),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _DECODE_SCHEMA.fields])
+
+    imgs = media.where(F.col("modality") == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+def attach_wav_payload(docs: DataFrame, rate: int = 16000) -> DataFrame:
+    """Deterministic REAL audio payloads: each audio-modality doc's
+    text bytes become int16 samples (byte value as amplitude) encoded
+    as an actual mono 16-bit PCM WAV blob executor-side."""
+    from scarf_spark.operators import codecs
+
+    import numpy as np
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                samples = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
+                    "<i2"
+                )
+                payloads.append(codecs.encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    auds = docs.where(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    out = auds.mapInPandas(encode, "doc_id long, payload binary")
+    return out.select("doc_id", F.lit("audio").alias("modality"), "payload")
+
+
+def audio_energy_real(media: DataFrame, frame_samples: int = 100) -> DataFrame:
+    """REAL audio feature extraction: decode each WAV payload (stdlib
+    PCM reader) and emit per-complete-frame sample sums — the same
+    contract as :func:`audio_frame_energy` over decoded samples."""
+    from scarf_spark.operators import codecs
+
+    import numpy as np
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = codecs.decode_wav(bytes(payload))
+                n = len(samples) // frame_samples
+                if n == 0:
+                    continue
+                fr = samples[: n * frame_samples].reshape(n, frame_samples)
+                s = fr.sum(axis=1, dtype=np.int64)
+                ids.extend([doc_id] * n)
+                idxs.extend(range(n))
+                es.extend(int(x) for x in s)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy": es}
+            ).astype({"frame_idx": "int32"})
+
+    auds = media.where(F.col("modality") == "audio").select("doc_id", "payload")
+    return auds.mapInPandas(energy, schema=_AUDIO_SCHEMA)
 
 
 def ahash16(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
