@@ -693,3 +693,38 @@ def test_pagerank_checkpoint_long_iteration(spark):
     out = {r["v"]: r["pagerank"] for r in pagerank(edges, n_iter=12).collect()}
     assert set(out) == {1, 2, 3}
     assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_harmony_converge_matches_numpy_twin(spark):
+    from scarf_spark.ml.integrate import _harmony_numpy, harmony_converge
+
+    rng = np.random.RandomState(42)
+    n, d = 24, 4
+    Z = rng.rand(d, n) * 2 + 0.2  # strictly positive: max-scaling well-defined
+    batches = rng.randint(0, 2, n)
+    Z[:, batches == 1] += 0.4  # visible batch offset to correct
+    want, n_iters = _harmony_numpy(
+        Z, batches, n_clusters=2, max_iter_harmony=2, max_iter_kmeans=6
+    )
+    rows = [
+        (i, [float(Z[j, i]) for j in range(d)], f"b{batches[i]}")
+        for i in range(n)
+    ]
+    cells = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "cell_id long, v array<double>"
+    )
+    bdf = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "cell_id long, batch string"
+    )
+    got_rows = harmony_converge(
+        cells, bdf, n_clusters=2, max_iter_harmony=2, max_iter_kmeans=6
+    ).collect()
+    got = np.zeros((d, n))
+    for r in got_rows:
+        got[:, r["cell_id"]] = r["v"]
+    assert np.allclose(got, want, atol=1e-6)
+    # the correction moved the batch-offset cells toward the others
+    sep_before = abs(Z[:, batches == 1].mean() - Z[:, batches == 0].mean())
+    sep_after = abs(got[:, batches == 1].mean() - got[:, batches == 0].mean())
+    assert sep_after < sep_before
+    assert 1 <= n_iters <= 2
