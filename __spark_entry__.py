@@ -2960,6 +2960,98 @@ def _zarr_fixture_store(spark, sf_dir: str) -> str:
     return store
 
 
+_H5_STORE_CACHE: dict[str, str] = {}
+
+
+def _h5_fixture_store(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) a 10x-style sparse HDF5 file from the
+    counts slice ``feat_id <= 300`` with the vendored pure-python
+    writer (``sources/minih5.py``): ``matrix/{data,indices,indptr}``
+    CSC with cells on the major axis (``scarf/readers.py:192-294``
+    CrH5Reader layout) plus ``cell_ids``/``feat_ids`` index arrays."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from scarf_spark.sources.minih5 import write_h5
+
+    if sf_dir in _H5_STORE_CACHE:
+        return _H5_STORE_CACHE[sf_dir]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "scarf_h5_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".h5",
+    )
+    if not os.path.exists(path):
+        rows = (
+            _ds(spark, sf_dir)
+            .counts()
+            .where(F.col("feat_id") <= 300)
+            .collect()
+        )
+        cells = np.array(sorted({r["cell_id"] for r in rows}), dtype="<i8")
+        feats = np.array(sorted({r["feat_id"] for r in rows}), dtype="<i8")
+        cpos = {int(c): i for i, c in enumerate(cells)}
+        fpos = {int(f): j for j, f in enumerate(feats)}
+        triples = sorted(
+            (cpos[r["cell_id"]], fpos[r["feat_id"]], r["value"]) for r in rows
+        )
+        indptr = np.zeros(len(cells) + 1, dtype="<i8")
+        for ci, _, _ in triples:
+            indptr[ci + 1] += 1
+        indptr = np.cumsum(indptr).astype("<i8")
+        write_h5(
+            path,
+            {
+                "matrix": {
+                    "indptr": indptr,
+                    "indices": np.array([t[1] for t in triples], dtype="<i4"),
+                    "data": np.array([t[2] for t in triples], dtype="<f8"),
+                },
+                "cell_ids": cells,
+                "feat_ids": feats,
+            },
+        )
+    _H5_STORE_CACHE[sf_dir] = path
+    return path
+
+
+@q(
+    "src_h5_counts",
+    f"WITH {COUNTS_CTE} "
+    "SELECT cell_id, feat_id, value FROM counts WHERE feat_id <= 300",
+)
+def src_h5_counts(spark, sf_dir):
+    """HDF5-native ingestion roundtrip (VERDICT r5 gap #2): the counts
+    slice is written as a 10x-style sparse CSC HDF5 file and scanned
+    back by the distributed chunk reader (``readers.py``
+    read_sparse_h5 — h5py when present, vendored minih5 otherwise);
+    matrix indices resolve to real ids via the stored index arrays."""
+    from scarf_spark.sources.minih5 import File
+    from scarf_spark.sources.readers import read_sparse_h5
+
+    path = _h5_fixture_store(spark, sf_dir)
+    with File(path) as f:
+        cells = [int(x) for x in f["cell_ids"][:]]
+        feats = [int(x) for x in f["feat_ids"][:]]
+    coo = read_sparse_h5(spark, path, group="matrix", orientation="csc")
+    cmap = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cells)], "ci long, cid long"
+    )
+    fmap = spark.createDataFrame(
+        [(j, f) for j, f in enumerate(feats)], "fj long, fid long"
+    )
+    return (
+        coo.join(F.broadcast(cmap), coo["cell_id"] == cmap["ci"])
+        .join(F.broadcast(fmap), coo["feat_id"] == fmap["fj"])
+        .select(
+            F.col("cid").alias("cell_id"),
+            F.col("fid").alias("feat_id"),
+            "value",
+        )
+    )
+
+
 @q(
     "src_zarr_counts",
     f"WITH {COUNTS_CTE} "

@@ -185,10 +185,10 @@ def gff_promoters(
 
 # ---------------------------------------------------------------------------
 # HDF5-family readers (CrH5Reader readers.py:192-294, H5adReader
-# readers.py:588-919, LoomReader readers.py:975-1117). The container may
-# lack h5py — the chunk-plan + mapInPandas plumbing below is the real
-# production path and is exercised whenever h5py is importable; without
-# it the entry points raise NotImplementedError (SURVEY.md §2.1).
+# readers.py:588-919, LoomReader readers.py:975-1117). h5py is used
+# when installed; otherwise the vendored pure-python HDF5 subset
+# reader (sources/minih5.py) serves the same facade, so these run
+# un-gated everywhere (SURVEY.md §2.1).
 # ---------------------------------------------------------------------------
 
 def h5_chunk_specs(n_rows: int, batch_size: int) -> list[tuple[int, int]]:
@@ -205,17 +205,23 @@ def h5_chunk_specs(n_rows: int, batch_size: int) -> list[tuple[int, int]]:
     ]
 
 
-def _require_h5py():
+def _h5_module():
+    """h5py when installed, else the vendored pure-python subset reader
+    (``scarf_spark/sources/minih5.py``) — same facade (File/Group/
+    Dataset, ``[:]`` slicing, ``.asstr()``), so the HDF5 sources run
+    un-gated in environments without h5py."""
     try:
-        import h5py  # noqa: F401
+        import h5py
 
         return h5py
-    except ImportError as e:  # pragma: no cover - env without h5py
-        raise NotImplementedError(
-            "h5py is not installed in this environment; the distributed "
-            "chunk-scan below is the production path (tasks open the file "
-            "from shared storage and read only their row range)"
-        ) from e
+    except ImportError:
+        from scarf_spark.sources import minih5
+
+        return minih5
+
+
+# kept for backward compatibility with older call sites/tests
+_require_h5py = _h5_module
 
 
 def read_sparse_h5(
@@ -237,7 +243,7 @@ def read_sparse_h5(
     ``consume(batch_size)`` loop (``readers.py:275-290``) but with the
     chunks running in parallel. ``orientation='csc'`` means the major
     axis is cells (10x layout); ``'csr'`` means features."""
-    h5py = _require_h5py()
+    h5py = _h5_module()
     with h5py.File(path, "r") as f:
         n_major = int(f[group]["indptr"].shape[0]) - 1
     specs = h5_chunk_specs(n_major, batch_size)
@@ -247,11 +253,12 @@ def read_sparse_h5(
     is_csc = orientation == "csc"
 
     def scan(batches):
-        import h5py as _h5
         import numpy as _np
         import pandas as _pd
 
-        with _h5.File(path, "r") as f:
+        from scarf_spark.sources.readers import _h5_module
+
+        with _h5_module().File(path, "r") as f:
             g = f[group]
             indptr = g["indptr"][:]
             for b in batches:
@@ -285,10 +292,14 @@ def read_h5ad(
     (``readers.py:588-919``; categorical decode ``readers.py:781-820``
     = join codes → categories, done driver-side on the small attribute
     arrays). Returns (counts, cells, feats)."""
-    h5py = _require_h5py()
+    h5py = _h5_module()
     import pandas as pd
 
-    counts = read_sparse_h5(spark, path, group="X", orientation="csr",
+    # AnnData stores X as CSR with CELLS (obs) on the major axis — in
+    # read_sparse_h5's orientation terms that is "csc" (major = cells);
+    # passing "csr" here would emit the transpose (latent bug caught by
+    # tests/test_minih5.py once the readers ran un-gated)
+    counts = read_sparse_h5(spark, path, group="X", orientation="csc",
                             batch_size=batch_size)
 
     def _table(f, key: str, id_name: str) -> pd.DataFrame:
@@ -318,7 +329,7 @@ def read_loom(
     transposed on consume, ``readers.py:975-1117``): row-range tasks
     over the feature axis, melt each dense slab to COO with the keys
     swapped (transpose = swap key columns, SURVEY.md §2.1)."""
-    h5py = _require_h5py()
+    h5py = _h5_module()
     with h5py.File(path, "r") as f:
         n_feats = int(f["matrix"].shape[0])
     specs = h5_chunk_specs(n_feats, batch_size)
@@ -327,11 +338,12 @@ def read_loom(
     )
 
     def scan(batches):
-        import h5py as _h5
         import numpy as _np
         import pandas as _pd
 
-        with _h5.File(path, "r") as f:
+        from scarf_spark.sources.readers import _h5_module
+
+        with _h5_module().File(path, "r") as f:
             m = f["matrix"]
             for b in batches:
                 for start, end in zip(b["start"], b["end"]):
