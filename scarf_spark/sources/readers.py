@@ -313,7 +313,8 @@ def read_h5ad(
                 v = ds.asstr()[:] if ds.dtype.kind in ("S", "O") else ds[:]
                 cols[name] = list(v)
         df = pd.DataFrame(cols)
-        df.insert(0, id_name, range(len(df)))
+        if id_name not in df.columns:  # stored id column wins
+            df.insert(0, id_name, range(len(df)))
         return df
 
     with h5py.File(path, "r") as f:

@@ -135,31 +135,44 @@ def to_h5ad(
     n_feats: int,
 ) -> str:
     """Export to an AnnData-compatible ``.h5ad`` (CSR X group + obs/var
-    tables, ``writers.py:1113-1259``). Gated on h5py — absent in this
-    container, so the entry raises NotImplementedError; the CSR
-    reconstruction itself (:func:`coo_to_csr_arrays`) is exercised
-    either way."""
+    tables, ``writers.py:1113-1259``). Uses h5py when installed;
+    otherwise the vendored pure-python HDF5 writer
+    (``sources/minih5.write_h5``), so the export runs un-gated."""
+    indptr, indices, data = coo_to_csr_arrays(counts, n_cells, n_feats)
+
+    def _cols(df):
+        pdf = df.toPandas()
+        out = {}
+        for c in pdf.columns:
+            v = pdf[c].to_numpy()
+            out[c] = v.astype("S") if v.dtype.kind == "O" else v
+        return out
+
+    obs, var = _cols(cells), _cols(feats)
     try:
         import h5py
-    except ImportError as e:  # pragma: no cover - env without h5py
-        raise NotImplementedError(
-            "h5py is not installed; CSR reconstruction is available via "
-            "coo_to_csr_arrays, only the HDF5 write is gated"
-        ) from e
 
-    indptr, indices, data = coo_to_csr_arrays(counts, n_cells, n_feats)
-    with h5py.File(path, "w") as f:
-        x = f.create_group("X")
-        x["indptr"] = indptr
-        x["indices"] = indices
-        x["data"] = data
-        x.attrs["shape"] = (n_cells, n_feats)
-        for key, df in (("obs", cells), ("var", feats)):
-            g = f.create_group(key)
-            pdf = df.toPandas()
-            for c in pdf.columns:
-                v = pdf[c].to_numpy()
-                g[c] = v.astype("S") if v.dtype.kind == "O" else v
+        with h5py.File(path, "w") as f:
+            x = f.create_group("X")
+            x["indptr"] = indptr
+            x["indices"] = indices
+            x["data"] = data
+            x.attrs["shape"] = (n_cells, n_feats)
+            for key, cols in (("obs", obs), ("var", var)):
+                g = f.create_group(key)
+                for c, v in cols.items():
+                    g[c] = v
+    except ImportError:
+        from scarf_spark.sources.minih5 import write_h5
+
+        write_h5(
+            path,
+            {
+                "X": {"indptr": indptr, "indices": indices, "data": data},
+                "obs": obs,
+                "var": var,
+            },
+        )
     return path
 
 

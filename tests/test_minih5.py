@@ -209,3 +209,21 @@ def test_read_loom_ungated(spark, tmp_path):
         for r in read_loom(spark, path, batch_size=2).collect()
     )
     assert got == [(0, 1, 2.0), (1, 0, 3.0)]
+
+
+def test_to_h5ad_roundtrip_ungated(spark, tmp_path):
+    from scarf_spark.sources.readers import read_h5ad
+    from scarf_spark.sources.sinks import to_h5ad
+
+    counts = spark.createDataFrame(
+        [(0, 0, 4.0), (0, 2, 6.0), (1, 1, 5.0)],
+        "cell_id long, feat_id long, value double",
+    )
+    cells = spark.createDataFrame([(0, "x"), (1, "y")], "cell_id long, name string")
+    feats = spark.createDataFrame([(0,), (1,), (2,)], "feat_id long")
+    path = str(tmp_path / "out.h5ad")
+    to_h5ad(counts, cells, feats, path, n_cells=2, n_feats=3)
+    back, bcells, bfeats = read_h5ad(spark, path)
+    got = sorted((r["cell_id"], r["feat_id"], r["value"]) for r in back.collect())
+    assert got == [(0, 0, 4.0), (0, 2, 6.0), (1, 1, 5.0)]
+    assert bcells.count() == 2 and bfeats.count() == 3
