@@ -4131,42 +4131,48 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate evaluates a 50-query prefix of
-# ``queries()`` in dict order. The window ROTATES per round: rounds 1-4
-# hash-verified the qc/filt/norm/win/agg/join/set core (see
-# CORRECTNESS_r0{1,3,4}.json); this round's window holds 50 queries the
-# driver has not yet hash-checked — the remaining ~50 (multimodal,
-# text, streaming, sampling, and the rows-only five) rotate in next
-# round. Every query regardless of window position is still verified
-# by tools/selfcheck.py (all-152 local mirror) and the test suite.
+# ``queries()`` in dict order. The window ROTATES per round: rounds 1-5
+# hash-verified the qc/filt/norm/win/agg/join/set core plus the
+# agg/ann/dedup/graph/ml families (CORRECTNESS_r0{1,3,4,5}.json). This
+# round's window = the 8 NEW round-6 queries (zarr/h5 sources, sharded
+# KNN, LSH-bounded jaccard, real codecs) + 37 queries the driver has
+# never hash-checked + 5 SENTINELS from previously verified families
+# (so a core regression still trips the external gate — advisor r5).
+# The remaining ~25 never-checked rotate in next round. Every query
+# regardless of window position is still verified by
+# tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # grouped aggregation / grouping sets / sketches
-    "agg_rollup", "agg_cube", "agg_pivot", "agg_exact_median",
-    "agg_salted_distinct", "agg_entropy", "agg_moments", "agg_corr",
-    "agg_cc_phase", "agg_distinct_stats", "sketch_kmv",
-    # similarity search: IVF + PQ + quantization
-    "ann_ivf", "ann_pq", "ann_quantize", "ann_ivf_recall",
-    # dedup family (exact, minhash, simhash, ngram, containment,
-    # embedding, components, decontamination)
-    "dedup_exact", "dedup_minhash_bands", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_embedding",
-    "dedup_components", "dedup_decontaminate",
-    # HTO demultiplexing
-    "demux_hto",
-    # event analytics
-    "evt_funnel", "evt_retention", "evt_json_extract",
-    # graph operators
-    "graph_pagerank", "graph_triangles", "graph_snn", "graph_magic_t1",
-    "graph_mapping_score", "graph_target_class",
-    # joins
-    "join_asof", "join_anti_orphans",
-    # similarity over cells / features
-    "knn_cross_topk", "knn_smooth_weights", "mark_feat_modules",
-    # ML core (smooth-math iteratives, all oracle-replayed)
-    "ml_logreg_gd", "ml_centroid_classify", "ml_kmeans", "ml_hvg_binned",
-    "ml_lisi", "ml_wnn", "ml_harmony", "ml_coral", "ml_pca_project",
-    "ml_lsi",
+    # new in round 6
+    "src_zarr_counts", "src_zarr_pruned", "src_h5_counts",
+    "dedup_ngram_jaccard", "dedup_jaccard_all", "knn_exact_sharded",
+    "mm_image_decode_real", "mm_audio_decode_real",
+    # text analysis (never driver-checked)
+    "text_bpe_tokens", "text_token_stats", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_pii_redact",
+    "text_ngram_top", "text_collocation_pmi",
+    # multimodal stubs + perceptual dedup
+    "mm_payload_meta", "mm_image_decode", "mm_audio_energy", "mm_resize",
+    "mm_phash_dedup",
+    # streaming twins
+    "stream_window_tumbling", "stream_window_sliding",
+    "stream_sessionize", "stream_dedup",
+    # sampling / splits
+    "samp_stratified", "samp_hash_split", "samp_temperature",
+    "samp_downsample",
+    # sources / sinks
+    "src_gff_promoters", "src_bed_bins", "sink_wide",
     # SQL front door
-    "sql_q1", "sql_q6",
+    "sql_q3", "sql_q5",
+    # normalization extensions
+    "norm_pearson_residual", "norm_quantile", "norm_size_factors",
+    "norm_robust_scale",
+    # window extensions
+    "win_lead_lag", "win_range_frame", "win_ewma", "win_ohlc",
+    # aggregation extensions
+    "agg_gini", "agg_histogram", "agg_mode",
+    # sentinels (verified r1-r5; regression tripwires)
+    "qc_ncounts", "norm_tf_idf", "agg_rollup", "dedup_minhash_bands",
+    "join_asof",
 ]
 
 

@@ -240,6 +240,13 @@ def _extra_headliners() -> set[str]:
         "agg_mode",
         "knn_radius",
         "agg_cooccur",
+        # round-6 additions
+        "src_zarr_counts",
+        "src_h5_counts",
+        "knn_exact_sharded",
+        "dedup_ngram_jaccard",
+        "mm_image_decode_real",
+        "mm_audio_decode_real",
     }
 
 

@@ -57,9 +57,11 @@ def test_frame_sample_survives_repartition(media):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
-def test_real_codec_gated(media):
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_real(media)
+def test_real_codec_rejects_non_png(media):
+    # real codec now ships (operators/codecs.py): non-PNG payloads are
+    # a decode error, not a capability gate
+    with pytest.raises(Exception, match="PNG|png"):
+        mm.decode_image_real(media).collect()
 
 
 def test_ahash_identical_payloads_collide(spark):
