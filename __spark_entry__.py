@@ -3773,6 +3773,59 @@ def dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, bench, n=8)
 
 
+_DUPSPAN_CTE = (
+    # positional 5-token windows; windows occurring >= 2 times corpus-
+    # wide are duplicated; per-doc overlapping hits merge to islands
+    "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "win AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' ') AS wd "
+    "FROM w, UNNEST(range(0, greatest(len(ws) - 4, 0))) AS t(i)), "
+    "dup AS (SELECT wd FROM win GROUP BY wd HAVING COUNT(*) >= 2), "
+    "hits AS (SELECT win.doc_id, win.pos FROM win JOIN dup ON win.wd = dup.wd), "
+    "isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev IS NULL OR pos - prev > 5 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS g "
+    "FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) "
+    "AS prev FROM hits) x), "
+    "spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end, "
+    "COUNT(*) AS n_windows FROM isl GROUP BY doc_id, g)"
+)
+
+
+@q(
+    "dedup_dup_spans",
+    f"WITH {_DUPSPAN_CTE} "
+    "SELECT doc_id, span_start, span_end, n_windows FROM spans",
+)
+def dedup_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (token-level dedup /
+    memorization control): every 5-token window occurring ≥2 times
+    corpus-wide, merged per doc into maximal spans — one window-hash
+    agg + a per-doc gaps-and-islands pass (``dedup.py``
+    duplicated_ngram_spans)."""
+    return dedup.duplicated_ngram_spans(
+        _ds(spark, sf_dir).documents, n=5, min_occurrences=2
+    )
+
+
+@q(
+    "dedup_span_ratio",
+    f"WITH {_DUPSPAN_CTE}, "
+    "cover AS (SELECT doc_id, SUM(span_end - span_start) AS dup_tokens "
+    "FROM spans GROUP BY doc_id), "
+    "toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents) "
+    "SELECT t.doc_id, t.n_tokens, COALESCE(c.dup_tokens, 0) AS dup_tokens, "
+    "LEAST(COALESCE(c.dup_tokens, 0), t.n_tokens) * 1000000 // t.n_tokens AS dup_ppm "
+    "FROM toks t LEFT JOIN cover c ON t.doc_id = c.doc_id",
+)
+def dedup_span_ratio(spark, sf_dir):
+    """Per-doc fraction (ppm, integer-exact) of tokens inside
+    duplicated spans — the drop/trim signal derived from
+    dedup_dup_spans."""
+    return dedup.duplicated_span_ratio(
+        _ds(spark, sf_dir).documents, n=5, min_occurrences=2
+    )
+
+
 @q(
     "agg_salted_distinct",
     # the salted two-phase plan must return exactly the plain

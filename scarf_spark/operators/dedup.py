@@ -396,3 +396,117 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_ngrams"))
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring span detection — the token-level
+    dedup pass LLM training pipelines run for memorization control
+    (find every n-token window occurring ≥ ``min_occurrences`` times
+    across the corpus, then merge each doc's overlapping duplicated
+    windows into maximal spans).
+
+    Execution shape (three shuffles, all hash-partitioned — no suffix
+    array, no driver state):
+
+    1. positional windows: per doc, every n-token window with its start
+       position — JVM-side higher-order functions (transform over
+       sequence + slice + concat_ws), no Python;
+    2. window frequency: ONE hash agg on the window hash; windows below
+       ``min_occurrences`` total occurrences drop (map-side partial agg
+       absorbs the unique-window long tail);
+    3. span merge: per-doc gaps-and-islands — duplicated start
+       positions sorted per doc, a new island wherever the gap to the
+       previous start exceeds the window length, then one group-by on
+       (doc, island) for [span_start, span_end).
+
+    Returns (doc_id, span_start, span_end, n_windows): token-index
+    half-open spans. Window-partitioned by doc — never a global sort.
+    """
+    tok = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    win = tok.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(words, i + 1, n)).alias("w"),
+                ),
+            )
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.pos").alias("pos"), F.col("_e.w").alias("w"))
+    dup = (
+        win.groupBy("w")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_occurrences)
+        .select("w")
+    )
+    hits = win.join(dup, "w", "left_semi")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("pos").over(w_ord))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+    )
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def duplicated_span_ratio(
+    docs: DataFrame,
+    n: int = 10,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc fraction of tokens covered by duplicated spans — the
+    scalar quality signal derived from :func:`duplicated_ngram_spans`
+    (docs above a threshold get dropped or trimmed in a training-data
+    pipeline). Exact integer arithmetic (parts-per-million) so the
+    boundary replays on any engine."""
+    spans = duplicated_ngram_spans(docs, n, min_occurrences, text_col, id_col)
+    cover = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_dup_tokens")
+    )
+    toks = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("_n_tokens")
+    )
+    return (
+        toks.join(cover, id_col, "left_outer")
+        .select(
+            id_col,
+            F.col("_n_tokens").alias("n_tokens"),
+            F.coalesce(F.col("_dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            # integer division (div), not float: ppm stays bit-exact
+            # across engines
+            (
+                F.least(F.coalesce(F.col("_dup_tokens"), F.lit(0)), F.col("_n_tokens"))
+                * F.lit(1_000_000)
+            ).alias("_scaled"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_tokens",
+            F.expr("_scaled div n_tokens").alias("dup_ppm"),
+        )
+    )

@@ -53,9 +53,11 @@ def cosine_knn_exact(
     (src, rank, dst, distance), deterministic (distance, dst) order.
 
     Broadcast-index + Arrow-batched BLAS scoring. The index side is
-    collected and broadcast — for billion-scale indexes swap in
-    :func:`cosine_knn_lsh` (bounded candidates) or shard the index and
-    take top-k of per-shard top-ks (a union + window re-rank)."""
+    collected and broadcast — the correctness baseline for small/medium
+    indexes. For indexes that exceed driver/executor heap use
+    :func:`cosine_knn_sharded` (EXACT results, index hash-sharded,
+    no driver collect) or :func:`cosine_knn_lsh` / IVF (approximate,
+    bounded candidates)."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -113,76 +115,91 @@ def cosine_knn_sharded(
     emb: DataFrame,
     k: int = 5,
     n_shards: int = 8,
+    n_query_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k WITHOUT collecting the index to the driver —
     the scale path :func:`cosine_knn_exact`'s docstring promises.
 
-    The index side is hash-sharded (``xxhash64(id) % n_shards``); the
-    query side is replicated once per shard (the standard sharded-index
-    exchange: index never moves, queries fan out ×n_shards).  A cogroup
-    on shard scores each query block against its shard's index block
-    with one BLAS matmul and keeps the per-shard top-(k+1); a global
-    window over the union re-ranks to the exact top-k (per-shard
-    top-(k+1) is a superset of the global top-k plus the self hit, so
-    no true neighbour can be lost).  Peak memory per task is one shard
-    (index_bytes / n_shards) — size n_shards so a shard fits an
-    executor, independent of driver heap.  Emits the same
+    Work is a (query-block × index-shard) GRID: the index side is
+    hash-sharded (``xxhash64(id) % n_shards``) and replicated once per
+    query block; the query side is hash-blocked and replicated once per
+    shard.  A cogroup on (block, shard) scores each cell with BLAS
+    matmuls over 1024-query sub-batches (bounded peak memory per task:
+    one index shard + a 1024×shard distance block) and keeps per-cell
+    top-(k+1); a global window over the union re-ranks to the exact
+    top-k (per-shard top-(k+1) ⊇ global top-k plus the self hit, so no
+    true neighbour can be lost).  Grid cells = n_shards ×
+    n_query_blocks independent tasks — parallelism and memory are both
+    tuned by the grid, independent of driver heap.  Emits the same
     (src, rank, dst, distance) contract as :func:`cosine_knn_exact`
     and bit-matches it: per-pair normalize-then-dot arithmetic is
     identical, only the matmul blocking differs (absorbed by the final
     ROUND(6))."""
     import numpy as np
 
-    spark = emb.sparkSession
+    if n_query_blocks is None:
+        n_query_blocks = n_shards
     e = emb.select(id_col, vec_col)
+    blocks = F.array(*[F.lit(b) for b in range(n_query_blocks)])
+    shards = F.array(*[F.lit(s) for s in range(n_shards)])
     idx = e.select(
+        F.explode(blocks).alias("qb"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
         F.col(id_col).alias("iid"),
         F.col(vec_col).alias("ivec"),
     )
     qrep = e.select(
-        F.explode(F.array(*[F.lit(s) for s in range(n_shards)])).alias("shard"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).cast("int").alias("qb"),
+        F.explode(shards).alias("shard"),
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
     )
     kk = k + 1  # self hit may occupy one slot
+    SUB = 1024  # queries per matmul sub-batch
 
     def score(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "distance": []}).astype(
+            {"src": "int64", "dst": "int64", "distance": "float64"}
+        )
         if qpdf.empty or ipdf.empty:
-            return pd.DataFrame(
-                {"src": [], "dst": [], "distance": []}
-            ).astype({"src": "int64", "dst": "int64", "distance": "float64"})
+            return empty
         i_ids = ipdf["iid"].to_numpy()
         im = np.array(ipdf["ivec"].tolist(), dtype=np.float64)
         im = im / np.linalg.norm(im, axis=1, keepdims=True)
         o = np.argsort(i_ids)
-        i_ids, im = i_ids[o], im[o]
-        q = np.array(qpdf["qvec"].tolist(), dtype=np.float64)
-        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-        dist = 1.0 - qn @ im.T
-        src = qpdf["qid"].to_numpy()
-        nrow, ncol = dist.shape
+        i_ids, im = i_ids[o], im[o].T.copy()  # d × n_idx, contiguous
+        ncol = len(i_ids)
         m = min(kk, ncol)
-        if ncol > m:
-            part = np.argpartition(dist, m - 1, axis=1)[:, :m]
-            pd_d = np.take_along_axis(dist, part, axis=1)
-        else:
-            part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()
-            pd_d = dist
-        rows = np.repeat(np.arange(nrow), part.shape[1])
-        return pd.DataFrame(
-            {
-                "src": src[rows],
-                "dst": i_ids[part].ravel(),
-                "distance": pd_d.ravel(),
-            }
-        )
+        outs = []
+        for lo in range(0, len(qpdf), SUB):
+            qp = qpdf.iloc[lo : lo + SUB]
+            q = np.array(qp["qvec"].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - qn @ im
+            nrow = dist.shape[0]
+            if ncol > m:
+                part = np.argpartition(dist, m - 1, axis=1)[:, :m]
+                pd_d = np.take_along_axis(dist, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()
+                pd_d = dist
+            rows = np.repeat(np.arange(nrow), part.shape[1])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "src": qp["qid"].to_numpy()[rows],
+                        "dst": i_ids[part].ravel(),
+                        "distance": pd_d.ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     cand = (
-        qrep.groupBy("shard")
-        .cogroup(idx.groupBy("shard"))
+        qrep.groupBy("qb", "shard")
+        .cogroup(idx.groupBy("qb", "shard"))
         .applyInPandas(score, "src long, dst long, distance double")
     )
     w = Window.partitionBy("src").orderBy("distance", "dst")

@@ -728,3 +728,34 @@ def test_harmony_converge_matches_numpy_twin(spark):
     sep_after = abs(got[:, batches == 1].mean() - got[:, batches == 0].mean())
     assert sep_after < sep_before
     assert 1 <= n_iters <= 2
+
+
+def test_duplicated_ngram_spans(spark):
+    from scarf_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        duplicated_span_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z a b c d e"),   # "a b c" etc dup with doc 2
+            (2, "q a b c d e r s t u v w"),
+            (3, "n o p m l k j i h g f"),        # unique
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicated_ngram_spans(docs, n=3, min_occurrences=2).collect()
+    }
+    # doc 1: "a b c d e" at pos 0..4 (windows 0,1,2) and 8..12 (8,9,10)
+    assert (1, 0, 5) in spans and spans[(1, 0, 5)] == 3
+    assert (1, 8, 13) in spans
+    # doc 2: "a b c d e" at pos 1..5
+    assert (2, 1, 6) in spans
+    assert not any(d == 3 for d, _, _ in spans)
+    ratio = {r["doc_id"]: r for r in
+             duplicated_span_ratio(docs, n=3, min_occurrences=2).collect()}
+    assert ratio[3]["dup_ppm"] == 0
+    assert ratio[1]["dup_tokens"] == 10 and ratio[1]["n_tokens"] == 13
+    assert ratio[1]["dup_ppm"] == 10 * 1_000_000 // 13

@@ -153,6 +153,36 @@ def main() -> None:
         results,
     )
 
+    # 9. sharded EXACT knn (round 6): index never collected to the
+    # driver; 50k x 50k exact = 2.5e9 scored pairs through per-shard
+    # BLAS blocks + one window re-rank
+    from scarf_spark.operators.knn import cosine_knn_sharded
+
+    emb_s = emb.limit(50_000)
+    timed(
+        "sharded_exact_knn_50k",
+        lambda: cosine_knn_sharded(emb_s, k=5, n_shards=8),
+        results,
+    )
+
+    # 10. zarr sink+scan roundtrip (round 6): one shuffle on chunk
+    # coordinate, executor-side chunk writes, then the distributed
+    # chunk decode
+    import tempfile
+
+    from scarf_spark.sources.zarr import coo_to_zarr, read_zarr_2d_coo
+
+    zdir = os.path.join(tempfile.gettempdir(), "scale_smoke_zarr")
+
+    def _zarr_roundtrip():
+        coo = counts.limit(2_000_000).select(
+            F.col("cell_id").alias("row"), F.col("feat_id").alias("col"), "value"
+        )
+        coo_to_zarr(coo, zdir, (100_000, 2_000), chunks=(4096, 256))
+        return read_zarr_2d_coo(spark, zdir)
+
+    timed("zarr_roundtrip_2m", _zarr_roundtrip, results)
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
