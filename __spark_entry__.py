@@ -4199,6 +4199,7 @@ _PRIORITY = [
     "src_zarr_counts", "src_zarr_pruned", "src_h5_counts",
     "dedup_ngram_jaccard", "dedup_jaccard_all", "knn_exact_sharded",
     "mm_image_decode_real", "mm_audio_decode_real",
+    "dedup_dup_spans", "dedup_span_ratio",
     # text analysis (never driver-checked)
     "text_bpe_tokens", "text_token_stats", "text_quality_score",
     "text_lang_id", "text_fingerprint", "text_pii_redact",
@@ -4221,8 +4222,8 @@ _PRIORITY = [
     "norm_robust_scale",
     # window extensions
     "win_lead_lag", "win_range_frame", "win_ewma", "win_ohlc",
-    # aggregation extensions
-    "agg_gini", "agg_histogram", "agg_mode",
+    # aggregation extensions (agg_histogram/agg_mode rotate in round 7)
+    "agg_gini",
     # sentinels (verified r1-r5; regression tripwires)
     "qc_ncounts", "norm_tf_idf", "agg_rollup", "dedup_minhash_bands",
     "join_asof",
