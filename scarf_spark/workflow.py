@@ -1,0 +1,291 @@
+"""User-facing workflow facade — the reference DataStore's METHOD
+surface on Spark execution.
+
+A user of the reference drives everything through a handful of
+DataStore methods (``scarf/datastore/datastore.py``): ``filter_cells``
+→ ``mark_hvgs`` → ``make_graph`` → ``run_clustering`` /
+``run_umap`` / ``run_marker_search`` → ``get_markers``.  This module
+exposes the SAME names with the same step semantics
+(SURVEY.md §3.2-3.3), composed from the engine's operators, so
+switching from the reference means swapping the import, not the
+pipeline.  Results land as columns on the cell table
+(``{assay}_cluster``, ``{assay}_UMAP1/2`` …) exactly like the
+reference's ``_col_renamer`` convention
+(``scarf/datastore/base_datastore.py:403-420``).
+
+Execution model: every step is a DataFrame plan; the graph build is
+memoized through :class:`scarf_spark.plans.registry.RunRegistry` when a
+registry root is given (the Spark analog of the reference's
+param-encoded Zarr subtree + ``latest_graph`` pointers,
+``scarf/datastore/graph_datastore.py:556-575,1003-1008``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import normalize, qc
+from scarf_spark.operators.filters import auto_filter_bounds
+
+
+class ScarfDataStore:
+    """Reference-shaped workflow over (counts, cells, feats) tables.
+
+    Either pass the three DataFrames, or ``sf_dir`` to derive them from
+    the star-schema testdata via :class:`scarf_spark.catalog.DataStore`
+    (counts = lineitem COO; the cell table starts as the QC aggregates
+    plus the non-destructive ``I`` validity mask, SURVEY.md §1.4)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        counts: DataFrame | None = None,
+        cells: DataFrame | None = None,
+        feats: DataFrame | None = None,
+        assay_name: str = "RNA",
+        registry_root: str | None = None,
+    ):
+        self.spark = spark
+        self.assay = assay_name
+        if counts is None:
+            from scarf_spark.catalog import DataStore
+
+            counts = DataStore(spark, sf_dir).counts()
+        self.counts = counts.persist()
+        if cells is None:
+            cells = (
+                qc.ncounts_per_cell(self.counts)
+                .join(qc.nfeatures_per_cell(self.counts), "cell_id")
+            )
+        if "I" not in cells.columns:
+            cells = cells.withColumn("I", F.lit(True))
+        self.cells = cells
+        if feats is None:
+            feats = self.counts.select("feat_id").distinct()
+        if "I" not in feats.columns:
+            feats = feats.withColumn("I", F.lit(True))
+        self.feats = feats
+        self.edges: DataFrame | None = None
+        self.markers: dict[str, DataFrame] = {}
+        self._registry = None
+        if registry_root is not None:
+            from scarf_spark.plans.registry import RunRegistry
+
+            self._registry = RunRegistry(spark, registry_root)
+
+    # ---- cell filtering (datastore.py:92-197) -------------------------
+
+    def filter_cells(self, attrs: list[str], lows: list[float], highs: list[float]) -> "ScarfDataStore":
+        """AND new range predicates into the ``I`` validity column —
+        non-destructive, like the reference's ``update_key`` path
+        (``scarf/metadata.py:437-450``)."""
+        pred = F.col("I")
+        for a, lo, hi in zip(attrs, lows, highs):
+            pred = pred & F.col(a).between(lo, hi)
+        self.cells = self.cells.withColumn("I", pred)
+        return self
+
+    def auto_filter_cells(self, attrs: list[str], n_std: float = 2.0) -> "ScarfDataStore":
+        """mean ± n_std bounds per attribute (``datastore.py:140-197``),
+        bounds computed distributed, then ANDed into ``I``."""
+        for a in attrs:
+            b = auto_filter_bounds(self.cells, a, n_std).collect()[0]
+            self.cells = self.cells.withColumn(
+                "I", F.col("I") & F.col(a).between(float(b["lo"]), float(b["hi"]))
+            )
+        return self
+
+    def _active_counts(self) -> DataFrame:
+        sel = self.cells.where("I").select("cell_id")
+        return self.counts.join(F.broadcast(sel), "cell_id", "left_semi")
+
+    # ---- HVG selection (assay.py:1003-1063) ---------------------------
+
+    def mark_hvgs(self, top_n: int = 50, n_bins: int = 20, min_mean: float = 0.0) -> "ScarfDataStore":
+        from scarf_spark.ml.hvg import mark_hvgs_binned
+
+        ac = self._active_counts()
+        n_cells = self.cells.where("I").count()
+        hvg = mark_hvgs_binned(
+            ac, n_cells=n_cells, n_bins=n_bins, top_n=top_n, min_mean=min_mean
+        ).select("feat_id", F.lit(True).alias("hvgs"))
+        self.feats = (
+            self.feats.drop("hvgs")
+            .join(hvg, "feat_id", "left_outer")
+            .withColumn("hvgs", F.coalesce(F.col("hvgs"), F.lit(False)))
+        )
+        return self
+
+    # ---- the core pipeline (graph_datastore.py:513-1020) -------------
+
+    def make_graph(
+        self,
+        feat_key: str = "hvgs",
+        dims: int = 5,
+        k: int = 5,
+        sf: float = 1000.0,
+        log: bool = True,
+    ) -> DataFrame:
+        """normalize → PCA (deterministic Gram/Jacobi) → exact KNN →
+        UMAP kernel smoothing; returns (and stores) the weighted edge
+        table. Memoized through the run registry when configured —
+        same params + same cell/feature selection = cached read, the
+        reference's param-subtree semantics."""
+        from scarf_spark.ml.reduction import (
+            assemble_vectors,
+            pca_fit,
+            pca_transform,
+            zscore_vectors,
+        )
+        from scarf_spark.operators.knn import cosine_knn_sharded, smoothen_dists
+
+        def compute() -> DataFrame:
+            ac = self._active_counts()
+            feat_ids = [
+                r["feat_id"]
+                for r in self.feats.where(F.col(feat_key))
+                .orderBy("feat_id")
+                .collect()
+            ]
+            normed = normalize.renormalize_subset(
+                ac,
+                self.feats.where(F.col(feat_key)).select("feat_id"),
+                sf=sf,
+            )
+            if log:
+                normed = normed.withColumn(
+                    "norm_value", F.log1p(F.col("norm_value"))
+                )
+            vec = zscore_vectors(assemble_vectors(normed, feat_ids, "norm_value"))
+            loadings, _ev = pca_fit(vec, k=dims)
+            red = pca_transform(vec, loadings).select(
+                F.col("cell_id").alias("vec_id"),
+                F.array(
+                    *[F.col(f"pc{c + 1}") for c in range(loadings.shape[1])]
+                ).alias("embedding"),
+            )
+            knn = cosine_knn_sharded(red, k=k)
+            return smoothen_dists(knn, k=k)
+
+        if self._registry is not None:
+            from scarf_spark.plans.registry import selection_hash
+
+            params = {"feat_key": feat_key, "dims": dims, "k": k, "sf": sf, "log": log}
+            ih = selection_hash(
+                self.cells.where("I").select("cell_id")
+            ) + selection_hash(self.feats.where(F.col(feat_key)).select("feat_id"))
+            self.edges = self._registry.get_or_compute(
+                "knn_graph", params, ih, compute
+            )
+        else:
+            self.edges = compute().persist()
+        return self.edges
+
+    def _require_graph(self) -> DataFrame:
+        if self.edges is None:
+            raise RuntimeError("run make_graph() first")
+        return self.edges
+
+    def _set_cell_cols(self, df: DataFrame) -> None:
+        """Insert a result's columns into the cell table, reference
+        ``_col_renamer`` style (``{assay}_{name}`` columns, replace on
+        rerun)."""
+        new = [c for c in df.columns if c != "cell_id"]
+        self.cells = self.cells.drop(*new).join(df, "cell_id", "left_outer")
+
+    # ---- downstream (graph_datastore.py:1218-1584) -------------------
+
+    def run_clustering(self, n_clusters: int = 4, balanced_cut: bool = False, max_size: int | None = None) -> "ScarfDataStore":
+        """Paris-like dendrogram + straight/balanced cut
+        (``graph_datastore.py:1461-1584``); labels land as
+        ``{assay}_cluster``."""
+        from scarf_spark.ml.cluster import (
+            cut_dendrogram,
+            cut_dendrogram_balanced,
+            paris_like_dendrogram,
+        )
+
+        edges = self._require_graph()
+        merges, leaves = paris_like_dendrogram(edges)
+        labels = (
+            cut_dendrogram_balanced(merges, leaves, max_size=max_size or 0)
+            if balanced_cut
+            else cut_dendrogram(merges, leaves, n_clusters)
+        )
+        lab_df = self.spark.createDataFrame(
+            [(int(n), int(c)) for n, c in labels.items()],
+            f"cell_id long, {self.assay}_cluster int",
+        )
+        self._set_cell_cols(lab_df)
+        return self
+
+    def run_leiden_clustering(self, n_iter: int = 3) -> "ScarfDataStore":
+        """Distributed label propagation stand-in for Leiden
+        (``graph_datastore.py:1379-1459``); labels land as
+        ``{assay}_leiden_cluster``."""
+        from scarf_spark.ml.cluster import label_propagation
+
+        lab = label_propagation(self._require_graph(), n_iter=n_iter).select(
+            F.col("node").alias("cell_id"),
+            F.col("cluster").alias(f"{self.assay}_leiden_cluster"),
+        )
+        self._set_cell_cols(lab)
+        return self
+
+    def run_umap(self, n_epochs: int = 20, seed: int = 4466) -> "ScarfDataStore":
+        """Symmetrize → kmeans-PCA init → seeded SGD layout
+        (``graph_datastore.py:1218-1377``); coordinates land as
+        ``{assay}_UMAP1/2``."""
+        from scarf_spark.ml.embed import (
+            ini_embed_kmeans_pca,
+            symmetrize_edges,
+            umap_layout_driver,
+        )
+        from scarf_spark.ml.reduction import assemble_vectors
+
+        edges = symmetrize_edges(self._require_graph())
+        # init from the smoothed graph's source cells' top features
+        feat_ids = [
+            r["feat_id"]
+            for r in self.feats.where(F.col("hvgs")).orderBy("feat_id").collect()
+        ]
+        vec = assemble_vectors(self._active_counts(), feat_ids)
+        init = ini_embed_kmeans_pca(vec, n_centroids=min(20, len(feat_ids)), seed=seed)
+        out = umap_layout_driver(edges, init, n_epochs=n_epochs, seed=seed).select(
+            "cell_id",
+            F.col("umap1").alias(f"{self.assay}_UMAP1"),
+            F.col("umap2").alias(f"{self.assay}_UMAP2"),
+        )
+        self._set_cell_cols(out)
+        return self
+
+    def run_marker_search(self, group_key: str) -> "ScarfDataStore":
+        """Rank/U-test marker table per (feature, group)
+        (``datastore.py:351-430``), stored under the group key for
+        :meth:`get_markers`."""
+        from scarf_spark.operators.markers import marker_stats
+
+        groups = self.cells.where("I").select(
+            "cell_id", F.col(group_key).alias("group")
+        )
+        n_cells = self.cells.where("I").count()
+        self.markers[group_key] = marker_stats(
+            self._active_counts(), groups, n_cells=n_cells
+        ).persist()
+        return self
+
+    def get_markers(
+        self, group_key: str, group_id, min_score: float = 0.0, top_n: int = 20
+    ) -> DataFrame:
+        """Threshold + rank the stored marker table
+        (``datastore.py:599-683``)."""
+        if group_key not in self.markers:
+            raise RuntimeError(f"run_marker_search({group_key!r}) first")
+        return (
+            self.markers[group_key]
+            .where((F.col("group") == group_id) & (F.col("score") >= min_score))
+            .orderBy(F.col("score").desc(), "feat_id")
+            .limit(top_n)
+        )
