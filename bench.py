@@ -247,6 +247,7 @@ def _extra_headliners() -> set[str]:
         "dedup_ngram_jaccard",
         "mm_image_decode_real",
         "mm_audio_decode_real",
+        "dedup_dup_spans",
     }
 
 

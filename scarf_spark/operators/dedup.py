@@ -172,14 +172,21 @@ def minhash_candidate_pairs(
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band
     bucket. Execution shape: shingle-explode → ONE hash agg (all
     minhashes as per-seed MIN expressions, banded by projection) → one
     equi-self-join on (band, bucket). Two shuffles total (agg +
     distinct), linear in corpus size until the intended bucket
-    collisions."""
-    sh = word_shingles(docs, n, text_col, id_col, distinct=False)
+    collisions.
+
+    ``shingles`` (doc_id, shingle) skips the explode — pass the
+    persisted shingle table when a pipeline stage (e.g. Jaccard
+    verification) shares it, so the corpus tokenizes once."""
+    sh = shingles if shingles is not None else word_shingles(
+        docs, n, text_col, id_col, distinct=False
+    )
     wide = minhash_signatures_wide(sh, n_hashes, id_col)
     buckets = lsh_band_buckets_wide(wide, n_hashes, n_bands, id_col)
     a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
@@ -199,6 +206,7 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via a shingle equi-join:
     |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. With `pairs` given,
@@ -212,8 +220,14 @@ def ngram_jaccard(
     BEFORE the self-join; a stop-word shingle shared by 10⁶ docs is
     otherwise a 10¹² pair blow-up at corpus scale. Sizes are computed
     over the capped shingle universe, so Jaccard stays consistent
-    (intersection and union use the same vocabulary)."""
-    sh = word_shingles(docs, n, text_col, id_col)
+    (intersection and union use the same vocabulary).
+
+    ``shingles``: pre-built DISTINCT (doc_id, shingle) table — pass the
+    persisted shingle table shared with candidate generation so the
+    corpus tokenizes once per pipeline, not once per stage."""
+    sh = shingles if shingles is not None else word_shingles(
+        docs, n, text_col, id_col
+    )
     if df_cap is not None:
         keep = (
             sh.groupBy("shingle")
