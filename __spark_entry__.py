@@ -4184,49 +4184,47 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness gate evaluates a 50-query prefix of
-# ``queries()`` in dict order. The window ROTATES per round: rounds 1-5
-# hash-verified the qc/filt/norm/win/agg/join/set core plus the
-# agg/ann/dedup/graph/ml families (CORRECTNESS_r0{1,3,4,5}.json). This
-# round's window = the 8 NEW round-6 queries (zarr/h5 sources, sharded
-# KNN, LSH-bounded jaccard, real codecs) + 37 queries the driver has
-# never hash-checked + 5 SENTINELS from previously verified families
-# (so a core regression still trips the external gate — advisor r5).
-# The remaining ~25 never-checked rotate in next round. Every query
-# regardless of window position is still verified by
-# tools/selfcheck.py (all-queries local mirror) and the test suite.
+# ``queries()`` in dict order. The window ROTATES per round: rounds 1-6
+# hash-verified 138 of 144 graded queries (CORRECTNESS_r0{1,3,4,5,6}).
+# Round-7 window = the 6 r6 reds (all one HUGEINT-oracle typing bug,
+# now auto-cast in oracle_sql()'s DESCRIBE pass) + ALL 32 queries the
+# driver has never hash-checked (finishing the rotation backlog —
+# after this round every registered query has a driver row) + new
+# round-7 queries + 5 SENTINELS from previously verified families
+# (regression tripwires — advisor r5). Every query regardless of
+# window position is still verified by tools/selfcheck.py
+# (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # new in round 6
-    "src_zarr_counts", "src_zarr_pruned", "src_h5_counts",
-    "dedup_ngram_jaccard", "dedup_jaccard_all", "knn_exact_sharded",
-    "mm_image_decode_real", "mm_audio_decode_real",
-    "dedup_dup_spans", "dedup_span_ratio",
-    # text analysis (never driver-checked)
-    "text_bpe_tokens", "text_token_stats", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "text_pii_redact",
-    "text_ngram_top", "text_collocation_pmi",
-    # multimodal stubs + perceptual dedup
-    "mm_payload_meta", "mm_image_decode", "mm_audio_energy", "mm_resize",
-    "mm_phash_dedup",
-    # streaming twins
-    "stream_window_tumbling", "stream_window_sliding",
-    "stream_sessionize", "stream_dedup",
-    # sampling / splits
-    "samp_stratified", "samp_hash_split", "samp_temperature",
-    "samp_downsample",
-    # sources / sinks
-    "src_gff_promoters", "src_bed_bins", "sink_wide",
-    # SQL front door
-    "sql_q3", "sql_q5",
-    # normalization extensions
-    "norm_pearson_residual", "norm_quantile", "norm_size_factors",
-    "norm_robust_scale",
-    # window extensions
-    "win_lead_lag", "win_range_frame", "win_ewma", "win_ohlc",
-    # aggregation extensions (agg_histogram/agg_mode rotate in round 7)
-    "agg_gini",
-    # sentinels (verified r1-r5; regression tripwires)
-    "qc_ncounts", "norm_tf_idf", "agg_rollup", "dedup_minhash_bands",
-    "join_asof",
+    # r6 reds, retried after the HUGEINT oracle auto-cast
+    "mm_image_decode", "mm_audio_energy", "mm_image_decode_real",
+    "mm_audio_decode_real", "dedup_span_ratio", "stream_sessionize",
+    # never driver-graded: filters / windows / setops / qc
+    "filt_outlier_iqr", "win_percentile", "set_intersect",
+    "qc_prevalence",
+    # never driver-graded: aggregates / events
+    "agg_cooccur", "agg_histogram", "agg_mode", "evt_markov",
+    "evt_anomaly",
+    # never driver-graded: text
+    "text_chunk", "text_boilerplate", "text_tfidf_top",
+    "text_quality_filter", "text_unigram_logprob",
+    # never driver-graded: graph / KNN
+    "knn_radius", "graph_magic_t2", "graph_snn_rerank",
+    "graph_modularity", "graph_unified", "mark_feat_knn",
+    # never driver-graded: ML metrics + label prop
+    "ml_ari", "ml_nmi", "ml_silhouette", "ml_label_prop",
+    "ml_umap_sym",
+    # never driver-graded: multimodal / streaming twins
+    "mm_frame_sample", "stream_type_rate",
+    # never driver-graded: weak (no oracle — rows-only driver check)
+    "ml_louvain", "ml_pseudotime", "ml_umap_embed", "clust_paris_cut",
+    "clust_balanced_cut",
+    # new in round 7
+    "knn_cross_sharded", "src_zarr_blosc", "agg_cooccur_hvg",
+    "ml_sgtsne_embed", "text_minhash_cluster", "mm_ocr_stub",
+    "evt_retention",
+    # sentinels (verified r1-r6; regression tripwires, rotated)
+    "qc_ncounts", "src_zarr_counts", "knn_exact_sharded", "mark_stats",
+    "ml_pca_project",
 ]
 
 
@@ -4247,7 +4245,14 @@ def oracle_sql() -> dict[str, str]:
     """Oracle SQL with the same signed-zero normalization as queries():
     each statement is wrapped in a projection adding ``+ 0`` to every
     DOUBLE/FLOAT column (schema discovered via DuckDB DESCRIBE, which
-    plans but does not execute)."""
+    plans but does not execute).
+
+    The same pass also auto-casts every HUGEINT column to BIGINT:
+    DuckDB widens ``SUM(integer)`` to int128 while Spark stays int64,
+    and the driver's value-hash is serialization-sensitive, so equal
+    values still hash-mismatch (all six CORRECTNESS_r06 reds were this
+    one bug). Casting in the wrapper kills the class for every current
+    and future oracle."""
     global _ORACLE_SQL_CACHE
     if _ORACLE_SQL_CACHE is not None:
         return dict(_ORACLE_SQL_CACHE)
@@ -4266,6 +4271,8 @@ def oracle_sql() -> dict[str, str]:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
             cols = [
                 f'"{c}" + 0 AS "{c}"' if t.upper() in ("DOUBLE", "FLOAT", "REAL")
+                else f'CAST("{c}" AS BIGINT) AS "{c}"'
+                if t.upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")
                 else f'"{c}"'
                 for c, t, *_ in desc
             ]

@@ -46,6 +46,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n in _extra_headliners() and n not in HEADLINE
     ]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split()
+    if only:
+        names = [n for n in names if n in only] + [
+            n for n in only if n in qs and n not in names
+        ]
     # warm-up: touch each parquet input, then exercise one shuffle, one
     # window, and one Python-worker stage so the first measured queries
     # see a steady-state JVM (codegen JIT, shuffle service, Arrow
@@ -157,12 +162,23 @@ def main() -> None:
         "sec_per_query": round(wall / max(len(times), 1), 3),
         "threads": n_threads,
         "serial_sum_sec": serial_sum,
-        "queries": times,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # per-query map LAST + compact separators: if the capture truncates
+    # the line's tail (BENCH_r06.json lost its header that way when the
+    # map came before the summary), the summary keys still parse from a
+    # prefix-repair; a full intact copy also lands in BENCH_local.json.
+    out["queries"] = times
+    line = json.dumps(out, separators=(",", ":"))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 def _extra_headliners() -> set[str]:

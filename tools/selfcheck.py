@@ -45,6 +45,34 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def type_audit(con: duckdb.DuckDBPyConnection, name: str, sql: str,
+               spark_dtypes: dict[str, str]) -> str | None:
+    """The driver's value-hash is serialization-sensitive: DuckDB
+    HUGEINT (int128 from SUM(int)) vs Spark BIGINT hash-mismatches even
+    when every value is equal (all six r6 reds). Catch type-class
+    divergence locally: FAIL if the wrapped oracle still DESCRIBEs a
+    HUGEINT column, or an oracle int column pairs with a Spark float
+    column (or vice versa)."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return None  # the execute path will report the real error
+    int_like = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                "USMALLINT", "UINTEGER", "UBIGINT"}
+    for c, t, *_ in desc:
+        t = t.upper()
+        if t in ("HUGEINT", "UHUGEINT"):
+            return f"col {c}: oracle emits {t} (driver hash != Spark BIGINT)"
+        sdt = spark_dtypes.get(c)
+        if sdt is None:
+            continue
+        if t in int_like and sdt.startswith(("float", "double")):
+            return f"col {c}: oracle {t} vs spark {sdt} (int/float kind mismatch)"
+        if t in ("DOUBLE", "FLOAT", "REAL") and sdt.startswith("int"):
+            return f"col {c}: oracle {t} vs spark {sdt} (float/int kind mismatch)"
+    return None
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
     if len(spark_pdf) != len(duck_pdf):
         return False, f"rowcount {len(spark_pdf)} vs {len(duck_pdf)}"
@@ -108,6 +136,11 @@ def main() -> int:
             n_fail += 1
             continue
         ok, note = compare(sdf, ddf)
+        if ok:
+            terr = type_audit(con, name, oracles[name],
+                              {c: str(sdf[c].dtype) for c in sdf.columns})
+            if terr:
+                ok, note = False, f"type audit: {terr}"
         status = "PASS" if ok else "FAIL"
         print(f"{status} {name}: rows={len(sdf)} {note} [{time.time()-t0:.1f}s]")
         n_pass += ok
