@@ -926,9 +926,16 @@ def knn_radius(spark, sf_dir):
 
 @q(
     "agg_cooccur",
-    f"WITH {COUNTS_CTE} "
+    # bounded screen: the self-join runs only over the 500 most
+    # prevalent features (the reference screens modules on subsets,
+    # scarf/markers.py:323-439), capping pair volume at 500²/cell
+    f"WITH {COUNTS_CTE}, "
+    "keep AS (SELECT feat_id FROM counts GROUP BY feat_id "
+    "ORDER BY COUNT(*) DESC, feat_id LIMIT 500), "
+    "c AS (SELECT cell_id, feat_id FROM counts "
+    "WHERE feat_id IN (SELECT feat_id FROM keep)) "
     "SELECT a.feat_id AS fa, b.feat_id AS fb, COUNT(*) AS n_cells "
-    "FROM counts a JOIN counts b ON a.cell_id = b.cell_id "
+    "FROM c a JOIN c b ON a.cell_id = b.cell_id "
     "AND a.feat_id < b.feat_id "
     "GROUP BY a.feat_id, b.feat_id "
     "ORDER BY n_cells DESC, fa, fb LIMIT 50",
@@ -936,7 +943,39 @@ def knn_radius(spark, sf_dir):
 def agg_cooccur(spark, sf_dir):
     from scarf_spark.operators import aggregate
 
-    return aggregate.feature_cooccurrence(_ds(spark, sf_dir).counts(), top_n=50)
+    return aggregate.feature_cooccurrence(
+        _ds(spark, sf_dir).counts(), top_n=50, max_features=500
+    )
+
+
+@q(
+    "agg_cooccur_hvg",
+    # variance-ranked subset (the HVG-screen precedent): keep the 200
+    # features with the largest integer-exact dense-variance key
+    # N·Σv² − (Σv)², then count co-expressing cells per pair
+    f"WITH {COUNTS_CTE}, "
+    "nc AS (SELECT COUNT(DISTINCT cell_id) AS n FROM counts), "
+    "keep AS (SELECT feat_id FROM counts, nc GROUP BY feat_id, nc.n "
+    "ORDER BY SUM(CAST(value AS BIGINT) * CAST(value AS BIGINT)) * nc.n "
+    "- SUM(CAST(value AS BIGINT)) * SUM(CAST(value AS BIGINT)) DESC, "
+    "feat_id LIMIT 200), "
+    "c AS (SELECT cell_id, feat_id FROM counts "
+    "WHERE feat_id IN (SELECT feat_id FROM keep)) "
+    "SELECT a.feat_id AS fa, b.feat_id AS fb, COUNT(*) AS n_cells "
+    "FROM c a JOIN c b ON a.cell_id = b.cell_id "
+    "AND a.feat_id < b.feat_id "
+    "GROUP BY a.feat_id, b.feat_id "
+    "ORDER BY n_cells DESC, fa, fb LIMIT 50",
+)
+def agg_cooccur_hvg(spark, sf_dir):
+    from scarf_spark.operators import aggregate
+
+    return aggregate.feature_cooccurrence(
+        _ds(spark, sf_dir).counts(),
+        top_n=50,
+        max_features=200,
+        rank_by="variance",
+    )
 
 
 _PLANE_CTE = (
@@ -1866,10 +1905,26 @@ _CROSS_KNN_CTE = (
 
 @q("knn_cross_topk", f"WITH {_CROSS_KNN_CTE} SELECT src, rank, dst, distance FROM xknn")
 def knn_cross_topk(spark, sf_dir):
+    # routed through the sharded grid (no driver toPandas of the index)
+    # since round 7; cosine_knn_cross remains the small-index path
     emb = _ds(spark, sf_dir).embeddings
     ref = emb.where(F.col("vec_id") % 2 == 0)
     tgt = emb.where(F.col("vec_id") % 2 == 1)
-    return knn.cosine_knn_cross(tgt, ref, k=3)
+    return knn.cosine_knn_cross_sharded(tgt, ref, k=3, n_shards=4)
+
+
+@q(
+    "knn_cross_sharded",
+    # same mapping shape at k=4 over a 6-shard grid: per-shard top-k ⊇
+    # global top-k, so the grid is value-identical to the dense scan
+    f"WITH {_CROSS_KNN_CTE.replace('rn <= 3', 'rn <= 4')} "
+    "SELECT src, rank, dst, distance FROM xknn",
+)
+def knn_cross_sharded(spark, sf_dir):
+    emb = _ds(spark, sf_dir).embeddings
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    return knn.cosine_knn_cross_sharded(tgt, ref, k=4, n_shards=6)
 
 
 # UMAP-kernel bisection mirrored as a DuckDB recursive CTE: per-src

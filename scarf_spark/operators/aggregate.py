@@ -489,7 +489,10 @@ def modal_value(
 
 
 def feature_cooccurrence(
-    counts: DataFrame, top_n: int = 50
+    counts: DataFrame,
+    top_n: int = 50,
+    max_features: int | None = None,
+    rank_by: str = "prevalence",
 ) -> DataFrame:
     """Top co-expressed feature pairs: how many cells express BOTH
     features — the gene-gene co-occurrence screen behind co-expression
@@ -497,11 +500,57 @@ def feature_cooccurrence(
     clustering, ``scarf/markers.py:323-439``, without the KNN step).
 
     A self-join of the COO table on cell_id with a canonical fa < fb
-    cut: pair volume is Σ nnz(cell)² — bounded by the densest cell, the
-    quantity to cap or salt at extreme scale. The pair aggregate is
-    map-side combined; the final top-n is TakeOrderedAndProject."""
-    a = counts.select("cell_id", F.col("feat_id").alias("fa"))
-    b = counts.select("cell_id", F.col("feat_id").alias("fb"))
+    cut is per-cell quadratic (Σ nnz(cell)² pairs) — at genomics
+    densities a single hot cell emits 10⁶-10⁸ pairs, so the screen
+    MUST run on a bounded feature subset, exactly as the reference
+    runs its module screens on the HVG subset
+    (``scarf/markers.py:323-439``). ``max_features`` keeps the top-N
+    features by ``rank_by``:
+
+    - ``prevalence`` — cells expressing the feature (exact integer
+      key). Safe for the global top-pair screen: a pair seen in K
+      cells needs both members at prevalence ≥ K.
+    - ``variance`` — integer-exact dense-variance ordering key
+      ``N·Σv² − (Σv)²`` (values are integral counts; at extreme scale
+      accumulate as decimal(38,0) instead of bigint).
+
+    The subset is a TakeOrdered (no single-partition window) and is
+    broadcast into a semi-join on BOTH sides, so pair volume is
+    bounded by max_features² per cell. The pair aggregate is map-side
+    combined; the final top-n is TakeOrderedAndProject."""
+    df = counts
+    if max_features is not None:
+        if rank_by == "variance":
+            n_cells = counts.agg(
+                F.countDistinct("cell_id").alias("_N")
+            )
+            stats = (
+                counts.groupBy("feat_id")
+                .agg(
+                    F.sum(F.col("value").cast("bigint")).alias("_s1"),
+                    F.sum(
+                        (F.col("value") * F.col("value")).cast("bigint")
+                    ).alias("_s2"),
+                )
+                .crossJoin(F.broadcast(n_cells))
+                .select(
+                    "feat_id",
+                    (F.col("_s2") * F.col("_N")
+                     - F.col("_s1") * F.col("_s1")).alias("_key"),
+                )
+            )
+        else:
+            stats = counts.groupBy("feat_id").agg(
+                F.count("*").alias("_key")
+            )
+        keep = (
+            stats.orderBy(F.col("_key").desc(), "feat_id")
+            .limit(max_features)
+            .select("feat_id")
+        )
+        df = counts.join(F.broadcast(keep), "feat_id", "semi")
+    a = df.select("cell_id", F.col("feat_id").alias("fa"))
+    b = df.select("cell_id", F.col("feat_id").alias("fb"))
     pairs = a.join(b, "cell_id").where(F.col("fa") < F.col("fb"))
     return (
         pairs.groupBy("fa", "fb")

@@ -111,6 +111,55 @@ def cosine_knn_exact(
     return emb.mapInPandas(score, "src long, rank int, dst long, distance double")
 
 
+def _grid_scorer(m_keep: int, sub: int = 1024):
+    """Per-(query-block × index-shard) BLAS scorer for the sharded KNN
+    grid: normalizes both sides, scores ``sub``-query sub-batches
+    against the cell's index shard (bounded peak memory: one shard +
+    a sub×shard distance block), keeps per-query top-``m_keep`` by raw
+    distance. Shared by the self- and cross-set grids."""
+    import numpy as np
+
+    def score(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "distance": []}).astype(
+            {"src": "int64", "dst": "int64", "distance": "float64"}
+        )
+        if qpdf.empty or ipdf.empty:
+            return empty
+        i_ids = ipdf["iid"].to_numpy()
+        im = np.array(ipdf["ivec"].tolist(), dtype=np.float64)
+        im = im / np.linalg.norm(im, axis=1, keepdims=True)
+        o = np.argsort(i_ids)
+        i_ids, im = i_ids[o], im[o].T.copy()  # d × n_idx, contiguous
+        ncol = len(i_ids)
+        m = min(m_keep, ncol)
+        outs = []
+        for lo in range(0, len(qpdf), sub):
+            qp = qpdf.iloc[lo : lo + sub]
+            q = np.array(qp["qvec"].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - qn @ im
+            nrow = dist.shape[0]
+            if ncol > m:
+                part = np.argpartition(dist, m - 1, axis=1)[:, :m]
+                pd_d = np.take_along_axis(dist, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()
+                pd_d = dist
+            rows = np.repeat(np.arange(nrow), part.shape[1])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "src": qp["qid"].to_numpy()[rows],
+                        "dst": i_ids[part].ravel(),
+                        "distance": pd_d.ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return score
+
+
 def cosine_knn_sharded(
     emb: DataFrame,
     k: int = 5,
@@ -156,46 +205,7 @@ def cosine_knn_sharded(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
     )
-    kk = k + 1  # self hit may occupy one slot
-    SUB = 1024  # queries per matmul sub-batch
-
-    def score(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"src": [], "dst": [], "distance": []}).astype(
-            {"src": "int64", "dst": "int64", "distance": "float64"}
-        )
-        if qpdf.empty or ipdf.empty:
-            return empty
-        i_ids = ipdf["iid"].to_numpy()
-        im = np.array(ipdf["ivec"].tolist(), dtype=np.float64)
-        im = im / np.linalg.norm(im, axis=1, keepdims=True)
-        o = np.argsort(i_ids)
-        i_ids, im = i_ids[o], im[o].T.copy()  # d × n_idx, contiguous
-        ncol = len(i_ids)
-        m = min(kk, ncol)
-        outs = []
-        for lo in range(0, len(qpdf), SUB):
-            qp = qpdf.iloc[lo : lo + SUB]
-            q = np.array(qp["qvec"].tolist(), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            dist = 1.0 - qn @ im
-            nrow = dist.shape[0]
-            if ncol > m:
-                part = np.argpartition(dist, m - 1, axis=1)[:, :m]
-                pd_d = np.take_along_axis(dist, part, axis=1)
-            else:
-                part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()
-                pd_d = dist
-            rows = np.repeat(np.arange(nrow), part.shape[1])
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "src": qp["qid"].to_numpy()[rows],
-                        "dst": i_ids[part].ravel(),
-                        "distance": pd_d.ravel(),
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True) if outs else empty
+    score = _grid_scorer(k + 1)  # self hit may occupy one slot
 
     cand = (
         qrep.groupBy("qb", "shard")
@@ -599,6 +609,58 @@ def cosine_knn_cross(
 
     return queries.select(id_col, vec_col).mapInPandas(
         score, schema="src long, rank int, dst long, distance double"
+    )
+
+
+def cosine_knn_cross_sharded(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    n_shards: int = 8,
+    n_query_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-set KNN at scale (``scarf/mapping_datastore.py:31-209``
+    run_mapping — target cells against the reference index) WITHOUT
+    collecting the index to the driver: the same (query-block ×
+    index-shard) grid as :func:`cosine_knn_sharded`, generalized to
+    queries ≠ index. The index is hash-sharded and replicated once per
+    query block, queries hash-blocked and replicated once per shard;
+    each grid cell scores with sub-batched BLAS and keeps per-query
+    top-k; a global window re-ranks the n_shards·k candidates to the
+    exact top-k (per-shard top-k ⊇ global top-k). Memory per task is
+    one index shard + a 1024×shard distance block — tuned by the grid,
+    independent of driver heap, so a 10⁹-row reference atlas maps with
+    n_shards sized to executor memory. Bit-matches
+    :func:`cosine_knn_cross` (identical normalize-then-dot per pair;
+    only matmul blocking differs, absorbed by ROUND(6))."""
+    if n_query_blocks is None:
+        n_query_blocks = n_shards
+    blocks = F.array(*[F.lit(b) for b in range(n_query_blocks)])
+    shards = F.array(*[F.lit(s) for s in range(n_shards)])
+    idx = index.select(id_col, vec_col).select(
+        F.explode(blocks).alias("qb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).alias("iid"),
+        F.col(vec_col).alias("ivec"),
+    )
+    qrep = queries.select(id_col, vec_col).select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).cast("int").alias("qb"),
+        F.explode(shards).alias("shard"),
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+    )
+    cand = (
+        qrep.groupBy("qb", "shard")
+        .cogroup(idx.groupBy("qb", "shard"))
+        .applyInPandas(_grid_scorer(k), "src long, dst long, distance double")
+    )
+    w = Window.partitionBy("src").orderBy("distance", "dst")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
     )
 
 

@@ -646,6 +646,49 @@ def test_feature_cooccurrence_counts(spark):
     assert out == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
 
 
+def test_feature_cooccurrence_bounded_subset(spark):
+    from scarf_spark.operators.aggregate import feature_cooccurrence
+
+    # feats 1,2 in every cell (prevalence 4); feat 3 in one cell with a
+    # huge value (prevalence 1 but max variance); feat 4 once, value 1
+    rows = []
+    for c in range(4):
+        rows += [(c, 1, 1.0), (c, 2, 1.0)]
+    rows += [(0, 3, 90.0), (1, 4, 1.0)]
+    counts = spark.createDataFrame(rows, "cell_id long, feat_id long, value double")
+
+    prev = {(r["fa"], r["fb"]): r["n_cells"]
+            for r in feature_cooccurrence(counts, max_features=2).collect()}
+    assert prev == {(1, 2): 4}  # prevalence keeps feats 1,2 only
+
+    # variance key N·Σv² − (Σv)²: feat 3 → 4·8100 − 8100 = 24300 wins;
+    # feats 1,2 → 4·4 − 16 = 0; feat 4 → 4 − 1 = 3; ties break by id
+    var = {(r["fa"], r["fb"]): r["n_cells"]
+           for r in feature_cooccurrence(
+               counts, max_features=2, rank_by="variance").collect()}
+    assert var == {(3, 4): 0} or var == {}  # 3 and 4 never co-occur
+    assert var == {}
+
+
+def test_cross_sharded_knn_matches_broadcast(spark):
+    from scarf_spark.operators.knn import (
+        cosine_knn_cross,
+        cosine_knn_cross_sharded,
+    )
+
+    rng = np.random.RandomState(23)
+    ref = [(i, [float(x) for x in rng.randn(8)]) for i in range(0, 60, 2)]
+    tgt = [(i, [float(x) for x in rng.randn(8)]) for i in range(1, 41, 2)]
+    rdf = spark.createDataFrame(ref, "vec_id long, embedding array<double>")
+    tdf = spark.createDataFrame(tgt, "vec_id long, embedding array<double>")
+    dense = {(r["src"], r["rank"]): (r["dst"], r["distance"])
+             for r in cosine_knn_cross(tdf, rdf, k=3).collect()}
+    grid = {(r["src"], r["rank"]): (r["dst"], r["distance"])
+            for r in cosine_knn_cross_sharded(tdf, rdf, k=3, n_shards=5).collect()}
+    assert grid == dense
+    assert len(grid) == 20 * 3
+
+
 def test_sharded_knn_matches_exact(spark):
     from scarf_spark.operators.knn import cosine_knn_exact, cosine_knn_sharded
 
