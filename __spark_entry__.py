@@ -3125,6 +3125,64 @@ def src_zarr_counts(spark, sf_dir):
     return z.read_zarr_store(spark, store)["counts"]
 
 
+_ZARR_BLOSC_CACHE: dict[str, str] = {}
+
+
+@q(
+    "src_zarr_blosc",
+    f"WITH {COUNTS_CTE} "
+    "SELECT cell_id, feat_id, value FROM counts WHERE feat_id <= 200",
+)
+def src_zarr_blosc(spark, sf_dir):
+    """Blosc-compressed Zarr ingest (VERDICT r6 gap #3): every real
+    scarf store is written with Blosc lz4 + bitshuffle
+    (``scarf/writers.py:81``), so the counts slice is round-tripped
+    through chunk files in that exact frame format — encoded and
+    decoded by the pure-python codec in ``sources/blosc.py`` (no
+    numcodecs in this container) — and the distributed scan must
+    reproduce the source slice exactly."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from scarf_spark.sources import zarr as z
+
+    comp = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2}
+    store = _ZARR_BLOSC_CACHE.get(sf_dir)
+    if store is None:
+        store = os.path.join(
+            tempfile.gettempdir(),
+            "scarf_zarrb_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        )
+        if not os.path.exists(os.path.join(store, "RNA", "counts", ".zarray")):
+            sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 200)
+            cells = np.sort(np.array(
+                [r[0] for r in sl.select("cell_id").distinct().collect()],
+                dtype="<i8"))
+            feats = np.sort(np.array(
+                [r[0] for r in sl.select("feat_id").distinct().collect()],
+                dtype="<i8"))
+            z.write_zarr_1d(os.path.join(store, "cellData", "ids"), cells,
+                            compressor=comp)
+            z.write_zarr_1d(os.path.join(store, "RNA", "featureData", "ids"),
+                            feats, compressor=comp)
+            cmap = spark.createDataFrame(
+                [(int(c), i) for i, c in enumerate(cells)],
+                "cell_id long, row long")
+            fmap = spark.createDataFrame(
+                [(int(f), j) for j, f in enumerate(feats)],
+                "feat_id long, col long")
+            coo = (sl.join(F.broadcast(cmap), "cell_id")
+                   .join(F.broadcast(fmap), "feat_id")
+                   .select("row", "col", "value"))
+            z.coo_to_zarr(coo, os.path.join(store, "RNA", "counts"),
+                          (len(cells), len(feats)), chunks=(2048, 128),
+                          compressor=comp)
+        _ZARR_BLOSC_CACHE[sf_dir] = store
+    return z.read_zarr_store(spark, store)["counts"]
+
+
 @q(
     "src_zarr_pruned",
     f"WITH {COUNTS_CTE}, "

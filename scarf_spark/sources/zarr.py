@@ -80,18 +80,25 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
         return _zlib.decompress(raw)
     if cid == "gzip":
         return _gzip.decompress(raw)
-    try:  # Blosc/zstd/lz4 etc. — delegate when the real codec lib exists
+    if cid == "blosc":
+        # what every real scarf store uses (scarf/writers.py:81 —
+        # Blosc lz4 + bitshuffle); the frame is self-describing, so
+        # the cname/clevel/shuffle fields need no interpretation here
+        from scarf_spark.sources.blosc import blosc_decode
+
+        return blosc_decode(raw)
+    try:  # zstd etc. — delegate when the real codec lib exists
         import numcodecs
 
         return numcodecs.get_codec(compressor).decode(raw)
     except ImportError:
         raise NotImplementedError(
             f"Zarr codec {cid!r} needs numcodecs (not installed); "
-            "stores written by this module use zlib and decode natively"
+            "zlib/gzip/blosc-lz4 decode natively"
         ) from None
 
 
-def _compress(raw: bytes, compressor: dict | None) -> bytes:
+def _compress(raw: bytes, compressor: dict | None, itemsize: int = 1) -> bytes:
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -99,6 +106,17 @@ def _compress(raw: bytes, compressor: dict | None) -> bytes:
         return _zlib.compress(raw, compressor.get("level", 1))
     if cid == "gzip":
         return _gzip.compress(raw, compressor.get("level", 1))
+    if cid == "blosc":
+        from scarf_spark.sources.blosc import blosc_encode
+
+        if compressor.get("cname", "lz4") not in ("lz4", "lz4hc"):
+            raise NotImplementedError("blosc writer supports cname=lz4 only")
+        return blosc_encode(
+            raw,
+            typesize=itemsize,
+            shuffle=int(compressor.get("shuffle", 2)),
+            blocksize=int(compressor.get("blocksize", 0)),
+        )
     raise NotImplementedError(f"writing Zarr codec {cid!r} not supported")
 
 
@@ -242,11 +260,14 @@ def read_zarr_1d(spark: SparkSession, array_dir: str, value_type: str | None = N
                 coord = (int(ci),)
                 arr = _decode_chunk(_chunk_path(array_dir, coord, sep), m, coord)
                 if arr is None:
-                    arr = np.full(
-                        min(m["chunks"][0], m["shape"][0] - ci * m["chunks"][0]),
-                        m.get("fill_value") or 0,
-                        dtype=np.dtype(m["dtype"]),
-                    )
+                    n_fill = min(m["chunks"][0], m["shape"][0] - ci * m["chunks"][0])
+                    dt = np.dtype(m["dtype"])
+                    fv = m.get("fill_value")
+                    if dt.kind in "iufb":  # numeric/bool: coerce, default 0
+                        arr = np.full(n_fill, fv or 0, dtype=dt)
+                    else:  # strings etc.: zeros() gives empty values, not "0"
+                        arr = (np.full(n_fill, fv, dtype=dt) if fv
+                               else np.zeros(n_fill, dtype=dt))
                 yield pd.DataFrame(
                     {
                         "idx": np.arange(len(arr), dtype=np.int64)
@@ -334,7 +355,7 @@ def write_zarr_1d(
                 [part, np.zeros(chunk - len(part), dtype=values.dtype)]
             )
         with open(os.path.join(array_dir, str(ci)), "wb") as fh:
-            fh.write(_compress(part.tobytes(), compressor))
+            fh.write(_compress(part.tobytes(), compressor, values.dtype.itemsize))
 
 
 def coo_to_zarr(
@@ -379,7 +400,7 @@ def coo_to_zarr(
         arr[pdf["ri"].to_numpy(), pdf["rj"].to_numpy()] = pdf["v"].to_numpy()
         path = _chunk_path(array_dir, (ci, cj), sep)
         with open(path, "wb") as fh:
-            fh.write(_compress(arr.tobytes(), compressor))
+            fh.write(_compress(arr.tobytes(), compressor, arr.dtype.itemsize))
         return pd.DataFrame({"ci": [ci], "cj": [cj], "nnz": [len(pdf)]})
 
     written = (
