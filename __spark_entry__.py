@@ -2508,10 +2508,13 @@ def ml_harmony(spark, sf_dir):
 # Multimodal binary-column pipeline (training-data extension; codecs stubbed)
 # ---------------------------------------------------------------------------
 
+# media oracles operate per character; the engine strips non-ASCII in
+# attach_payload so bytes == characters — mirror the strip here
+_ASCII = r"regexp_replace(text, '[^\x00-\x7F]', '', 'g')"
 _MEDIA_CTE = (
     "media AS (SELECT doc_id, "
     "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality, "
-    "text FROM documents)"
+    f"{_ASCII} AS text FROM documents)"
 )
 
 
@@ -2605,7 +2608,8 @@ def mm_resize(spark, sf_dir):
     # filters) and decodes it back; the oracle computes the same stats
     # straight from the text bytes — equality proves the codec on real
     # encoded payloads
-    "WITH media AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0), "
+    "WITH media AS (SELECT doc_id, " + _ASCII + " AS text "
+    "FROM documents WHERE doc_id % 3 = 0), "
     "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p FROM media, "
     "UNNEST(range(1, length(text) + 1)) AS t(i) "
     "WHERE i <= (length(text) // 32) * 32) "
@@ -2631,7 +2635,8 @@ def mm_image_decode_real(spark, sf_dir):
     # REAL WAV roundtrip: byte values become int16 PCM samples encoded
     # as a WAV blob, decoded with the stdlib reader; per-frame sample
     # sums must equal the oracle's byte-value frame sums
-    "WITH media AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1), "
+    "WITH media AS (SELECT doc_id, " + _ASCII + " AS text "
+    "FROM documents WHERE doc_id % 3 = 1), "
     "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p, "
     "CAST((i - 1) // 100 AS INT) AS frame_idx "
     "FROM media, UNNEST(range(1, length(text) + 1)) AS t(i) "

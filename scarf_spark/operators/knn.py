@@ -915,8 +915,10 @@ def cosine_radius(
     ``supervised.py``), so the boundary decision replays identically.
 
     Same broadcast-index + Arrow-batched BLAS shape as
-    :func:`cosine_knn_exact`; the numpy filter over-captures by 1e-7
-    and the final rounded compare happens JVM-side. For billion-scale
+    :func:`cosine_knn_exact`; the numpy filter over-captures by
+    5.01e-7 — past half the 6-decimal rounding step, so every raw
+    distance that ROUND(6) could pull under the threshold survives to
+    the authoritative JVM-side rounded compare. For billion-scale
     indexes the LSH/IVF bucketed variants bound the candidate pairs."""
     import numpy as np
 
@@ -936,7 +938,7 @@ def cosine_radius(
             q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
             dist = 1.0 - q_n @ b_m.T
             src = b[id_col].to_numpy()
-            take = (dist <= radius + 1e-7) & (b_ids[None, :] != src[:, None])
+            take = (dist <= radius + 5.01e-7) & (b_ids[None, :] != src[:, None])
             rows, cols = np.nonzero(take)
             yield pd.DataFrame(
                 {

@@ -38,16 +38,20 @@ from pyspark.sql.types import (
 
 
 def attach_payload(docs: DataFrame, modalities=("image", "audio", "video")) -> DataFrame:
-    """Turn each document into a media row: payload = utf-8 bytes of
-    the text (a deterministic fake blob), modality assigned round-robin
-    by doc_id. Output schema is the pipeline's canonical media table:
+    """Turn each document into a media row: payload = ASCII bytes of
+    the text (non-ASCII characters stripped first, so byte count ==
+    character count and every downstream byte-grid stat agrees with a
+    per-character oracle), modality assigned round-robin by doc_id.
+    Output schema is the pipeline's canonical media table:
     (doc_id, modality, payload binary, meta struct<n_bytes, checksum>).
     All JVM-side expressions."""
     mod = F.element_at(
         F.array(*[F.lit(m) for m in modalities]),
         (F.col("doc_id") % len(modalities) + 1).cast("int"),
     )
-    payload = F.encode(F.col("text"), "utf-8")
+    payload = F.encode(
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", ""), "utf-8"
+    )
     return docs.select(
         "doc_id",
         mod.alias("modality"),
@@ -249,7 +253,12 @@ def attach_png_payload(docs: DataFrame, width: int = 32) -> DataFrame:
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                # ASCII-strip: one pixel per character, matching the
+                # per-character oracle (non-ASCII would add UTF-8
+                # continuation bytes the oracle never sees)
+                b = np.frombuffer(
+                    text.encode("ascii", errors="ignore"), dtype=np.uint8
+                )
                 h = len(b) // width
                 if h == 0:
                     payloads.append(b"")
@@ -311,9 +320,9 @@ def attach_wav_payload(docs: DataFrame, rate: int = 16000) -> DataFrame:
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                samples = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
-                    "<i2"
-                )
+                samples = np.frombuffer(
+                    text.encode("ascii", errors="ignore"), dtype=np.uint8
+                ).astype("<i2")
                 payloads.append(codecs.encode_wav(samples, rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -148,7 +148,14 @@ def to_h5ad(
             out[c] = v.astype("S") if v.dtype.kind == "O" else v
         return out
 
+    import numpy as np
+
     obs, var = _cols(cells), _cols(feats)
+    # shape is written BOTH as the AnnData attr (h5py path) and as a
+    # plain X/shape int64[2] dataset in both paths: the minih5 writer
+    # has no attribute-message support, so without the dataset a
+    # fallback-written file would silently lack the matrix dims
+    shape = np.array([n_cells, n_feats], dtype="<i8")
     try:
         import h5py
 
@@ -157,6 +164,7 @@ def to_h5ad(
             x["indptr"] = indptr
             x["indices"] = indices
             x["data"] = data
+            x["shape"] = shape
             x.attrs["shape"] = (n_cells, n_feats)
             for key, cols in (("obs", obs), ("var", var)):
                 g = f.create_group(key)
@@ -168,7 +176,12 @@ def to_h5ad(
         write_h5(
             path,
             {
-                "X": {"indptr": indptr, "indices": indices, "data": data},
+                "X": {
+                    "indptr": indptr,
+                    "indices": indices,
+                    "data": data,
+                    "shape": shape,
+                },
                 "obs": obs,
                 "var": var,
             },

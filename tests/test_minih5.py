@@ -227,3 +227,9 @@ def test_to_h5ad_roundtrip_ungated(spark, tmp_path):
     got = sorted((r["cell_id"], r["feat_id"], r["value"]) for r in back.collect())
     assert got == [(0, 0, 4.0), (0, 2, 6.0), (1, 1, 5.0)]
     assert bcells.count() == 2 and bfeats.count() == 3
+    # matrix dims travel as a plain X/shape dataset (the minih5 writer
+    # cannot emit HDF5 attributes, so attrs-only shape would be lost)
+    from scarf_spark.sources.minih5 import File
+
+    with File(path) as f:
+        assert [int(x) for x in f["X"]["shape"][:]] == [2, 3]
