@@ -2216,6 +2216,62 @@ def ml_umap_sym(spark, sf_dir):
     return embed.symmetrize_edges(edges)
 
 
+@q(
+    "ml_sgtsne_rescale",
+    # SG-tSNE-Π λ-rescaling replayed as a recursive-CTE bisection: the
+    # 64-step γ solve is smooth (pow + ordered left-fold sum + one
+    # monotone compare), so it hashes exactly across engines — the
+    # same replay boundary as the UMAP-kernel bisection (_SMOOTH_SQL)
+    f"WITH RECURSIVE {_KNN_CTE}, "
+    "w AS (SELECT src, dst, 1.0 / (1.0 + distance) AS weight FROM knn), "
+    "wl AS (SELECT src, list(weight ORDER BY dst) AS ws FROM w GROUP BY src), "
+    "bis AS ("
+    "SELECT src, ws, 0 AS it, CAST(0.0 AS DOUBLE) AS lo, "
+    "CAST('infinity' AS DOUBLE) AS hi, CAST(1.0 AS DOUBLE) AS mid FROM wl "
+    "UNION ALL "
+    "SELECT src, ws, it + 1, "
+    "CASE WHEN s > 1.0 THEN mid ELSE lo END, "
+    "CASE WHEN s > 1.0 THEN hi ELSE mid END, "
+    "CASE WHEN s > 1.0 THEN "
+    "(CASE WHEN isinf(hi) THEN mid * 2 ELSE (mid + hi) / 2 END) "
+    "ELSE (lo + mid) / 2 END "
+    "FROM (SELECT src, ws, it, lo, hi, mid, "
+    "list_aggregate(list_transform(ws, x -> power(x, mid)), 'sum') AS s "
+    "FROM bis WHERE it < 64) t) "
+    "SELECT w.src, w.dst, ROUND(power(w.weight, b.mid), 6) AS p "
+    "FROM w JOIN (SELECT src, mid FROM bis WHERE it = 64) b ON w.src = b.src",
+)
+def ml_sgtsne_rescale(spark, sf_dir):
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    return embed.sgtsne_rescale(edges, lam=1.0)
+
+
+@q("ml_sgtsne_embed")  # weak: external-binary twin (driver_compute, deterministic)
+def ml_sgtsne_embed(spark, sf_dir):
+    """SG-tSNE-shaped embedding (the reference shells out to the
+    compiled ``sgtsne`` binary, ``graph_datastore.py:1088-1216`` — the
+    last SURVEY §2 row): distributed λ-rescale of the KNN affinities,
+    then the exact Cauchy-kernel gradient layout as a deterministic
+    driver twin over the collected n·k edge list."""
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    p = embed.sgtsne_rescale(edges, lam=1.0)
+    emb = _ds(spark, sf_dir).embeddings
+    vec = emb.select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = embed.ini_embed_kmeans_pca(vec, n_centroids=10)
+    return embed.sgtsne_layout_driver(p, init, n_iter=60)
+
+
 @q("ml_umap_embed")  # weak: sequential SGD layout (driver_compute, seeded)
 def ml_umap_embed(spark, sf_dir):
     from scarf_spark.ml import embed
@@ -4338,8 +4394,8 @@ _PRIORITY = [
     "clust_balanced_cut",
     # new in round 7
     "knn_cross_sharded", "src_zarr_blosc", "agg_cooccur_hvg",
-    "ml_sgtsne_embed", "text_minhash_cluster", "mm_ocr_stub",
-    "evt_retention",
+    "ml_sgtsne_rescale", "ml_sgtsne_embed", "text_minhash_cluster",
+    "mm_ocr_stub",
     # sentinels (verified r1-r6; regression tripwires, rotated)
     "qc_ncounts", "src_zarr_counts", "knn_exact_sharded", "mark_stats",
     "ml_pca_project",

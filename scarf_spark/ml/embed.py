@@ -83,6 +83,115 @@ def ini_embed_kmeans_pca(
     ).select("cell_id", "ix", "iy")
 
 
+def sgtsne_rescale(
+    edges: DataFrame,
+    lam: float = 1.0,
+    max_iter: int = 64,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """SG-tSNE-Π λ-rescaling (Pitsianis/Iakovidou/Floros/Sun, IEEE HPEC
+    2019 — the algorithm behind the ``sgtsne`` binary the reference
+    shells out to, ``scarf/datastore/graph_datastore.py:1088-1216``):
+    per source node solve ``Σ_j w_ij^γ_i = λ`` for ``γ_i > 0`` and emit
+    the rescaled affinities ``p_ij = w_ij^γ_i`` — the step that turns
+    an arbitrary sparse affinity graph into the stochastic matrix
+    t-SNE expects.
+
+    Distributed: per-src edge lists are grouped JVM-side
+    (sort_array(collect_list) — deterministic dst order), each Arrow
+    batch solves its γ's with 64 fixed bisection steps (every step is
+    smooth: pow + left-fold sum + one monotone compare, so the loop
+    replays exactly in a DuckDB recursive CTE — same boundary as the
+    UMAP-kernel bisection in :func:`~scarf_spark.operators.knn.smoothen_dists`).
+    Rounding happens JVM-side (half-away-from-zero, matching the
+    oracle's ROUND; python's round() is banker's)."""
+    import pandas as pd
+
+    wl = edges.groupBy("src").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("dst"), F.col(weight_col).alias("w")))
+        ).alias("es")
+    )
+
+    def solve(batches):
+        inf = float("inf")
+        for pdf in batches:
+            srcs, dsts, ps = [], [], []
+            for src, es in zip(pdf["src"], pdf["es"]):
+                ws = [float(e["w"]) for e in es]
+                lo, hi, mid = 0.0, inf, 1.0
+                for _ in range(max_iter):
+                    s = 0.0
+                    for x in ws:  # left-fold, matching SQL SUM order
+                        s += x**mid
+                    if s > lam:
+                        lo, mid = mid, (mid * 2.0 if hi == inf else (mid + hi) / 2.0)
+                    else:
+                        hi, mid = mid, (lo + mid) / 2.0
+                for e in es:
+                    srcs.append(src)
+                    dsts.append(int(e["dst"]))
+                    ps.append(float(e["w"]) ** mid)
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "p": ps})
+
+    out = wl.mapInPandas(solve, "src long, dst long, p double")
+    return out.select("src", "dst", F.round("p", 6).alias("p"))
+
+
+def sgtsne_layout_driver(
+    p_edges: DataFrame,
+    init: DataFrame,
+    n_iter: int = 100,
+    learning_rate: float = 50.0,
+    momentum: float = 0.6,
+    weight_col: str = "p",
+) -> DataFrame:
+    """driver_compute: exact t-SNE gradient descent over the collected
+    rescaled graph — the layout stage of SG-tSNE, which the reference
+    runs as an external compiled binary (``graph_datastore.py:1088-1216``
+    ``bin/sgtsne``; documented determinism boundary, like the UMAP SGD
+    twin above). Deterministic: symmetrize P = (P+Pᵀ)/2·ΣP, init from
+    the provided coordinates, plain momentum gradient descent with the
+    dense (n²) Cauchy-kernel repulsion — the driver-side twin envelope
+    is the n·k edge list plus an n² numpy temp, so callers cap n.
+
+    p_edges: (src, dst, p); init: (cell_id, ix, iy).
+    Returns (cell_id, tsne1, tsne2)."""
+    import numpy as np
+
+    e_rows = p_edges.select("src", "dst", weight_col).collect()
+    i_rows = init.select("cell_id", "ix", "iy").collect()
+    ids = sorted({r["cell_id"] for r in i_rows})
+    idx = {n: i for i, n in enumerate(ids)}
+    n = len(ids)
+    P = np.zeros((n, n))
+    for r in e_rows:
+        if r["src"] in idx and r["dst"] in idx:
+            P[idx[r["src"]], idx[r["dst"]]] = r[weight_col]
+    P = P + P.T
+    P /= max(P.sum(), 1e-12)
+    Y = np.zeros((n, 2))
+    for r in i_rows:
+        Y[idx[r["cell_id"]]] = (r["ix"], r["iy"])
+    Y = Y * 1e-2  # t-SNE convention: small init
+    V = np.zeros_like(Y)
+    for _ in range(n_iter):
+        d = Y[:, None, :] - Y[None, :, :]
+        num = 1.0 / (1.0 + (d * d).sum(axis=2))
+        np.fill_diagonal(num, 0.0)
+        Q = num / max(num.sum(), 1e-12)
+        G = 4.0 * (((P - Q) * num)[:, :, None] * d).sum(axis=1)
+        V = momentum * V - learning_rate * G
+        Y = Y + V
+        Y = Y - Y.mean(axis=0)
+    spark = p_edges.sparkSession
+    return spark.createDataFrame(
+        [(int(nid), round(float(Y[i, 0]), 6), round(float(Y[i, 1]), 6))
+         for nid, i in idx.items()],
+        ["cell_id", "tsne1", "tsne2"],
+    )
+
+
 def umap_layout_driver(
     edges: DataFrame,
     init: DataFrame,

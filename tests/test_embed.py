@@ -69,3 +69,42 @@ def test_umap_layout_reproducible_and_local(spark, edges):
     rb = np.array([pos[i] for i in rng2.choice(ids, 2000)])
     d_rand = np.linalg.norm(ra - rb, axis=1).mean()
     assert d_edge < d_rand
+
+
+def test_sgtsne_rescale_solves_lambda(edges):
+    p = embed.sgtsne_rescale(edges, lam=1.0).toPandas()
+    sums = p.groupby("src")["p"].sum()
+    # per-source rescaled affinities sum to lambda (up to ROUND(6) per edge)
+    assert np.abs(sums.to_numpy() - 1.0).max() < 1e-4
+    # rescaled values stay in (0, 1]
+    assert (p["p"] > 0).all() and (p["p"] <= 1.0).all()
+    # same edge set as the input
+    assert len(p) == edges.count()
+
+
+def test_sgtsne_layout_reproducible_and_local(spark, edges):
+    p = embed.sgtsne_rescale(edges, lam=1.0)
+    nodes = [r["src"] for r in p.select("src").distinct().collect()]
+    rng = np.random.default_rng(3)
+    init = spark.createDataFrame(
+        [(int(n), float(x), float(y)) for n, (x, y) in
+         zip(nodes, rng.normal(0, 1.0, (len(nodes), 2)))],
+        ["cell_id", "ix", "iy"],
+    )
+    a = embed.sgtsne_layout_driver(p, init, n_iter=30).toPandas().sort_values("cell_id")
+    b = embed.sgtsne_layout_driver(p, init, n_iter=30).toPandas().sort_values("cell_id")
+    assert np.allclose(a[["tsne1", "tsne2"]].to_numpy(), b[["tsne1", "tsne2"]].to_numpy())
+    pos = {
+        int(c): (float(x), float(y))
+        for c, x, y in zip(a["cell_id"], a["tsne1"], a["tsne2"])
+    }
+    e = [r for r in p.select("src", "dst").collect() if r["dst"] in pos]
+    pa = np.array([pos[r["src"]] for r in e])
+    pb = np.array([pos[r["dst"]] for r in e])
+    d_edge = np.linalg.norm(pa - pb, axis=1).mean()
+    rng2 = np.random.default_rng(4)
+    ids = list(pos)
+    ra = np.array([pos[i] for i in rng2.choice(ids, 2000)])
+    rb = np.array([pos[i] for i in rng2.choice(ids, 2000)])
+    d_rand = np.linalg.norm(ra - rb, axis=1).mean()
+    assert d_edge < d_rand
