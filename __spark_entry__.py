@@ -1232,6 +1232,61 @@ def dedup_components(spark, sf_dir):
 
 
 @q(
+    "text_minhash_cluster",
+    # the full production near-dup clustering pipeline end-to-end:
+    # LSH candidates → df-capped exact-Jaccard verify → threshold →
+    # min-label components → cluster sizes + canonical keep flag
+    # (dedup_components clusters UNverified candidates; this clusters
+    # only pairs that survive jaccard >= 0.5)
+    f"WITH {_MINHASH_CTE}, "
+    "prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
+    "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+    "shc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100), "
+    "shf AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh "
+    "JOIN shc ON sh.shingle = shc.shingle), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+    "FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id "
+    "JOIN prs ON prs.a = x.doc_id AND prs.b = y.doc_id "
+    "GROUP BY 1, 2), "
+    "ve AS MATERIALIZED (SELECT inter.a, inter.b FROM inter "
+    "JOIN sizes sa ON inter.a = sa.doc_id "
+    "JOIN sizes sb ON inter.b = sb.doc_id "
+    "WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5), "
+    "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ve "
+    "UNION ALL SELECT b, a FROM ve), "
+    "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents), "
+    + " ".join(
+        (
+            "l{t} AS MATERIALIZED (SELECT n.node, "
+            "LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl "
+            "FROM l{p} n LEFT JOIN und u ON u.src = n.node "
+            "LEFT JOIN l{p} l ON l.node = u.dst GROUP BY n.node, n.lbl),"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    )
+    + " lab AS (SELECT node AS doc_id, lbl AS cluster, node = lbl AS keep "
+    "FROM l3), "
+    "cs AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY 1) "
+    "SELECT lab.doc_id, lab.cluster, cs.n_members, lab.keep "
+    "FROM lab JOIN cs ON lab.cluster = cs.cluster",
+)
+def text_minhash_cluster(spark, sf_dir):
+    """Verified near-dup clustering: minhash_candidate_pairs →
+    ngram_jaccard(df_cap) → threshold 0.5 (on the ROUND(6) score, so
+    the cut replays across engines) → min_label_components → sizes."""
+    docs = _ds(spark, sf_dir).documents
+    cand = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
+    jac = dedup.ngram_jaccard(docs, pairs=cand, n=3, df_cap=100)
+    edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+    comp = dedup.min_label_components(edges, docs, n_iter=3)
+    sizes = comp.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, "cluster").select(
+        "doc_id", "cluster", "n_members", "keep"
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     # scale-true form (VERDICT r5): exact Jaccard ONLY over the LSH
     # candidate pairs, with a document-frequency cap on shingles before
@@ -2684,6 +2739,30 @@ def mm_image_decode_real(spark, sf_dir):
     docs = _ds(spark, sf_dir).documents
     media = mm.attach_png_payload(docs, width=32)
     return mm.decode_image_real(media)
+
+
+@q(
+    "mm_ocr_stub",
+    # OCR plumbing over REAL PNG payloads: the oracle recovers the
+    # same token stats straight from the (ASCII-stripped, grid-
+    # truncated) text; whitespace is the explicit ASCII class both
+    # sides (python str.split and RE2 \\s disagree on vertical tab)
+    "WITH media AS (SELECT doc_id, " + _ASCII + " AS text "
+    "FROM documents WHERE doc_id % 3 = 0), "
+    "s AS (SELECT doc_id, "
+    "substr(text, 1, (length(text) // 32) * 32) AS g FROM media) "
+    "SELECT doc_id, "
+    "CAST(length(list_filter(string_split_regex(g, '[ \\t\\n\\r\\f\\x0b]+'), "
+    "x -> x != '')) AS BIGINT) AS n_tokens, "
+    "CAST(length(regexp_replace(g, '[ \\t\\n\\r\\f\\x0b]', '', 'g')) "
+    "AS BIGINT) AS n_chars FROM s",
+)
+def mm_ocr_stub(spark, sf_dir):
+    from scarf_spark.operators import multimodal as mm
+
+    docs = _ds(spark, sf_dir).documents
+    media = mm.attach_png_payload(docs, width=32)
+    return mm.ocr_stub(media)
 
 
 @q(

@@ -360,6 +360,46 @@ def audio_energy_real(media: DataFrame, frame_samples: int = 100) -> DataFrame:
     return auds.mapInPandas(energy, schema=_AUDIO_SCHEMA)
 
 
+def ocr_stub(media: DataFrame) -> DataFrame:
+    """OCR over real PNG payloads, with the recognition model stubbed:
+    each image payload is decoded by the pure-python PNG codec
+    (zlib inflate + scanline unfilter), the pixel grid is interpreted
+    as character codes (the deterministic stand-in for a text
+    recognizer — this container has no OCR libs), and per-image token
+    stats are emitted. The Spark-side plumbing is the production
+    shape: binary column → Arrow-batched ``mapInPandas`` decode →
+    text-feature extraction, partition-parallel with no driver
+    collect; swap the char-map body for a real OCR model's inference
+    call when available.
+
+    Whitespace is the explicit ASCII class ``[ \\t\\n\\r\\f\\x0b]`` so
+    the tokenization is engine-reproducible (python ``str.split`` and
+    RE2 ``\\s`` disagree on vertical tab). Returns (doc_id, n_tokens,
+    n_chars); empty payloads (sub-one-row sources) emit zeros."""
+    import re
+
+    from scarf_spark.operators import codecs
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    out.append((doc_id, 0, 0))
+                    continue
+                px = codecs.decode_png(raw)
+                text = px.tobytes().decode("latin-1")
+                toks = [t for t in ws.split(text) if t]
+                out.append((doc_id, len(toks), sum(len(t) for t in toks)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_tokens", "n_chars"])
+
+    imgs = media.where(F.col("modality") == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(run, "doc_id long, n_tokens long, n_chars long")
+
+
 def ahash16(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """16-bit average-hash (aHash) over the payload bytes — the
     perceptual-dedup primitive for media columns: split the byte

@@ -86,3 +86,18 @@ def test_ahash_identical_payloads_collide(spark):
     assert 0 <= vals[1] < (1 << 16)
     pairs = phash_near_pairs(h, max_hamming=0).collect()
     assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_ocr_stub_recovers_token_stats(spark):
+    from scarf_spark.operators import multimodal as mm
+
+    text = ("hello world  foo" + " " * 16 + "bar baz") * 4  # 39*4=156 chars
+    docs = spark.createDataFrame([(0, text), (3, "tiny")],
+                                 "doc_id long, text string")
+    media = mm.attach_png_payload(docs, width=32)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chars"])
+           for r in mm.ocr_stub(media).collect()}
+    kept = text[: (len(text) // 32) * 32]
+    toks = kept.split()
+    assert got[0] == (len(toks), sum(len(t) for t in toks))
+    assert got[3] == (0, 0)  # sub-one-row source -> empty payload

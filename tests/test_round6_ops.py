@@ -802,3 +802,23 @@ def test_duplicated_ngram_spans(spark):
     assert ratio[3]["dup_ppm"] == 0
     assert ratio[1]["dup_tokens"] == 10 and ratio[1]["n_tokens"] == 13
     assert ratio[1]["dup_ppm"] == 10 * 1_000_000 // 13
+
+
+def test_verified_minhash_clustering(spark):
+    from scarf_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "extra tail words here"),
+         (3, "completely different content with no shared shingles at all "
+             "padding padding padding pad pad pad")],
+        "doc_id long, text string",
+    )
+    cand = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
+    jac = dedup.ngram_jaccard(docs, pairs=cand, n=3, df_cap=100)
+    from pyspark.sql import functions as F
+    edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+    comp = dedup.min_label_components(edges, docs, n_iter=3)
+    lab = {r["doc_id"]: r["cluster"] for r in comp.collect()}
+    assert lab[1] == lab[2] == 1  # near-dups share the min label
+    assert lab[3] == 3            # distinct doc stays a singleton
