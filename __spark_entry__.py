@@ -2327,6 +2327,32 @@ def ml_sgtsne_embed(spark, sf_dir):
     return embed.sgtsne_layout_driver(p, init, n_iter=60)
 
 
+@q("ml_densmap_embed")  # weak: densMAP SGD layout (driver_compute, seeded)
+def ml_densmap_embed(spark, sf_dir):
+    """densMAP variant (``scarf/umap.py:15-164`` ``dens_map`` branch —
+    the reference passes the flag to umap-learn): UMAP layout with the
+    density-preservation force pulling each node's standardized log
+    embedding radius toward its input-space target."""
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    # keep input distances through symmetrization via a re-join
+    sym = embed.symmetrize_edges(edges).join(
+        edges.select("src", "dst", "distance"), ["src", "dst"], "left"
+    ).fillna({"distance": 1.0})
+    emb = _ds(spark, sf_dir).embeddings
+    vec = emb.select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = embed.ini_embed_kmeans_pca(vec, n_centroids=10)
+    return embed.umap_layout_driver(
+        sym, init, n_epochs=20, dens_lambda=2.0, input_dist="distance"
+    )
+
+
 @q("ml_umap_embed")  # weak: sequential SGD layout (driver_compute, seeded)
 def ml_umap_embed(spark, sf_dir):
     from scarf_spark.ml import embed

@@ -199,6 +199,8 @@ def umap_layout_driver(
     learning_rate: float = 1.0,
     neg_samples: int = 3,
     seed: int = 4466,
+    dens_lambda: float = 0.0,
+    input_dist: str | None = None,
 ) -> DataFrame:
     """driver_compute: seeded SGD layout over the collected graph —
     attraction along weighted edges, repulsion against sampled
@@ -209,21 +211,43 @@ def umap_layout_driver(
     and exactly reproducible).
 
     edges: (src, dst, weight); init: (cell_id, ix, iy).
-    Returns (cell_id, umap1, umap2)."""
+    Returns (cell_id, umap1, umap2).
+
+    ``dens_lambda > 0`` enables the densMAP variant (Narayan/Berger/Cho
+    2020, the reference's ``dens_map`` branch, ``scarf/umap.py:15-164``
+    — there a flag passed through to umap-learn): each node's local
+    embedding radius ``r_i = Σ_j w_ij·d²_ij / Σ_j w_ij`` is pulled
+    toward the standardized input-space local radius, adding a
+    per-edge density force ``−λ·(log r_i − t_i)·∂r_i/∂y`` on top of
+    the UMAP attraction/repulsion — density preservation in the same
+    deterministic-twin envelope as the base layout."""
     import numpy as np
 
-    e_rows = edges.select("src", "dst", "weight").collect()
+    cols = ["src", "dst", "weight"] + ([input_dist] if input_dist else [])
+    e_rows = edges.select(*cols).collect()
     i_rows = init.select("cell_id", "ix", "iy").collect()
     ids = sorted({r["cell_id"] for r in i_rows})
     idx = {n: i for i, n in enumerate(ids)}
     pos = np.zeros((len(ids), 2))
     for r in i_rows:
         pos[idx[r["cell_id"]]] = (r["ix"], r["iy"])
-    src = np.array([idx[r["src"]] for r in e_rows if r["src"] in idx])
-    dst = np.array([idx[r["dst"]] for r in e_rows if r["src"] in idx])
-    w = np.array([r["weight"] for r in e_rows if r["src"] in idx], dtype=float)
+    keep = [r for r in e_rows if r["src"] in idx and r["dst"] in idx]
+    src = np.array([idx[r["src"]] for r in keep])
+    dst = np.array([idx[r["dst"]] for r in keep])
+    w = np.array([r["weight"] for r in keep], dtype=float)
     rng = np.random.default_rng(seed)
     n = len(ids)
+    t_in = None
+    if dens_lambda > 0 and input_dist is not None:
+        # standardized log input-space local radius — the densMAP target
+        din2 = np.array([float(r[input_dist]) ** 2 for r in keep])
+        W = np.zeros(n)
+        np.add.at(W, src, w)
+        W = np.maximum(W, 1e-12)
+        r_in = np.zeros(n)
+        np.add.at(r_in, src, w * din2)
+        log_rin = np.log(r_in / W + 1e-12)
+        t_in = (log_rin - log_rin.mean()) / (log_rin.std() + 1e-12)
     for epoch in range(n_epochs):
         alpha = learning_rate * (1.0 - epoch / n_epochs)
         d = pos[src] - pos[dst]
@@ -231,6 +255,21 @@ def umap_layout_driver(
         attr = (-2.0 * w / (1.0 + dist2))[:, None] * d
         np.add.at(pos, src, alpha * attr)
         np.add.at(pos, dst, -alpha * attr)
+        if t_in is not None and epoch >= 0.3 * n_epochs:
+            # density force (active after 30% of epochs, the densMAP
+            # schedule: let the shape form first): pull each node's
+            # standardized log embedding radius toward its input-space
+            # target (gradient through r_i = Σ w·d² / Σ w; per-epoch
+            # mean/std treated constant, residual clipped to ±3σ)
+            r_num = np.zeros(n)
+            np.add.at(r_num, src, w * dist2)
+            r_emb = np.maximum(r_num / W, 1e-12)
+            log_re = np.log(r_emb)
+            z = (log_re - log_re.mean()) / (log_re.std() + 1e-12)
+            resid = np.clip(z - t_in, -3.0, 3.0)
+            coef = resid[src] / r_emb[src]
+            dens = (-dens_lambda * coef * 2.0 * w / W[src])[:, None] * d
+            np.add.at(pos, src, alpha * np.clip(dens, -1, 1))
         neg = rng.integers(0, n, size=(len(src), neg_samples))
         for j in range(neg_samples):
             dn = pos[src] - pos[neg[:, j]]

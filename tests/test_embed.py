@@ -108,3 +108,42 @@ def test_sgtsne_layout_reproducible_and_local(spark, edges):
     rb = np.array([pos[i] for i in rng2.choice(ids, 2000)])
     d_rand = np.linalg.norm(ra - rb, axis=1).mean()
     assert d_edge < d_rand
+
+
+def test_densmap_improves_density_preservation(spark, edges):
+    sym = embed.symmetrize_edges(edges).join(
+        edges.select("src", "dst", "distance"), ["src", "dst"], "left"
+    ).fillna({"distance": 1.0})
+    nodes = [r["src"] for r in sym.select("src").distinct().collect()]
+    rng = np.random.default_rng(5)
+    init = spark.createDataFrame(
+        [(int(n), float(x), float(y)) for n, (x, y) in
+         zip(nodes, rng.normal(0, 0.1, (len(nodes), 2)))],
+        ["cell_id", "ix", "iy"],
+    )
+
+    def radius_corr(layout):
+        pos = {int(r["cell_id"]): (r["umap1"], r["umap2"])
+               for r in layout.collect()}
+        e = sym.select("src", "dst", "weight", "distance").collect()
+        num, den, tin = {}, {}, {}
+        for r in e:
+            s = int(r["src"])
+            p, q = np.array(pos[s]), np.array(pos[int(r["dst"])])
+            d2 = float(((p - q) ** 2).sum())
+            num[s] = num.get(s, 0.0) + r["weight"] * d2
+            den[s] = den.get(s, 0.0) + r["weight"]
+            tin[s] = tin.get(s, 0.0) + r["weight"] * r["distance"] ** 2
+        ks = sorted(num)
+        re = np.log([num[k] / den[k] + 1e-12 for k in ks])
+        ri = np.log([tin[k] / den[k] + 1e-12 for k in ks])
+        return float(np.corrcoef(re, ri)[0, 1])
+
+    plain = embed.umap_layout_driver(sym, init, n_epochs=15)
+    dens = embed.umap_layout_driver(
+        sym, init, n_epochs=15, dens_lambda=2.0, input_dist="distance"
+    )
+    c0, c1 = radius_corr(plain), radius_corr(dens)
+    # the density force must increase input/embedding radius correlation
+    assert c1 > c0
+    assert c1 > 0.2

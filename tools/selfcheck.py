@@ -52,7 +52,9 @@ def type_audit(con: duckdb.DuckDBPyConnection, name: str, sql: str,
     when every value is equal (all six r6 reds). Catch type-class
     divergence locally: FAIL if the wrapped oracle still DESCRIBEs a
     HUGEINT column, or an oracle int column pairs with a Spark float
-    column (or vice versa)."""
+    column (or vice versa). Compares against the SPARK SQL schema
+    (df.dtypes), not pandas dtypes — toPandas turns nullable int64
+    into float64, which is not a serialization difference."""
     try:
         desc = con.execute(f"DESCRIBE {sql}").fetchall()
     except Exception:
@@ -63,12 +65,12 @@ def type_audit(con: duckdb.DuckDBPyConnection, name: str, sql: str,
         t = t.upper()
         if t in ("HUGEINT", "UHUGEINT"):
             return f"col {c}: oracle emits {t} (driver hash != Spark BIGINT)"
-        sdt = spark_dtypes.get(c)
-        if sdt is None:
-            continue
-        if t in int_like and sdt.startswith(("float", "double")):
+        sdt = spark_dtypes.get(c, "")
+        if sdt in ("float", "double") and t in int_like:
             return f"col {c}: oracle {t} vs spark {sdt} (int/float kind mismatch)"
-        if t in ("DOUBLE", "FLOAT", "REAL") and sdt.startswith("int"):
+        if sdt in ("tinyint", "smallint", "int", "bigint") and t in (
+            "DOUBLE", "FLOAT", "REAL"
+        ):
             return f"col {c}: oracle {t} vs spark {sdt} (float/int kind mismatch)"
     return None
 
@@ -120,7 +122,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            _df = fn(spark, sf_dir)
+            spark_types = dict(_df.dtypes)
+            sdf = _df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -137,8 +141,7 @@ def main() -> int:
             continue
         ok, note = compare(sdf, ddf)
         if ok:
-            terr = type_audit(con, name, oracles[name],
-                              {c: str(sdf[c].dtype) for c in sdf.columns})
+            terr = type_audit(con, name, oracles[name], spark_types)
             if terr:
                 ok, note = False, f"type audit: {terr}"
         status = "PASS" if ok else "FAIL"
