@@ -1274,10 +1274,19 @@ def dedup_components(spark, sf_dir):
 def text_minhash_cluster(spark, sf_dir):
     """Verified near-dup clustering: minhash_candidate_pairs →
     ngram_jaccard(df_cap) → threshold 0.5 (on the ROUND(6) score, so
-    the cut replays across engines) → min_label_components → sizes."""
+    the cut replays across engines) → min_label_components → sizes.
+    The corpus tokenizes ONCE: the persisted raw shingle table feeds
+    the minhash signatures directly (MIN is duplicate-insensitive, no
+    distinct shuffle in its path) and is distinct-ed only for the
+    set-semantics Jaccard verify."""
     docs = _ds(spark, sf_dir).documents
-    cand = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
-    jac = dedup.ngram_jaccard(docs, pairs=cand, n=3, df_cap=100)
+    sh = dedup.word_shingles(docs, 3, distinct=False).persist()
+    cand = dedup.minhash_candidate_pairs(
+        docs, n=3, n_hashes=8, n_bands=4, shingles=sh
+    )
+    jac = dedup.ngram_jaccard(
+        docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
+    )
     edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
     comp = dedup.min_label_components(edges, docs, n_iter=3)
     sizes = comp.groupBy("cluster").agg(F.count("*").alias("n_members"))

@@ -147,30 +147,34 @@ def main() -> None:
             list(pool.map(_run, names))
     wall = round(time.time() - t_wall, 3)
     serial_sum = round(sum(times.values()), 3)
-    out = {
-        # renamed from headline_queries_total in r6: the value is the
-        # CONCURRENT-STREAM WALL CLOCK (TPC throughput-run style), not
-        # the serial sum — and per-query times include scheduler
-        # queueing delay under n_threads-way concurrency.  serial_sum
-        # preserves the latency view for cross-round comparison.
-        "metric": "headline_stream_wall",
-        "value": wall,
-        "unit": "sec",
-        # the headline set GROWS as operators land (27 queries in r3,
-        # 70+ since): compare totals across rounds via sec_per_query
-        "n_queries": len(times),
-        "sec_per_query": round(wall / max(len(times), 1), 3),
-        "threads": n_threads,
-        "serial_sum_sec": serial_sum,
-        "sf": sf,
-    }
+    # KEY ORDER MATTERS: the driver records only the last ~2 KB of
+    # stdout ("tail" in BENCH_r{N}.json), so the per-query map goes
+    # FIRST and the summary metrics go LAST — any suffix window then
+    # still contains the headline numbers (r6 lost its header exactly
+    # because the growing map pushed the leading summary out of the
+    # tail). A full intact copy also lands in BENCH_local.json.
+    out = {"queries": times}
     if errors:
         out["errors"] = errors
-    # per-query map LAST + compact separators: if the capture truncates
-    # the line's tail (BENCH_r06.json lost its header that way when the
-    # map came before the summary), the summary keys still parse from a
-    # prefix-repair; a full intact copy also lands in BENCH_local.json.
-    out["queries"] = times
+    out.update(
+        {
+            # renamed from headline_queries_total in r6: the value is
+            # the CONCURRENT-STREAM WALL CLOCK (TPC throughput-run
+            # style), not the serial sum — and per-query times include
+            # scheduler queueing delay under n_threads-way concurrency.
+            # serial_sum preserves the latency view across rounds.
+            "metric": "headline_stream_wall",
+            "value": wall,
+            "unit": "sec",
+            # the headline set GROWS as operators land (27 queries in
+            # r3, 89 by r7): compare rounds via sec_per_query
+            "n_queries": len(times),
+            "sec_per_query": round(wall / max(len(times), 1), 3),
+            "threads": n_threads,
+            "serial_sum_sec": serial_sum,
+            "sf": sf,
+        }
+    )
     line = json.dumps(out, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -264,6 +268,14 @@ def _extra_headliners() -> set[str]:
         "mm_image_decode_real",
         "mm_audio_decode_real",
         "dedup_dup_spans",
+        # round-7 additions (src_zarr_blosc / ml_*_embed excluded:
+        # python-LZ4 fixture build resp. driver-twin layouts would
+        # measure the one-time fixture or driver numpy, not the engine)
+        "knn_cross_sharded",
+        "agg_cooccur_hvg",
+        "text_minhash_cluster",
+        "mm_ocr_stub",
+        "ml_sgtsne_rescale",
     }
 
 

@@ -303,6 +303,10 @@ def min_label_components(
 
     Each iteration is one join + hash agg on the (sparse) pair graph —
     the same shape as distributed label propagation, linear per round."""
+    # persist the pair list BEFORE the union: its two branches would
+    # otherwise evaluate the (possibly expensive — minhash+jaccard)
+    # upstream pipeline twice inside one job
+    pairs = pairs.persist()
     und = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b"), F.col("a")))

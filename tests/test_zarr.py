@@ -111,13 +111,32 @@ def test_reference_shaped_store(spark, tmp_path):
 
 
 def test_unsupported_codec_gated(spark, tmp_path):
+    # blosc now decodes natively (sources/blosc.py); zstd is the codec
+    # that still needs numcodecs in this container
     d = tmp_path / "arr"
     z._write_array_meta(str(d), [2, 2], [2, 2], "<f8", {"id": "zlib", "level": 1})
-    # hand-edit metadata to claim a blosc codec
     meta = json.load(open(d / ".zarray"))
-    meta["compressor"] = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2}
+    meta["compressor"] = {"id": "zstd", "level": 1}
     json.dump(meta, open(d / ".zarray", "w"))
     with open(d / "0.0", "wb") as fh:
         fh.write(zlib.compress(np.zeros((2, 2)).tobytes()))
     with pytest.raises(Exception, match="numcodecs"):
         z.read_zarr_2d_coo(spark, str(d)).collect()
+
+
+def test_blosc_codec_zarr_chunk_decodes(spark, tmp_path):
+    """A chunk written in the exact Blosc lz4+bitshuffle frame layout
+    real scarf stores use (scarf/writers.py:81) decodes natively."""
+    from scarf_spark.sources.blosc import blosc_encode
+
+    d = tmp_path / "arr"
+    z._write_array_meta(
+        str(d), [2, 2], [2, 2], "<f8",
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},
+    )
+    vals = np.array([[1.5, 0.0], [0.0, 4.0]])
+    with open(d / "0.0", "wb") as fh:
+        fh.write(blosc_encode(vals.tobytes(), typesize=8, shuffle=2))
+    got = {(r["row"], r["col"]): r["value"]
+           for r in z.read_zarr_2d_coo(spark, str(d)).collect()}
+    assert got == {(0, 0): 1.5, (1, 1): 4.0}
