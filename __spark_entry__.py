@@ -1880,6 +1880,19 @@ def ml_louvain(spark, sf_dir):
     return out.groupBy("cluster").agg(F.count("*").alias("n"))
 
 
+@q("ml_leiden")  # weak: discrete greedy argmax (driver_compute, seedless)
+def ml_leiden(spark, sf_dir):
+    """Deterministic Leiden (local move → refinement → aggregate) on
+    the collected KNN graph — the reference's leidenalg boundary
+    (``graph_datastore.py:1379-1459``), from-scratch per Traag 2019
+    with Leiden's connected-communities guarantee (ml/cluster.py)."""
+    from scarf_spark.ml import cluster
+
+    edges = _knn_edges(spark, sf_dir)
+    out = cluster.leiden_driver(edges, resolution=1.0)
+    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
 # LISI bandwidth bisection mirrored as a DuckDB recursive CTE: per-src
 # neighbor distance+label lists, 50 frozen-when-converged bisection steps
 # on beta targeting entropy ln(perplexity=3), then Simpson index over

@@ -12,6 +12,10 @@ Spark-first we provide:
     (driver_compute; the KNN graph is n·k rows — for 4M cells × k=11
     that is 44M edges, the same envelope the reference accepts for
     leidenalg), seeded for reproducibility.
+  * leiden_driver — from-scratch deterministic Leiden (local moving →
+    refinement → aggregation, Traag 2019) on the same collected edge
+    list; refinement restores the connected-communities guarantee the
+    reference gets from leidenalg and Louvain lacks.
   * kmeans_mllib — MLlib KMeans on embedding vectors (seeded), the
     distributed centroid path used for the initial embedding
     (``ann.py:328-346``).
@@ -88,6 +92,153 @@ def louvain_driver(edges: DataFrame, seed: int = 4466, weight_col: str | None = 
     spark = edges.sparkSession
     data = [(int(n), int(ci)) for ci, c in enumerate(comms) for n in c]
     return spark.createDataFrame(data, ["node", "cluster"])
+
+
+def leiden_driver(
+    edges: DataFrame,
+    resolution: float = 1.0,
+    n_levels: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """driver_compute: deterministic Leiden (Traag/Waltman/van Eck 2019,
+    "From Louvain to Leiden") over the collected n·k edge list — the
+    reference runs leidenalg on the same collected graph
+    (``scarf/datastore/graph_datastore.py:1379-1459``). Seedless
+    deterministic variant: nodes are processed in sorted order, moves
+    are greedy best-gain with smallest-community-id tie-breaks (no RNG
+    — the same discrete-argmax boundary that makes all Leiden-family
+    results non-oracle-able, SURVEY §8).
+
+    Full three-phase loop per level: (1) local moving (queue-based
+    greedy modularity, resolution-scaled), (2) REFINEMENT — each
+    community is re-partitioned from singletons by merging only along
+    internal edges, which restores Leiden's guarantee that every
+    returned community is internally connected (Louvain can emit
+    disconnected ones), (3) aggregation on the refined partition with
+    the moving partition as the aggregate's initial state. Levels
+    repeat until a fixed point. Clusters renumbered by smallest member.
+    Returns (node, cluster)."""
+    rows = edges.select(
+        "src", "dst", *([weight_col] if weight_col else [])
+    ).collect()
+    adj: dict[int, dict[int, float]] = {}
+    for r in rows:
+        a, b = int(r["src"]), int(r["dst"])
+        if a == b:
+            continue
+        wgt = float(r[weight_col]) if weight_col else 1.0
+        adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0.0) + wgt
+        adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0.0) + wgt
+
+    def _leiden(adj, self_w):
+        nodes = sorted(adj)
+        # strength includes aggregate self-loops (2× the collapsed
+        # internal weight) — without them higher levels under-weight
+        # dense super-nodes and over-merge
+        strength = {v: sum(adj[v].values()) + self_w.get(v, 0.0) for v in nodes}
+        two_m = sum(strength.values()) or 1.0
+        comm = {v: v for v in nodes}
+        c_tot = dict(strength)
+
+        def best_move(v):
+            cv, kv = comm[v], strength[v]
+            k_in: dict[int, float] = {}
+            for u, wuv in adj[v].items():
+                k_in[comm[u]] = k_in.get(comm[u], 0.0) + wuv
+            base_tot = c_tot[cv] - kv
+            best_c, best_g = cv, (
+                k_in.get(cv, 0.0) - resolution * kv * base_tot / two_m
+            )
+            for c, kc in sorted(k_in.items()):
+                if c == cv:
+                    continue
+                g = kc - resolution * kv * c_tot[c] / two_m
+                if g > best_g or (g == best_g and c < best_c):
+                    best_c, best_g = c, g
+            return best_c
+
+        # phase 1: queue-based local moving to a fixed point
+        from collections import deque
+
+        queue, queued = deque(nodes), set(nodes)
+        while queue:
+            v = queue.popleft()
+            queued.discard(v)
+            c_new = best_move(v)
+            if c_new != comm[v]:
+                c_tot[comm[v]] -= strength[v]
+                c_tot[c_new] += strength[v]
+                comm[v] = c_new
+                for u in adj[v]:
+                    if comm[u] != c_new and u not in queued:
+                        queue.append(u)
+                        queued.add(u)
+
+        # phase 2: refinement — re-partition each community from
+        # singletons, merging a singleton node only into an adjacent
+        # refined community INSIDE its community (positive gain,
+        # deterministic greedy) → refined communities are connected
+        ref = {v: v for v in nodes}
+        r_tot = dict(strength)
+        for v in nodes:
+            if ref[v] != v:
+                continue  # already merged somewhere
+            cv, kv = comm[v], strength[v]
+            k_in: dict[int, float] = {}
+            for u, wuv in adj[v].items():
+                if comm[u] == cv and ref[u] != ref[v]:
+                    k_in[ref[u]] = k_in.get(ref[u], 0.0) + wuv
+            best_r, best_g = ref[v], 0.0
+            for rc, kc in sorted(k_in.items()):
+                g = kc - resolution * kv * r_tot[rc] / two_m
+                if g > best_g or (g == best_g and g > 0 and rc < best_r):
+                    best_r, best_g = rc, g
+            if best_r != ref[v]:
+                r_tot[best_r] += kv
+                r_tot[ref[v]] -= kv
+                ref[v] = best_r
+        return comm, ref
+
+    # level loop: aggregate on the REFINED partition (self-loops keep
+    # the collapsed internal weight), next level re-moves from
+    # singletons; stops at the refinement fixed point, where the final
+    # moving partition is applied
+    labels = {v: v for v in adj}
+    self_w: dict[int, float] = {}
+    for _ in range(n_levels):
+        if not adj:
+            break
+        comm, ref = _leiden(adj, self_w)
+        if all(ref[v] == v for v in ref):
+            labels = {v: comm[labels[v]] for v in labels}
+            break
+        labels = {v: ref[labels[v]] for v in labels}
+        agg: dict[int, dict[int, float]] = {}
+        new_self: dict[int, float] = {}
+        for v, nbs in adj.items():
+            rv = ref[v]
+            new_self[rv] = new_self.get(rv, 0.0) + self_w.get(v, 0.0)
+            for u, wuv in nbs.items():
+                ru = ref[u]
+                if rv == ru:
+                    new_self[rv] = new_self.get(rv, 0.0) + wuv
+                else:
+                    agg.setdefault(rv, {})[ru] = (
+                        agg.get(rv, {}).get(ru, 0.0) + wuv
+                    )
+        for rv in new_self:
+            agg.setdefault(rv, {})
+        adj, self_w = agg, new_self
+    # renumber clusters by smallest member for determinism
+    groups: dict[int, list[int]] = {}
+    for v, c in labels.items():
+        groups.setdefault(c, []).append(v)
+    remap = {c: min(vs) for c, vs in groups.items()}
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        sorted((int(v), int(remap[c])) for v, c in labels.items()),
+        ["node", "cluster"],
+    )
 
 
 def kmeans_mllib(

@@ -177,3 +177,52 @@ def test_centroid_classify_separable(spark):
     out = centroid_classify(emb).collect()
     assert all(r["true_label"] == r["pred_label"] for r in out)
     assert sum(r["n"] for r in out) == 60
+
+
+def test_leiden_recovers_cliques(spark):
+    from scarf_spark.ml.cluster import leiden_driver
+
+    # ring of three 5-cliques, single bridge edges between them
+    edges = []
+    for c in range(3):
+        base = c * 10
+        edges += [(base + i, base + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(4, 10), (14, 20), (24, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["cluster"] for r in leiden_driver(df).collect()}
+    # each clique is one community labeled by its smallest member
+    for c in range(3):
+        base = c * 10
+        labels = {out[base + i] for i in range(5)}
+        assert labels == {base}
+    # deterministic across runs
+    out2 = {r["node"]: r["cluster"] for r in leiden_driver(df).collect()}
+    assert out == out2
+
+
+def test_leiden_communities_are_connected(spark):
+    from scarf_spark.ml.cluster import leiden_driver
+
+    # two triangles joined via a shared hub: communities must be
+    # internally connected (Leiden's guarantee over Louvain)
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10),
+             (0, 5), (5, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["cluster"] for r in leiden_driver(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import deque
+    groups = {}
+    for v, c in out.items():
+        groups.setdefault(c, set()).add(v)
+    for c, members in groups.items():
+        seen, dq = {min(members)}, deque([min(members)])
+        while dq:
+            v = dq.popleft()
+            for u in adj.get(v, ()):  # walk only inside the community
+                if u in members and u not in seen:
+                    seen.add(u)
+                    dq.append(u)
+        assert seen == members, f"community {c} is disconnected"
