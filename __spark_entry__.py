@@ -3656,6 +3656,73 @@ def dedup_containment(spark, sf_dir):
     )
 
 
+_FOLD0 = "list_prepend(CAST(0.0 AS DOUBLE), "
+
+
+@q(
+    "ann_ivfpq",
+    # IVF-PQ ADC search replayed relationally: coarse assign (argmin by
+    # exact fold inner product), residual PQ encode (per-subspace
+    # argmin), reconstruction, then ADC distances in the engine's
+    # expanded q²-2qr+r² shape; ranking on ROUND(6)+dst so summation
+    # ulps cannot reorder the top-k
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+    "un AS (SELECT vec_id AS vid, list_transform(v, x -> x / nrm) AS u FROM nv), "
+    "cent AS (SELECT vid AS cid, u AS cu FROM un "
+    "ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 8), "
+    "sc AS (SELECT un.vid, un.u, cent.cid, cent.cu, "
+    f"1.0 - list_reduce({_FOLD0}"
+    "list_transform(list_zip(un.u, cent.cu), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x) AS cd FROM un CROSS JOIN cent), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cd, cid) "
+    "AS crank FROM sc), "
+    "mem AS (SELECT vid, cid, "
+    "list_transform(list_zip(u, cu), p -> p[1] - p[2]) AS r "
+    "FROM rk WHERE crank = 1), "
+    "pqs AS (SELECT vid, r FROM mem "
+    "ORDER BY md5('pq_' || CAST(vid AS VARCHAR)), vid LIMIT 8), "
+    "cwb AS (SELECT ROW_NUMBER() OVER "
+    "(ORDER BY md5('pq_' || CAST(vid AS VARCHAR)), vid) AS code, r FROM pqs), "
+    "cw AS (SELECT code, ss.s, list_slice(r, ss.s * 16 + 1, (ss.s + 1) * 16) "
+    "AS cw FROM cwb, (SELECT UNNEST(range(4)) AS s) ss), "
+    "subs AS (SELECT vid, cid, ss.s, "
+    "list_slice(r, ss.s * 16 + 1, (ss.s + 1) * 16) AS rs "
+    "FROM mem, (SELECT UNNEST(range(4)) AS s) ss), "
+    "dd AS (SELECT vid, cid, subs.s, code, "
+    f"list_reduce({_FOLD0}"
+    "list_transform(list_zip(rs, cw.cw), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, x) -> acc + x) AS d2 FROM subs JOIN cw ON subs.s = cw.s), "
+    "enc AS (SELECT vid, cid, s, code FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY vid, s ORDER BY d2, code) AS rn FROM dd) WHERE rn = 1), "
+    "rec AS (SELECT enc.vid, enc.cid, flatten(list(cw.cw ORDER BY enc.s)) AS rq "
+    "FROM enc JOIN cw ON enc.s = cw.s AND enc.code = cw.code "
+    "GROUP BY enc.vid, enc.cid), "
+    "ru AS (SELECT rec.vid AS dst, rec.cid, "
+    "list_transform(list_zip(cent.cu, rec.rq), p -> p[1] + p[2]) AS mru "
+    "FROM rec JOIN cent ON rec.cid = cent.cid), "
+    "pr AS (SELECT vid AS src, u AS qu, cid FROM rk WHERE crank <= 2), "
+    "pairs AS (SELECT pr.src, ru.dst, ROUND("
+    f"list_reduce({_FOLD0}list_transform(pr.qu, x -> x * x)), (acc, x) -> acc + x) "
+    f"- 2.0 * list_reduce({_FOLD0}"
+    "list_transform(list_zip(pr.qu, ru.mru), p -> p[1] * p[2])), (acc, x) -> acc + x) "
+    f"+ list_reduce({_FOLD0}list_transform(ru.mru, x -> x * x)), (acc, x) -> acc + x)"
+    ", 6) AS distance "
+    "FROM pr JOIN ru ON pr.cid = ru.cid AND pr.src != ru.dst) "
+    "SELECT src, rank, dst, distance FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY src ORDER BY distance, dst) AS rank FROM pairs) "
+    "WHERE rank <= 5",
+)
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ADC search (knn.cosine_knn_ivfpq): the composite index
+    layout ann_ivf + ann_pq describe, searched end-to-end."""
+    return knn.cosine_knn_ivfpq(
+        _ds(spark, sf_dir).embeddings,
+        k=5, n_centroids=8, n_probe=2, m=4, n_codes=8,
+    )
+
+
 @q(
     "ann_pq",
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "

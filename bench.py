@@ -276,6 +276,7 @@ def _extra_headliners() -> set[str]:
         "text_minhash_cluster",
         "mm_ocr_stub",
         "ml_sgtsne_rescale",
+        "ann_ivfpq",
     }
 
 

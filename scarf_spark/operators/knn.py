@@ -553,6 +553,177 @@ def cosine_knn_ivf(
     )
 
 
+def cosine_knn_ivfpq(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the composite ANN index the 100 TB path stores
+    (:func:`cosine_knn_ivf` coarse lists + :func:`pq_quantize` codes):
+    vectors are unit-normalized, assigned to their nearest coarse
+    centroid, their RESIDUAL (u − c) is product-quantized against
+    per-subspace codebooks, and queries score probed lists against the
+    RECONSTRUCTED members (c + codeword concat) — asymmetric distance
+    computation (ADC), ``m·log2(n_codes)`` bits per vector instead of
+    4·d bytes.
+
+    Deterministic and oracle-replayable end to end: coarse centroids =
+    smallest md5(id) rows, PQ codewords = residuals of the smallest
+    md5('pq_'||id) member rows (a different hash stream, so codewords
+    are not the zero residuals of the centroids themselves); the
+    assignment argmin, the per-subspace encode argmin, and the
+    reconstruction all run as JVM fold expressions (exact in any
+    engine). Only the final query×member scoring is numpy BLAS, and
+    ranking uses the ROUND(6) distance with dst tie-breaks so a 1-ulp
+    summation difference cannot reorder the top-k.
+    Returns (src, rank, dst, distance) where distance is the rounded
+    ADC L2² to the reconstruction."""
+    import numpy as np
+
+    e = _as_double_vec(emb, id_col, vec_col)
+    d = int(e.select(F.size("v").alias("d")).first()["d"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_d = d // m
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    un = e.select("vid", F.transform("v", lambda x: x / nrm).alias("u"))
+    cent = (
+        un.select("vid", "u", F.md5(F.col("vid").cast("string")).alias("_h"))
+        .orderBy("_h", "vid")
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cid"), F.col("u").alias("cu"))
+    )
+    # relational assignment: members × centroids (n_centroids is small),
+    # exact fold inner product, argmin via MIN(STRUCT) — replays in SQL
+    cdist = F.lit(1.0) - F.aggregate(
+        F.zip_with("u", "cu", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = un.crossJoin(F.broadcast(cent)).select(
+        "vid", "u", "cid", "cu", cdist.alias("cd")
+    )
+    wq = Window.partitionBy("vid").orderBy("cd", "cid")
+    ranked = scored.withColumn("crank", F.row_number().over(wq)).persist()
+    members = ranked.where(F.col("crank") == 1).select(
+        "vid", "cid",
+        F.zip_with("u", "cu", lambda x, y: x - y).alias("r"),
+    )
+    # PQ codebook: residuals of the n_codes smallest-md5('pq_'||id)
+    # members, sliced per subspace; tiny (n_codes × d) — driver literal
+    seeds = (
+        members.select(
+            "vid", "r",
+            F.md5(F.concat(F.lit("pq_"), F.col("vid").cast("string"))).alias("_h"),
+        )
+        .orderBy("_h", "vid")
+        .limit(n_codes)
+        .collect()
+    )
+    spark = emb.sparkSession
+    cw_rows = [
+        (code, s, [float(x) for x in row["r"][s * sub_d : (s + 1) * sub_d]])
+        for code, row in enumerate(seeds, start=1)
+        for s in range(m)
+    ]
+    cwdf = spark.createDataFrame(cw_rows, "code int, s int, cw array<double>")
+    ss = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    sub = members.select("vid", "cid", "r", ss).select(
+        "vid", "cid", "s",
+        F.slice(F.col("r"), F.col("s") * sub_d + 1, sub_d).alias("rs"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("rs", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cwdf), "s")
+        .select(
+            "vid", "cid", "s",
+            F.struct(d2.alias("d2"), F.col("code").alias("code")).alias("dc"),
+        )
+        .groupBy("vid", "cid", "s")
+        .agg(F.min("dc").alias("dc"))
+        .select("vid", "cid", "s", F.col("dc.code").alias("code"))
+    )
+    # reconstruction: centroid + codeword concat (subspace order)
+    recon = (
+        codes.join(F.broadcast(cwdf), ["s", "code"])
+        .groupBy("vid", "cid")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "cw"))).alias("_sc"))
+        .select(
+            "vid", "cid",
+            F.flatten(F.transform("_sc", lambda x: x["cw"])).alias("rq"),
+        )
+        .join(F.broadcast(cent), "cid")
+        .select(
+            F.col("vid").alias("m_vid"), F.col("cid"),
+            F.zip_with("cu", "rq", lambda x, y: x + y).alias("m_ru"),
+        )
+    )
+    probes = ranked.where(F.col("crank") <= n_probe).select(
+        F.col("vid").alias("q_vid"), F.col("u").alias("q_u"),
+        F.col("cid").alias("q_cid"),
+    )
+
+    def adc(key, qp: pd.DataFrame, mp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "adist": []}).astype(
+            {"src": "int64", "dst": "int64", "adist": "float64"}
+        )
+        if qp.empty or mp.empty:
+            return empty
+        q = np.array(qp["q_u"].tolist(), dtype=np.float64)
+        r = np.array(mp["m_ru"].tolist(), dtype=np.float64)
+        dst = mp["m_vid"].to_numpy()
+        dist = (
+            (q * q).sum(axis=1)[:, None]
+            - 2.0 * (q @ r.T)
+            + (r * r).sum(axis=1)[None, :]
+        )
+        src = qp["q_vid"].to_numpy()
+        nrow, ncol = dist.shape
+        # NO per-cell pruning by raw distance: PQ code collisions make
+        # reconstructions (hence distances) tie STRUCTURALLY, and a raw
+        # top-(k+1) cut drops tied candidates the global (ROUND(6), dst)
+        # ranking would keep. All probed pairs flow to the JVM window —
+        # at scale, prune here only with a rounded+dst-aware cut.
+        rows = np.repeat(np.arange(nrow), ncol)
+        return pd.DataFrame(
+            {
+                "src": src[rows],
+                "dst": np.tile(dst, nrow),
+                "adist": dist.ravel(),
+            }
+        )
+
+    cand = (
+        probes.groupBy("q_cid")
+        .cogroup(recon.groupBy("cid"))
+        .applyInPandas(adc, "src long, dst long, adist double")
+    )
+    # rank on the ROUNDED distance (JVM half-away-from-zero) + dst:
+    # immune to sub-round summation-order differences across engines
+    rd = cand.where(F.col("dst") != F.col("src")).select(
+        "src", "dst", F.round("adist", 6).alias("distance")
+    )
+    w = Window.partitionBy("src").orderBy("distance", "dst")
+    return (
+        rd.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", "distance")
+    )
+
+
 def knn_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall of an approximate KNN vs the exact result: fraction of
     exact (src, dst) edges recovered (``knn_utils.py:74-76``)."""

@@ -67,3 +67,30 @@ def test_smoothen_dists_umap_kernel(spark, sf_dir):
     # per-row sum ~ log2(k) within bisection tolerance + weight floor
     s = out.groupby("src")["weight"].sum()
     assert (np.abs(s.to_numpy() - np.log2(5)) < 0.1).all()
+
+
+def test_ivfpq_shape_determinism_and_recall(spark):
+    import numpy as np
+
+    from scarf_spark.operators.knn import cosine_knn_exact, cosine_knn_ivfpq
+
+    rng = np.random.RandomState(31)
+    # clustered data so coarse lists are meaningful
+    centers = rng.randn(4, 32) * 3
+    vecs = np.vstack([c + rng.randn(20, 32) * 0.5 for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_knn_ivfpq(emb, k=3, n_centroids=4, n_probe=2, m=4, n_codes=16)
+    a = {(r["src"], r["rank"]): r["dst"] for r in out.collect()}
+    assert len(a) == len(vecs) * 3
+    # deterministic
+    b = {(r["src"], r["rank"]): r["dst"]
+         for r in cosine_knn_ivfpq(emb, k=3, n_centroids=4, n_probe=2,
+                                   m=4, n_codes=16).collect()}
+    assert a == b
+    # the seeded (sample, non-Lloyd) codebook is deliberately coarse;
+    # the quantized + probed search must still beat random ranking by a
+    # wide margin (random top-3 of ~40 probed members ≈ 0.075 recall)
+    exact = {(r["src"], r["dst"]) for r in cosine_knn_exact(emb, k=3).collect()}
+    hits = sum((s, d) in exact for (s, _), d in a.items())
+    assert hits / len(exact) > 0.2
