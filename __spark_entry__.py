@@ -3558,6 +3558,38 @@ def agg_exact_median(spark, sf_dir):
 
 
 @q(
+    "sketch_hll",
+    # from-scratch HyperLogLog with a portable md5 register layout:
+    # rho from bin()-string length (integer exact), harmonic mean as a
+    # BIGINT power-of-two sum (order-free), alpha_64 linear-counting
+    # correction — bit-reproducible where native HLL++ never is
+    "WITH hashed AS (SELECT DISTINCT event_type AS grp, "
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+    "FROM events), "
+    "ex AS (SELECT grp, COUNT(*) AS exact_ndv FROM hashed GROUP BY grp), "
+    "regs AS (SELECT grp, h & 63 AS reg, "
+    "MAX(CASE WHEN (h >> 6) = 0 THEN 55 "
+    "ELSE 55 - length(bin(h >> 6)) END) AS mreg "
+    "FROM hashed GROUP BY grp, h & 63), "
+    "ag AS (SELECT grp, COUNT(*) AS n_present, "
+    "SUM(1::BIGINT << (55 - mreg)) AS numer_p FROM regs GROUP BY grp), "
+    "est AS (SELECT grp, n_present, "
+    "(CAST(0.709 AS DOUBLE) * 64 * 64) * 36028797018963968.0 / "
+    "CAST(numer_p + (64 - n_present) * 36028797018963968 AS DOUBLE) AS raw "
+    "FROM ag) "
+    "SELECT ex.grp AS event_type, exact_ndv, "
+    "CAST(64 - n_present AS BIGINT) AS n_zero_regs, "
+    "ROUND(CASE WHEN raw <= 160.0 AND n_present < 64 "
+    "THEN 64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)) ELSE raw END, 6) "
+    "AS est_ndv FROM ex JOIN est ON ex.grp = est.grp",
+)
+def sketch_hll(spark, sf_dir):
+    return aggregate.hll_distinct(
+        _ds(spark, sf_dir).events, "event_type", "user_id", p=6
+    )
+
+
+@q(
     "sketch_kmv",
     "WITH hashed AS (SELECT DISTINCT event_type AS grp, "
     "((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h FROM events), "

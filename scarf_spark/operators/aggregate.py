@@ -240,7 +240,9 @@ def kmv_distinct(
     ndv = (k-1) / (h_(k) / P). The mergeable-sketch building block of a
     100 TB profiling pass (union of sketches = k smallest of the
     union), with a deterministic hash so the estimate is reproducible
-    across engines — unlike HLL register layouts, which never are.
+    across engines — unlike native HLL implementations (approx_
+    count_distinct), whose register layouts never are; see
+    :func:`hll_distinct` for a from-scratch HLL that IS.
 
     Plan shape: distinct (group, hash), then SALTED two-stage top-k —
     a per-(group, salt) window keeps k candidates in 64 parallel
@@ -280,6 +282,79 @@ def kmv_distinct(
                 ).otherwise(F.col("exact_ndv").cast("double")),
                 6,
             ).alias("est_ndv"),
+        )
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) that is
+    bit-reproducible in ANY engine — the cardinality sketch every
+    100 TB profiling pass actually ships (Spark's own
+    ``approx_count_distinct`` is HLL++, but its xxhash register layout
+    is engine-private; this one is a plain relational program over a
+    portable md5 hash, so the DuckDB oracle replays it exactly).
+
+    Layout: 60-bit md5 hash → low ``p`` bits pick one of m = 2^p
+    registers (bitwise AND), the remaining 60−p bits are the pattern
+    word; register value = MAX over keys of the leading-zero rank
+    ``rho = (60−p) − bitlen(w) + 1`` (``bin()``-string length — integer
+    exact). The harmonic mean is computed in INTEGER arithmetic:
+    ``Σ 2^{-M}`` = ``SUM(1 << (55−M)) / 2^55`` with a BIGINT numerator
+    (powers of two summed as integers — exact and order-free, where a
+    double SUM's accumulation order is engine-defined). Small-range
+    (linear counting) correction included. Execution: one map-side-
+    combined hash agg to registers (m rows per group), one tiny final
+    agg — the mergeable-sketch shape (register-wise MAX merges shards).
+
+    Emits (group, exact_ndv, n_zero_regs, est_ndv) — exact next to the
+    estimate so sketch error stays visible, like :func:`kmv_distinct`."""
+    if p != 6:
+        raise ValueError("p=6 (64 registers) is the oracle-pinned layout")
+    m = 64
+    wbits = 60 - p  # 54
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    exact = hashed.groupBy("grp").agg(F.count("*").alias("exact_ndv"))
+    w = F.shiftright(F.col("h"), p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select("grp", F.col("h").bitwiseAND(m - 1).alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        # pyspark's shiftleft wrapper takes only int shifts; the SQL
+        # function accepts a column
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - mreg)")).alias(
+            "_numer_present"
+        ),
+    )
+    two55 = F.lit(36028797018963968).cast("long")  # 2^55
+    numer = F.col("_numer_present") + (F.lit(m) - F.col("n_present")) * two55
+    alpha_m2 = F.lit(0.709 * m * m)  # alpha_64 * m^2
+    raw = alpha_m2 * two55.cast("double") / numer.cast("double")
+    v_zero = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return (
+        exact.join(agg, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "exact_ndv",
+            v_zero.cast("long").alias("n_zero_regs"),
+            F.round(est, 6).alias("est_ndv"),
         )
     )
 

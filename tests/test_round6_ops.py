@@ -822,3 +822,19 @@ def test_verified_minhash_clustering(spark):
     lab = {r["doc_id"]: r["cluster"] for r in comp.collect()}
     assert lab[1] == lab[2] == 1  # near-dups share the min label
     assert lab[3] == 3            # distinct doc stays a singleton
+
+
+def test_hll_distinct_estimates(spark):
+    from scarf_spark.operators.aggregate import hll_distinct
+
+    rows = [("big", i) for i in range(5000)] + [("tiny", i) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    out = {r["grp"]: r.asDict() for r in
+           hll_distinct(df, "grp", "key", p=6).collect()}
+    assert out["big"]["exact_ndv"] == 5000
+    # m=64 -> ~13% std error; allow 3 sigma
+    assert 3000 < out["big"]["est_ndv"] < 7000
+    # small range uses linear counting over 64 registers: near-exact
+    assert out["tiny"]["exact_ndv"] == 8
+    assert 5 <= out["tiny"]["est_ndv"] <= 12
+    assert out["tiny"]["n_zero_regs"] > 50
