@@ -3790,6 +3790,46 @@ def ann_pq(spark, sf_dir):
     return knn.pq_quantize(_ds(spark, sf_dir).embeddings, m=4, n_codes=8)
 
 
+_BPE_STEPS = 5
+_BPE_SQL = (
+    "WITH w AS (SELECT UNNEST(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS word FROM documents), "
+    "v AS (SELECT word, COUNT(*) AS wc FROM w GROUP BY word), "
+    "s0 AS (SELECT word, wc, array_to_string(list_transform("
+    "range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), ' ') "
+    "|| ' </w>' AS s FROM v), "
+    + " ".join(
+        (
+            "t{t} AS (SELECT wc, string_split(s, ' ') AS ws FROM s{p}), "
+            "p{t} AS (SELECT pr, SUM(wc) AS c FROM (SELECT wc, "
+            "UNNEST(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i + 1])) AS pr FROM t{t}) "
+            "GROUP BY pr ORDER BY c DESC, pr LIMIT 1), "
+            "s{t} AS (SELECT word, wc, replace(s, (SELECT pr FROM p{t}), "
+            "replace((SELECT pr FROM p{t}), ' ', '')) AS s FROM s{p}),"
+        ).format(t=t, p=t - 1)
+        for t in range(1, _BPE_STEPS + 1)
+    ).rstrip(",")
+    + " "
+    + " UNION ALL ".join(
+        f"SELECT {t} AS step, pr AS pair, replace(pr, ' ', '') AS merged, "
+        f"c AS pair_count FROM p{t}"
+        for t in range(1, _BPE_STEPS + 1)
+    )
+)
+
+
+@q("text_bpe_train", _BPE_SQL)
+def text_bpe_train(spark, sf_dir):
+    """Tokenizer TRAINING on the corpus: the first 5 BPE merge rules
+    learned from word-frequency-weighted adjacent-pair counts
+    (text.bpe_train_merges) — one hash agg per merge, driver sees one
+    argmax row per step."""
+    from scarf_spark.operators import text
+
+    return text.bpe_train_merges(_ds(spark, sf_dir).documents, n_merges=5)
+
+
 @q(
     "text_boilerplate",
     f"WITH {_SHINGLE_CTE}, "

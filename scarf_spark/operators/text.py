@@ -240,6 +240,70 @@ def bpe_token_counts(
     )
 
 
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAIN byte-pair-encoding merge rules on the corpus (Sennrich
+    2016 — the step that builds a tokenizer vocabulary, upstream of
+    :func:`bpe_token_counts` which only counts with a fixed
+    pretokenizer). Word-level BPE: the distributed part is the classic
+    map-reduce — per-word symbol strings (chars + ``</w>``) weighted by
+    corpus word frequency, adjacent-pair counts as ONE hash aggregate
+    per merge step; the driver sees exactly one row per step (the
+    argmax pair — count DESC, pair ASC tie-break) and feeds it back as
+    a literal for the next step's ``replace``. ``n_merges`` jobs total,
+    driver traffic = n_merges rows, corpus never leaves the executors.
+
+    Deterministic and oracle-replayable: literal (non-regex) replace
+    has identical left-to-right non-overlapping semantics in Spark and
+    DuckDB, and counts are integers. Returns one row per merge:
+    (step, pair, merged, pair_count)."""
+    words = docs.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias(
+            "word"
+        )
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("wc"))
+    # char-split via split on empty pattern keeps unicode chars whole
+    sym = F.concat_ws(
+        " ", F.concat(F.filter(F.split("word", ""), lambda c: c != ""), F.array(F.lit("</w>")))
+    )
+    state = vocab.select("word", "wc", sym.alias("s")).persist()
+    out_rows = []
+    for step in range(1, n_merges + 1):
+        ws = F.split("s", " ")
+        prs = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        )
+        top = (
+            state.select("wc", F.explode(prs).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), "pr")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pr"], int(top[0]["c"])
+        merged = pair.replace(" ", "")
+        out_rows.append((step, pair, merged, cnt))
+        state = state.select(
+            "word", "wc",
+            F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"),
+        ).persist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out_rows, "step int, pair string, merged string, pair_count long"
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     n: int = 3,

@@ -838,3 +838,25 @@ def test_hll_distinct_estimates(spark):
     assert out["tiny"]["exact_ndv"] == 8
     assert 5 <= out["tiny"]["est_ndv"] <= 12
     assert out["tiny"]["n_zero_regs"] > 50
+
+
+def test_bpe_train_merges_learns_frequent_pair(spark):
+    from scarf_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest")],
+        "doc_id long, text string",
+    )
+    out = [r.asDict() for r in bpe_train_merges(docs, n_merges=3).collect()]
+    assert [r["step"] for r in out] == [1, 2, 3]
+    # 'w e' spans 'lower'(2) and 'newest'(4): weighted count 6, the
+    # unique argmax of step 1
+    assert out[0]["pair"] == "w e"
+    assert out[0]["pair_count"] == 6
+    assert out[0]["merged"] == "we"
+    # merges chain: a later merged symbol contains an earlier one
+    merged = [r["merged"] for r in out]
+    assert all(" " not in m for m in merged)
+    # deterministic
+    out2 = [r.asDict() for r in bpe_train_merges(docs, n_merges=3).collect()]
+    assert out == out2
