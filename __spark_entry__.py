@@ -3630,6 +3630,40 @@ _UND_CANON_CTE = (
 
 
 @q(
+    "graph_kcore",
+    # coreness via 3 iterated H-index rounds, unrolled CTEs: h0 =
+    # degree; h_{t+1}(v) = max over rank positions of LEAST(rank,
+    # neighbor h_t) with neighbor values ranked desc — tie order among
+    # equal values cannot change an H-index, so the round replays
+    # exactly in any engine
+    f"WITH {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT src, dst FROM knn WHERE src != dst "
+    "UNION SELECT dst, src FROM knn WHERE src != dst), "
+    "h0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS h "
+    "FROM und GROUP BY src), "
+    + " ".join(
+        (
+            "h{t} AS MATERIALIZED (SELECT src AS node, "
+            "MAX(LEAST(rn, nh)) AS h FROM "
+            "(SELECT u.src, p.h AS nh, ROW_NUMBER() OVER "
+            "(PARTITION BY u.src ORDER BY p.h DESC, u.dst) AS rn "
+            "FROM und u JOIN h{p} p ON u.dst = p.node) GROUP BY src),"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    ).rstrip(",")
+    + " SELECT node, CAST(h AS BIGINT) AS coreness FROM h3",
+)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition of the KNN graph (graph.kcore_hindex):
+    iterated H-index, the degeneracy-ordering primitive next to the
+    reference's graph analytics."""
+    from scarf_spark.operators import graph
+
+    edges = _knn_edges(spark, sf_dir)
+    return graph.kcore_hindex(edges, n_iter=3)
+
+
+@q(
     "graph_triangles",
     f"WITH {_KNN_CTE}, {_UND_CANON_CTE}, "
     "tri AS (SELECT a.u AS x, a.w AS y, b.w AS z FROM und a "

@@ -308,3 +308,43 @@ def modularity(
             ).alias("q_contrib"),
         )
     )
+
+
+def kcore_hindex(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Coreness via the iterated H-index (Lü/Zhou/Zhang/Stanley 2016,
+    "The H-index of a network node"): h₀ = degree, hₜ₊₁(v) = H of the
+    neighbors' hₜ values, converging monotonically DOWN to the k-core
+    number. A fixed ``n_iter`` rounds keeps it deterministic and
+    oracle-replayable (the same fixed-round convention as min-label
+    components); the result is an exact coreness wherever the peel
+    depth ≤ n_iter and a tight upper bound elsewhere.
+
+    Distributed shape: each round is one join (neighbor values onto
+    edges) + one per-node window (rank neighbor values desc; H =
+    MAX(LEAST(rank, value)) — tie order among equal values cannot
+    change the H-index) + one hash agg. Linear per round, node-sized
+    state, no driver traffic. Returns (node, coreness)."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    h = und.groupBy("src").agg(F.count("*").alias("h")).select(
+        F.col("src").alias("node"), "h"
+    ).persist()
+    for _ in range(n_iter):
+        nb = und.join(
+            h.select(F.col("node").alias("dst"), F.col("h").alias("nh")), "dst"
+        )
+        w = Window.partitionBy("src").orderBy(F.col("nh").desc(), "dst")
+        h = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .select("src", F.least(F.col("rn"), F.col("nh")).alias("_m"))
+            .groupBy("src")
+            .agg(F.max("_m").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+            .persist()
+        )
+    return h.select("node", F.col("h").alias("coreness"))

@@ -860,3 +860,14 @@ def test_bpe_train_merges_learns_frequent_pair(spark):
     # deterministic
     out2 = [r.asDict() for r in bpe_train_merges(docs, n_merges=3).collect()]
     assert out == out2
+
+
+def test_kcore_hindex_exact_on_clique_plus_tail(spark):
+    from scarf_spark.operators.graph import kcore_hindex
+
+    # 4-clique (coreness 3) with a pendant path 100-101 (coreness 1)
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(0, 100), (100, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["coreness"] for r in kcore_hindex(df, n_iter=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 100: 1, 101: 1}
