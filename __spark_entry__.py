@@ -3558,6 +3558,31 @@ def agg_exact_median(spark, sf_dir):
 
 
 @q(
+    "qc_profile",
+    # per-column data-quality profile of the corpus table: the unpivot
+    # is a UNION ALL of string casts (BIGINT->VARCHAR renders
+    # identically in both engines; string min/max is binary collation
+    # in both)
+    "WITH un AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value "
+        "FROM documents"
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    + ") SELECT \"column\", COUNT(*) AS n_rows, "
+    "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    "COUNT(DISTINCT value) AS ndv, "
+    "MIN(value) AS min_value, MAX(value) AS max_value "
+    "FROM un GROUP BY \"column\"",
+)
+def qc_profile(spark, sf_dir):
+    return aggregate.profile_columns(
+        _ds(spark, sf_dir).documents,
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+@q(
     "sketch_hll",
     # from-scratch HyperLogLog with a portable md5 register layout:
     # rho from bin()-string length (integer exact), harmonic mean as a
@@ -3724,17 +3749,13 @@ def dedup_containment(spark, sf_dir):
 
 _FOLD0 = "list_prepend(CAST(0.0 AS DOUBLE), "
 
-
-@q(
-    "ann_ivfpq",
-    # IVF-PQ ADC search replayed relationally: coarse assign (argmin by
-    # exact fold inner product), residual PQ encode (per-subspace
-    # argmin), reconstruction, then ADC distances in the engine's
-    # expanded q²-2qr+r² shape; ranking on ROUND(6)+dst so summation
-    # ulps cannot reorder the top-k
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    "nv AS (SELECT vec_id, v, "
-    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+# IVF-PQ ADC search replayed relationally: coarse assign (argmin by
+# exact fold inner product), residual PQ encode (per-subspace argmin),
+# reconstruction, then ADC distances in the engine's expanded
+# q²-2qr+r² shape; ranking on ROUND(6)+dst so summation ulps cannot
+# reorder the top-k. Shared tail (expects e/nv CTEs) so the recall
+# query can compose it with _KNN_CTE without duplicate names.
+_IVFPQ_TAIL = (
     "un AS (SELECT vec_id AS vid, list_transform(v, x -> x / nrm) AS u FROM nv), "
     "cent AS (SELECT vid AS cid, u AS cu FROM un "
     "ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 8), "
@@ -3769,16 +3790,26 @@ _FOLD0 = "list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(list_zip(cent.cu, rec.rq), p -> p[1] + p[2]) AS mru "
     "FROM rec JOIN cent ON rec.cid = cent.cid), "
     "pr AS (SELECT vid AS src, u AS qu, cid FROM rk WHERE crank <= 2), "
-    "pairs AS (SELECT pr.src, ru.dst, ROUND("
+    "apairs AS (SELECT pr.src, ru.dst, ROUND("
     f"list_reduce({_FOLD0}list_transform(pr.qu, x -> x * x)), (acc, x) -> acc + x) "
     f"- 2.0 * list_reduce({_FOLD0}"
     "list_transform(list_zip(pr.qu, ru.mru), p -> p[1] * p[2])), (acc, x) -> acc + x) "
     f"+ list_reduce({_FOLD0}list_transform(ru.mru, x -> x * x)), (acc, x) -> acc + x)"
     ", 6) AS distance "
-    "FROM pr JOIN ru ON pr.cid = ru.cid AND pr.src != ru.dst) "
-    "SELECT src, rank, dst, distance FROM (SELECT *, ROW_NUMBER() OVER "
-    "(PARTITION BY src ORDER BY distance, dst) AS rank FROM pairs) "
-    "WHERE rank <= 5",
+    "FROM pr JOIN ru ON pr.cid = ru.cid AND pr.src != ru.dst), "
+    "ipq AS (SELECT src, rank, dst, distance FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY src ORDER BY distance, dst) AS rank FROM apairs) "
+    "WHERE rank <= 5)"
+)
+
+
+@q(
+    "ann_ivfpq",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+    f"{_IVFPQ_TAIL} "
+    "SELECT src, rank, dst, distance FROM ipq",
 )
 def ann_ivfpq(spark, sf_dir):
     """IVF-PQ ADC search (knn.cosine_knn_ivfpq): the composite index
@@ -3787,6 +3818,27 @@ def ann_ivfpq(spark, sf_dir):
         _ds(spark, sf_dir).embeddings,
         k=5, n_centroids=8, n_probe=2, m=4, n_codes=8,
     )
+
+
+@q(
+    "ann_ivfpq_recall",
+    # recall of the quantized+probed search vs exact top-5 — the
+    # quality gauge that decides nprobe/codebook sizing at scale
+    f"WITH {_KNN_CTE}, {_IVFPQ_TAIL} "
+    "SELECT CAST((SELECT COUNT(*) FROM knn k JOIN ipq a "
+    "ON k.src = a.src AND k.dst = a.dst) AS BIGINT) AS n_hit, "
+    "CAST((SELECT COUNT(*) FROM knn) AS BIGINT) AS n_exact, "
+    "ROUND((SELECT COUNT(*) FROM knn k JOIN ipq a "
+    "ON k.src = a.src AND k.dst = a.dst) / "
+    "CAST((SELECT COUNT(*) FROM knn) AS DOUBLE), 6) AS recall",
+)
+def ann_ivfpq_recall(spark, sf_dir):
+    ds = _ds(spark, sf_dir)
+    exact = _knn_edges(spark, sf_dir)  # memoized
+    ipq = knn.cosine_knn_ivfpq(
+        ds.embeddings, k=5, n_centroids=8, n_probe=2, m=4, n_codes=8
+    )
+    return knn.knn_recall(ipq, exact)
 
 
 @q(

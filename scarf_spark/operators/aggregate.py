@@ -359,6 +359,34 @@ def hll_distinct(
     )
 
 
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-profiling pass — the data-quality summary every ingest
+    runs before anything else: per column, row count, null count,
+    exact NDV, and lexicographic min/max of the string form (binary
+    collation in both Spark and DuckDB, so the extremes replay).
+
+    One unpivot projection (array-of-struct explode, JVM-side) + one
+    hash aggregate; columns scale the row count ×|cols| but the agg
+    state stays |cols| rows. At 100 TB swap the exact NDV for
+    :func:`hll_distinct` per column (mergeable registers instead of a
+    distinct expand)."""
+    cols = columns or df.columns
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"), F.col(c).cast("string").alias("value")
+        )
+        for c in cols
+    ])
+    un = df.select(F.explode(pairs).alias("_p")).select("_p.column", "_p.value")
+    return un.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("value").alias("ndv"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def json_props_stats(
     events: DataFrame,
     json_col: str = "props",

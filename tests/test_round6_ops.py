@@ -871,3 +871,16 @@ def test_kcore_hindex_exact_on_clique_plus_tail(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r["node"]: r["coreness"] for r in kcore_hindex(df, n_iter=3).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3, 100: 1, 101: 1}
+
+
+def test_profile_columns(spark):
+    from scarf_spark.operators.aggregate import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, s string"
+    )
+    out = {r["column"]: r.asDict() for r in profile_columns(df).collect()}
+    assert out["id"] == {"column": "id", "n_rows": 3, "n_nulls": 0,
+                         "ndv": 3, "min_value": "1", "max_value": "3"}
+    assert out["s"]["n_nulls"] == 1 and out["s"]["ndv"] == 1
+    assert out["s"]["min_value"] == out["s"]["max_value"] == "a"
