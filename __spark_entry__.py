@@ -3558,6 +3558,30 @@ def agg_exact_median(spark, sf_dir):
 
 
 @q(
+    "samp_weighted",
+    # Efraimidis-Spirakis A-ES weighted sampling without replacement:
+    # key = ln(u)/w with u from the 60-bit md5 of the id — seedless,
+    # single-IEEE-op shapes, so any engine draws the same sample
+    "WITH s AS (SELECT doc_id, lang, n_chars, "
+    "CASE WHEN n_chars > 0 THEN "
+    "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "+ 1.0) / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) "
+    "ELSE CAST('-infinity' AS DOUBLE) END AS key FROM documents) "
+    "SELECT doc_id, lang, n_chars FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY key DESC, doc_id) AS rn FROM s) "
+    "WHERE rn <= 20",
+)
+def samp_weighted(spark, sf_dir):
+    """Quality-weighted document selection: per language, 20 docs drawn
+    with probability proportional to n_chars (filters.weighted_sample,
+    A-ES without replacement)."""
+    docs = _ds(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    return filters.weighted_sample(
+        docs, "n_chars", "doc_id", k=20, group_col="lang"
+    )
+
+
+@q(
     "qc_profile",
     # per-column data-quality profile of the corpus table: the unpivot
     # is a UNION ALL of string casts (BIGINT->VARCHAR renders

@@ -267,3 +267,42 @@ def iqr_outliers(
             ((F.col(value_col) < lo) | (F.col(value_col) > hi)).alias("is_outlier"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, 2006): each row gets the key
+    ``ln(u) / w`` with ``u ∈ (0,1)`` derived from the md5 hash of its
+    id (seedless — any engine draws the same sample), and the k
+    LARGEST keys win; inclusion probability is proportional to weight,
+    exactly the importance-sampling rule a pipeline uses to select
+    documents by quality score. Zero/negative weights never win
+    (key = -infinity).
+
+    u = (h60 + 1) / 2^60 from the usual 60-bit md5 integer — the
+    division, log and division-by-weight are single IEEE ops with
+    identical shapes in Spark and DuckDB, the same portability contract
+    as the other md5-order samplers. Per-group top-k via one window
+    (global sampling = one group; salt at extreme scale like
+    stratified_sample)."""
+    h60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h60.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col).cast("double")
+    ).otherwise(F.lit(float("-inf")))
+    grp = [group_col] if group_col else []
+    w = Window.partitionBy(*grp).orderBy(F.col("_key").desc(), F.col(id_col))
+    return (
+        df.withColumn("_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_key", "_rn")
+    )

@@ -884,3 +884,23 @@ def test_profile_columns(spark):
                          "ndv": 3, "min_value": "1", "max_value": "3"}
     assert out["s"]["n_nulls"] == 1 and out["s"]["ndv"] == 1
     assert out["s"]["min_value"] == out["s"]["max_value"] == "a"
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from scarf_spark.operators.filters import weighted_sample
+
+    # 200 light rows (w=1) + 200 heavy rows (w=50): heavy rows must
+    # dominate the sample; zero-weight rows never selected
+    rows = ([(i, "g", 1.0) for i in range(200)]
+            + [(1000 + i, "g", 50.0) for i in range(200)]
+            + [(5000 + i, "g", 0.0) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, "w", "doc_id", k=50, group_col="grp").collect()]
+    assert len(got) == 50
+    heavy = sum(1 for d in got if 1000 <= d < 2000)
+    assert heavy > 40          # E[heavy] = 50 * 50/51 ≈ 49
+    assert all(d < 5000 for d in got)  # zero weights excluded
+    again = [r["doc_id"] for r in
+             weighted_sample(df, "w", "doc_id", k=50, group_col="grp").collect()]
+    assert sorted(got) == sorted(again)
