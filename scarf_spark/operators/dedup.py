@@ -199,6 +199,48 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    stored_buckets: DataFrame,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL near-dup candidate generation — the maintenance
+    shape a 100 TB corpus actually runs: only the NEW batch is
+    tokenized and minhashed; its band buckets probe the STORED bucket
+    table (``(doc_id, band, bucket)``, the persisted output of
+    :func:`lsh_band_buckets_wide`) with one equi-join. The historical
+    corpus never re-tokenizes, never reshuffles — per batch, cost is
+    O(|new|) plus the bucket-join fan-out.
+
+    Returns ``(pairs, new_buckets)``: candidate pairs (a < b) covering
+    new↔stored AND new↔new collisions, and the new batch's bucket rows
+    to append to the store (so the next batch sees this one).
+    Identical pair semantics to a full :func:`minhash_candidate_pairs`
+    over old ∪ new, RESTRICTED to pairs involving a new doc — asserted
+    by the parity test."""
+    sh = word_shingles(new_docs, n, text_col, id_col, distinct=False)
+    wide = minhash_signatures_wide(sh, n_hashes, id_col)
+    new_buckets = lsh_band_buckets_wide(wide, n_hashes, n_bands, id_col)
+    both = stored_buckets.select(id_col, "band", "bucket").unionByName(
+        new_buckets.select(id_col, "band", "bucket")
+    )
+    a = new_buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = both.select(F.col(id_col).alias("b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    return pairs, new_buckets
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame | None = None,

@@ -904,3 +904,29 @@ def test_weighted_sample_bias_and_determinism(spark):
     again = [r["doc_id"] for r in
              weighted_sample(df, "w", "doc_id", k=50, group_col="grp").collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_incremental_minhash_matches_full_recompute(spark):
+    from scarf_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        lsh_band_buckets_wide,
+        minhash_candidate_pairs,
+        minhash_signatures_wide,
+        word_shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail {i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.where("doc_id % 4 != 0")
+    new = docs.where("doc_id % 4 = 0")
+    stored = lsh_band_buckets_wide(
+        minhash_signatures_wide(word_shingles(old, 3, distinct=False), 8), 8, 4
+    )
+    inc, new_buckets = incremental_minhash_candidates(new, stored)
+    got = {(r["a"], r["b"]) for r in inc.collect()}
+    full = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
+    want = {(a, b) for a, b in full if a % 4 == 0 or b % 4 == 0}
+    assert got == want and got  # non-empty: tails repeat every 3 docs
+    # appending the new buckets makes the store complete for next batch
+    assert new_buckets.count() == new.count() * 4
