@@ -13,6 +13,7 @@ sessionization — with batch twins for oracle verification.
 from scarf_spark.streaming.events import (  # noqa: F401
     event_type_rate,
     first_event_dedup,
+    hll_distinct_stream,
     kmv_distinct_stream,
     read_events_stream,
     sessionize_batch,

@@ -359,6 +359,87 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+_HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("exact_ndv", LongType()),
+        StructField("n_zero_regs", LongType()),
+        StructField("est_ndv", DoubleType()),
+    ]
+)
+
+# state: the 64 HLL registers (TRULY bounded — the production sketch)
+# plus the exact-seen hash list kept only to report true ndv next to
+# the estimate, as the batch twin does
+_HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("regs", ArrayType(LongType())),
+        StructField("all_seen", ArrayType(LongType())),
+    ]
+)
+
+
+def _hll_fn():
+    import hashlib
+
+    m, wbits = 64, 54
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (event_type,) = key
+        ids = pd.concat(list(pdfs))["user_id"].astype("int64")
+        if state.exists:
+            regs_l, seen = state.get
+            regs, seen = list(regs_l), set(seen)
+        else:
+            regs, seen = [0] * m, set()
+        for uid in ids:
+            h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+            seen.add(h)
+            w = h >> 6
+            rho = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
+            r = h & (m - 1)
+            if rho > regs[r]:
+                regs[r] = rho
+        state.update((regs, sorted(seen)))
+        # same estimator arithmetic as operators.aggregate.hll_distinct:
+        # integer power-of-two numerator, alpha_64, linear counting
+        numer = sum(1 << (55 - mr) for mr in regs)
+        raw = (0.709 * 64 * 64) * 36028797018963968.0 / float(numer)
+        zeros = sum(1 for mr in regs if mr == 0)
+        if raw <= 160.0 and zeros > 0:
+            import math
+
+            est = 64.0 * math.log(64.0 / float(zeros))
+        else:
+            est = raw
+        yield pd.DataFrame(
+            [(event_type, len(seen), zeros, round(est, 6))],
+            columns=["event_type", "exact_ndv", "n_zero_regs", "est_ndv"],
+        )
+
+    return fn
+
+
+def hll_distinct_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog per event type: the stateful twin of
+    ``operators.aggregate.hll_distinct`` — same md5 register layout,
+    same integer-exact estimator, state bounded by the 64 registers
+    (the exact-seen list rides along only to report true ndv, as the
+    batch twin does). Update-mode output per trigger. Register-wise MAX
+    makes the state mergeable across restarts and shards."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _hll_fn(),
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_upsert_parquet(
     stream_df: DataFrame, out_dir: str, key_col: str = "event_id"
 ) -> "object":

@@ -209,6 +209,37 @@ def test_kmv_stream_matches_batch_sketch(spark, sf_dir, events_batch):
     assert got == batch
 
 
+def test_hll_stream_matches_batch_sketch(spark, sf_dir, events_batch):
+    """The streaming HLL's final update per key equals the
+    oracle-verified batch sketch (same md5 register layout, same
+    integer-exact estimator; est compared to 1e-6 — the two sides
+    round display values with different tie rules)."""
+    from scarf_spark.operators.aggregate import hll_distinct
+
+    batch = {
+        r["event_type"]: (r["exact_ndv"], r["n_zero_regs"], r["est_ndv"])
+        for r in hll_distinct(events_batch, "event_type", "user_id", p=6).collect()
+    }
+    stream = strm.hll_distinct_stream(strm.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["exact_ndv"], r["n_zero_regs"], r["est_ndv"])
+        for r in spark.sql("SELECT * FROM hll_updates").collect()
+    }
+    assert got.keys() == batch.keys()
+    for k in batch:
+        assert got[k][0] == batch[k][0]
+        assert got[k][1] == batch[k][1]
+        assert abs(got[k][2] - batch[k][2]) < 1e-6
+
+
 def test_stream_upsert_skips_replayed_keys(spark, sf_dir, tmp_path):
     """Running the same bounded stream twice must not duplicate rows —
     the second run's batches anti-join away every existing key."""
