@@ -3614,6 +3614,43 @@ def samp_weighted(spark, sf_dir):
 
 
 @q(
+    "agg_hist_quantile",
+    # the SCALE path for per-group percentiles: 1024 fixed-grid bin
+    # counts (bounded, mergeable state) instead of exact percentile's
+    # per-group value multiset; rank targets are exact integers
+    "WITH mm AS (SELECT event_type AS grp, MIN(value) AS lo, "
+    "MAX(value) AS hi, COUNT(value) AS n FROM events GROUP BY 1), "
+    "b AS (SELECT mm.grp, CASE WHEN hi = lo THEN 0 ELSE "
+    "LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 1024.0)) AS BIGINT), 1023) "
+    "END AS bin, COUNT(*) AS c FROM events e "
+    "JOIN mm ON e.event_type = mm.grp GROUP BY 1, 2), "
+    "cum AS (SELECT grp, bin, SUM(c) OVER (PARTITION BY grp ORDER BY bin "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b), "
+    "j AS (SELECT cum.grp, bin, cum, mm.lo, mm.hi, mm.n "
+    "FROM cum JOIN mm ON cum.grp = mm.grp), "
+    "qb AS (SELECT grp, lo, hi, n, "
+    + ", ".join(
+        "MIN(CASE WHEN cum >= LEAST(CAST(FLOOR(CAST(0.{q} AS DOUBLE) * n) "
+        "AS BIGINT) + 1, n) THEN bin END) AS b{qq}".format(
+            q=q, qq=qq
+        )
+        for q, qq in (("25", "25"), ("5", "50"), ("75", "75"))
+    )
+    + " FROM j GROUP BY grp, lo, hi, n) "
+    "SELECT grp AS event_type, n, "
+    + ", ".join(
+        f"ROUND(lo + (b{qq} + 0.5) * ((hi - lo) / 1024.0), 6) AS q{qq}_est"
+        for qq in ("25", "50", "75")
+    )
+    + " FROM qb",
+)
+def agg_hist_quantile(spark, sf_dir):
+    return aggregate.hist_quantiles(
+        _ds(spark, sf_dir).events, "event_type", "value", n_bins=1024
+    )
+
+
+@q(
     "qc_profile",
     # per-column data-quality profile of the corpus table: the unpivot
     # is a UNION ALL of string casts (BIGINT->VARCHAR renders

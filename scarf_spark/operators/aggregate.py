@@ -209,9 +209,11 @@ def exact_quantiles(
     (``scarf/utils.py`` fit thresholds); here it is Spark's exact
     distributed percentile aggregate — one shuffle keyed by the group,
     per-group sorted state. For quantiles over a 100 TB UNGROUPED
-    column switch to ``approx_percentile`` (t-digest, mergeable,
-    bounded state); per-group with bounded group cardinality the exact
-    form is the right default."""
+    column, or when a skewed group's value multiset would not fit an
+    executor, switch to :func:`hist_quantiles` (deterministic bounded
+    state, oracle-replayable) or ``approx_percentile`` (t-digest,
+    engine-private); per-group with bounded group cardinality the
+    exact form is the right default."""
     cols = [
         F.round(
             F.expr(f"percentile({value_col}, {q!r})"), 6
@@ -219,6 +221,65 @@ def exact_quantiles(
         for q in qs
     ]
     return df.groupBy(group_col).agg(*cols)
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Histogram quantiles — the SCALE path for per-group percentiles:
+    exact ``percentile()`` builds a per-group value multiset that a
+    skewed hot group can OOM at 100×; this computes quantiles to
+    ±(range/n_bins) accuracy with bounded, mergeable state (n_bins
+    counts per group) in two hash aggregates and one bin-keyed window.
+
+    Deterministic and oracle-replayable: bin = LEAST(FLOOR((v-lo)/w),
+    n_bins-1) on identically shaped double ops; the target rank is the
+    integer ``FLOOR(q·n)+1`` (q ∈ {.25,.5,.75} are exact binary
+    fractions, so q·n is exact); the answer is the midpoint of the
+    first bin whose cumulative count reaches the rank. Returns
+    (group, n, q{25,50,75}_est)."""
+    mm = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        F.count(value_col).alias("n"),
+    )
+    w_expr = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_expr = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / w_expr),
+            F.lit(n_bins - 1),
+        )
+    ).cast("long")
+    binned = (
+        df.join(F.broadcast(mm), group_col)
+        .groupBy(group_col, bin_expr.alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy(group_col).orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).join(F.broadcast(mm), group_col)
+    aggs = []
+    for q in qs:
+        t = F.least(
+            F.floor(F.lit(q) * F.col("n")).cast("long") + 1, F.col("n")
+        )
+        qbin = F.min(F.when(F.col("cum") >= t, F.col("bin")))
+        aggs.append(qbin.alias(f"_b{int(q * 100)}"))
+    out = cum.groupBy(group_col, "_lo", "_hi", "n").agg(*aggs)
+    w_out = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    sel = [F.col(group_col), F.col("n")]
+    for q in qs:
+        est = F.col("_lo") + (F.col(f"_b{int(q * 100)}") + F.lit(0.5)) * w_out
+        sel.append(F.round(est, 6).alias(f"q{int(q * 100)}_est"))
+    return out.select(*sel)
 
 
 # KMV (k-minimum-values) sketch hash: an explicit LCG over a Mersenne

@@ -22,13 +22,13 @@ ingest that store format directly and write it back:
   coordinate writes (``scarf/writers.py:245-364``) with Spark tasks as
   the writers.
 
-Codecs: Zarr ``compressor: null``, ``zlib`` and ``gzip`` are decoded
-with the stdlib (this module's writer emits zlib, so roundtrips are
-fully self-contained); any other codec (Blosc/LZ4, zstd — what the
-reference writes, ``scarf/writers.py:81``) is delegated to
-``numcodecs`` when importable and raises a clearly-gated error
-otherwise.  No structural limitation — the chunk-task plan is codec-
-agnostic.
+Codecs: Zarr ``compressor: null``, ``zlib`` and ``gzip`` decode with
+the stdlib; **Blosc (lz4 + byte/bit shuffle) — what every real scarf
+store uses (``scarf/writers.py:81``) — decodes and encodes natively**
+via the pure-python frame codec in ``sources/blosc.py``; anything else
+(zstd) is delegated to ``numcodecs`` when importable and raises a
+clearly-gated error otherwise.  No structural limitation — the
+chunk-task plan is codec-agnostic.
 """
 
 from __future__ import annotations
@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_zarr_2d_coo",
     "read_zarr_1d",
+    "read_zarr_table",
     "read_zarr_store",
     "coo_to_zarr",
     "write_zarr_1d",
@@ -277,6 +278,30 @@ def read_zarr_1d(spark: SparkSession, array_dir: str, value_type: str | None = N
                 )
 
     return task_df.mapInPandas(decode, f"idx long, value {value_type}")
+
+
+def read_zarr_table(spark: SparkSession, group_dir: str) -> DataFrame:
+    """All 1-D arrays under a Zarr group as ONE DataFrame keyed by
+    ``idx`` — the reference's MetaData table layout
+    (``scarf/metadata.py:264-287``: one array per column, so
+    ``cellData/`` holds ids, I, names, per-cell QC columns side by
+    side). Each column is a distributed 1-D chunk scan; columns join
+    on the dense index (dimension-sized tables — broadcastable; bucket
+    by idx if a 10⁸-cell store makes the join chain matter)."""
+    cols = sorted(
+        d
+        for d in os.listdir(group_dir)
+        if os.path.exists(os.path.join(group_dir, d, ".zarray"))
+    )
+    if not cols:
+        raise ValueError(f"no 1-D arrays under {group_dir}")
+    out = None
+    for c in cols:
+        df = read_zarr_1d(spark, os.path.join(group_dir, c)).withColumnRenamed(
+            "value", c
+        )
+        out = df if out is None else out.join(df, "idx")
+    return out
 
 
 def read_zarr_store(spark: SparkSession, store_dir: str, assay: str = "RNA") -> dict:

@@ -930,3 +930,20 @@ def test_incremental_minhash_matches_full_recompute(spark):
     assert got == want and got  # non-empty: tails repeat every 3 docs
     # appending the new buckets makes the store complete for next batch
     assert new_buckets.count() == new.count() * 4
+
+
+def test_hist_quantiles_close_to_exact(spark):
+    from scarf_spark.operators.aggregate import exact_quantiles, hist_quantiles
+
+    vals = [float(x) for x in range(1, 1001)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    hq = hist_quantiles(df, "g", "v", n_bins=1024).collect()[0]
+    eq = exact_quantiles(df, "g", "v").collect()[0]
+    # bin width < 1 at this range: estimates within one bin of exact
+    for q in (25, 50, 75):
+        assert abs(hq[f"q{q}_est"] - eq[f"q{q}"]) <= (1000 - 1) / 1024 + 0.5
+    assert hq["n"] == 1000
+    # degenerate group: all values equal -> every quantile is the value
+    one = spark.createDataFrame([("g", 7.0)] * 5, "g string, v double")
+    row = hist_quantiles(one, "g", "v").collect()[0]
+    assert row["q25_est"] == row["q50_est"] == row["q75_est"] == 7.0

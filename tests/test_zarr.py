@@ -140,3 +140,20 @@ def test_blosc_codec_zarr_chunk_decodes(spark, tmp_path):
     got = {(r["row"], r["col"]): r["value"]
            for r in z.read_zarr_2d_coo(spark, str(d)).collect()}
     assert got == {(0, 0): 1.5, (1, 1): 4.0}
+
+
+def test_read_zarr_table_joins_metadata_columns(spark, tmp_path):
+    """A reference-shaped metadata group (one 1-D array per column,
+    scarf/metadata.py:264-287) reads back as one table keyed by idx."""
+    d = tmp_path / "cellData"
+    z.write_zarr_1d(str(d / "ids"), np.arange(10, dtype="<i8") * 3, chunk=4)
+    z.write_zarr_1d(str(d / "I"), np.array([i % 2 == 0 for i in range(10)]),
+                    chunk=4)
+    z.write_zarr_1d(str(d / "n_counts"),
+                    np.linspace(1.0, 10.0, 10).astype("<f8"), chunk=4)
+    t = z.read_zarr_table(spark, str(d))
+    assert set(t.columns) == {"idx", "I", "ids", "n_counts"}
+    rows = {r["idx"]: r for r in t.collect()}
+    assert len(rows) == 10
+    assert rows[3]["ids"] == 9 and rows[3]["I"] is False
+    assert abs(rows[9]["n_counts"] - 10.0) < 1e-12
