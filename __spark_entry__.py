@@ -3748,6 +3748,30 @@ _UND_CANON_CTE = (
 
 
 @q(
+    "graph_components",
+    # exact components: the engine's min-label fixpoint equals the
+    # component minimum, which the oracle reaches independently via
+    # recursive-CTE reachability — algorithm-independent hash equality
+    f"WITH RECURSIVE {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT src, dst FROM knn WHERE src != dst "
+    "UNION SELECT dst, src FROM knn WHERE src != dst), "
+    "reach AS (SELECT src AS node, dst AS r FROM und "
+    "UNION SELECT reach.node, und.dst FROM reach "
+    "JOIN und ON reach.r = und.src) "
+    "SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node",
+)
+def graph_components(spark, sf_dir):
+    """True connected components of the KNN graph (converged min-label
+    fixpoint, graph.connected_components) — the exact form of the
+    duplicate-cluster labeling that min_label_components bounds at
+    n_iter hops."""
+    from scarf_spark.operators import graph
+
+    edges = _knn_edges(spark, sf_dir)
+    return graph.connected_components(edges)
+
+
+@q(
     "graph_kcore",
     # coreness via 3 iterated H-index rounds, unrolled CTEs: h0 =
     # degree; h_{t+1}(v) = max over rank positions of LEAST(rank,

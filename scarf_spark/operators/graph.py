@@ -348,3 +348,65 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .persist()
         )
     return h.select("node", F.col("h").alias("coreness"))
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components to TRUE convergence: synchronous min-label
+    propagation with a fixpoint check each round (one count action on
+    the changed-label set), so every node ends with its component's
+    minimum id — unlike the fixed-iteration
+    ``dedup.min_label_components``, whose labels are exact only within
+    n_iter hops. Rounds = graph diameter (small for KNN graphs'
+    small-world topology; for high-diameter graphs at extreme scale
+    switch to star-contraction, which converges in O(log n) rounds).
+
+    The fixpoint is algorithm-independent — the component minimum — so
+    the result hash-matches any other exact method (the oracle replays
+    it as recursive-CTE reachability). Each round: one join + one hash
+    agg; the label table is ``localCheckpoint``-ed every round — a
+    convergence loop's lineage otherwise grows a plan tree that is
+    EXPONENTIAL in rounds (persist caches data but keeps the logical
+    plan; a 12-round path graph OOM-ed the plan stringifier).
+    ``max_rounds`` is a safety cap. Returns (node, component)."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nb_min = (
+            und.join(
+                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("_nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_m"))
+        )
+        new_labels = (
+            labels.join(
+                nb_min.select(F.col("src").alias("node"), "_m"), "node", "left_outer"
+            )
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("_m", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))

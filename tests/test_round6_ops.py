@@ -947,3 +947,15 @@ def test_hist_quantiles_close_to_exact(spark):
     one = spark.createDataFrame([("g", 7.0)] * 5, "g string, v double")
     row = hist_quantiles(one, "g", "v").collect()[0]
     assert row["q25_est"] == row["q50_est"] == row["q75_est"] == 7.0
+
+
+def test_connected_components_converges_beyond_fixed_hops(spark):
+    from scarf_spark.operators.graph import connected_components
+
+    # a 12-node path (diameter 11 — far beyond 3 label-prop hops)
+    # plus a separate triangle
+    edges = [(i, i + 1) for i in range(11)] + [(100, 101), (101, 102), (102, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert all(out[i] == 0 for i in range(12))
+    assert out[100] == out[101] == out[102] == 100
