@@ -1296,6 +1296,35 @@ def text_minhash_cluster(spark, sf_dir):
 
 
 @q(
+    "dedup_semantic_decon",
+    # embedding-space decontamination: corpus items (vec_id % 20 != 0)
+    # within cosine 0.62 of any benchmark item (% 20 = 0), reporting
+    # the closest hit; rounded-before-compare + rounded argmin with
+    # bench-id tie-break so the boundary and the winner both replay
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "nv AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e), "
+    "bench AS (SELECT vec_id, v, nrm FROM nv WHERE vec_id % 20 = 0), "
+    "corp AS (SELECT vec_id, v, nrm FROM nv WHERE vec_id % 20 != 0), "
+    "hits AS (SELECT c.vec_id, b.vec_id AS bench_id, "
+    "ROUND(1.0 - list_inner_product(c.v, b.v) / (c.nrm * b.nrm), 6) AS distance "
+    "FROM corp c JOIN bench b ON "
+    "ROUND(1.0 - list_inner_product(c.v, b.v) / (c.nrm * b.nrm), 6) <= 0.62) "
+    "SELECT vec_id, bench_id, distance FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id ORDER BY distance, bench_id) AS rn FROM hits) "
+    "WHERE rn = 1",
+)
+def dedup_semantic_decon(spark, sf_dir):
+    """Paraphrase-leakage screen: corpus embeddings against the
+    broadcast benchmark set (knn.semantic_decontaminate) — the
+    embedding-space complement of the 8-gram dedup_decontaminate."""
+    emb = _ds(spark, sf_dir).embeddings
+    bench = emb.where(F.col("vec_id") % 20 == 0)
+    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    return knn.semantic_decontaminate(corpus, bench, radius=0.62)
+
+
+@q(
     "dedup_incremental",
     # incremental dedup parity: probing the stored bucket table with
     # ONLY the new batch's buckets must yield exactly the full

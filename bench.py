@@ -277,6 +277,14 @@ def _extra_headliners() -> set[str]:
         "mm_ocr_stub",
         "ml_sgtsne_rescale",
         "ann_ivfpq",
+        "sketch_hll",
+        "text_bpe_train",
+        "graph_kcore",
+        "graph_components",
+        "dedup_incremental",
+        "samp_weighted",
+        "qc_profile",
+        "agg_hist_quantile",
     }
 
 

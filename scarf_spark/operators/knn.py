@@ -1124,3 +1124,68 @@ def cosine_radius(
         "src", "dst", F.round(F.col("distance"), 6).alias("distance")
     )
     return out.where(F.col("distance") <= radius)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    radius: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: flag corpus items whose embedding lies
+    within cosine ``radius`` of ANY benchmark item — the
+    embedding-space complement of n-gram decontamination
+    (``dedup.decontaminate``), catching paraphrased test-set leakage
+    that shingle overlap misses. Same scale asymmetry: the benchmark
+    side is SMALL by construction, so it broadcasts (normalized,
+    id-sorted) and the corpus streams through Arrow-batched BLAS —
+    the 100 TB corpus never reshuffles.
+
+    Emits per contaminated corpus item its closest benchmark hit:
+    (vec_id, bench_id, distance[ROUND 6]) — numpy pre-filter
+    over-captures by 5.01e-7 and the authoritative rounded compare
+    happens JVM-side, like :func:`cosine_radius`; the closest-hit
+    argmin uses the rounded distance with bench-id tie-break so it
+    replays across engines."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    pdf = benchmark.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    o = np.argsort(ids)
+    ids, m_n = ids[o], m_n[o]
+    bc = spark.sparkContext.broadcast((ids, m_n))
+
+    def score(batches):
+        b_ids, b_m = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            q = np.array(b[vec_col].tolist(), dtype=np.float64)
+            q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - q_n @ b_m.T
+            src = b[id_col].to_numpy()
+            rows, cols = np.nonzero(dist <= radius + 5.01e-7)
+            yield pd.DataFrame(
+                {
+                    "src": src[rows],
+                    "bench_id": b_ids[cols],
+                    "distance": dist[rows, cols],
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, "src long, bench_id long, distance double"
+    )
+    rd = cand.select(
+        "src", "bench_id", F.round("distance", 6).alias("distance")
+    ).where(F.col("distance") <= radius)
+    w = Window.partitionBy("src").orderBy("distance", "bench_id")
+    return (
+        rd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("src").alias(id_col), "bench_id", "distance")
+    )

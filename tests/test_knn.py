@@ -94,3 +94,22 @@ def test_ivfpq_shape_determinism_and_recall(spark):
     exact = {(r["src"], r["dst"]) for r in cosine_knn_exact(emb, k=3).collect()}
     hits = sum((s, d) in exact for (s, _), d in a.items())
     assert hits / len(exact) > 0.2
+
+
+def test_semantic_decontaminate_flags_paraphrases(spark):
+    import numpy as np
+
+    from scarf_spark.operators.knn import semantic_decontaminate
+
+    rng = np.random.RandomState(9)
+    bench_vecs = rng.randn(5, 16)
+    # corpus: 3 near-copies of benchmark items + 20 unrelated
+    rows_b = [(i, [float(x) for x in bench_vecs[i]]) for i in range(5)]
+    near = [(100 + i, [float(x) for x in bench_vecs[i] + rng.randn(16) * 0.01])
+            for i in range(3)]
+    far = [(200 + i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    bench = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(near + far, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["bench_id"]
+           for r in semantic_decontaminate(corpus, bench, radius=0.05).collect()}
+    assert out == {100: 0, 101: 1, 102: 2}  # each near-copy hits its source
