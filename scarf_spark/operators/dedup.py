@@ -366,11 +366,16 @@ def min_label_components(
             .groupBy("src")
             .agg(F.min("_nl").alias("_nbl"))
         )
+        # localCheckpoint, not persist: labels appears TWICE per
+        # iteration (neighbor lookup + carry-over join), so the logical
+        # plan doubles each round and analysis time grows exponentially
+        # — the checkpoint truncates lineage (same lesson as
+        # graph.connected_components)
         labels = labels.join(
             nb_min.select(F.col("src").alias("node"), "_nbl"), "node", "left_outer"
         ).select(
             "node", F.least(F.col("lbl"), F.coalesce("_nbl", F.col("lbl"))).alias("lbl")
-        ).persist()
+        ).localCheckpoint()
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster"),

@@ -194,7 +194,10 @@ def read_zarr_2d_coo(
     task_df = spark.createDataFrame(
         [(int(i), int(j)) for i, j in tasks], "ci int, cj int"
     ).repartition(min(len(tasks), 64))
-    fill = float(meta.get("fill_value") or 0)
+    try:  # meta may carry "NaN"/null/garbage; counts default to 0
+        fill = float(meta.get("fill_value") or 0)
+    except (TypeError, ValueError):
+        fill = 0.0
     meta_b = json.dumps(meta)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
