@@ -1592,6 +1592,58 @@ def text_collocation_pmi(spark, sf_dir):
 
 
 @q(
+    "text_repetition",
+    # Gopher-style within-doc repetition stats; the Spark side computes
+    # the modal-bigram count as a run-length fold over the sorted
+    # bigram array (map-only), the oracle relationally — same values
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "b AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS uniq FROM w), "
+    "bg AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 1, 0)), "
+    "i -> ws[i + 1] || ' ' || ws[i + 2])) AS g FROM w), "
+    "bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+    "bga AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot FROM bgc GROUP BY 1), "
+    "tg AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS g FROM w), "
+    "tga AS (SELECT doc_id, COUNT(DISTINCT g) AS u, COUNT(*) AS t FROM tg GROUP BY 1) "
+    "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words, "
+    "CASE WHEN b.n > 0 THEN ROUND(b.uniq / CAST(b.n AS DOUBLE), 6) "
+    "ELSE 0.0 END AS uniq_word_ratio, "
+    "COALESCE(ROUND(bga.topc / CAST(bga.tot AS DOUBLE), 6), 0.0) AS top_bigram_frac, "
+    "COALESCE(ROUND(1.0 - tga.u / CAST(tga.t AS DOUBLE), 6), 0.0) AS dup_trigram_frac "
+    "FROM b LEFT JOIN bga ON b.doc_id = bga.doc_id "
+    "LEFT JOIN tga ON b.doc_id = tga.doc_id",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher repetition rules (duplicate/top n-gram fractions) as one
+    zero-shuffle map-side pass (text.repetition_stats)."""
+    return text.repetition_stats(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "samp_pack_sequences",
+    # deterministic concat-and-chunk packing: md5-ordered doc stream
+    # per hash bucket, start offset by running token sum, sequence id
+    # by integer division on the token budget
+    "WITH d AS (SELECT doc_id, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h, "
+    "CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "s AS (SELECT doc_id, n_tokens, h % 8 AS bucket, "
+    "SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n_tokens "
+    "AS start_off FROM d) "
+    "SELECT doc_id, n_tokens, bucket, start_off // 256 AS seq_id, start_off FROM s",
+)
+def samp_pack_sequences(spark, sf_dir):
+    """Sequence packing into fixed token-budget training rows
+    (filters.pack_sequences): per-bucket md5-canonical order, one
+    shuffle, bit-reproducible on any engine."""
+    return filters.pack_sequences(
+        _ds(spark, sf_dir).documents, budget=256, n_buckets=8
+    )
+
+
+@q(
     "samp_stratified",
     "WITH s AS (SELECT doc_id, lang, "
     "ROW_NUMBER() OVER (PARTITION BY lang "
@@ -1930,6 +1982,29 @@ def ml_kmeans(spark, sf_dir):
     return out.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
         F.count("*").alias("n")
     )
+
+
+@q(
+    "dedup_semdedup",
+    # SemDeDup: cluster embeddings (deterministic Lloyd, replayed by
+    # the shared kmeans CTE), then cosine-compare pairs only WITHIN a
+    # cluster; drop a vec iff a smaller-id cluster-mate lies within
+    # eps (greedy keep-first — deterministic on any engine)
+    f"WITH RECURSIVE {_KMEANS_CTE}, "
+    "nv AS (SELECT p.vec_id, p.v, "
+    "sqrt(list_aggregate(list_transform(p.v, x -> x * x), 'sum')) AS nrm, "
+    "k.cluster FROM pts p JOIN kassign k ON p.vec_id = k.vec_id), "
+    "ve AS (SELECT a.vec_id AS a, b.vec_id AS b FROM nv a JOIN nv b "
+    "ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+    "WHERE ROUND(1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) <= 0.62) "
+    "SELECT n.vec_id, n.cluster, "
+    "n.vec_id NOT IN (SELECT b FROM ve) AS keep FROM nv n",
+)
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): kmeans-partitioned embedding
+    dedup — the cluster bounds the quadratic pair work the way LSH
+    bands do for minhash (dedup.semdedup)."""
+    return dedup.semdedup(_ds(spark, sf_dir).embeddings, k=4, eps=0.62)
 
 
 @q("ml_louvain")  # weak: community detection runs driver-side (networkx, seeded)

@@ -285,6 +285,10 @@ def _extra_headliners() -> set[str]:
         "samp_weighted",
         "qc_profile",
         "agg_hist_quantile",
+        "text_repetition",
+        "samp_pack_sequences",
+        "dedup_semdedup",
+        "dedup_semantic_decon",
     }
 
 

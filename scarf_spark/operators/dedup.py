@@ -575,3 +575,78 @@ def duplicated_span_ratio(
             F.expr("_scaled div n_tokens").alias("dup_ppm"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 5,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings FIRST, then comparing pairs only WITHIN a
+    cluster — the cluster assignment bounds the quadratic work the way
+    LSH bands bound it for minhash, which is what makes embedding-level
+    dedup feasible at corpus scale (k grows with the corpus, per-
+    cluster work stays constant).
+
+    Clustering is the deterministic seedless Lloyd of
+    :func:`scarf_spark.ml.cluster.kmeans_lloyd`; within-cluster
+    pairwise cosine runs as one Arrow-batched BLAS kernel per cluster
+    (``applyInPandas`` — the cluster IS the partitioning, the same
+    shape as the IVF index search). A doc is dropped iff some
+    SMALLER-id doc in its cluster lies within cosine ``eps``
+    (greedy keep-first, deterministic on any engine; the numpy
+    pre-filter over-captures by 5.01e-7 and the authoritative
+    ROUND(6) compare happens JVM-side). Returns
+    (id, cluster, keep)."""
+    import numpy as np
+    import pandas as pd
+
+    from scarf_spark.ml.cluster import kmeans_lloyd
+
+    assign = kmeans_lloyd(
+        emb.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("v")),
+        k=k,
+        n_iter=n_iter,
+    )
+    pts = emb.select(F.col(id_col), F.col(vec_col)).join(
+        assign.select(
+            F.col("cell_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
+        ),
+        id_col,
+    ).persist()
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        o = np.argsort(ids)
+        ids = ids[o]
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)[o]
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        dist = 1.0 - m @ m.T
+        iu = np.triu_indices(len(ids), 1)
+        keep = dist[iu] <= eps + 5.01e-7
+        return pd.DataFrame(
+            {
+                "a": ids[iu[0][keep]],
+                "b": ids[iu[1][keep]],
+                "distance": dist[iu][keep],
+            }
+        )
+
+    cand = pts.groupBy("cluster").applyInPandas(
+        pairs, "a long, b long, distance double"
+    )
+    close = cand.select(
+        "a", "b", F.round("distance", 6).alias("distance")
+    ).where(F.col("distance") <= eps)
+    drops = close.select(F.col("b").alias(id_col)).distinct()
+    return pts.join(
+        drops.withColumn("_drop", F.lit(True)), id_col, "left_outer"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )

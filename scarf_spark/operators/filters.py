@@ -306,3 +306,51 @@ def weighted_sample(
         .where(F.col("_rn") <= k)
         .drop("_key", "_rn")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget training rows (the pre-tokenization packing step of an
+    LLM data pipeline — documents are concatenated in a canonical
+    order and split every ``budget`` tokens; a doc whose start offset
+    lands in bin s belongs to packed sequence s and may spill into
+    s+1, the standard concat-and-chunk scheme).
+
+    The canonical order is (md5-hash, id) WITHIN a hash bucket — never
+    a global sort: each of the ``n_buckets`` streams packs
+    independently, so the only shuffle is one hash partition + per-
+    bucket sort, and buckets scale with the cluster while the packing
+    stays bit-reproducible on any engine (seedless md5 order, like
+    hash_split). Returns per doc its bucket, packed-sequence id within
+    the bucket, and start offset in the bucket's token stream."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    d = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        toks.cast("long").alias("n_tokens"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        F.col(id_col),
+        "n_tokens",
+        "bucket",
+        start.alias("start_off"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        # integer DIV (not float floor): exact on any engine
+        F.expr(f"start_off div {int(budget)}").alias("seq_id"),
+        "start_off",
+    )

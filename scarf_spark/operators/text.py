@@ -515,3 +515,77 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText
+    repetition family (Rae et al. 2021 §A1.1: duplicate n-gram and
+    top-n-gram fractions) used to kill templated/looping pages before
+    training. Per doc: word count, distinct-word ratio, the fraction of
+    bigrams taken by the single most frequent bigram, and the fraction
+    of trigram occurrences that are repeats.
+
+    Everything — including the modal-bigram count, via a run-length
+    fold over the SORTED bigram array — is a per-row JVM expression:
+    the whole operator is map-side with ZERO shuffles, so at corpus
+    scale it fuses into the parquet scan like the other quality
+    filters (cf. quality_score)."""
+    tok = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size("_w")
+
+    def grams(k: int) -> F.Column:
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_w", (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g = tok.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct("_w")).cast("long").alias("_uniq"),
+        F.array_sort(grams(2)).alias("_bg"),
+        F.size(F.array_distinct(grams(3))).cast("long").alias("_tu"),
+        F.size(grams(3)).cast("long").alias("_tt"),
+    )
+    # modal bigram count = longest equal-run in the sorted array; words
+    # are non-empty post-filter, so "" is a safe initial sentinel
+    top = F.aggregate(
+        "_bg",
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                a.best,
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+    nb = F.size("_bg").cast("long")
+    return g.select(
+        F.col(id_col),
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("_uniq") / F.col("n_words").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("uniq_word_ratio"),
+        F.when(nb > 0, F.round(top / nb.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.col("_tt") > 0,
+            F.round(1.0 - F.col("_tu") / F.col("_tt").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+    )

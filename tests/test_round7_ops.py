@@ -1,0 +1,72 @@
+"""Round-7 training-data-pipeline additions: Gopher repetition stats,
+deterministic sequence packing, SemDeDup."""
+
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import dedup, filters, text
+
+
+def test_repetition_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "x y z w"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["uniq_word_ratio"] == 0.25
+    assert r1["top_bigram_frac"] == 1.0  # "a a" is all 3 bigrams
+    assert r1["dup_trigram_frac"] == 0.5  # 1 distinct of 2 trigrams
+    r2 = out[2]
+    assert r2["uniq_word_ratio"] == 1.0
+    assert r2["top_bigram_frac"] == 0.333333  # 3 distinct bigrams
+    assert r2["dup_trigram_frac"] == 0.0
+    r3 = out[3]  # empty text: all guards, no division error under ANSI
+    assert r3["n_words"] == 0 and r3["uniq_word_ratio"] == 0.0
+
+
+def test_repetition_stats_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = text.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: fuses into the scan
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = filters.pack_sequences(docs, budget=16, n_buckets=4).collect()
+    assert len(out) == 100  # every doc assigned exactly once
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["start_off"])
+        off = 0
+        for r in rows:
+            assert r["start_off"] == off  # contiguous token stream
+            assert r["seq_id"] == r["start_off"] // 16
+            off += r["n_tokens"]
+
+
+def test_semdedup_drops_larger_id_near_copy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    # 100 duplicates 0, 101 duplicates 3 (tiny perturbation)
+    rows += [
+        (100, [float(x) for x in base[0] + 1e-4 * rng.randn(8)]),
+        (101, [float(x) for x in base[3] + 1e-4 * rng.randn(8)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["keep"] for r in dedup.semdedup(emb, k=2, eps=0.01).collect()}
+    assert len(out) == 8
+    assert out[100] is False and out[101] is False  # near-copies dropped
+    assert all(out[i] for i in range(6))  # originals kept
