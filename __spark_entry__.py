@@ -3831,6 +3831,39 @@ def sketch_kmv(spark, sf_dir):
 
 
 @q(
+    "sketch_cms",
+    # count-min heavy hitters over corpus words: d=4 md5 hash rows of
+    # w=64 buckets; estimate = MIN over rows of bucket counts; top-20
+    # by exact count with key tie-break — all-integer, engine-exact
+    "WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS key FROM documents), "
+    "cells AS (SELECT r, ('0x' || substr(md5(r || '_' || key), 1, 15))::BIGINT % 64 "
+    "AS bucket, COUNT(*) AS cnt FROM t, generate_series(0, 3) g(r) GROUP BY 1, 2), "
+    "ex AS (SELECT key, COUNT(*) AS exact_cnt FROM t GROUP BY key), "
+    "est AS (SELECT ex.key, MIN(cells.cnt) AS est_cnt "
+    "FROM ex, generate_series(0, 3) g(r), cells "
+    "WHERE cells.r = g.r AND cells.bucket = "
+    "('0x' || substr(md5(g.r || '_' || ex.key), 1, 15))::BIGINT % 64 "
+    "GROUP BY ex.key) "
+    "SELECT ex.key, ex.exact_cnt, est.est_cnt, "
+    "est.est_cnt - ex.exact_cnt AS overestimate "
+    "FROM ex JOIN est ON ex.key = est.key "
+    "ORDER BY ex.exact_cnt DESC, ex.key LIMIT 20",
+)
+def sketch_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters over corpus words — constant
+    d·w sketch state through the shuffle, broadcast probe
+    (aggregate.cms_heavy_hitters)."""
+    docs = _ds(spark, sf_dir).documents
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term")
+    )
+    return aggregate.cms_heavy_hitters(terms, "term", d=4, w=64, n_top=20)
+
+
+@q(
     "evt_json_extract",
     "SELECT event_type, "
     "COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, "

@@ -289,6 +289,7 @@ def _extra_headliners() -> set[str]:
         "samp_pack_sequences",
         "dedup_semdedup",
         "dedup_semantic_decon",
+        "sketch_cms",
     }
 
 

@@ -420,6 +420,95 @@ def hll_distinct(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 64,
+    n_top: int = 20,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    the frequency twin of the cardinality sketches (:func:`hll_distinct`,
+    :func:`kmv_distinct`). d independent md5 hash rows of w buckets
+    each; a key's estimate is the MIN over rows of its bucket counts —
+    never an underestimate, overestimate bounded by collisions.
+
+    Scale shape: the build explodes each occurrence into d cells, but
+    the groupBy's map-side partial aggregation collapses every
+    partition to ≤ d·w rows before the shuffle — the sketch state
+    (d·w = 256 cells) crossing the network is CONSTANT in corpus size,
+    which is the entire point of a sketch at 100 TB (and register-wise
+    SUM merges shards). The probe side joins the 256-row sketch
+    BROADCAST, so looking up every candidate key is shuffle-free past
+    the per-key exact count (kept, as in the other sketches, so the
+    error stays visible).
+
+    Emits the top ``n_top`` keys by exact count (key tie-break):
+    (key, exact_cnt, est_cnt, overestimate)."""
+
+    def bucket(r: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}_"), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w))
+
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket")) for r in range(d)
+    ])
+    sketch = (
+        df.select(F.explode(cells).alias("_c"))
+        .select("_c.r", "_c.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    probes = exact.select(
+        "key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{r}_"), F.col("key").cast("string"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(w),
+                    ).alias("bucket"),
+                )
+                for r in range(d)
+            ])
+        ).alias("_c"),
+    ).select("key", "_c.r", "_c.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        exact.join(est, "key")
+        .select(
+            "key",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "key")
+        .limit(n_top)
+    )
+
+
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Column-profiling pass — the data-quality summary every ingest
     runs before anything else: per column, row count, null count,

@@ -70,3 +70,17 @@ def test_semdedup_drops_larger_id_near_copy(spark):
     assert len(out) == 8
     assert out[100] is False and out[101] is False  # near-copies dropped
     assert all(out[i] for i in range(6))  # originals kept
+
+
+def test_cms_never_underestimates_and_bounded_state(spark):
+    from scarf_spark.operators import aggregate
+
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(200)]]
+    df = spark.createDataFrame(rows, "term string")
+    out = aggregate.cms_heavy_hitters(df, "term", d=4, w=64, n_top=10).collect()
+    assert len(out) == 10
+    top = {r["key"]: r for r in out}
+    assert top["a"]["exact_cnt"] == 50 and top["b"]["exact_cnt"] == 30
+    for r in out:  # CMS property: min-over-rows never underestimates
+        assert r["est_cnt"] >= r["exact_cnt"]
+        assert r["overestimate"] == r["est_cnt"] - r["exact_cnt"]
