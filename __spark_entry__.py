@@ -3031,6 +3031,37 @@ def stream_type_rate(spark, sf_dir):
 
 
 @q(
+    "stream_enrich",
+    # stream-static enrichment: broadcast dimension join + per-(segment,
+    # type) aggregate; DECIMAL accumulation makes the double sum exact
+    "SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2",
+)
+def stream_enrich(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    ds = _ds(spark, sf_dir)
+    return strm.enrich_events(ds.events, ds.customer)
+
+
+@q(
+    "stream_join_attrib",
+    # click->purchase attribution within 2h: the watermarked
+    # stream-stream interval join's batch twin
+    "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, "
+    "CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(c.ts)) AS BIGINT) AS delay_s "
+    "FROM events c JOIN events p ON c.user_id = p.user_id "
+    "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+    "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 120 MINUTE",
+)
+def stream_join_attrib(spark, sf_dir):
+    from scarf_spark import streaming as strm
+
+    return strm.attribution_join(_ds(spark, sf_dir).events, interval_minutes=120)
+
+
+@q(
     "stream_dedup",
     # earliest event per (tumbling hour, user, type) — arrival-order
     # independent, so batch and watermark-stream modes agree exactly

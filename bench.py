@@ -290,6 +290,8 @@ def _extra_headliners() -> set[str]:
         "dedup_semdedup",
         "dedup_semantic_decon",
         "sketch_cms",
+        "stream_enrich",
+        "stream_join_attrib",
     }
 
 

@@ -11,6 +11,8 @@ sessionization — with batch twins for oracle verification.
 """
 
 from scarf_spark.streaming.events import (  # noqa: F401
+    attribution_join,
+    enrich_events,
     event_type_rate,
     first_event_dedup,
     hll_distinct_stream,

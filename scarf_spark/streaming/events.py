@@ -471,3 +471,91 @@ def stream_upsert_parquet(
         .option("checkpointLocation", out_dir + "_ckpt")
         .trigger(availableNow=True)
     )
+
+
+def enrich_events(
+    events: DataFrame,
+    customers: DataFrame,
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a slowly-
+    changing dimension (customer market segment) and aggregate per
+    (segment, event_type) — the canonical Structured Streaming
+    enrichment pattern. The static side is BROADCAST, so at 100 TB/day
+    the stream never shuffles for the join; only the (25-row) aggregate
+    state shuffles. Sums accumulate in DECIMAL so batch, stream, and
+    the DuckDB oracle agree bit-for-bit regardless of per-engine
+    double-accumulation order.
+
+    With ``streaming=True`` the aggregation is windowless-per-key over
+    the whole stream (complete output mode in the sink); the join
+    itself needs no watermark — stream-static joins are stateless."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    joined = events.join(dim, "user_id")
+    return (
+        joined.groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def attribution_join(
+    a: DataFrame,
+    b: DataFrame | None = None,
+    interval_minutes: int = 120,
+    streaming: bool = False,
+) -> DataFrame:
+    """Click→purchase attribution: every 'purchase' within
+    ``interval_minutes`` AFTER a 'click' by the same user — the
+    canonical watermarked STREAM-STREAM interval join. Pass the same
+    source twice (or once: ``b=None`` reuses ``a``).
+
+    Batch form: an equi-join on user_id with a time-range predicate —
+    shuffles once on user_id, and the range predicate lands in the
+    join condition so no pair outside the interval materializes.
+    Streaming form (``streaming=True``): both sides carry watermarks
+    and the join condition bounds purchase time against click time,
+    which is exactly what lets Spark evict click state once the
+    watermark passes click_ts + interval — state is bounded by the
+    interval horizon, not stream history.
+
+    Emits (user_id, click_id, purchase_id, delay_s) with integer
+    seconds — engine-exact."""
+    b = a if b is None else b
+    clicks = a.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = b.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if streaming:
+        clicks = clicks.withWatermark("click_ts", f"{interval_minutes * 2} minutes")
+        purchases = purchases.withWatermark("p_ts", f"{interval_minutes * 2} minutes")
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts > clicks.click_ts)
+        & (
+            purchases.p_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {interval_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("delay_s"),
+    )

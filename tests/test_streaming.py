@@ -18,11 +18,11 @@ def events_batch(spark, sf_dir):
     return DataStore(spark, sf_dir).events
 
 
-def _run_stream(df, name):
+def _run_stream(df, name, mode=None):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if name != "sessions" else "append")
+        .outputMode(mode or ("complete" if name != "sessions" else "append"))
         .trigger(availableNow=True)
         .start()
     )
@@ -261,3 +261,41 @@ def test_stream_upsert_skips_replayed_keys(spark, sf_dir, tmp_path):
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n1 == total
     assert n2 == total  # no duplicates after the replay
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, events_batch):
+    from scarf_spark.catalog import DataStore
+
+    cust = DataStore(spark, sf_dir).customer
+    batch = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in strm.enrich_events(events_batch, cust).collect()
+    }
+    sdf = strm.enrich_events(
+        strm.read_events_stream(spark, sf_dir), cust, streaming=True
+    )
+    _run_stream(sdf, "enriched")
+    got = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == batch
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, events_batch):
+    batch = {
+        (r["click_id"], r["purchase_id"]): r["delay_s"]
+        for r in strm.attribution_join(events_batch, interval_minutes=120).collect()
+    }
+    sdf = strm.attribution_join(
+        strm.read_events_stream(spark, sf_dir),
+        strm.read_events_stream(spark, sf_dir),
+        interval_minutes=120,
+        streaming=True,
+    )
+    _run_stream(sdf, "attrib", mode="append")
+    got = {
+        (r["click_id"], r["purchase_id"]): r["delay_s"]
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert len(batch) > 0 and got == batch
