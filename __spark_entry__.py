@@ -1644,6 +1644,20 @@ def samp_pack_sequences(spark, sf_dir):
 
 
 @q(
+    "text_hashing_tf",
+    # feature hashing: md5-bucketed term counts, no vocabulary pass
+    "SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS feature, "
+    "COUNT(*) AS tf FROM (SELECT doc_id, unnest(list_filter("
+    "string_split(text, ' '), x -> x != '')) AS t FROM documents) "
+    "GROUP BY 1, 2",
+)
+def text_hashing_tf(spark, sf_dir):
+    """Hashing-trick sparse vectorizer (text.hashing_tf): fixed-width
+    features with zero vocabulary scans or broadcasts."""
+    return text.hashing_tf(_ds(spark, sf_dir).documents, n_features=1024)
+
+
+@q(
     "samp_stratified",
     "WITH s AS (SELECT doc_id, lang, "
     "ROW_NUMBER() OVER (PARTITION BY lang "
@@ -2005,6 +2019,37 @@ def dedup_semdedup(spark, sf_dir):
     dedup — the cluster bounds the quadratic pair work the way LSH
     bands do for minhash (dedup.semdedup)."""
     return dedup.semdedup(_ds(spark, sf_dir).embeddings, k=4, eps=0.62)
+
+
+@q(
+    "ml_nb_scores",
+    # multinomial naive Bayes (add-one smoothing) per-(doc, class)
+    # log-scores; expression shapes mirror the Spark side exactly
+    "WITH words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "labs AS (SELECT doc_id, lang AS cls FROM documents), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "vv AS (SELECT COUNT(DISTINCT term) AS v FROM words), "
+    "pri AS (SELECT cls, COUNT(*) AS n_c FROM labs GROUP BY cls), "
+    "ctt AS (SELECT cls, term, COUNT(*) AS ct FROM words "
+    "JOIN labs USING (doc_id) GROUP BY 1, 2), "
+    "tc AS (SELECT cls, SUM(ct) AS tc FROM ctt GROUP BY cls), "
+    "dim AS (SELECT pri.cls, n_c, tc FROM pri JOIN tc USING (cls)) "
+    "SELECT w.doc_id, d.cls, "
+    "ROUND(SUM(LN((COALESCE(ctt.ct, 0) + 1) / "
+    "CAST(d.tc + (SELECT v FROM vv) AS DOUBLE))) "
+    "+ LN(d.n_c / CAST((SELECT n FROM nd) AS DOUBLE)), 6) AS score "
+    "FROM words w CROSS JOIN dim d "
+    "LEFT JOIN ctt ON ctt.cls = d.cls AND ctt.term = w.term "
+    "GROUP BY w.doc_id, d.cls, d.n_c",
+)
+def ml_nb_scores(spark, sf_dir):
+    """Multinomial naive Bayes log-scores per (doc, class)
+    (ml.supervised.naive_bayes_scores) — bag-of-words text
+    classification as pure aggregations."""
+    from scarf_spark.ml import supervised
+
+    return supervised.naive_bayes_scores(_ds(spark, sf_dir).documents)
 
 
 @q("ml_louvain")  # weak: community detection runs driver-side (networkx, seeded)

@@ -292,6 +292,8 @@ def _extra_headliners() -> set[str]:
         "sketch_cms",
         "stream_enrich",
         "stream_join_attrib",
+        "text_hashing_tf",
+        "ml_nb_scores",
     }
 
 

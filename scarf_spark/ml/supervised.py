@@ -129,3 +129,63 @@ def centroid_classify(
     return pred.groupBy(F.col("y").alias("true_label"), F.col("pred").alias("pred_label")).agg(
         F.count("*").alias("n")
     )
+
+
+def naive_bayes_scores(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial naive Bayes with add-one smoothing, trained on the
+    labeled corpus and scoring EVERY doc against EVERY class — the
+    classic bag-of-words text classifier (McCallum & Nigam 1998) as
+    three hash aggregations and one per-(class, term) join. Emits the
+    per-(doc, class) log-score rather than an argmax: scores are
+    ROUND(6)-stable across engines, argmax on a float knife-edge is
+    not (the same determinism boundary SURVEY §8 draws), and the
+    classification is a trivial consumer-side top-1.
+
+    Scale shape: the class-conditional term table is |V|·C rows —
+    partial-agg'd map-side, joined on term (Catalyst broadcasts it
+    while it fits); the corpus-sized word table shuffles once for the
+    per-doc score sum. Priors and vocabulary size ride along as
+    literals (exact integers)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("term"),
+    ).persist()
+    labs = docs.select(F.col(id_col), F.col(label_col).alias("cls"))
+    n_docs = docs.count()
+    v = words.select("term").distinct().count()
+    priors = labs.groupBy("cls").agg(F.count("*").alias("n_c"))
+    wl = words.join(labs, id_col)
+    cls_tok = wl.groupBy("cls", "term").agg(F.count("*").alias("ct")).persist()
+    tot_tok = cls_tok.groupBy("cls").agg(F.sum("ct").alias("tc"))
+    cls_dim = priors.join(tot_tok, "cls")
+    scored = (
+        words.crossJoin(F.broadcast(cls_dim))
+        .join(cls_tok, ["cls", "term"], "left_outer")
+        .select(
+            id_col,
+            "cls",
+            "n_c",
+            "tc",
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                / (F.col("tc") + F.lit(v)).cast("double")
+            ).alias("_ll"),
+        )
+    )
+    return (
+        scored.groupBy(id_col, "cls")
+        .agg(
+            (
+                F.sum("_ll")
+                + F.log(F.first("n_c") / F.lit(float(n_docs)))
+            ).alias("_s")
+        )
+        .select(id_col, "cls", F.round("_s", 6).alias("score"))
+    )

@@ -589,3 +589,31 @@ def repetition_stats(
             F.round(1.0 - F.col("_tu") / F.col("_tt").cast("double"), 6),
         ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
     )
+
+
+def hashing_tf(
+    docs: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009;
+    Spark MLlib's HashingTF): map each term to one of ``n_features``
+    buckets by hash and count occurrences — the fixed-width sparse
+    vectorizer that needs NO vocabulary pass, which is why it is the
+    standard first step of a corpus-scale text-ML pipeline (a
+    vocabulary dictionary is a second full scan plus a giant broadcast;
+    the hash needs neither).
+
+    Uses the portable md5-based hash (engine-reproducible, unlike
+    MLlib's murmur3 seed) and emits the sparse COO form
+    (doc_id, feature, tf) — explode + one (doc, feature)-keyed
+    map-side-combined aggregation; output rows ≤ distinct terms per
+    doc regardless of n_features."""
+    tok = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("_t"))
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    return (
+        tok.select(F.col(id_col), F.pmod(h, F.lit(n_features)).alias("feature"))
+        .groupBy(id_col, "feature")
+        .agg(F.count("*").alias("tf"))
+    )

@@ -84,3 +84,36 @@ def test_cms_never_underestimates_and_bounded_state(spark):
     for r in out:  # CMS property: min-over-rows never underestimates
         assert r["est_cnt"] >= r["exact_cnt"]
         assert r["overestimate"] == r["est_cnt"] - r["exact_cnt"]
+
+
+def test_hashing_tf_counts_and_width(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    out = text.hashing_tf(docs, n_features=16).collect()
+    assert sum(r["tf"] for r in out if r["doc_id"] == 1) == 3
+    assert all(0 <= r["feature"] < 16 for r in out)
+    # same term -> same bucket across docs (hash is stateless)
+    b = {(r["doc_id"], r["feature"]): r["tf"] for r in out}
+    shared = [f for (d, f) in b if d == 1] and [f for (d, f) in b if d == 2]
+    assert shared  # doc 2's 'b' bucket appears in doc 1's buckets too
+
+
+def test_naive_bayes_separates_obvious_classes(spark):
+    from scarf_spark.ml import supervised
+
+    rows = [(i, "spam spam offer money", "spam") for i in range(5)]
+    rows += [(10 + i, "meeting notes agenda plan", "work") for i in range(5)]
+    rows += [(100, "spam offer", "spam"), (101, "agenda plan notes", "work")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from pyspark.sql import Window
+
+    out = supervised.naive_bayes_scores(docs)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls")
+    best = {
+        r["doc_id"]: r["cls"]
+        for r in out.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+    assert best[100] == "spam" and best[101] == "work"
