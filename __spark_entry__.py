@@ -4484,6 +4484,66 @@ def sql_q5(spark, sf_dir):
     return _sql_query(spark, sf_dir, _SQL_Q5)
 
 
+# TPC-H Q17 shape: correlated scalar subquery per part (0.2 × that
+# part's average quantity). Catalyst decorrelates it into an aggregate
+# + self-join on l_partkey — at 100 TB the rewrite is the difference
+# between one extra shuffle and a per-row subquery storm. DECIMAL sum.
+_SQL_Q17 = (
+    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+    "/ 7.0, 6) AS avg_yearly "
+    "FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#9' "
+    "AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_partkey = p_partkey)"
+)
+
+
+@q("sql_q17", _SQL_Q17)
+def sql_q17(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q17)
+
+
+# TPC-H Q18 shape: large-volume orders via IN over a HAVING aggregate.
+# Catalyst plans the IN as a left-semi join against the aggregated
+# order list — the fact table is filtered BEFORE the 3-way join.
+_SQL_Q18 = (
+    "SELECT c_custkey, c_name, o_orderkey, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, c_name, o_orderkey"
+)
+
+
+@q("sql_q18", _SQL_Q18)
+def sql_q18(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q18)
+
+
+# TPC-H Q10 shape: returned-item revenue, top 20 customers. DECIMAL
+# revenue is exact so the ORDER BY + LIMIT cut replays across engines
+# (c_custkey tie-break).
+_SQL_Q10 = (
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+    "AS DOUBLE) AS revenue "
+    "FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' "
+    "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+@q("sql_q10", _SQL_Q10)
+def sql_q10(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q10)
+
+
 @q(
     "norm_pearson_residual",
     f"WITH {COUNTS_CTE}, "

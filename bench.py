@@ -294,6 +294,9 @@ def _extra_headliners() -> set[str]:
         "stream_join_attrib",
         "text_hashing_tf",
         "ml_nb_scores",
+        "sql_q17",
+        "sql_q18",
+        "sql_q10",
     }
 
 
