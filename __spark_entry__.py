@@ -2022,6 +2022,53 @@ def dedup_semdedup(spark, sf_dir):
 
 
 @q(
+    "ml_quality_logreg",
+    # sparse logistic regression over 64 hashed features predicting
+    # lang='en' (the fastText-style curation classifier): two unrolled
+    # GD steps, expression shapes mirroring the Spark side; the bias
+    # is the only driver scalar (staged-literal dataflow)
+    "WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "coo AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS f, "
+    "CAST(COUNT(*) AS DOUBLE) AS v FROM t GROUP BY 1, 2), "
+    "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y "
+    "FROM documents), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM lab), "
+    "feats AS (SELECT DISTINCT f FROM coo), "
+    "e1 AS (SELECT doc_id, 0.5 - y AS e FROM lab), "
+    "g1 AS (SELECT coo.f, SUM(coo.v * e1.e) / (SELECT cnt FROM n) AS g "
+    "FROM coo JOIN e1 USING (doc_id) GROUP BY coo.f), "
+    "w1 AS (SELECT feats.f, 0.0 - 0.5 * COALESCE(g1.g, 0.0) AS w "
+    "FROM feats LEFT JOIN g1 USING (f)), "
+    "b1 AS (SELECT 0.0 - 0.5 * AVG(e) AS b FROM e1), "
+    "z2 AS (SELECT coo.doc_id, SUM(coo.v * w1.w) AS z FROM coo "
+    "JOIN w1 USING (f) GROUP BY coo.doc_id), "
+    "e2 AS (SELECT lab.doc_id, 1.0 / (1.0 + EXP(-(COALESCE(z2.z, 0.0) "
+    "+ (SELECT b FROM b1)))) - y AS e FROM lab LEFT JOIN z2 USING (doc_id)), "
+    "g2 AS (SELECT coo.f, SUM(coo.v * e2.e) / (SELECT cnt FROM n) AS g "
+    "FROM coo JOIN e2 USING (doc_id) GROUP BY coo.f), "
+    "w2 AS (SELECT w1.f, w1.w - 0.5 * COALESCE(g2.g, 0.0) AS w "
+    "FROM w1 LEFT JOIN g2 USING (f)), "
+    "b2 AS (SELECT (SELECT b FROM b1) - 0.5 * AVG(e) AS b FROM e2) "
+    "SELECT CAST(-1 AS BIGINT) AS d, ROUND(b, 6) AS w FROM b2 "
+    "UNION ALL SELECT f AS d, ROUND(w, 6) FROM w2",
+)
+def ml_quality_logreg(spark, sf_dir):
+    """Sparse hashed-feature logistic regression (fastText-style
+    quality classifier): hashing_tf -> fully-distributed GD where the
+    weight vector is a feature-keyed DataFrame
+    (ml.supervised.logreg_gd_sparse)."""
+    from scarf_spark.ml import supervised
+
+    docs = _ds(spark, sf_dir).documents
+    feats = text.hashing_tf(docs, n_features=64)
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    return supervised.logreg_gd_sparse(feats, labels, n_iter=2, lr=0.5)
+
+
+@q(
     "ml_nb_scores",
     # multinomial naive Bayes (add-one smoothing) per-(doc, class)
     # log-scores; expression shapes mirror the Spark side exactly

@@ -297,6 +297,7 @@ def _extra_headliners() -> set[str]:
         "sql_q17",
         "sql_q18",
         "sql_q10",
+        "ml_quality_logreg",
     }
 
 

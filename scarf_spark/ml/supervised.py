@@ -189,3 +189,82 @@ def naive_bayes_scores(
         )
         .select(id_col, "cls", F.round("_s", 6).alias("score"))
     )
+
+
+def logreg_gd_sparse(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_iter: int = 2,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    feat_col: str = "feature",
+    val_col: str = "tf",
+    label_col: str = "y",
+) -> DataFrame:
+    """Full-batch GD logistic regression over SPARSE hashed features
+    (COO input, e.g. :func:`scarf_spark.operators.text.hashing_tf`) —
+    the fastText-style quality/domain classifier a data-curation
+    pipeline trains over billions of docs. Unlike :func:`logreg_gd`
+    (dense, driver-held 64-float weight vector), the weight vector here
+    IS a feature-keyed DataFrame: logits are a join + per-doc sum,
+    gradients a join + per-feature sum — two shuffles per step, and
+    the weights never leave the cluster, which is the shape that holds
+    at 2^20+ hashed features where a driver vector would not.
+
+    Only the scalar bias crosses the driver per step (one AVG — the
+    collected float re-enters as a literal, the staged-dataflow
+    pattern the oracle replays exactly). Missing features stay
+    implicitly zero on both the logit and gradient side. The weight
+    table is localCheckpoint()ed per step: it feeds two joins in the
+    next iteration, the exponential-lineage shape persist cannot cut.
+
+    Returns (d, w): final weight per feature, bias as d = -1,
+    ROUND(6) so the run replays across engines."""
+    f = feats.select(
+        F.col(id_col).alias("_id"),
+        F.col(feat_col).cast("long").alias("_f"),
+        F.col(val_col).cast("double").alias("_v"),
+    ).persist()
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("double").alias("_y")
+    ).persist()
+    n = lab.count()
+    w = f.select("_f").distinct().select("_f", F.lit(0.0).alias("_w")).persist()
+    b = 0.0
+    for _ in range(n_iter):
+        z = (
+            f.join(w, "_f")
+            .groupBy("_id")
+            .agg(F.sum(F.col("_v") * F.col("_w")).alias("_z"))
+        )
+        err = (
+            lab.join(z, "_id", "left_outer")
+            .select(
+                "_id",
+                (
+                    1.0
+                    / (1.0 + F.exp(-(F.coalesce("_z", F.lit(0.0)) + F.lit(b))))
+                    - F.col("_y")
+                ).alias("_e"),
+            )
+            .persist()
+        )
+        grad = (
+            f.join(err, "_id")
+            .groupBy("_f")
+            .agg((F.sum(F.col("_v") * F.col("_e")) / F.lit(float(n))).alias("_g"))
+        )
+        w = (
+            w.join(grad, "_f", "left_outer")
+            .select(
+                "_f",
+                (F.col("_w") - F.lit(lr) * F.coalesce("_g", F.lit(0.0))).alias("_w"),
+            )
+            .localCheckpoint()
+        )
+        b = float(b - lr * err.agg(F.avg("_e")).collect()[0][0])
+    spark = feats.sparkSession
+    bias = spark.createDataFrame([(-1, b)], "d long, w double")
+    return bias.select("d", F.round("w", 6).alias("w")).unionAll(
+        w.select(F.col("_f").alias("d"), F.round("_w", 6).alias("w"))
+    )

@@ -117,3 +117,20 @@ def test_naive_bayes_separates_obvious_classes(spark):
         .collect()
     }
     assert best[100] == "spam" and best[101] == "work"
+
+
+def test_sparse_logreg_learns_signed_weights(spark):
+    from scarf_spark.ml import supervised
+
+    rows = [(i, "good", 1.0) for i in range(10)] + [
+        (100 + i, "bad", 0.0) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    feats = text.hashing_tf(docs, n_features=16)
+    out = supervised.logreg_gd_sparse(
+        feats, docs.select("doc_id", "y"), n_iter=3, lr=0.5
+    )
+    w = {r["d"]: r["w"] for r in out.collect()}
+    good_b = [r["feature"] for r in feats.where("doc_id = 0").collect()][0]
+    bad_b = [r["feature"] for r in feats.where("doc_id = 100").collect()][0]
+    assert w[good_b] > 0 > w[bad_b]
