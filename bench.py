@@ -51,6 +51,22 @@ def main() -> None:
         names = [n for n in names if n in only] + [
             n for n in only if n in qs and n not in names
         ]
+    # LPT-style stream schedule: submit the known-heavy queries FIRST
+    # so the concurrent stream doesn't end on a single long straggler
+    # (classic longest-processing-time bound: wall <= serial/threads +
+    # longest job). The list is from serial sf0.1 measurements; a
+    # mis-listed query only costs schedule quality, never correctness.
+    heavy = [
+        "text_minhash_cluster", "mark_stats", "graph_modularity",
+        "graph_components", "ann_ivfpq", "ml_quality_logreg",
+        "dedup_ngram_jaccard", "src_zarr_counts", "agg_cooccur_hvg",
+        "dedup_incremental", "ml_wnn", "graph_pagerank", "graph_kcore",
+        "dedup_semdedup", "qc_percent_feature", "mm_phash_dedup",
+        "dedup_minhash_bands", "norm_robust_scale", "ml_silhouette",
+    ]
+    names = [n for n in heavy if n in names] + [
+        n for n in names if n not in heavy
+    ]
     # warm-up: touch each parquet input, then exercise one shuffle, one
     # window, and one Python-worker stage so the first measured queries
     # see a steady-state JVM (codegen JIT, shuffle service, Arrow
