@@ -2022,6 +2022,71 @@ def dedup_semdedup(spark, sf_dir):
 
 
 @q(
+    "ml_auc",
+    # Mann-Whitney AUC from per-distinct-score aggregates — the only
+    # window runs over distinct scores, never corpus rows
+    "WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS s, "
+    "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents), "
+    "g AS (SELECT s, SUM(y) AS np, COUNT(*) - SUM(y) AS nn FROM s GROUP BY s), "
+    "per AS (SELECT np, nn, SUM(nn) OVER (ORDER BY s) - nn AS below FROM g), "
+    "tot AS (SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg, "
+    "SUM(np * below + 0.5 * np * nn) AS num FROM per) "
+    "SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, "
+    "ROUND(num / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc FROM tot",
+)
+def ml_auc(spark, sf_dir):
+    """ROC AUC of doc length as an is-English predictor
+    (ml.metrics.auc): rank-free Mann-Whitney identity over tie-group
+    aggregates."""
+    from scarf_spark.ml import metrics as mlmetrics
+
+    docs = _ds(spark, sf_dir).documents
+    return mlmetrics.auc(
+        docs.select(
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        ),
+        "score",
+        "y",
+    )
+
+
+@q(
+    "qc_drift_psi",
+    # PSI drift between the user_id-parity halves of the events value
+    # column: shared equal-width bins, Laplace-smoothed shares
+    "WITH v AS (SELECT value AS v, user_id % 2 AS grp FROM events), "
+    "ext AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v), "
+    "binz AS (SELECT grp, CASE WHEN hi > lo THEN "
+    "LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 10) AS BIGINT), 9) "
+    "ELSE 0 END AS bin FROM v, ext), "
+    "ca AS (SELECT bin, COUNT(*) AS n_a FROM binz WHERE grp = 0 GROUP BY bin), "
+    "cb AS (SELECT bin, COUNT(*) AS n_b FROM binz WHERE grp = 1 GROUP BY bin), "
+    "nt AS (SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na, "
+    "SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb FROM v), "
+    "bins AS (SELECT UNNEST(range(0, 10)) AS bin) "
+    "SELECT bins.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, "
+    "ROUND(((COALESCE(n_a, 0) + 1) / CAST(na + 10 AS DOUBLE) "
+    "- (COALESCE(n_b, 0) + 1) / CAST(nb + 10 AS DOUBLE)) "
+    "* LN(((COALESCE(n_a, 0) + 1) / CAST(na + 10 AS DOUBLE)) "
+    "/ ((COALESCE(n_b, 0) + 1) / CAST(nb + 10 AS DOUBLE))), 6) AS psi_term "
+    "FROM bins LEFT JOIN ca ON bins.bin = ca.bin "
+    "LEFT JOIN cb ON bins.bin = cb.bin, nt",
+)
+def qc_drift_psi(spark, sf_dir):
+    """Population-stability drift between the user-parity halves of the
+    event value distribution (qc.psi_drift): two scans, constant
+    n_bins state."""
+    ev = _ds(spark, sf_dir).events
+    return qc.psi_drift(
+        ev.where(F.col("user_id") % 2 == 0),
+        ev.where(F.col("user_id") % 2 == 1),
+        "value",
+        n_bins=10,
+    )
+
+
+@q(
     "ml_quality_logreg",
     # sparse logistic regression over 64 hashed features predicting
     # lang='en' (the fastText-style curation classifier): two unrolled

@@ -314,6 +314,8 @@ def _extra_headliners() -> set[str]:
         "sql_q18",
         "sql_q10",
         "ml_quality_logreg",
+        "ml_auc",
+        "qc_drift_psi",
     }
 
 

@@ -263,3 +263,50 @@ def silhouette_exact(vec: DataFrame, id_col: str = "vec_id", vec_col: str = "v",
     return per.select(
         F.col("pid").alias(id_col), F.round(s, 6).alias("silhouette")
     )
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC AUC via the Mann-Whitney identity — NO per-row global
+    ranking: AUC = [#(pos > neg pairs) + ½·#(tied pairs)] / (n⁺·n⁻),
+    computed from per-distinct-score (n⁺ₛ, n⁻ₛ) aggregates. The only
+    window runs over the DISTINCT-SCORE table (one row per score
+    value — bounded by the score codomain, not the corpus), so the
+    metric scales where a global rank window would collapse to one
+    task. All counts are integers and the pair sums are dyadic
+    halves — exact in double on any engine.
+
+    Returns one row: (n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    g = s.groupBy("_s").agg(
+        F.sum("_y").alias("_np"),
+        (F.count("*") - F.sum("_y")).alias("_nn"),
+    )
+    w = Window.orderBy("_s")
+    per = g.select(
+        "_np",
+        "_nn",
+        (F.sum("_nn").over(w) - F.col("_nn")).alias("_below"),
+    )
+    tot = per.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.sum(
+            F.col("_np") * F.col("_below") + 0.5 * F.col("_np") * F.col("_nn")
+        ).alias("_num"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("_num") / (F.col("n_pos") * F.col("n_neg")).cast("double"), 6
+        ).alias("auc"),
+    )

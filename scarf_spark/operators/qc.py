@@ -117,3 +117,61 @@ def clr_geo_mean(counts: DataFrame, n_cells: int, out: str = "geo_mean") -> Data
     return counts.groupBy("feat_id").agg(
         F.round(F.exp(F.sum(F.log1p("value")) / F.lit(float(n_cells))), 6).alias(out)
     )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    column — the standard train/serve drift monitor. Equal-width bins
+    over the UNION's [min, max] (one tiny agg, broadcast back);
+    Laplace-smoothed bin shares p, q (+1 on counts, so empty bins stay
+    defined); per-bin term (p−q)·ln(p/q).
+
+    Both inputs make one pass each (a bin is a pure projection the scan
+    absorbs) into an n_bins-row aggregate — drift over a 100 TB pair of
+    snapshots costs two scans and a constant-size state. Emits per-bin
+    (bin, n_a, n_b, psi_term); total PSI = SUM(psi_term)."""
+    va = a.select(F.col(value_col).cast("double").alias("_v"))
+    vb = b.select(F.col(value_col).cast("double").alias("_v"))
+    ext = va.unionAll(vb).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        bin_ = F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("_v") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(n_bins)
+                ),
+                F.lit(n_bins - 1),
+            ),
+        ).otherwise(F.lit(0))
+        return df.crossJoin(F.broadcast(ext)).select(bin_.alias("bin")).groupBy(
+            "bin"
+        ).agg(F.count("*").alias(out))
+
+    ca, cb = binned(va, "n_a"), binned(vb, "n_b")
+    bins = (
+        a.sparkSession.range(n_bins)
+        .select(F.col("id").alias("bin"))
+        .join(ca, "bin", "left_outer")
+        .join(cb, "bin", "left_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+    )
+    na = va.count()
+    nb = vb.count()
+    p = (F.col("n_a") + 1) / F.lit(float(na + n_bins))
+    qq = (F.col("n_b") + 1) / F.lit(float(nb + n_bins))
+    return bins.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((p - qq) * F.log(p / qq), 6).alias("psi_term"),
+    )

@@ -134,3 +134,28 @@ def test_sparse_logreg_learns_signed_weights(spark):
     good_b = [r["feature"] for r in feats.where("doc_id = 0").collect()][0]
     bad_b = [r["feature"] for r in feats.where("doc_id = 100").collect()][0]
     assert w[good_b] > 0 > w[bad_b]
+
+
+def test_auc_known_values(spark):
+    from scarf_spark.ml import metrics as mlmetrics
+
+    # perfect separation -> 1.0
+    rows = [(float(i), 1) for i in range(10, 15)] + [(float(i), 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = mlmetrics.auc(df, "score", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (5, 5, 1.0)
+    # all-tied scores -> 0.5 exactly (tie credit is dyadic)
+    df2 = spark.createDataFrame(
+        [(1.0, 1)] * 4 + [(1.0, 0)] * 6, "score double, y int"
+    )
+    assert mlmetrics.auc(df2, "score", "y").collect()[0]["auc"] == 0.5
+
+
+def test_psi_zero_for_identical_samples(spark):
+    from scarf_spark.operators import qc
+
+    df = spark.createDataFrame([(float(i % 20),) for i in range(200)], "v double")
+    out = qc.psi_drift(df, df, "v", n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r["psi_term"] == 0.0 for r in out)  # p == q bin-for-bin
+    assert sum(r["n_a"] for r in out) == 200

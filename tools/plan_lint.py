@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # query name -> reason a flagged node is size-bounded and acceptable
 ALLOWED: dict[str, str] = {
+    "ml_auc": (
+        "cumulative window runs over the per-DISTINCT-SCORE aggregate "
+        "(one row per score value, bounded by the score codomain — "
+        "n_chars here), never corpus rows"
+    ),
     "ml_hvg_binned": "rank window runs AFTER .limit(top_n): constant-size input",
     "win_top_n": "TakeOrderedAndProject only; flagged node is over <= n rows",
     "win_ntile_bins": (
