@@ -4019,6 +4019,46 @@ def sketch_kmv(spark, sf_dir):
 
 
 @q(
+    "sort_zorder",
+    # Morton/Z-order clustering key over (user_id, value): quantize to
+    # 16 bits over [min,max], interleave with the 4-step magic-number
+    # spread — all-integer, bit-exact on any engine
+    "WITH ext AS (SELECT MIN(CAST(user_id AS DOUBLE)) AS alo, "
+    "MAX(CAST(user_id AS DOUBLE)) AS ahi, "
+    "MIN(value) AS blo, MAX(value) AS bhi FROM events), "
+    "qz AS (SELECT event_id, "
+    "CASE WHEN ahi > alo THEN LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - alo) "
+    "/ (ahi - alo) * 65536) AS BIGINT), 65535) ELSE 0 END AS qa, "
+    "CASE WHEN bhi > blo THEN LEAST(CAST(FLOOR((value - blo) "
+    "/ (bhi - blo) * 65536) AS BIGINT), 65535) ELSE 0 END AS qb "
+    "FROM events, ext), "
+    "s1 AS (SELECT event_id, qa, qb, "
+    "((qa | (qa << 8)) & 16711935) AS xa, ((qb | (qb << 8)) & 16711935) AS xb "
+    "FROM qz), "
+    "s2 AS (SELECT event_id, qa, qb, "
+    "((xa | (xa << 4)) & 252645135) AS xa, ((xb | (xb << 4)) & 252645135) AS xb "
+    "FROM s1), "
+    "s3 AS (SELECT event_id, qa, qb, "
+    "((xa | (xa << 2)) & 858993459) AS xa, ((xb | (xb << 2)) & 858993459) AS xb "
+    "FROM s2), "
+    "s4 AS (SELECT event_id, qa, qb, "
+    "((xa | (xa << 1)) & 1431655765) AS sa, ((xb | (xb << 1)) & 1431655765) AS sb "
+    "FROM s3) "
+    "SELECT event_id, qa, qb, ((sa << 1) | sb) AS zval FROM s4",
+)
+def sort_zorder(spark, sf_dir):
+    """Z-order clustering key (windows.zorder_key): the layout key for
+    two-dimensional min/max file pruning — pure projection plus one
+    broadcast extent row."""
+    from scarf_spark.operators import windows
+
+    ev = _ds(spark, sf_dir).events
+    return windows.zorder_key(ev, "user_id", "value").select(
+        "event_id", "qa", "qb", "zval"
+    )
+
+
+@q(
     "sketch_cms",
     # count-min heavy hitters over corpus words: d=4 md5 hash rows of
     # w=64 buckets; estimate = MIN over rows of bucket counts; top-20

@@ -316,6 +316,7 @@ def _extra_headliners() -> set[str]:
         "ml_quality_logreg",
         "ml_auc",
         "qc_drift_psi",
+        "sort_zorder",
     }
 
 

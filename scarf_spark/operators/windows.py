@@ -489,3 +489,67 @@ def daily_anomaly(
             F.when(sd > 0, (F.col("n") - mu) / sd).otherwise(F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+) -> "DataFrame":
+    """Z-order (Morton) clustering key over two numeric columns — the
+    multi-dimensional sort key behind file-skipping layouts (Delta/
+    Iceberg OPTIMIZE ZORDER): rows close in BOTH dimensions land close
+    in the one-dimensional order, so min/max footer pruning works for
+    predicates on either column after a range-write on the key.
+
+    Each column is quantized to ``bits`` levels over its [min, max]
+    (one tiny agg broadcast back — same shape as qc.psi_drift's bins),
+    then bit-interleaved with the 4-step magic-number spread (O(log
+    bits) integer ops that stay inside codegen, instead of a 2·bits-
+    term unrolled expression that would fall out of it). Pure
+    projection + one broadcast: the key derivation adds no shuffle;
+    the write that uses it pays the one range-partition sort any
+    clustered layout costs. Deterministic integer math end-to-end —
+    the oracle replays it bit-for-bit."""
+    ext = df.agg(
+        F.min(F.col(col_a).cast("double")).alias("_alo"),
+        F.max(F.col(col_a).cast("double")).alias("_ahi"),
+        F.min(F.col(col_b).cast("double")).alias("_blo"),
+        F.max(F.col(col_b).cast("double")).alias("_bhi"),
+    )
+    top = (1 << bits) - 1
+
+    def quant(c: str, lo: str, hi: str):
+        return F.when(
+            F.col(hi) > F.col(lo),
+            F.least(
+                F.floor(
+                    (F.col(c).cast("double") - F.col(lo))
+                    / (F.col(hi) - F.col(lo))
+                    * F.lit(1 << bits)
+                ),
+                F.lit(top),
+            ),
+        ).otherwise(F.lit(0)).cast("long")
+
+    def spread(col):  # 16-bit -> even bit positions of 32
+        x = col.bitwiseAND(F.lit(0x0000FFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        return (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+
+    out = df.crossJoin(F.broadcast(ext)).select(
+        *df.columns,
+        quant(col_a, "_alo", "_ahi").alias("qa"),
+        quant(col_b, "_blo", "_bhi").alias("qb"),
+    )
+    return out.select(
+        *df.columns,
+        "qa",
+        "qb",
+        F.shiftleft(spread(F.col("qa")), 1)
+        .bitwiseOR(spread(F.col("qb")))
+        .alias("zval"),
+    )

@@ -159,3 +159,19 @@ def test_psi_zero_for_identical_samples(spark):
     assert len(out) == 10
     assert all(r["psi_term"] == 0.0 for r in out)  # p == q bin-for-bin
     assert sum(r["n_a"] for r in out) == 200
+
+
+def test_zorder_interleaves_bits(spark):
+    from scarf_spark.operators import windows
+
+    # corners of a 2x2 grid: z-order must sort as (0,0),(0,1),(1,0),(1,1)
+    # when a is the high bit — and equal-valued dims give qa == qb
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0), (4, 1.0, 1.0)],
+        "id long, a double, b double",
+    )
+    out = {r["id"]: r for r in windows.zorder_key(df, "a", "b").collect()}
+    assert out[1]["zval"] < out[2]["zval"] < out[3]["zval"] < out[4]["zval"]
+    # bit-spread correctness: quantized max (65535) spreads to
+    # 0x55555555, so z of (max, max) is 0xFFFFFFFF
+    assert out[4]["zval"] == 0xFFFFFFFF
