@@ -1658,6 +1658,51 @@ def text_hashing_tf(spark, sf_dir):
 
 
 @q(
+    "samp_mixture",
+    # explicit per-source budgets (the training-data recipe step);
+    # seedless md5 order makes smaller budgets nested subsets of
+    # larger ones; fr's budget exceeds availability -> takes all 64
+    "WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents) "
+    "SELECT doc_id, lang FROM r WHERE rn <= CASE lang "
+    "WHEN 'en' THEN 100 WHEN 'de' THEN 40 WHEN 'fr' THEN 100 "
+    "WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END",
+)
+def samp_mixture(spark, sf_dir):
+    """Data-recipe mixing with explicit per-source budgets
+    (filters.mixture_sample) — nested, engine-reproducible draws."""
+    docs = _ds(spark, sf_dir).documents.select("doc_id", "lang")
+    return filters.mixture_sample(
+        docs, "lang", {"en": 100, "de": 40, "fr": 100, "es": 20, "zh": 10},
+        "doc_id",
+    )
+
+
+@q(
+    "text_zipf_fit",
+    # Zipf diagnostic: OLS of ln(freq) on ln(rank) over the top-100
+    # terms; identical expression shapes both sides
+    "WITH tt AS (SELECT unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "c AS (SELECT term, COUNT(*) AS cnt FROM tt GROUP BY term), "
+    "top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100), "
+    "pts AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) "
+    "AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y FROM top), "
+    "a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts) "
+    "SELECT CAST(n AS BIGINT) AS n_top, "
+    "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
+    "ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) "
+    "AS intercept FROM a",
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law corpus diagnostic (text.zipf_fit): top-k head via
+    TakeOrderedAndProject, constant-size OLS."""
+    return text.zipf_fit(_ds(spark, sf_dir).documents, n_top=100)
+
+
+@q(
     "samp_stratified",
     "WITH s AS (SELECT doc_id, lang, "
     "ROW_NUMBER() OVER (PARTITION BY lang "

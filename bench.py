@@ -317,6 +317,8 @@ def _extra_headliners() -> set[str]:
         "ml_auc",
         "qc_drift_psi",
         "sort_zorder",
+        "samp_mixture",
+        "text_zipf_fit",
     }
 
 

@@ -354,3 +354,37 @@ def pack_sequences(
         F.expr(f"start_off div {int(budget)}").alias("seq_id"),
         "start_off",
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+) -> DataFrame:
+    """Corpus mixing with EXPLICIT per-source budgets — the "data
+    recipe" step of training-set assembly (N docs from source A, M from
+    B, ...), the fixed-count sibling of fraction-based
+    :func:`stratified_sample` and ratio-based :func:`temperature_sample`.
+    Selection per source is the first ``budget`` rows in seedless
+    (md5(id), id) order, so the draw is engine-reproducible and
+    shrinking one budget yields a SUBSET of the larger draw (nested
+    samples — what you want when ablating data recipes).
+
+    One window shuffle on the group key; a source with fewer rows than
+    its budget contributes everything it has."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    take = F.coalesce(
+        *[
+            F.when(F.col(group_col) == k, F.lit(v))
+            for k, v in sorted(budgets.items())
+        ],
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= take)
+        .drop("_rn")
+    )

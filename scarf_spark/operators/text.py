@@ -617,3 +617,50 @@ def hashing_tf(
         .groupBy(id_col, "feature")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    n_top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(freq) against ln(rank) over
+    the top ``n_top`` terms — the corpus-health check (natural text
+    slopes ≈ −1; templated/boilerplate corpora deviate hard). The
+    ranking is a TakeOrderedAndProject top-k (distributed, never a
+    vocabulary-wide rank window) and the in-window ranking + OLS sums
+    run over the constant-size top list; at 100 TB the only
+    corpus-sized work is the one term-count aggregate.
+
+    Returns one row (n_top, slope, intercept), ROUND(6)."""
+    from pyspark.sql import Window
+
+    cnt = (
+        docs.select(F.explode(_words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), "term").limit(n_top)
+    w = Window.orderBy(F.col("cnt").desc(), "term")  # over <= n_top rows
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_top"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -175,3 +175,30 @@ def test_zorder_interleaves_bits(spark):
     # bit-spread correctness: quantized max (65535) spreads to
     # 0x55555555, so z of (max, max) is 0xFFFFFFFF
     assert out[4]["zval"] == 0xFFFFFFFF
+
+
+def test_mixture_sample_budgets_and_nesting(spark):
+    rows = [(i, "a" if i < 50 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    big = filters.mixture_sample(df, "src", {"a": 20, "b": 100}, "doc_id")
+    got = {r["src"]: 0 for r in big.collect()}
+    counts = {}
+    for r in big.collect():
+        counts[r["src"]] = counts.get(r["src"], 0) + 1
+    assert counts == {"a": 20, "b": 30}  # b capped by availability
+    # nested draws: the 10-budget selection is a subset of the 20-budget one
+    small = filters.mixture_sample(df, "src", {"a": 10, "b": 100}, "doc_id")
+    a_big = {r["doc_id"] for r in big.collect() if r["src"] == "a"}
+    a_small = {r["doc_id"] for r in small.collect() if r["src"] == "a"}
+    assert a_small < a_big
+
+
+def test_zipf_slope_recovers_power_law(spark):
+    # synthetic corpus with freq(term_r) ~ 1000/r: slope should be ~ -1
+    words = []
+    for r in range(1, 30):
+        words += [f"t{r:03d}"] * (1000 // r)
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = text.zipf_fit(docs, n_top=29).collect()[0]
+    assert out["n_top"] == 29
+    assert -1.05 < out["slope"] < -0.95

@@ -27,6 +27,7 @@ ALLOWED: dict[str, str] = {
         "n_chars here), never corpus rows"
     ),
     "ml_hvg_binned": "rank window runs AFTER .limit(top_n): constant-size input",
+    "text_zipf_fit": "rank window runs AFTER .limit(100): constant-size input",
     "win_top_n": "TakeOrderedAndProject only; flagged node is over <= n rows",
     "win_ntile_bins": (
         "global_ntile adaptive small branch: exact row count (from the "
