@@ -2097,6 +2097,26 @@ def ml_auc(spark, sf_dir):
 
 
 @q(
+    "qc_digest",
+    # order-free table digest: BIT_XOR of canonicalized 60-bit row
+    # hashes — partitioning/row-order invariant, shard-mergeable
+    "SELECT COUNT(*) AS n_rows, bit_xor(h) AS digest FROM ("
+    "SELECT ('0x' || substr(md5("
+    "COALESCE(CAST(event_id AS VARCHAR), chr(9216)) || chr(31) || "
+    "COALESCE(CAST(epoch_us(ts) AS VARCHAR), chr(9216)) || chr(31) || "
+    "COALESCE(CAST(user_id AS VARCHAR), chr(9216)) || chr(31) || "
+    "COALESCE(event_type, chr(9216)) || chr(31) || "
+    "COALESCE(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR), chr(9216)) "
+    "|| chr(31) || COALESCE(props, chr(9216))"
+    "), 1, 15))::BIGINT AS h FROM events)",
+)
+def qc_digest(spark, sf_dir):
+    """Dataset-versioning digest of the events table (qc.table_digest):
+    one scan, one exchanged row, dtype-canonical rendering."""
+    return qc.table_digest(_ds(spark, sf_dir).events)
+
+
+@q(
     "qc_drift_psi",
     # PSI drift between the user_id-parity halves of the events value
     # column: shared equal-width bins, Laplace-smoothed shares

@@ -319,6 +319,7 @@ def _extra_headliners() -> set[str]:
         "sort_zorder",
         "samp_mixture",
         "text_zipf_fit",
+        "qc_digest",
     }
 
 

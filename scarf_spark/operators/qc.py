@@ -175,3 +175,36 @@ def psi_drift(
         "n_b",
         F.round((p - qq) * F.log(p / qq), 6).alias("psi_term"),
     )
+
+
+def table_digest(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Order-free content digest of a table — the dataset-versioning /
+    lineage primitive: digest = BIT_XOR over rows of a 60-bit md5 row
+    hash. XOR is commutative and mergeable, so the digest is invariant
+    to partitioning and row order, shards combine by XOR, and comparing
+    two 100 TB snapshots costs one scan each and exchanges ONE row.
+
+    Rows are canonicalized per dtype before hashing so the rendering is
+    engine-portable: floats/doubles through DECIMAL(18,6) (fixed-point
+    string — engines disagree on shortest-round-trip float text),
+    timestamps as epoch microseconds, NULL as a sentinel distinct from
+    any value, fields joined with the 0x1f unit separator. Emits
+    (n_rows, digest)."""
+    cols = columns or df.columns
+    dt = dict(df.dtypes)
+    parts = []
+    for c in cols:
+        t = dt[c]
+        if t in ("double", "float"):
+            v = F.col(c).cast("decimal(18,6)").cast("string")
+        elif t.startswith("timestamp"):
+            v = F.unix_micros(F.col(c).cast("timestamp")).cast("string")
+        else:
+            v = F.col(c).cast("string")
+        parts.append(F.coalesce(v, F.lit("\u2400")))
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("\u001f", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(row_h.alias("_h")).agg(
+        F.count("*").alias("n_rows"), F.expr("bit_xor(_h)").alias("digest")
+    )

@@ -202,3 +202,28 @@ def test_zipf_slope_recovers_power_law(spark):
     out = text.zipf_fit(docs, n_top=29).collect()[0]
     assert out["n_top"] == 29
     assert -1.05 < out["slope"] < -0.95
+
+
+def test_table_digest_order_invariant_and_sensitive(spark):
+    from scarf_spark.operators import qc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 0.25)],
+        "id long, s string, v double",
+    )
+    d1 = qc.table_digest(df).collect()[0]
+    # row order / partitioning invariance
+    d2 = qc.table_digest(df.orderBy(F.desc("id")).repartition(7)).collect()[0]
+    assert (d1["n_rows"], d1["digest"]) == (d2["n_rows"], d2["digest"])
+    # content sensitivity: one changed value flips the digest
+    df3 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 0.26)],
+        "id long, s string, v double",
+    )
+    assert qc.table_digest(df3).collect()[0]["digest"] != d1["digest"]
+    # NULL is distinct from the empty string
+    df4 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "", 0.25)],
+        "id long, s string, v double",
+    )
+    assert qc.table_digest(df4).collect()[0]["digest"] != d1["digest"]
