@@ -183,6 +183,44 @@ def main() -> None:
 
     timed("zarr_roundtrip_2m", _zarr_roundtrip, results)
 
+    # 11. count-min sketch build+probe (round 7): the shuffle carries
+    # only the d*w=256-cell partial states regardless of n
+    from scarf_spark.operators.aggregate import cms_heavy_hitters
+
+    terms = spark.range(n).select(
+        ((F.col("id") * 48271) % 100_000).cast("string").alias("term")
+    )
+    timed("cms_heavy_hitters", cms_heavy_hitters(terms, "term", n_top=20), results)
+
+    # 12. sequence packing (round 7): one hash partition + per-bucket
+    # window cumsum over n docs
+    from scarf_spark.operators.filters import pack_sequences
+
+    docs_s = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("w w w w w w w w").alias("text")
+    )
+    timed(
+        "pack_sequences",
+        pack_sequences(docs_s, budget=4096, n_buckets=64),
+        results,
+    )
+
+    # 13. z-order keys (round 7): pure projection + one broadcast
+    # extent row — should run at scan speed
+    from scarf_spark.operators.windows import zorder_key
+
+    ev2 = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 7) % 100_000).alias("a"),
+        ((F.col("id") * 13) % 1_000).cast("double").alias("b"),
+    )
+    timed("zorder_keys", zorder_key(ev2, "a", "b"), results)
+
+    # 14. table digest (round 7): one scan into a single XOR-merged row
+    from scarf_spark.operators.qc import table_digest
+
+    timed("table_digest", table_digest(ev2), results)
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
