@@ -299,3 +299,58 @@ def test_attribution_stream_matches_batch(spark, sf_dir, events_batch):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert len(batch) > 0 and got == batch
+
+
+def test_incremental_dedup_stream_ingest(spark, tmp_path):
+    """foreachBatch corpus maintenance: each microbatch probes the
+    PERSISTED bucket store for near-dup candidates and appends its own
+    buckets — the O(batch) nightly-ingest dedup loop, run as a real
+    stream. A doc in batch 2 duplicating a batch-1 doc must surface as
+    a cross-batch candidate pair."""
+    src = tmp_path / "docs"
+    store = str(tmp_path / "buckets")
+    pairs_out = str(tmp_path / "pairs")
+    src.mkdir()
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words about spark shuffles and joins here"
+    spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, t1 + " extra"), (4, "nothing like the others at all truly")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    from scarf_spark.operators.dedup import incremental_minhash_candidates
+
+    def ingest(batch, _bid):
+        sp = batch.sparkSession
+        try:
+            stored = sp.read.parquet(store)
+        except Exception:
+            stored = sp.createDataFrame(
+                [], "doc_id long, band int, bucket string"
+            )
+        pairs, new_buckets = incremental_minhash_candidates(batch, stored)
+        pairs.write.mode("append").parquet(pairs_out)
+        new_buckets.write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_out).collect()}
+    assert (1, 3) in got  # cross-batch near-dup found via the store
+    assert not any(a == b for a, b in got)
+    n_bucket_docs = (
+        spark.read.parquet(store).select("doc_id").distinct().count()
+    )
+    assert n_bucket_docs == 4  # every ingested doc is now in the store

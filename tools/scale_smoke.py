@@ -221,6 +221,25 @@ def main() -> None:
 
     timed("table_digest", table_digest(ev2), results)
 
+    # 15. skewed sort-merge join: key 0 holds ~30% of the fact side
+    # (a 6M-row hot partition at 20M). Timed with AQE on, as every
+    # session runs; the split itself engages once the hot partition
+    # passes the 256MB skew threshold, which real-scale skew does
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("id") % n)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    timed(
+        "skewed_join_smj",
+        fact.join(dim, "k").groupBy().agg(F.count("*"), F.sum("w")),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
