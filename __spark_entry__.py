@@ -1512,6 +1512,34 @@ def text_lang_id(spark, sf_dir):
 
 
 @q(
+    "text_langid_confusion",
+    # evaluation composition: the stopword-heuristic lang_id scored
+    # against the true label — the quality gate a pipeline runs before
+    # trusting a classifier's routing decisions
+    f"WITH {_WORDS_CTE}, "
+    "h AS (SELECT doc_id, "
+    f"len(list_filter(ws, x -> list_contains({_DE_SW}, lower(x)))) AS h_de, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) AS h_en, "
+    f"len(list_filter(ws, x -> list_contains({_FR_SW}, lower(x)))) AS h_fr FROM w), "
+    "p AS (SELECT doc_id, CASE WHEN h_de >= h_en AND h_de >= h_fr THEN 'de' "
+    "WHEN h_en >= h_fr THEN 'en' ELSE 'fr' END AS pred_lang FROM h) "
+    "SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n "
+    "FROM documents d JOIN p ON d.doc_id = p.doc_id GROUP BY 1, 2",
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: lang_id predictions against the
+    labeled truth — integer-count cells, one broadcast-side join."""
+    docs = _ds(spark, sf_dir).documents
+    pred = text.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
     "text_fingerprint",
     f"WITH {_WORDS_CTE} "
     "SELECT doc_id, CAST(list_aggregate(list_transform(range(1, len(ws) + 1), "

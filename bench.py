@@ -320,6 +320,7 @@ def _extra_headliners() -> set[str]:
         "samp_mixture",
         "text_zipf_fit",
         "qc_digest",
+        "text_langid_confusion",
     }
 
 
