@@ -198,7 +198,26 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
+    # The driver keeps only the LAST 2000 chars of stdout and parses a
+    # JSON line out of that window (r4-r7 all had "parsed": null
+    # because the single full line outgrew it). Print the full line
+    # first (humans + BENCH_local.json), then a LAST line guaranteed
+    # to fit: summary metrics + as many per-query times as fit in the
+    # window, heaviest first — truncation only ever drops the
+    # sub-noise cheap queries, keeping rounds comparable from the
+    # driver artifact alone.
     print(line)
+    summary = {k: v for k, v in out.items() if k not in ("queries",)}
+    summary["queries"] = {}
+    budget = 1900 - len(json.dumps(summary, separators=(",", ":")))
+    for name in sorted(times, key=times.get, reverse=True):
+        entry = len(name) + len(f'{times[name]:.2f}') + 5
+        if budget - entry < 0:
+            summary["n_omitted"] = len(times) - len(summary["queries"])
+            break
+        summary["queries"][name] = round(times[name], 2)
+        budget -= entry
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 def _extra_headliners() -> set[str]:

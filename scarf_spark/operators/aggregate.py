@@ -744,7 +744,7 @@ def modal_value(
 def feature_cooccurrence(
     counts: DataFrame,
     top_n: int = 50,
-    max_features: int | None = None,
+    max_features: int | None = 2000,
     rank_by: str = "prevalence",
 ) -> DataFrame:
     """Top co-expressed feature pairs: how many cells express BOTH
@@ -757,8 +757,11 @@ def feature_cooccurrence(
     densities a single hot cell emits 10⁶-10⁸ pairs, so the screen
     MUST run on a bounded feature subset, exactly as the reference
     runs its module screens on the HVG subset
-    (``scarf/markers.py:323-439``). ``max_features`` keeps the top-N
-    features by ``rank_by``:
+    (``scarf/markers.py:323-439``). ``max_features`` therefore
+    DEFAULTS to a 2000-feature cap (the reference's typical HVG
+    count); passing ``None`` explicitly opts into the uncapped path
+    and is only safe when the input is already a bounded subset.
+    The cap keeps the top-N features by ``rank_by``:
 
     - ``prevalence`` — cells expressing the feature (exact integer
       key). Safe for the global top-pair screen: a pair seen in K
@@ -780,9 +783,14 @@ def feature_cooccurrence(
             stats = (
                 counts.groupBy("feat_id")
                 .agg(
+                    # cast BEFORE multiplying: the DuckDB oracle twin
+                    # casts each value to BIGINT first, and double→
+                    # bigint cast truncates in Spark but rounds in
+                    # DuckDB — cast-then-multiply is identical in both
                     F.sum(F.col("value").cast("bigint")).alias("_s1"),
                     F.sum(
-                        (F.col("value") * F.col("value")).cast("bigint")
+                        F.col("value").cast("bigint")
+                        * F.col("value").cast("bigint")
                     ).alias("_s2"),
                 )
                 .crossJoin(F.broadcast(n_cells))

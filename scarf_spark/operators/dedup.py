@@ -354,9 +354,10 @@ def min_label_components(
         .union(pairs.select(F.col("b"), F.col("a")))
         .persist()
     )
-    labels = nodes.select(
+    labels0 = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).persist()
+    labels = labels0
     for _ in range(n_iter):
         nb_min = (
             und.join(
@@ -376,6 +377,14 @@ def min_label_components(
         ).select(
             "node", F.least(F.col("lbl"), F.coalesce("_nbl", F.col("lbl"))).alias("lbl")
         ).localCheckpoint()
+    # the final labels table is an EAGER checkpoint — the loop inputs'
+    # caches are no longer reachable from the returned plan, so free
+    # executor storage now instead of leaking it across repeated calls
+    # in a long-lived session
+    und.unpersist()
+    pairs.unpersist()
+    if n_iter > 0:  # labels is a checkpoint; the seed cache is unreachable
+        labels0.unpersist()
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster"),
@@ -584,6 +593,7 @@ def semdedup(
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shard_cap: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering embeddings FIRST, then comparing pairs only WITHIN a
@@ -601,7 +611,18 @@ def semdedup(
     (greedy keep-first, deterministic on any engine; the numpy
     pre-filter over-captures by 5.01e-7 and the authoritative
     ROUND(6) compare happens JVM-side). Returns
-    (id, cluster, keep)."""
+    (id, cluster, keep).
+
+    **Skew guard**: a degenerate mega-cluster (boilerplate-heavy
+    corpora produce them) would otherwise be O(|cluster|²) BLAS inside
+    ONE task — a straggler/OOM at corpus scale. Clusters above
+    ``shard_cap`` members are split into ``g = ceil(n/cap)``
+    md5-hash shards and every shard PAIR ``(i ≤ j)`` becomes its own
+    task (the ``cosine_knn_sharded`` grid trick): each member is
+    replicated g ways, every within-cluster pair is scored exactly
+    once, per-task memory is bounded by ``(2·shard_cap)²``, and the
+    keep flags are shard-assignment-invariant — bit-identical to the
+    unsharded result."""
     import numpy as np
     import pandas as pd
 
@@ -612,31 +633,95 @@ def semdedup(
         k=k,
         n_iter=n_iter,
     )
+    # eager localCheckpoint, not persist: the blocks are GC-reclaimed
+    # once the result is consumed, instead of leaking executor storage
+    # across repeated calls in a long-lived session (r7 advice)
     pts = emb.select(F.col(id_col), F.col(vec_col)).join(
         assign.select(
             F.col("cell_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
         ),
         id_col,
-    ).persist()
+    ).localCheckpoint(eager=True)
+    sizes = pts.groupBy("cluster").agg(F.count("*").alias("_cn"))
+    sharded = (
+        pts.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "_g",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_cn") / F.lit(int(shard_cap)))
+            ).cast("int"),
+        )
+        .withColumn(
+            "_s",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("_g"),
+            ).cast("int"),
+        )
+        # replicate each member into every shard-pair group it belongs
+        # to: for other-shard o in [0,g) the copy lands in group
+        # (min(s,o), max(s,o)) — a cross pair (x∈i, y∈j) meets exactly
+        # once in group (i,j); same-shard pairs meet once in (s,s)
+        .select(
+            id_col,
+            vec_col,
+            "cluster",
+            "_s",
+            F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_o"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "cluster",
+            "_s",
+            F.least("_s", "_o").alias("_i"),
+            F.greatest("_s", "_o").alias("_j"),
+        )
+    )
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        o = np.argsort(ids)
-        ids = ids[o]
-        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)[o]
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        dist = 1.0 - m @ m.T
-        iu = np.triu_indices(len(ids), 1)
-        keep = dist[iu] <= eps + 5.01e-7
-        return pd.DataFrame(
-            {
-                "a": ids[iu[0][keep]],
-                "b": ids[iu[1][keep]],
-                "distance": dist[iu][keep],
-            }
+        empty = pd.DataFrame({"a": [], "b": [], "distance": []}).astype(
+            {"a": "int64", "b": "int64", "distance": "float64"}
         )
+        i, j = int(pdf["_i"].iat[0]), int(pdf["_j"].iat[0])
+        if i == j:  # triangle within one shard (or an unsharded cluster)
+            ids = pdf[id_col].to_numpy()
+            o = np.argsort(ids)
+            ids = ids[o]
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)[o]
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            dist = 1.0 - m @ m.T
+            iu = np.triu_indices(len(ids), 1)
+            keep = dist[iu] <= eps + 5.01e-7
+            return pd.DataFrame(
+                {
+                    "a": ids[iu[0][keep]],
+                    "b": ids[iu[1][keep]],
+                    "distance": dist[iu][keep],
+                }
+            )
+        a_side = pdf[pdf["_s"] == i]
+        b_side = pdf[pdf["_s"] == j]
+        if a_side.empty or b_side.empty:
+            return empty
+        ia = a_side[id_col].to_numpy()
+        ib = b_side[id_col].to_numpy()
+        ma = np.array(a_side[vec_col].tolist(), dtype=np.float64)
+        mb = np.array(b_side[vec_col].tolist(), dtype=np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        dist = 1.0 - ma @ mb.T
+        keep = dist <= eps + 5.01e-7
+        rr, cc = np.nonzero(keep)
+        lo = np.minimum(ia[rr], ib[cc])
+        hi = np.maximum(ia[rr], ib[cc])
+        return pd.DataFrame({"a": lo, "b": hi, "distance": dist[rr, cc]})
 
-    cand = pts.groupBy("cluster").applyInPandas(
+    cand = sharded.groupBy("cluster", "_i", "_j").applyInPandas(
         pairs, "a long, b long, distance double"
     )
     close = cand.select(

@@ -254,9 +254,18 @@ def blosc_decode(frame: bytes) -> bytes:
     out = bytearray()
     for bi in range(nblocks):
         bsize = min(blocksize, nbytes - bi * blocksize)
+        # c-blosc's blosc_d split rule: a block is split into typesize
+        # streams based SOLELY on the DONT_SPLIT header flag (and the
+        # typesize bounds) — independent of which shuffle mode is set
+        # (FORWARD_COMPAT mode splits lz4 blocks for byte- AND
+        # bit-shuffle; numcodecs/real scarf stores use bitshuffle,
+        # scarf/writers.py:81). The trailing partial block
+        # (bsize < blocksize) is ALWAYS unsplit (c-blosc's
+        # leftoverblock rule), even when bsize divides by typesize.
+        leftover = bsize < blocksize
         nsplits = (
             typesize
-            if byte_sh and not dont_split and 1 < typesize <= _MAX_SPLITS
+            if not dont_split and not leftover and 1 < typesize <= _MAX_SPLITS
             else 1
         )
         if bsize % nsplits:

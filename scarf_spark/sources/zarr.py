@@ -87,7 +87,17 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
         # the cname/clevel/shuffle fields need no interpretation here
         from scarf_spark.sources.blosc import blosc_decode
 
-        return blosc_decode(raw)
+        try:
+            return blosc_decode(raw)
+        except (ValueError, NotImplementedError):
+            # frames the from-scratch codec can't handle (zstd/snappy
+            # inner codec ids, exotic split layouts) — fall back to the
+            # real codec lib when present instead of failing outright
+            try:
+                import numcodecs
+            except ImportError:
+                raise
+            return numcodecs.get_codec(compressor).decode(raw)
     try:  # zstd etc. — delegate when the real codec lib exists
         import numcodecs
 

@@ -131,6 +131,59 @@ def test_blosc_decode_split_byte_shuffled_block():
     assert blosc_decode(frame) == data
 
 
+def _cblosc_frame(data: bytes, typesize: int, blocksize: int, shuffle_flag: int) -> bytes:
+    """Build a frame the way REAL c-blosc (FORWARD_COMPAT split mode,
+    what numcodecs links) lays it out: every full block is split into
+    ``typesize`` lz4 streams regardless of shuffle mode, and the
+    trailing partial block is ALWAYS a single stream — even when its
+    size divides evenly by typesize (c-blosc's leftoverblock rule)."""
+    nbytes = len(data)
+    nblocks = -(-nbytes // blocksize)
+    shuf = bit_shuffle if shuffle_flag == 0x4 else byte_shuffle
+    payload = b""
+    bstarts = []
+    base = 16 + 4 * nblocks
+    for bi in range(nblocks):
+        block = data[bi * blocksize : bi * blocksize + blocksize]
+        sh = shuf(block, typesize)
+        nsplits = typesize if len(block) == blocksize else 1
+        neblock = len(block) // nsplits
+        bstarts.append(base + len(payload))
+        for lane in range(nsplits):
+            part = sh[lane * neblock : (lane + 1) * neblock]
+            c = lz4_compress(part)
+            if len(c) >= neblock:
+                payload += struct.pack("<i", neblock) + part
+            else:
+                payload += struct.pack("<i", len(c)) + c
+    flags = (1 << 5) | shuffle_flag  # lz4, splits allowed (no DONT_SPLIT)
+    return (
+        struct.pack("<BBBB", 2, 1, flags, typesize)
+        + struct.pack("<III", nbytes, blocksize, base + len(payload))
+        + struct.pack(f"<{nblocks}i", *bstarts)
+        + payload
+    )
+
+
+def test_blosc_decode_cblosc_split_bitshuffle_multiblock():
+    """Real scarf stores are Blosc lz4 + BITSHUFFLE (scarf/writers.py:81)
+    written by c-blosc, whose split decision ignores the shuffle mode:
+    bitshuffled blocks are split per byte-lane too. The tail block here
+    is 512 bytes (divisible by typesize=4) to pin the leftoverblock
+    rule: a partial block is unsplit even when it divides evenly."""
+    rng = np.random.RandomState(11)
+    vals = (rng.randn(640) * 3).astype("<f4")  # 2560 B = 2×1024 + 512 tail
+    data = vals.tobytes()
+    frame = _cblosc_frame(data, typesize=4, blocksize=1024, shuffle_flag=0x4)
+    assert blosc_decode(frame) == data
+
+
+def test_blosc_decode_cblosc_split_byteshuffle_even_tail():
+    data = np.arange(1280, dtype="<i8").tobytes()  # 10240 B: 2×4096 + 2048 tail
+    frame = _cblosc_frame(data, typesize=8, blocksize=4096, shuffle_flag=0x1)
+    assert blosc_decode(frame) == data
+
+
 def test_blosc_decode_zlib_codec():
     import zlib
 

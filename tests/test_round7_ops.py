@@ -72,6 +72,33 @@ def test_semdedup_drops_larger_id_near_copy(spark):
     assert all(out[i] for i in range(6))  # originals kept
 
 
+def test_semdedup_shard_grid_matches_unsharded(spark):
+    """The mega-cluster skew guard (shard_cap) must be output-invariant:
+    a deliberately skewed fixture (most points in one cluster) sharded
+    at cap=4 produces bit-identical keep flags to the single-task
+    path, because every within-cluster pair meets exactly once in the
+    shard-pair grid."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 30 points around one center (the skewed mega-cluster), 6 around
+    # another; several near-duplicate planted pairs inside the big one
+    big = rng.randn(1, 16) + 0.02 * rng.randn(30, 16)
+    small = 10.0 + rng.randn(1, 16) + 0.02 * rng.randn(6, 16)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([big, small]))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in dedup.semdedup(emb, k=2, eps=0.05, shard_cap=10_000).collect()
+    }
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in dedup.semdedup(emb, k=2, eps=0.05, shard_cap=4).collect()
+    }
+    assert out == ref
+    assert sum(1 for _, keep in out.values() if not keep) > 0  # dups found
+
+
 def test_cms_never_underestimates_and_bounded_state(spark):
     from scarf_spark.operators import aggregate
 
