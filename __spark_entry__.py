@@ -4230,6 +4230,27 @@ def graph_components(spark, sf_dir):
 
 
 @q(
+    "graph_components_star",
+    # same algorithm-independent fixpoint (node → component minimum)
+    # as graph_components, reached in O(log n) rounds by alternating
+    # large-star/small-star contraction (Kiveris 2014) — the
+    # high-diameter scale path; same recursive-CTE oracle
+    f"WITH RECURSIVE {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT src, dst FROM knn WHERE src != dst "
+    "UNION SELECT dst, src FROM knn WHERE src != dst), "
+    "reach AS (SELECT src AS node, dst AS r FROM und "
+    "UNION SELECT reach.node, und.dst FROM reach "
+    "JOIN und ON reach.r = und.src) "
+    "SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node",
+)
+def graph_components_star(spark, sf_dir):
+    from scarf_spark.operators import graph
+
+    edges = _knn_edges(spark, sf_dir)
+    return graph.connected_components_star(edges)
+
+
+@q(
     "graph_kcore",
     # coreness via 3 iterated H-index rounds, unrolled CTEs: h0 =
     # degree; h_{t+1}(v) = max over rank positions of LEAST(rank,

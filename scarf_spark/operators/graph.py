@@ -178,7 +178,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (deg ≤ 2k), so wedges ≤ |V|·(2k)² — linear in nodes, safe at any
     scale; for skewed general graphs the classic refinement (orient
     edges by degree) drops wedge count to O(m^1.5)."""
-    und = undirected_edges(edges).persist()
+    und = undirected_edges(edges).localCheckpoint(eager=True)
     e1 = und.select(F.col("u").alias("a"), F.col("w").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("w").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("w").alias("c"))
@@ -227,11 +227,11 @@ def pagerank(
         e.select(F.col("src").alias("v"))
         .unionAll(e.select(F.col("dst").alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(outdeg, "src").repartition("src").persist()
+    ed = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
     ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
     for it in range(n_iter):
         contrib = (
@@ -275,7 +275,7 @@ def modularity(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     la = F.broadcast(labels.select(F.col(node_col).alias("src"), F.col(cluster_col).alias("_ca")))
     lb = F.broadcast(labels.select(F.col(node_col).alias("dst"), F.col(cluster_col).alias("_cb")))
@@ -324,16 +324,20 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     MAX(LEAST(rank, value)) — tie order among equal values cannot
     change the H-index) + one hash agg. Linear per round, node-sized
     state, no driver traffic. Returns (node, coreness)."""
+    # eager localCheckpoint, not persist: the per-round tables would
+    # otherwise pin executor storage forever (nothing ever unpersists
+    # them in a long-lived session); checkpoint blocks are GC-reclaimed
+    # once no plan references them (same convention as pagerank)
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     h = und.groupBy("src").agg(F.count("*").alias("h")).select(
         F.col("src").alias("node"), "h"
-    ).persist()
+    )
     for _ in range(n_iter):
         nb = und.join(
             h.select(F.col("node").alias("dst"), F.col("h").alias("nh")), "dst"
@@ -345,7 +349,7 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .groupBy("src")
             .agg(F.max("_m").alias("h"))
             .select(F.col("src").alias("node"), "h")
-            .persist()
+            .localCheckpoint(eager=True)
         )
     return h.select("node", F.col("h").alias("coreness"))
 
@@ -409,4 +413,90 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is an eager checkpoint: the edge cache is unreachable from
+    # the returned plan — free it instead of leaking across calls
+    und.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the O(log n)-round exact method for
+    HIGH-DIAMETER graphs, where :func:`connected_components`' min-label
+    fixpoint needs O(diameter) rounds. Dedup similarity graphs (the
+    ``text_minhash_cluster`` consumer) can carry long chain
+    components; this is their scale path.
+
+    Each round halves star depth: *large-star* connects every
+    strictly-larger neighbor of u to ``m = min(Γ(u) ∪ {u})``;
+    *small-star* (on edges oriented u > v) connects every smaller
+    neighbor and u itself to the minimum. Both emit edges oriented
+    (larger → smaller), each is one hash-agg + one join on the edge
+    set, and the edge table is ``localCheckpoint``-ed per round (the
+    same exponential-lineage lesson as the fixpoint loop). Convergence
+    is detected by an order-free edge-set signature (count +
+    bit_xor(xxhash64)) going stable — at that point the edge set IS
+    the star forest (child → component-minimum root).
+
+    The fixpoint is algorithm-independent — every node labeled with
+    its component minimum — so the output hash-matches
+    :func:`connected_components` and the recursive-CTE oracle exactly.
+    Returns (node, component)."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: neighbors in both directions; every v > u links
+        # to m = min(min neighbor, u). Each undirected edge is emitted
+        # exactly once (from its smaller endpoint's perspective).
+        nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        e = (
+            nb.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: on (u > v) edges, u and all its smaller
+        # neighbors link to the minimum neighbor.
+        smins = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        sig = (sig["n"], sig["x"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )

@@ -369,34 +369,24 @@ def cosine_knn_lsh(
     run, mirroring the reference's recall logging
     (``knn_utils.py:74-76``).
 
-    Candidate scoring gathers rows of the broadcast normalized matrix
-    per Arrow batch (vectorized row-wise dots) — same broadcast-index
-    envelope as :func:`cosine_knn_exact`; for indexes too big to
-    broadcast use :func:`cosine_knn_ivf`, whose lists shuffle by
-    centroid instead."""
-    import numpy as np
-
+    Candidate scoring is CANDIDATE-SIDE: the vector table joins onto
+    the (bounded) candidate-pair stream on each endpoint and the
+    normalize-then-dot runs as a JVM fold per pair — no driver collect
+    and no broadcast of the index anywhere, so the memory envelope is
+    the pair stream itself (bounded by the bucket sizes), exactly the
+    shuffle-to-pairs shape :func:`cosine_knn_ivf` uses for its
+    inverted lists. This is what makes LSH the scale path: both the
+    bucketing AND the scoring are distributed."""
     cand = lsh_candidate_pairs(emb, n_tables, n_planes, id_col, vec_col, dim)
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-    idx = {int(v): i for i, v in enumerate(ids)}
-    bc = emb.sparkSession.sparkContext.broadcast((idx, m_n))
-
-    def score(batches):
-        lookup, mat = bc.value
-        for b in batches:
-            if b.empty:
-                continue
-            si = np.fromiter((lookup[int(x)] for x in b["src"]), dtype=np.int64)
-            di = np.fromiter((lookup[int(x)] for x in b["dst"]), dtype=np.int64)
-            d = 1.0 - np.einsum("ij,ij->i", mat[si], mat[di])
-            yield pd.DataFrame(
-                {"src": b["src"], "dst": b["dst"], "distance": d}
-            )
-
-    scored = cand.mapInPandas(score, "src long, dst long, distance double")
+    e = _as_double_vec(emb, id_col, vec_col)
+    a = e.select(F.col("vid").alias("src"), F.col("v").alias("_va"), F.col("nrm").alias("_na"))
+    b = e.select(F.col("vid").alias("dst"), F.col("v").alias("_vb"), F.col("nrm").alias("_nb"))
+    dist = F.lit(1.0) - _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    scored = (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", dist.alias("distance"))
+    )
     w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -613,7 +603,13 @@ def cosine_knn_ivfpq(
         "vid", "u", "cid", "cu", cdist.alias("cd")
     )
     wq = Window.partitionBy("vid").orderBy("cd", "cid")
-    ranked = scored.withColumn("crank", F.row_number().over(wq)).persist()
+    # eager localCheckpoint, not persist: ranked feeds three consumers
+    # (members, the codebook collect, probes) and nothing could ever
+    # unpersist it after the lazy return — checkpoint blocks are
+    # GC-reclaimed once the result is consumed (r7 advice)
+    ranked = scored.withColumn("crank", F.row_number().over(wq)).localCheckpoint(
+        eager=True
+    )
     members = ranked.where(F.col("crank") == 1).select(
         "vid", "cid",
         F.zip_with("u", "cu", lambda x, y: x - y).alias("r"),
@@ -1074,52 +1070,83 @@ def cosine_radius(
     radius: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_shards: int = 8,
+    n_query_blocks: int | None = None,
 ) -> DataFrame:
     """Radius similarity search: every ordered pair (src, dst) with
     cosine distance ≤ radius (self pairs excluded) — the fixed-
     threshold dual of top-k search, the primitive behind near-duplicate
-    sweeps at a quality bar rather than a count. The pandas iterator
-    emits the RAW dot-product distance; rounding to 6 decimals and the
-    threshold compare both happen JVM-side (``F.round`` is
-    half-away-from-zero, matching the DuckDB oracle's ROUND, whereas
-    ``np.round`` is half-to-even — same convention as
-    ``supervised.py``), so the boundary decision replays identically.
+    sweeps at a quality bar rather than a count.
 
-    Same broadcast-index + Arrow-batched BLAS shape as
-    :func:`cosine_knn_exact`; the numpy filter over-captures by
-    5.01e-7 — past half the 6-decimal rounding step, so every raw
-    distance that ROUND(6) could pull under the threshold survives to
-    the authoritative JVM-side rounded compare. For billion-scale
-    indexes the LSH/IVF bucketed variants bound the candidate pairs."""
+    Runs on the same (query-block × index-shard) GRID as
+    :func:`cosine_knn_sharded` — NO driver collect, no index
+    broadcast: each grid cell cogroups one query block against one
+    index shard and scores it with a BLAS matmul over 1024-query
+    sub-batches, so per-task memory is one shard + a 1024×shard
+    distance block regardless of corpus size, and the grid is how a
+    1000-executor cluster tunes parallelism. The kernel emits the RAW
+    dot-product distance pre-filtered at ``radius + 5.01e-7`` (past
+    half the 6-decimal rounding step, so no boundary pair is lost);
+    rounding to 6 decimals and the threshold compare both happen
+    JVM-side (``F.round`` is half-away-from-zero, matching the DuckDB
+    oracle's ROUND, whereas ``np.round`` is half-to-even — same
+    convention as ``supervised.py``), so the boundary decision replays
+    identically on any engine and the result is grid-invariant."""
     import numpy as np
 
-    spark = emb.sparkSession
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m_n))
+    if n_query_blocks is None:
+        n_query_blocks = n_shards
+    e = emb.select(id_col, vec_col)
+    blocks = F.array(*[F.lit(b) for b in range(n_query_blocks)])
+    shards = F.array(*[F.lit(s) for s in range(n_shards)])
+    idx = e.select(
+        F.explode(blocks).alias("qb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).alias("iid"),
+        F.col(vec_col).alias("ivec"),
+    )
+    qrep = e.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).cast("int").alias("qb"),
+        F.explode(shards).alias("shard"),
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+    )
 
-    def score(batches):
-        b_ids, b_m = bc.value
-        for b in batches:
-            if b.empty:
-                continue
-            q = np.array(b[vec_col].tolist(), dtype=np.float64)
-            q_n = q / np.linalg.norm(q, axis=1, keepdims=True)
-            dist = 1.0 - q_n @ b_m.T
-            src = b[id_col].to_numpy()
-            take = (dist <= radius + 5.01e-7) & (b_ids[None, :] != src[:, None])
+    def score(key, qp: pd.DataFrame, ip: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "distance": []}).astype(
+            {"src": "int64", "dst": "int64", "distance": "float64"}
+        )
+        if qp.empty or ip.empty:
+            return empty
+        i_ids = ip["iid"].to_numpy()
+        im = np.array(ip["ivec"].tolist(), dtype=np.float64)
+        im /= np.linalg.norm(im, axis=1, keepdims=True)
+        im = im.T
+        outs = []
+        for lo in range(0, len(qp), 1024):
+            qs = qp.iloc[lo : lo + 1024]
+            q = np.array(qs["qvec"].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            dist = 1.0 - qn @ im
+            src = qs["qid"].to_numpy()
+            take = (dist <= radius + 5.01e-7) & (i_ids[None, :] != src[:, None])
             rows, cols = np.nonzero(take)
-            yield pd.DataFrame(
-                {
-                    "src": src[rows],
-                    "dst": b_ids[cols],
-                    "distance": dist[rows, cols],
-                }
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "src": src[rows],
+                        "dst": i_ids[cols],
+                        "distance": dist[rows, cols],
+                    }
+                )
             )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    out = emb.mapInPandas(score, "src long, dst long, distance double")
+    out = (
+        qrep.groupBy("qb", "shard")
+        .cogroup(idx.groupBy("qb", "shard"))
+        .applyInPandas(score, "src long, dst long, distance double")
+    )
     out = out.select(
         "src", "dst", F.round(F.col("distance"), 6).alias("distance")
     )

@@ -959,3 +959,39 @@ def test_connected_components_converges_beyond_fixed_hops(spark):
     out = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert all(out[i] == 0 for i in range(12))
     assert out[100] == out[101] == out[102] == 100
+
+
+def test_star_contraction_matches_fixpoint(spark):
+    """The O(log n)-round star-contraction variant must be label-
+    identical to the min-label fixpoint on (a) a long path — the
+    high-diameter case it exists for — and (b) a messier multi-
+    component graph with duplicate/reversed edges."""
+    import random
+
+    from scarf_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # 40-node path: diameter 39; star contraction must converge in
+    # far fewer than 39 rounds (max_rounds=8 forces the log behavior)
+    edges = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ref = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, max_rounds=8).collect()
+    }
+    assert got == ref and all(v == 0 for v in got.values())
+
+    rng = random.Random(5)
+    messy = (
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+        + [(200, 201), (201, 200), (300, 300)]
+    )
+    df2 = spark.createDataFrame(messy, "src long, dst long")
+    ref2 = {r["node"]: r["component"] for r in connected_components(df2).collect()}
+    got2 = {
+        r["node"]: r["component"] for r in connected_components_star(df2).collect()
+    }
+    assert got2 == ref2
