@@ -2257,13 +2257,11 @@ def ml_nb_scores(spark, sf_dir):
     return supervised.naive_bayes_scores(_ds(spark, sf_dir).documents)
 
 
-@q("ml_louvain")  # weak: community detection runs driver-side (networkx, seeded)
-def ml_louvain(spark, sf_dir):
-    from scarf_spark.ml import cluster
-
-    edges = _knn_edges(spark, sf_dir)
-    out = cluster.louvain_driver(edges, seed=4466)
-    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+# ml_louvain retired from the query surface (r7 verdict #9): ml_leiden
+# is the representative rows-only clustering row — it carries Leiden's
+# connected-communities guarantee, which Louvain lacks. The Louvain
+# driver itself stays (ml/cluster.py louvain_driver) with its seeded
+# unit test in tests/test_ml.py.
 
 
 @q("ml_leiden")  # weak: discrete greedy argmax (driver_compute, seedless)
@@ -4808,6 +4806,189 @@ _SQL_Q10 = (
 @q("sql_q10", _SQL_Q10)
 def sql_q10(spark, sf_dir):
     return _sql_query(spark, sf_dir, _SQL_Q10)
+
+
+# TPC-H Q4 shape: priority checking via a correlated EXISTS — Catalyst
+# plans it as a left-semi join on l_orderkey with the non-equi
+# shipdate predicate evaluated at the join, so the fact table is never
+# expanded. (Adapted: the synthetic lineitem has no commit/receipt
+# dates, so "late" = shipped after the order date.)
+_SQL_Q4 = (
+    "SELECT o_orderpriority, COUNT(*) AS order_count "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+@q("sql_q4", _SQL_Q4)
+def sql_q4(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q4)
+
+
+# TPC-H Q7 shape: volume shipping between two nations — a 6-table join
+# with a symmetric nation-pair disjunction and a per-year rollup. The
+# two nation dims broadcast; YEAR is cast to INT explicitly because
+# DuckDB's year() returns BIGINT while Spark's returns INT and the
+# value hash is serialization-sensitive.
+_SQL_Q7 = (
+    "SELECT supp_nation, cust_nation, l_year, "
+    "CAST(SUM(volume) AS DOUBLE) AS revenue FROM ("
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(YEAR(l_shipdate) AS INT) AS l_year, "
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume "
+    "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+    "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+    "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+    "AND c_nationkey = n2.n_nationkey "
+    "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    ") shipping GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year"
+)
+
+
+@q("sql_q7", _SQL_Q7)
+def sql_q7(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q7)
+
+
+# TPC-H Q8 shape: market share — conditional aggregation over a
+# 6-table join. Numerator and denominator stay exact decimals until a
+# single double division, then ROUND(6) (double IEEE division is
+# engine-identical given identical inputs).
+_SQL_Q8 = (
+    "SELECT o_year, ROUND("
+    "CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume "
+    "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) "
+    "/ CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share FROM ("
+    "SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, "
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume, "
+    "n1.n_name AS nation "
+    "FROM part, supplier, lineitem, orders, customer, "
+    "nation n1, nation n2, region "
+    "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+    "AND o_orderkey = l_orderkey "
+    "AND c_custkey = o_custkey AND c_nationkey = n2.n_nationkey "
+    "AND n2.n_regionkey = r_regionkey AND r_name = 'EUROPE' "
+    "AND s_nationkey = n1.n_nationkey AND p_type = 'PROMO'"
+    ") all_nations GROUP BY o_year ORDER BY o_year"
+)
+
+
+@q("sql_q8", _SQL_Q8)
+def sql_q8(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q8)
+
+
+# TPC-H Q13 shape: customer order-count distribution — a left outer
+# join with an ON-clause filter (orders dropped at the join, customers
+# kept), then a histogram of the per-customer counts.
+_SQL_Q13 = (
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+    "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey"
+    ") c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+)
+
+
+@q("sql_q13", _SQL_Q13)
+def sql_q13(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q13)
+
+
+# TPC-H Q14 shape: promo revenue percentage — conditional aggregation
+# over a part⋈lineitem join; exact-decimal sums, one double division.
+_SQL_Q14 = (
+    "SELECT ROUND(100.0 * "
+    "CAST(SUM(CASE WHEN p_type = 'PROMO' "
+    "THEN CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2))) "
+    "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) "
+    "/ CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) "
+    "AS promo_revenue "
+    "FROM lineitem, part WHERE l_partkey = p_partkey "
+    "AND l_shipdate >= TIMESTAMP '1996-07-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-08-01 00:00:00'"
+)
+
+
+@q("sql_q14", _SQL_Q14)
+def sql_q14(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q14)
+
+
+# TPC-H Q15 shape: top supplier — a reused revenue CTE plus a scalar
+# MAX subquery; the equality test is on EXACT decimals, so the winner
+# set replays on any engine.
+_SQL_Q15 = (
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00' "
+    "GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue "
+    "FROM supplier, revenue WHERE s_suppkey = supplier_no "
+    "AND total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+    "ORDER BY s_suppkey"
+)
+
+
+@q("sql_q15", _SQL_Q15)
+def sql_q15(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q15)
+
+
+# TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+# spanning both join sides — the classic disjunctive-pushdown test
+# (Catalyst extracts p_partkey = l_partkey as the join key and leaves
+# the residual disjunction as a join filter).
+_SQL_Q19 = (
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+    "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+    "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity >= 1 AND l_quantity <= 21) "
+    "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity >= 10 AND l_quantity <= 30) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity >= 20 AND l_quantity <= 40))"
+)
+
+
+@q("sql_q19", _SQL_Q19)
+def sql_q19(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q19)
+
+
+# TPC-H Q22 shape: global-customer anti join — above-average-balance
+# customers with no urgent orders (every synthetic customer has SOME
+# order, so the anti join keys on the urgent subset to stay
+# non-degenerate). NOT EXISTS becomes a left-anti join; the scalar
+# average (exact decimal sum / count, one double division) broadcasts.
+_SQL_Q22 = (
+    "SELECT cntrycode, COUNT(*) AS numcust, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+    "FROM (SELECT MOD(c_nationkey, 5) AS cntrycode, c_acctbal "
+    "FROM customer WHERE c_acctbal > ("
+    "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) "
+    "/ COUNT(*) FROM customer WHERE c_acctbal > 0.0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT')"
+    ") custsale GROUP BY cntrycode ORDER BY cntrycode"
+)
+
+
+@q("sql_q22", _SQL_Q22)
+def sql_q22(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q22)
 
 
 @q(

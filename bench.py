@@ -326,6 +326,16 @@ def _extra_headliners() -> set[str]:
         "dedup_semantic_decon",
         "sketch_cms",
         "stream_enrich",
+        # round-8 additions
+        "graph_components_star",
+        "sql_q4",
+        "sql_q7",
+        "sql_q8",
+        "sql_q13",
+        "sql_q14",
+        "sql_q15",
+        "sql_q19",
+        "sql_q22",
         "stream_join_attrib",
         "text_hashing_tf",
         "ml_nb_scores",
