@@ -5268,6 +5268,95 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @q(
+    "text_segment_dedup",
+    # CCNet-style cross-doc segment dedup: 8-word windows, doc-freq
+    # over distinct (doc, segment), drop segments seen in >1 doc;
+    # kept_ppm is exact integer ppm (integer division, no float)
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "seg AS (SELECT doc_id, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg "
+    "FROM w, UNNEST(range(0, CAST(CEIL(len(ws) / 8.0) AS BIGINT))) AS t(i) "
+    "WHERE len(ws) > 0), "
+    "sdf AS (SELECT seg, COUNT(*) AS _df FROM "
+    "(SELECT DISTINCT doc_id, seg FROM seg) GROUP BY seg) "
+    "SELECT seg.doc_id, COUNT(*) AS n_segments, "
+    "SUM(CASE WHEN _df > 1 THEN 1 ELSE 0 END) AS n_dropped, "
+    "(COUNT(*) - SUM(CASE WHEN _df > 1 THEN 1 ELSE 0 END)) * 1000000 "
+    "// COUNT(*) AS kept_ppm "
+    "FROM seg JOIN sdf USING (seg) GROUP BY seg.doc_id",
+)
+def text_segment_dedup(spark, sf_dir):
+    """Cross-document segment (pseudo-paragraph) dedup — the
+    CCNet/RefinedWeb boilerplate-stripping pass (text.segment_dedup)."""
+    return text.segment_dedup(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "dedup_ngram_decon",
+    # benchmark decontamination by exact 4-gram collision (the
+    # GPT-3/PaLM eval-overlap rule); benchmark = the src0 slice
+    "WITH w AS (SELECT doc_id, source, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "csh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE source != 'src0'), "
+    "bsh AS (SELECT DISTINCT unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE source = 'src0'), "
+    "hits AS (SELECT csh.doc_id, COUNT(*) AS n_hits "
+    "FROM csh JOIN bsh USING (shingle) GROUP BY csh.doc_id) "
+    "SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits, "
+    "COALESCE(n_hits, 0) > 0 AS contaminated "
+    "FROM (SELECT doc_id FROM documents WHERE source != 'src0') d "
+    "LEFT JOIN hits USING (doc_id)",
+)
+def dedup_ngram_decon(spark, sf_dir):
+    """Exact n-gram benchmark decontamination
+    (dedup.ngram_decontaminate) — the lexical dual of
+    dedup_semantic_decon, sharing its broadcast-benchmark envelope."""
+    docs = _ds(spark, sf_dir).documents
+    return dedup.ngram_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=4,
+    )
+
+
+@q(
+    "samp_dsir",
+    # DSIR hashed-unigram importance weights: target = the src0 slice,
+    # add-1 smoothing over 1024 md5 buckets, AVG-of-logs per doc
+    "WITH tk AS (SELECT doc_id, source, "
+    "('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b FROM "
+    "(SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents)), "
+    "tc AS (SELECT b, COUNT(*) AS _tc FROM tk WHERE source = 'src0' GROUP BY b), "
+    "cc AS (SELECT b, COUNT(*) AS _cc FROM tk WHERE source != 'src0' GROUP BY b), "
+    "tt AS (SELECT SUM(_tc) AS _tt FROM tc), "
+    "ct AS (SELECT SUM(_cc) AS _ct FROM cc) "
+    "SELECT tk.doc_id, COUNT(*) AS n_tokens, "
+    "ROUND(AVG(LN((COALESCE(_tc, 0) + 1.0) / (_tt + 1024.0)) "
+    "- LN((_cc + 1.0) / (_ct + 1024.0))), 6) AS mean_logratio "
+    "FROM tk LEFT JOIN tc USING (b) JOIN cc USING (b) "
+    "CROSS JOIN tt CROSS JOIN ct "
+    "WHERE tk.source != 'src0' GROUP BY tk.doc_id",
+)
+def samp_dsir(spark, sf_dir):
+    """DSIR importance-resampling weights (filters.dsir_log_weights):
+    score corpus docs against the src0 target slice."""
+    from scarf_spark.operators import filters
+
+    docs = _ds(spark, sf_dir).documents
+    return filters.dsir_log_weights(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n_buckets=1024,
+    )
+
+
+@q(
     "evt_funnel",
     # ordered signup -> click -> purchase funnel; each stage strictly
     # after the user's previous stage

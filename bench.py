@@ -328,6 +328,9 @@ def _extra_headliners() -> set[str]:
         "stream_enrich",
         # round-8 additions
         "graph_components_star",
+        "text_segment_dedup",
+        "dedup_ngram_decon",
+        "samp_dsir",
         "sql_q4",
         "sql_q7",
         "sql_q8",

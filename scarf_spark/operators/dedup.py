@@ -735,3 +735,45 @@ def semdedup(
         "cluster",
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram collision (the
+    GPT-3/PaLM eval-contamination rule: a training doc is contaminated
+    if it shares any length-``n`` word n-gram with the benchmark set).
+    Returns one row per corpus doc: (doc_id, n_hits, contaminated)
+    with n_hits = number of DISTINCT benchmark-colliding n-grams.
+
+    Shape: both sides shingle JVM-side (no Python); the benchmark
+    shingle set is DISTINCT and broadcast — benchmarks are small by
+    construction (the same broadcast envelope as
+    ``semantic_decontaminate``), so the corpus stream is scored in one
+    broadcast-hash semi pass, never reshuffled. If the benchmark ever
+    outgrew the broadcast ceiling, drop the hint and the same plan
+    becomes a shuffle join on the shingle key."""
+    c_sh = word_shingles(corpus, n, text_col=text_col, id_col=id_col)
+    b_sh = (
+        word_shingles(benchmark, n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

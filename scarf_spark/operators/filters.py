@@ -388,3 +388,65 @@ def mixture_sample(
         .where(F.col("_rn") <= take)
         .drop("_rn")
     )
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much more likely its hashed-unigram bag is under
+    the TARGET distribution than under the raw-corpus distribution —
+    the standard recipe for selecting pretraining data that matches a
+    high-quality target domain. Returns (doc_id, n_tokens,
+    mean_logratio) with mean_logratio = mean over the doc's tokens of
+    ln(p_target(bucket)/p_corpus(bucket)) under add-1 smoothing,
+    rounded to 6 decimals (the same AVG-of-logs convention as
+    ``text.unigram_logprob``).
+
+    Hashing is the engine-portable md5→60-bit idiom, so the DuckDB
+    oracle replays the bucketing bit-for-bit. Both bucket tables are
+    ``n_buckets``-sized regardless of corpus size — they broadcast,
+    and the corpus token stream is scored in one map-side pass plus
+    one per-doc hash agg; nothing scales with the target corpus but
+    one bounded aggregation over it."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).alias("b")
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+            ).alias("term"),
+        ).select(id_col, bucket)
+
+    c_tok = toks(corpus)
+    t_cnt = toks(target).groupBy("b").agg(F.count("*").alias("_tc"))
+    c_cnt = c_tok.groupBy("b").agg(F.count("*").alias("_cc"))
+    t_tot = t_cnt.agg(F.sum("_tc").alias("_tt"))
+    c_tot = c_cnt.agg(F.sum("_cc").alias("_ct"))
+    nb = float(n_buckets)
+    ratio = (
+        F.log((F.col("_tc") + 1.0) / (F.col("_tt") + nb))
+        - F.log((F.col("_cc") + 1.0) / (F.col("_ct") + nb))
+    ).alias("_lr")
+    scored = (
+        c_tok.join(F.broadcast(t_cnt), "b", "left_outer")
+        .join(F.broadcast(c_cnt), "b")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(c_tot))
+        .select(id_col, F.coalesce("_tc", F.lit(0)).alias("_tc"),
+                "_cc", "_tt", "_ct")
+        .select(id_col, ratio)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_lr"), 6).alias("mean_logratio"),
+    )

@@ -664,3 +664,58 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_len: int = 8,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document segment deduplication (the CCNet/RefinedWeb
+    paragraph-hash pass, adapted to word windows): split every doc into
+    non-overlapping ``seg_len``-word segments, count how many DISTINCT
+    documents each segment string occurs in, and mark segments seen in
+    more than ``max_doc_freq`` docs as corpus boilerplate. Returns one
+    row per doc: (doc_id, n_segments, n_dropped, kept_ppm) where
+    kept_ppm is exact integer parts-per-million of retained segments
+    (integer division — no float rounding to disagree on).
+
+    Shape: segmenting is a narrow per-row transform (sequence + slice +
+    posexplode, zero Python); the doc-frequency table is one hash agg
+    on the segment string (map-side combined), joined back broadcast-
+    free by segment — at 100 TB both sides shuffle on the segment key
+    and the DF table stays vocabulary-of-segments sized. No stage
+    holds a document's full text after the explode."""
+    tok = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("_w"),
+    )
+    n_seg = F.ceil(F.size("_w") / F.lit(float(seg_len))).cast("int")
+    idx = F.when(
+        F.size("_w") > 0, F.sequence(F.lit(0), n_seg - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    segs = tok.select(
+        F.col(id_col),
+        F.explode(idx).alias("_i"),
+        F.col("_w"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.slice("_w", F.col("_i") * seg_len + 1, seg_len)
+        ).alias("seg"),
+    )
+    seg_df = segs.distinct().groupBy("seg").agg(
+        F.count("*").alias("_df")
+    )
+    flagged = segs.join(seg_df, "seg").select(
+        id_col, (F.col("_df") > max_doc_freq).alias("_drop")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("_drop").cast("bigint")).alias("n_dropped"),
+        F.expr(
+            "(count(*) - sum(cast(_drop as bigint))) * 1000000 div count(*)"
+        ).alias("kept_ppm"),
+    )

