@@ -240,6 +240,58 @@ def main() -> None:
         results,
     )
 
+    # 16. grid radius search (round 8): 50k x 50k all-pairs threshold
+    # scan through the (query-block x index-shard) cogroup grid — no
+    # index broadcast, per-task memory = one shard
+    from scarf_spark.operators.knn import cosine_radius
+
+    timed(
+        "radius_grid_50k",
+        lambda: cosine_radius(emb_s, radius=0.05, n_shards=8),
+        results,
+    )
+
+    # 17. star-contraction components (round 8) on a high-diameter
+    # graph: 1M-node path ⇒ the min-label fixpoint would need 1M
+    # rounds; star contraction closes it in O(log n)
+    from scarf_spark.operators.graph import connected_components_star
+
+    path_edges = spark.range(min(n, 1_000_000) - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    timed(
+        "components_star_path_1m",
+        lambda: connected_components_star(path_edges),
+        results,
+    )
+
+    # 18. semdedup shard grid (round 8): one deliberately skewed
+    # mega-cluster (all vectors) forced through the shard-pair grid —
+    # per-task BLAS bounded at (2*cap)^2 regardless of cluster size
+    from scarf_spark.operators.dedup import semdedup
+
+    emb_k = emb.limit(20_000)
+    timed(
+        "semdedup_sharded_20k",
+        lambda: semdedup(emb_k, k=1, n_iter=1, eps=0.01, shard_cap=2048),
+        results,
+    )
+
+    # 19. cross-doc segment dedup (round 8): narrow segmentation + one
+    # doc-frequency agg keyed by the segment string
+    from scarf_spark.operators.text import segment_dedup
+
+    docs_sd = spark.range(min(n, 2_000_000)).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common header text always the same eight"),
+            ((F.col("id") * 31) % 99_991).cast("string"),
+            ((F.col("id") * 67) % 99_991).cast("string"),
+        ).alias("text"),
+    )
+    timed("segment_dedup_2m", segment_dedup(docs_sd), results)
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
