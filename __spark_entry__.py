@@ -3556,6 +3556,76 @@ def src_bed_bins(spark, sf_dir):
     return src.bed_to_bins(frag, bin_size=1000, min_fragments_per_cell=3)
 
 
+_JSONL_STORE_CACHE: dict[str, str] = {}
+
+
+def _jsonl_fixture_store(spark, sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents table as a JSONL corpus —
+    the interchange format LLM corpora ship in — with deterministic
+    content: one JSON object per line, keys in a fixed order, lines
+    sorted by doc_id. The fixture is what a real ingest would receive;
+    the read side (``readers.read_jsonl``) is the operator under
+    test."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    if sf_dir in _JSONL_STORE_CACHE:
+        return _JSONL_STORE_CACHE[sf_dir]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "scarf_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".jsonl",
+    )
+    if not os.path.exists(path):
+        rows = (
+            _ds(spark, sf_dir)
+            .documents.select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id")
+            .collect()
+        )
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "source": r["source"],
+                            "n_chars": r["n_chars"],
+                        }
+                    )
+                    + "\n"
+                )
+    _JSONL_STORE_CACHE[sf_dir] = path
+    return path
+
+
+@q(
+    "src_jsonl_docs",
+    # the JSONL fixture is a faithful re-serialization of documents,
+    # so the oracle reads the parquet directly; text compared by md5
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
+    "FROM documents",
+)
+def src_jsonl_docs(spark, sf_dir):
+    """JSONL corpus ingest (readers.read_jsonl): schema-explicit
+    one-pass newline-delimited JSON scan, PERMISSIVE malformed-line
+    handling — scanned back and fingerprinted against the parquet
+    truth."""
+    from scarf_spark.sources.readers import read_jsonl
+
+    path = _jsonl_fixture_store(spark, sf_dir)
+    docs = read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
 _ZARR_STORE_CACHE: dict[str, str] = {}
 
 
@@ -5265,6 +5335,34 @@ def agg_cube(spark, sf_dir):
 )
 def text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "text_bigram_logprob",
+    # add-1 bigram LM: mean over doc bigrams of
+    # ln((c(w1 w2)+1)/(c_left(w1)+V)); same AVG-of-logs convention as
+    # the unigram query
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 1, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2])) AS bg FROM w), "
+    "bc AS (SELECT bg, COUNT(*) AS _bc FROM bg GROUP BY bg), "
+    "lc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS _lc "
+    "FROM bg GROUP BY 1), "
+    "v AS (SELECT COUNT(DISTINCT term) AS _v FROM "
+    "(SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) "
+    "AS term FROM documents)) "
+    "SELECT bg.doc_id, COUNT(*) AS n_bigrams, "
+    "ROUND(AVG(LN((_bc + 1.0) / (_lc + _v))), 6) AS mean_logprob "
+    "FROM bg JOIN bc USING (bg) "
+    "JOIN lc ON split_part(bg.bg, ' ', 1) = lc.w1 CROSS JOIN v "
+    "GROUP BY bg.doc_id",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Add-1 bigram LM perplexity proxy (text.bigram_logprob) — one
+    order up from text_unigram_logprob."""
+    return text.bigram_logprob(_ds(spark, sf_dir).documents)
 
 
 @q(

@@ -331,6 +331,8 @@ def _extra_headliners() -> set[str]:
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",
+        "text_bigram_logprob",
+        "src_jsonl_docs",
         "sql_q4",
         "sql_q7",
         "sql_q8",

@@ -719,3 +719,66 @@ def segment_dedup(
             "(count(*) - sum(cast(_drop as bigint))) * 1000000 div count(*)"
         ).alias("kept_ppm"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-bigram conditional log-probability per document — one
+    order up from :func:`unigram_logprob`, the cheap KenLM stand-in:
+    mean over the doc's bigrams (w1, w2) of
+    ln((c(w1 w2) + 1) / (c_left(w1) + V)) under add-1 smoothing, where
+    c_left counts w1's occurrences as a bigram left context and V is
+    the corpus vocabulary size. Repetitive docs score high, shuffled-
+    word gibberish scores near the smoothing floor — the usual
+    perplexity-filter signal without an external LM artifact.
+
+    Shape: bigrams come from one self-zip of the token array (narrow,
+    JVM-side); the bigram LM table is vocabulary²-bounded but in
+    practice Zipf-sparse, and it joins back on the bigram key by
+    shuffle (NOT broadcast — unlike the unigram table it can outgrow
+    the driver); the unigram context table and the scalar V broadcast."""
+    tok = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("_w"),
+    )
+    idx = F.when(
+        F.size("_w") >= 2, F.sequence(F.lit(0), F.size("_w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    big = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("_w", (i + 1).cast("int")),
+                    F.element_at("_w", (i + 2).cast("int")),
+                ),
+            )
+        ).alias("bg"),
+    )
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("term")
+    )
+    vocab = words.agg(F.countDistinct("term").alias("_v"))
+    bg_cnt = big.groupBy("bg").agg(F.count("*").alias("_bc"))
+    left_cnt = big.select(
+        F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1")
+    ).groupBy("w1").agg(F.count("*").alias("_lc"))
+    scored = (
+        big.join(bg_cnt, "bg")
+        .withColumn("w1", F.split_part("bg", F.lit(" "), F.lit(1)))
+        .join(F.broadcast(left_cnt), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log((F.col("_bc") + 1.0) / (F.col("_lc") + F.col("_v"))).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

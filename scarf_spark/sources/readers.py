@@ -359,3 +359,25 @@ def read_loom(
                     )
 
     return spec_df.mapInPandas(scan, "cell_id long, feat_id long, value double")
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """JSONL (newline-delimited JSON) corpus reader — the interchange
+    format LLM document corpora actually ship in. The schema is
+    REQUIRED: schema inference costs a full extra pass over 100 TB and
+    silently unions drifting types; an explicit schema makes the read
+    one pass, lets the JSON parser prune unreferenced fields at parse
+    time, and sends malformed lines to ``_corrupt_record`` instead of
+    failing the job (PERMISSIVE mode, Spark's default).
+
+    The JSON source splits by file and by line, so parallelism is the
+    file layout — shard corpora into many part files (the same rule as
+    parquet). No reference counterpart (scarf ingests matrices, not
+    text; ``scarf/readers.py`` top-of-file inventory)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )

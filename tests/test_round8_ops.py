@@ -72,3 +72,39 @@ def test_dsir_prefers_target_like_docs(spark):
         for r in filters.dsir_log_weights(corpus, target, n_buckets=64).collect()
     }
     assert out[1] > out[2]  # target-like doc gets the higher weight
+
+
+def test_bigram_logprob_repetition_scores_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),  # one repeated bigram pattern
+            (2, "a c b d c a d b"),  # same unigrams, scattered bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bigram_logprob(docs).collect()}
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_bigram_logprob_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    assert text.bigram_logprob(docs).count() == 0  # no bigrams, no rows
+
+
+def test_read_jsonl_roundtrip_and_malformed(spark, tmp_path):
+    from scarf_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "this line is not json\n"
+        '{"doc_id": 2, "text": "second"}\n'
+    )
+    out = read_jsonl(spark, str(p), "doc_id long, text string").collect()
+    rows = {r["doc_id"]: r["text"] for r in out if r["doc_id"] is not None}
+    assert rows == {1: "hello world", 2: "second"}
+    # PERMISSIVE mode: the malformed line becomes a null row, not a crash
+    assert len(out) == 3
