@@ -5337,6 +5337,96 @@ def text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(_ds(spark, sf_dir).documents)
 
 
+# End-to-end pretraining-data prep: exact-dedup keep ∧ quality keep ∧
+# benchmark-clean (4-gram), survivors packed into fixed-budget
+# sequences — the full corpus-release pipeline as ONE graded query,
+# composed from the individually-green stages (the text_minhash_cluster
+# precedent). Every sub-CTE is the verbatim oracle of its stage.
+_PIPE_SQL = (
+    f"WITH {_WORDS_CTE}, "
+    "f AS (SELECT doc_id, "
+    "list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
+    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS mtl, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
+    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS sr, "
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+    "/ CAST(greatest(length(text), 1) AS DOUBLE) AS ar FROM w), "
+    "q AS (SELECT doc_id, "
+    "ROUND(0.4 * LEAST(sr * 5.0, 1.0) + 0.3 * ar + 0.3 * LEAST(mtl / 10.0, 1.0), 6) "
+    "AS quality FROM f), "
+    "h AS (SELECT doc_id, "
+    f"len(list_filter(ws, x -> list_contains({_DE_SW}, lower(x)))) AS h_de, "
+    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) AS h_en, "
+    f"len(list_filter(ws, x -> list_contains({_FR_SW}, lower(x)))) AS h_fr FROM w), "
+    "l AS (SELECT doc_id, CASE WHEN h_de >= h_en AND h_de >= h_fr THEN 'de' "
+    "WHEN h_en >= h_fr THEN 'en' ELSE 'fr' END AS pred_lang FROM h), "
+    "keepq AS (SELECT d.doc_id FROM documents d "
+    "JOIN q ON d.doc_id = q.doc_id JOIN l ON d.doc_id = l.doc_id "
+    "WHERE length(d.text) >= 200 AND l.pred_lang IN ('en', 'de') "
+    "AND q.quality >= 0.5), "
+    "dd AS (SELECT doc_id FROM (SELECT doc_id, "
+    "doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS k FROM documents) "
+    "WHERE k), "
+    "csh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE doc_id IN "
+    "(SELECT doc_id FROM documents WHERE source != 'src0')), "
+    "bsh AS (SELECT DISTINCT unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE doc_id IN "
+    "(SELECT doc_id FROM documents WHERE source = 'src0')), "
+    "hits AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle)), "
+    "surv AS (SELECT d.doc_id, d.text FROM documents d "
+    "JOIN dd ON d.doc_id = dd.doc_id JOIN keepq ON d.doc_id = keepq.doc_id "
+    "WHERE d.source != 'src0' "
+    "AND d.doc_id NOT IN (SELECT doc_id FROM hits)), "
+    "pk AS (SELECT doc_id, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h, "
+    "CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) "
+    "AS n_tokens FROM surv), "
+    "s AS (SELECT doc_id, n_tokens, h % 8 AS bucket, "
+    "SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n_tokens "
+    "AS start_off FROM pk) "
+    "SELECT doc_id, n_tokens, bucket, start_off // 256 AS seq_id, start_off "
+    "FROM s"
+)
+
+
+@q("pipe_pretrain_prep", _PIPE_SQL)
+def pipe_pretrain_prep(spark, sf_dir):
+    """End-to-end pretraining corpus prep as one graded pipeline:
+    exact-dedup keep-list ∧ composite quality admission ∧ 4-gram
+    benchmark decontamination, survivors packed into 256-token
+    training sequences (all four stages are the already-green
+    operators, composed)."""
+    from scarf_spark.operators import filters
+
+    docs = _ds(spark, sf_dir).documents
+    dd_keep = dedup.exact_dedup(docs).where("keep").select("doc_id")
+    q_keep = text.quality_filter(docs).where("keep").select("doc_id")
+    clean = (
+        dedup.ngram_decontaminate(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            n=4,
+        )
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    surv = (
+        docs.where(F.col("source") != "src0")
+        .join(dd_keep, "doc_id", "semi")
+        .join(q_keep, "doc_id", "semi")
+        .join(clean, "doc_id", "semi")
+        .select("doc_id", "text")
+    )
+    return filters.pack_sequences(surv, budget=256, n_buckets=8).select(
+        "doc_id", "n_tokens", "bucket", "seq_id", "start_off"
+    )
+
+
 @q(
     "text_bigram_logprob",
     # add-1 bigram LM: mean over doc bigrams of

@@ -59,6 +59,7 @@ def main() -> None:
     heavy = [
         "text_minhash_cluster", "mark_stats", "graph_modularity",
         "graph_components", "ann_ivfpq", "ml_quality_logreg",
+        "pipe_pretrain_prep",
         "dedup_ngram_jaccard", "src_zarr_counts", "agg_cooccur_hvg",
         "dedup_incremental", "ml_wnn", "graph_pagerank", "graph_kcore",
         "dedup_semdedup", "qc_percent_feature", "mm_phash_dedup",
@@ -333,6 +334,7 @@ def _extra_headliners() -> set[str]:
         "samp_dsir",
         "text_bigram_logprob",
         "src_jsonl_docs",
+        "pipe_pretrain_prep",
         "sql_q4",
         "sql_q7",
         "sql_q8",
