@@ -3294,6 +3294,46 @@ def stream_enrich(spark, sf_dir):
 
 
 @q(
+    "stream_decon",
+    # decontamination-at-ingest batch twin: per arriving doc, distinct
+    # 4-gram collisions with the static src0 benchmark shingle set;
+    # docs shorter than 4 words carry no shingles and emit no row
+    "WITH w AS (SELECT doc_id, source, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "csh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE source != 'src0'), "
+    "bsh AS (SELECT DISTINCT unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE source = 'src0'), "
+    "hits AS (SELECT csh.doc_id, COUNT(*) AS n_hits "
+    "FROM csh JOIN bsh USING (shingle) GROUP BY csh.doc_id), "
+    "per_doc AS (SELECT DISTINCT doc_id FROM csh) "
+    "SELECT p.doc_id, COALESCE(h.n_hits, 0) AS n_hits, "
+    "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+    "FROM per_doc p LEFT JOIN hits h USING (doc_id)",
+)
+def stream_decon(spark, sf_dir):
+    """Decontamination at ingest (streaming.decontaminate_stream, here
+    in its batch form — the stream twin is parity-tested in
+    test_streaming): stream-static broadcast shingle join + one
+    collect_set aggregation per doc."""
+    from scarf_spark import streaming as strm
+    from scarf_spark.operators.dedup import word_shingles
+
+    docs = _ds(spark, sf_dir).documents
+    bench_sh = word_shingles(docs.where(F.col("source") == "src0"), 4)
+    out = strm.decontaminate_stream(
+        docs.where(F.col("source") != "src0"), bench_sh, n=4
+    )
+    return out.select(
+        "doc_id", F.col("n_hits").cast("bigint").alias("n_hits"), "contaminated"
+    )
+
+
+@q(
     "stream_join_attrib",
     # click->purchase attribution within 2h: the watermarked
     # stream-stream interval join's batch twin

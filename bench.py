@@ -335,6 +335,7 @@ def _extra_headliners() -> set[str]:
         "text_bigram_logprob",
         "src_jsonl_docs",
         "pipe_pretrain_prep",
+        "stream_decon",
         "sql_q4",
         "sql_q7",
         "sql_q8",

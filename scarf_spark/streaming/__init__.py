@@ -12,7 +12,9 @@ sessionization — with batch twins for oracle verification.
 
 from scarf_spark.streaming.events import (  # noqa: F401
     attribution_join,
+    decontaminate_stream,
     enrich_events,
+    read_documents_stream,
     event_type_rate,
     first_event_dedup,
     hll_distinct_stream,

@@ -559,3 +559,61 @@ def attribution_join(
         .cast("long")
         .alias("delay_s"),
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` file source over the documents parquet — the
+    corpus-ingest path for streaming data-pipeline operators
+    (decontamination-at-ingest, incremental dedup). Schema pinned, one
+    file per trigger to bound per-batch work."""
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark_shingles: DataFrame,
+    n: int = 4,
+) -> DataFrame:
+    """Decontamination AT INGEST: flag each arriving document if it
+    shares any word n-gram with the (static, pre-shingled) benchmark
+    set — the stream-static-join form of
+    ``dedup.ngram_decontaminate``, which a 100 TB/day ingest runs so
+    contaminated docs never reach the corpus at all.
+
+    The benchmark shingle table is static and broadcast; the stream
+    side shingles JVM-side (a narrow transform), left-outer joins the
+    static set to mark collisions, and ONE per-doc aggregation builds
+    the distinct-hit count via ``collect_set`` (Structured Streaming
+    allows a single aggregation and no exact count-distinct; the set is
+    bounded by the doc's shingles). A doc's row is final once its
+    microbatch completes — a doc's shingles arrive together — so
+    update-mode output is the per-doc verdict stream. Docs shorter
+    than ``n`` words carry no shingles and produce no row (they cannot
+    collide). State is one aggregation's doc keys, never pair state."""
+    from scarf_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n, distinct=False)
+    bset = F.broadcast(
+        benchmark_shingles.select("shingle").distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+    )
+    marked = sh.join(bset, "shingle", "left_outer")
+    return marked.groupBy("doc_id").agg(
+        F.size(
+            F.collect_set(F.when(F.col("_hit") == 1, F.col("shingle")))
+        ).alias("n_hits"),
+        (
+            F.size(
+                F.collect_set(F.when(F.col("_hit") == 1, F.col("shingle")))
+            )
+            > 0
+        ).alias("contaminated"),
+    )

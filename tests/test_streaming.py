@@ -354,3 +354,33 @@ def test_incremental_dedup_stream_ingest(spark, tmp_path):
         spark.read.parquet(store).select("doc_id").distinct().count()
     )
     assert n_bucket_docs == 4  # every ingested doc is now in the store
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir):
+    """Decontamination at ingest: the streaming form (file-source doc
+    stream + static broadcast benchmark shingles + one collect_set
+    aggregation) must produce the per-doc verdicts of the batch twin."""
+    from pyspark.sql import functions as F
+
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.dedup import word_shingles
+
+    docs = DataStore(spark, sf_dir).documents
+    bench_sh = word_shingles(docs.where(F.col("source") == "src0"), 4)
+    batch = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in strm.decontaminate_stream(
+            docs.where(F.col("source") != "src0"), bench_sh, n=4
+        ).collect()
+    }
+    stream_docs = strm.read_documents_stream(spark, sf_dir).where(
+        F.col("source") != "src0"
+    )
+    sdf = strm.decontaminate_stream(stream_docs, bench_sh, n=4)
+    _run_stream(sdf, "decon", mode="complete")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM decon").collect()
+    }
+    assert len(batch) > 0 and got == batch
+    assert any(v[1] for v in got.values())  # at least one contaminated doc
