@@ -4338,6 +4338,37 @@ def graph_components(spark, sf_dir):
 
 
 @q(
+    "graph_assortativity",
+    # Newman degree assortativity over the undirected KNN graph: all
+    # moments are exact integer sums over edges; one double expression
+    # at the end, ROUND(6). HUGEINT sums auto-cast by the wrapper.
+    f"WITH {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT src, dst FROM knn WHERE src != dst "
+    "UNION SELECT dst, src FROM knn WHERE src != dst), "
+    "deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src), "
+    "p AS (SELECT dx.d AS x, dy.d AS y FROM und "
+    "JOIN deg dx ON und.src = dx.src JOIN deg dy ON und.dst = dy.src), "
+    "mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "CAST(COUNT(*) AS BIGINT) AS n_edges, "
+    "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+    "CAST(SUM(x * y) AS DOUBLE) AS sxy, "
+    "CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+    "CAST(SUM(y * y) AS DOUBLE) AS syy FROM p) "
+    "SELECT n_edges, ROUND(CASE WHEN (n * sxx - sx * sx) > 0 "
+    "AND (n * syy - sy * sy) > 0 THEN (n * sxy - sx * sy) "
+    "/ SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) "
+    "ELSE 0.0 END, 6) AS assortativity FROM mo",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the KNN graph
+    (graph.degree_assortativity) — the Newman 2002 topology gauge."""
+    from scarf_spark.operators import graph
+
+    edges = _knn_edges(spark, sf_dir)
+    return graph.degree_assortativity(edges)
+
+
+@q(
     "graph_components_star",
     # same algorithm-independent fixpoint (node → component minimum)
     # as graph_components, reached in O(log n) rounds by alternating

@@ -329,6 +329,7 @@ def _extra_headliners() -> set[str]:
         "stream_enrich",
         # round-8 additions
         "graph_components_star",
+        "graph_assortativity",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

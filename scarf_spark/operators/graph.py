@@ -500,3 +500,71 @@ def connected_components_star(
         )
         .distinct()
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge set —
+    positive when hubs link to hubs (social graphs), negative for
+    hub-and-spoke (KNN and web graphs). One of the standard
+    health/topology gauges next to triangles and coreness.
+
+    Every moment is an INTEGER sum over edges (degrees are counts), so
+    the correlation's numerator and both variance terms are exact on
+    any engine; accumulation is DECIMAL(38,0) (bigint Σd² overflows
+    under ANSI at ~10¹⁸) and only the final division happens in
+    doubles, ROUND(6). Shape: one degree agg + two broadcast-free
+    joins keyed by endpoint + one scalar agg — linear in edges, no
+    driver state. Returns (n_edges, assortativity)."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("d"))
+    pairs = (
+        und.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = pairs.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # cast each EXACT decimal sum to double BEFORE the products: a
+    # (38,0)x(38,0) decimal multiply overflows Spark's 38-digit cap
+    # (ANSI throws) long before the statistic loses meaning, while
+    # double arithmetic over exactly-converted sums is the same IEEE
+    # op sequence on every engine
+    md = m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.col("n").cast("double").alias("n"),
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("syy").cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return md.select(
+        "n_edges",
+        F.round(
+            F.when(
+                (vx > 0) & (vy > 0), num / F.sqrt(vx * vy)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -108,3 +108,21 @@ def test_read_jsonl_roundtrip_and_malformed(spark, tmp_path):
     assert rows == {1: "hello world", 2: "second"}
     # PERMISSIVE mode: the malformed line becomes a null row, not a crash
     assert len(out) == 3
+
+
+def test_assortativity_sign_and_bounds(spark):
+    from scarf_spark.operators.graph import degree_assortativity
+
+    # star graph: hub links to leaves only -> strongly disassortative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 16  # undirected both directions
+    assert r["assortativity"] == -1.0
+    # clique: all degrees equal -> zero variance -> defined as 0
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    assert degree_assortativity(clique).collect()[0]["assortativity"] == 0.0
