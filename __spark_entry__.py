@@ -3111,6 +3111,65 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @q(
+    "mm_video_keyframes",
+    # scene-cut detection: per 64-char frame an integer ascii-sum
+    # energy; keyframe iff first frame or |Δenergy| > 150 vs the
+    # previous frame — exact integers end to end
+    f"WITH {_MEDIA_CTE}, "
+    "v AS (SELECT doc_id, text FROM media WHERE modality = 'video'), "
+    "f AS (SELECT doc_id, i AS frame_idx, "
+    "list_aggregate(list_transform(range(0, 64), "
+    "j -> ascii(substr(text, CAST(i * 64 + j + 1 AS BIGINT), 1))), 'sum') "
+    "AS energy FROM v, "
+    "UNNEST(range(0, CAST(length(text) // 64 AS BIGINT))) AS u(i)) "
+    "SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, "
+    "CAST(energy AS BIGINT) AS energy, "
+    "COALESCE(ABS(energy - LAG(energy) OVER "
+    "(PARTITION BY doc_id ORDER BY frame_idx)) > 150, TRUE) AS is_key "
+    "FROM f",
+)
+def mm_video_keyframes(spark, sf_dir):
+    """Shot-boundary keyframe flags over the video payload frames
+    (multimodal.video_keyframes) — frame-difference energy with the
+    decode stubbed to the byte grid."""
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents)
+    return mm.video_keyframes(media, frame_chars=64, min_delta=150)
+
+
+@q(
+    "qc_emb_drift",
+    # vector-space drift monitor: L2 + cosine of the two slices'
+    # per-dim mean vectors (even vs odd vec_id)
+    "WITH ea AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0), "
+    "eb AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1), "
+    "da AS (SELECT u.i AS d, AVG(embedding[u.i + 1]) AS ma FROM ea, "
+    "UNNEST(range(0, len(embedding))) AS u(i) GROUP BY u.i), "
+    "db AS (SELECT u.i AS d, AVG(embedding[u.i + 1]) AS mb FROM eb, "
+    "UNNEST(range(0, len(embedding))) AS u(i) GROUP BY u.i), "
+    "na AS (SELECT COUNT(*) AS n_a FROM ea), "
+    "nb AS (SELECT COUNT(*) AS n_b FROM eb), "
+    "agg AS (SELECT SUM((ma - mb) * (ma - mb)) AS _d2, "
+    "SUM(ma * mb) AS _ab, SUM(ma * ma) AS _aa, SUM(mb * mb) AS _bb "
+    "FROM da JOIN db USING (d)) "
+    "SELECT n_a, n_b, ROUND(SQRT(_d2), 6) AS mean_l2, "
+    "ROUND(_ab / (SQRT(_aa) * SQRT(_bb)), 6) AS mean_cosine "
+    "FROM agg, na, nb",
+)
+def qc_emb_drift(spark, sf_dir):
+    """Embedding-space drift between the even/odd vec_id slices
+    (qc.embedding_drift) — the vector dual of qc_drift_psi."""
+    from scarf_spark.operators import qc
+
+    emb = _ds(spark, sf_dir).embeddings
+    return qc.embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
+@q(
     "mm_audio_energy",
     f"WITH {_MEDIA_CTE}, "
     "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p, "

@@ -330,6 +330,8 @@ def _extra_headliners() -> set[str]:
         # round-8 additions
         "graph_components_star",
         "graph_assortativity",
+        "mm_video_keyframes",
+        "qc_emb_drift",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

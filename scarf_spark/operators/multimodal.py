@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -482,4 +482,50 @@ def phash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def video_keyframes(
+    media: DataFrame, frame_chars: int = 64, min_delta: int = 150
+) -> DataFrame:
+    """Scene-cut / keyframe detection over the deterministic video
+    payloads: per fixed-size frame, an integer byte-sum "energy"; a
+    frame is a keyframe iff it is the first frame or its energy jumps
+    by more than ``min_delta`` from the previous frame — the shape of
+    real shot-boundary detection (frame-difference energy) with the
+    decode stubbed to the payload byte grid.
+
+    All JVM expressions: the per-frame energy is an ascii() fold over
+    the frame's characters (exact integers, so the oracle replays
+    bit-for-bit), the delta is one lag window partitioned by doc —
+    scales as one narrow pass + one window keyed by doc_id."""
+    vids = media.where(F.col("modality") == "video").withColumn(
+        "_t", F.decode(F.col("payload"), "utf-8")
+    )
+    n_frames = (F.length("_t") / frame_chars).cast("int")
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    energy = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(frame_chars - 1)),
+            lambda j: F.ascii(
+                F.col("_t").substr(
+                    F.col("frame_idx") * frame_chars + j + 1, F.lit(1)
+                )
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    frames = vids.select(
+        "doc_id", F.explode(idx).alias("frame_idx"), "_t"
+    ).select("doc_id", "frame_idx", energy.alias("energy"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(F.col("energy") - F.lag("energy").over(w))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        (delta.isNull() | (delta > min_delta)).alias("is_key"),
     )

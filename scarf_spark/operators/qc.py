@@ -208,3 +208,52 @@ def table_digest(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return df.select(row_h.alias("_h")).agg(
         F.count("*").alias("n_rows"), F.expr("bit_xor(_h)").alias("digest")
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus slices (train vs
+    serve, yesterday vs today): the L2 distance and cosine similarity
+    of the two slices' per-dimension MEAN vectors — the vector-space
+    dual of :func:`psi_drift`, and the cheap first-line monitor for
+    "did the encoder or the corpus move" before anything expensive
+    (re-clustering, re-indexing) runs.
+
+    Shape: one posexplode per side (narrow), one (dim)-keyed mean agg
+    each — n_dims rows of state regardless of corpus size — one
+    n_dims-row join, one scalar fold. Means are double AVGs and the
+    dim fold is a plain SUM; ROUND(6) absorbs sub-ulp accumulation-
+    order differences exactly as the other metric queries do."""
+    def dim_means(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("d", "v"))
+            .groupBy("d")
+            .agg(F.avg("v").alias(out))
+        )
+
+    ma = dim_means(a, "ma")
+    mb = dim_means(b, "mb")
+    na = a.select(F.count("*").alias("n_a"))
+    nb = b.select(F.count("*").alias("n_b"))
+    j = ma.join(mb, "d")
+    agg = j.agg(
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias("_d2"),
+        F.sum(F.col("ma") * F.col("mb")).alias("_ab"),
+        F.sum(F.col("ma") * F.col("ma")).alias("_aa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("_bb"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.sqrt("_d2"), 6).alias("mean_l2"),
+            F.round(
+                F.col("_ab") / (F.sqrt("_aa") * F.sqrt("_bb")), 6
+            ).alias("mean_cosine"),
+        )
+    )

@@ -126,3 +126,38 @@ def test_assortativity_sign_and_bounds(spark):
         "src long, dst long",
     )
     assert degree_assortativity(clique).collect()[0]["assortativity"] == 0.0
+
+
+def test_video_keyframes_detects_planted_cut(spark):
+    from scarf_spark.operators import multimodal as mm
+
+    # one video doc (doc_id % 3 == 2): 2 calm frames, then a loud one
+    calm, loud = "a" * 64, "z" * 64
+    docs = spark.createDataFrame(
+        [(2, calm + calm + loud)], "doc_id long, text string"
+    )
+    media = mm.attach_payload(docs)
+    out = {
+        r["frame_idx"]: r
+        for r in mm.video_keyframes(media, min_delta=150).collect()
+    }
+    assert out[0]["is_key"] is True  # first frame always keyframe
+    assert out[1]["is_key"] is False  # same energy as frame 0
+    assert out[2]["is_key"] is True  # planted scene cut
+    assert out[2]["energy"] - out[1]["energy"] == 64 * (ord("z") - ord("a"))
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from scarf_spark.operators.qc import embedding_drift
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    same = embedding_drift(emb, emb).collect()[0]
+    assert same["mean_l2"] == 0.0 and same["mean_cosine"] == 1.0
+    shifted = spark.createDataFrame(
+        [(i, [2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    moved = embedding_drift(emb, shifted).collect()[0]
+    assert abs(moved["mean_l2"] - 3.0 ** 0.5) < 1e-6
+    assert moved["mean_cosine"] < 1.0
