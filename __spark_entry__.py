@@ -3170,6 +3170,36 @@ def qc_emb_drift(spark, sf_dir):
 
 
 @q(
+    "mm_audio_segments",
+    # gaps-and-islands VAD: consecutive frames with energy > 9450
+    # collapse into segments; island id = frame_idx - row_number
+    f"WITH {_MEDIA_CTE}, "
+    "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p, "
+    "CAST((i - 1) // 100 AS INT) AS frame_idx "
+    "FROM media, UNNEST(range(1, length(text) + 1)) AS t(i) "
+    "WHERE modality = 'audio' AND i <= (length(text) // 100) * 100), "
+    "f AS (SELECT doc_id, frame_idx, SUM(p) AS energy FROM px GROUP BY 1, 2), "
+    "a AS (SELECT doc_id, frame_idx, energy, frame_idx - ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY frame_idx) AS _g FROM f "
+    "WHERE energy > 9450), "
+    "s AS (SELECT doc_id, MIN(frame_idx) AS start_frame, "
+    "MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames, "
+    "SUM(energy) AS sum_energy FROM a GROUP BY doc_id, _g) "
+    "SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY start_frame) AS INT) AS seg_id, start_frame, end_frame, "
+    "n_frames, sum_energy FROM s",
+)
+def mm_audio_segments(spark, sf_dir):
+    """Voice-activity segments over the audio payload frames
+    (multimodal.audio_active_segments) — the gaps-and-islands
+    run-length pattern."""
+    from scarf_spark.operators import multimodal as mm
+
+    media = mm.attach_payload(_ds(spark, sf_dir).documents)
+    return mm.audio_active_segments(media, frame_bytes=100, min_energy=9450)
+
+
+@q(
     "mm_audio_energy",
     f"WITH {_MEDIA_CTE}, "
     "px AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS p, "
@@ -5006,6 +5036,26 @@ _SQL_Q10 = (
 @q("sql_q10", _SQL_Q10)
 def sql_q10(spark, sf_dir):
     return _sql_query(spark, sf_dir, _SQL_Q10)
+
+
+# Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize;
+# Spark's DataFrame API has no grouping-sets verb, so the SQL front
+# door IS the idiomatic Spark path (one expand + one aggregate, same
+# physical plan as rollup). Identical text on both engines.
+_SQL_GSETS = (
+    "SELECT COALESCE(c_mktsegment, 'ALL') AS segment, "
+    "COALESCE(o_orderpriority, 'ALL') AS priority, "
+    "COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), "
+    "(c_mktsegment), (o_orderpriority))"
+)
+
+
+@q("sql_grouping_sets", _SQL_GSETS)
+def sql_grouping_sets(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_GSETS)
 
 
 # TPC-H Q4 shape: priority checking via a correlated EXISTS — Catalyst

@@ -332,6 +332,8 @@ def _extra_headliners() -> set[str]:
         "graph_assortativity",
         "mm_video_keyframes",
         "qc_emb_drift",
+        "mm_audio_segments",
+        "sql_grouping_sets",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

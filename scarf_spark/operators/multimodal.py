@@ -529,3 +529,43 @@ def video_keyframes(
         "energy",
         (delta.isNull() | (delta > min_delta)).alias("is_key"),
     )
+
+
+def audio_active_segments(
+    media: DataFrame, frame_bytes: int = 100, min_energy: int = 9450
+) -> DataFrame:
+    """Voice-activity-style segmentation: group consecutive audio
+    frames whose energy exceeds ``min_energy`` into contiguous active
+    segments — the classic gaps-and-islands pattern (island id =
+    frame_idx − row_number over active frames), which is how VAD spans,
+    downtime windows, and run-length features are all expressed
+    relationally. Emits (doc_id, seg_id, start_frame, end_frame,
+    n_frames, sum_energy); exact integers end to end.
+
+    Shape: the frame-energy table (one Arrow pass) → one filter → two
+    doc-keyed window/agg passes. Nothing holds more than a doc's frame
+    list in any state."""
+    frames = audio_frame_energy(media, frame_bytes=frame_bytes)
+    active = frames.where(F.col("energy") > min_energy)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("_g")
+    return (
+        active.select("doc_id", "frame_idx", "energy", grp)
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("sum_energy"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("start_frame"))
+            .alias("seg_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "sum_energy",
+        )
+    )

@@ -161,3 +161,19 @@ def test_embedding_drift_identical_and_shifted(spark):
     moved = embedding_drift(emb, shifted).collect()[0]
     assert abs(moved["mean_l2"] - 3.0 ** 0.5) < 1e-6
     assert moved["mean_cosine"] < 1.0
+
+
+def test_audio_segments_islands(spark):
+    from scarf_spark.operators import multimodal as mm
+
+    # one audio doc (doc_id % 3 == 1): quiet-loud-loud-quiet-loud
+    frame = lambda ch: ch * 10
+    text = frame("a") + frame("z") + frame("z") + frame("a") + frame("z")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    media = mm.attach_payload(docs)
+    # threshold between 10*'a'=970 and 10*'z'=1220
+    segs = mm.audio_active_segments(
+        media, frame_bytes=10, min_energy=1000
+    ).collect()
+    got = [(r["seg_id"], r["start_frame"], r["end_frame"], r["n_frames"]) for r in segs]
+    assert sorted(got) == [(1, 1, 2, 2), (2, 4, 4, 1)]
