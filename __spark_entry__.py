@@ -2007,6 +2007,35 @@ _PCA_PREP_CTE = (
 
 
 @q(
+    "ml_mahalanobis",
+    # squared Mahalanobis outlier score via the covariance eigenpairs:
+    # m² = Σ (x·v_k)²/λ_k — sign flips cancel in the square, so no
+    # sign convention is needed; eigenvalues floored at 1e-9 both sides
+    f"WITH RECURSIVE {COUNTS_CTE}, {_PCA_PREP_CTE}, {_jacobi_cte(10)}, "
+    "evs AS (SELECT i, a[i * 10 + i + 1] AS ev FROM jfin, "
+    "UNNEST(range(0, 10)) t(i)), "
+    "loads AS (SELECT s.i AS comp, r.i AS row_i, "
+    "v[r.i * 10 + s.i + 1] AS w, s.ev FROM jfin, evs s, "
+    "UNNEST(range(0, 10)) r(i)), "
+    "proj AS (SELECT z.cell_id, l.comp, SUM(z.val * l.w) AS pc, "
+    "MIN(l.ev) AS ev FROM zdims z JOIN loads l ON l.row_i = z.slot - 1 "
+    "GROUP BY z.cell_id, l.comp) "
+    "SELECT cell_id, ROUND(SUM(pc * pc / GREATEST(ev, 1e-9)), 6) AS m2 "
+    "FROM proj GROUP BY cell_id",
+)
+def ml_mahalanobis(spark, sf_dir):
+    """Multivariate outlier score over the z-scored top-10-feature
+    matrix (ml.reduction.mahalanobis_scores): xᵀC⁻¹x through the same
+    one-pass Gram + driver Jacobi as PCA, never inverting C."""
+    from scarf_spark.ml import reduction
+
+    ds = _ds(spark, sf_dir)
+    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
+    z = reduction.zscore_vectors(vec)
+    return reduction.mahalanobis_scores(z)
+
+
+@q(
     "ml_pca_project",
     f"WITH RECURSIVE {COUNTS_CTE}, {_PCA_PREP_CTE}, {_jacobi_cte(10)}, "
     + _pca_tail_sql(10, 3, 0, "pc"),

@@ -334,6 +334,7 @@ def _extra_headliners() -> set[str]:
         "qc_emb_drift",
         "mm_audio_segments",
         "sql_grouping_sets",
+        "ml_mahalanobis",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

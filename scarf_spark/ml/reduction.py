@@ -169,3 +169,27 @@ def pca_transform(cells_vec: DataFrame, loadings) -> DataFrame:
         for c in range(k)
     ]
     return cells_vec.select("cell_id", *cols)
+
+
+def mahalanobis_scores(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
+    """Squared Mahalanobis distance of every vector from the (already
+    centered) sample distribution — the classic multivariate outlier
+    score: m² = Σ_k (x·v_k)² / λ_k over the covariance eigenpairs,
+    which is xᵀC⁻¹x without ever materializing or inverting C beyond
+    the d×d Gram aggregate that :func:`pca_fit` already computes
+    driver-side with the deterministic Jacobi sweep.
+
+    Eigenvector sign flips cancel in the square, so the score is even
+    replayable where signed projections need a sign convention. Small
+    eigenvalues are floored at ``eps`` on both engines (a rank-
+    deficient direction otherwise explodes the score). One Gram pass +
+    one projection expression per vector — the same scale envelope as
+    PCA itself. Returns (cell_id, m2)."""
+    d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    loadings, evs = pca_fit(cells_vec, k=d)
+    proj = pca_transform(cells_vec, loadings)
+    score = sum(
+        F.col(f"pc{c + 1}") * F.col(f"pc{c + 1}") / float(max(ev, eps))
+        for c, ev in enumerate(evs)
+    )
+    return proj.select("cell_id", F.round(score, 6).alias("m2"))

@@ -177,3 +177,18 @@ def test_audio_segments_islands(spark):
     ).collect()
     got = [(r["seg_id"], r["start_frame"], r["end_frame"], r["n_frames"]) for r in segs]
     assert sorted(got) == [(1, 1, 2, 2), (2, 4, 4, 1)]
+
+
+def test_mahalanobis_flags_planted_outlier(spark):
+    import numpy as np
+
+    from scarf_spark.ml import reduction
+
+    rng = np.random.RandomState(9)
+    pts = rng.randn(40, 4)
+    pts[0] = [12.0, -12.0, 12.0, -12.0]  # planted far outlier
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(pts)]
+    vec = spark.createDataFrame(rows, "cell_id long, v array<double>")
+    out = {r["cell_id"]: r["m2"] for r in reduction.mahalanobis_scores(vec).collect()}
+    assert out[0] == max(out.values())  # outlier has the top score
+    assert all(v >= 0 for v in out.values())
