@@ -5754,6 +5754,43 @@ def samp_dsir(spark, sf_dir):
 
 
 @q(
+    "evt_survival_km",
+    # Kaplan-Meier product-limit estimator, signup -> first purchase,
+    # censored at 7 days: the at-risk count and the running
+    # sum-of-logs both come from ORDERED cumulative windows over the
+    # per-distinct-duration aggregate (<= 10081 rows), accumulating
+    # left-to-right identically on both engines
+    "WITH s AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events "
+    "WHERE event_type = 'signup' GROUP BY 1), "
+    "p AS (SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS tp, MIN(s.t0) AS t0 "
+    "FROM events e JOIN s ON e.user_id = s.u "
+    "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t0 GROUP BY 1), "
+    "dur AS (SELECT s.u, "
+    "LEAST(COALESCE((p.tp - p.t0) // 60000000, 10080), 10080) AS obs, "
+    "(p.tp IS NOT NULL AND (p.tp - p.t0) // 60000000 <= 10080) AS evt "
+    "FROM s LEFT JOIN p ON s.u = p.u), "
+    "per_t AS (SELECT obs AS t_min, "
+    "SUM(CASE WHEN evt THEN 1 ELSE 0 END) AS n_events, "
+    "SUM(CASE WHEN evt THEN 0 ELSE 1 END) AS n_censored FROM dur GROUP BY 1), "
+    "tot AS (SELECT COUNT(*) AS _n FROM dur), "
+    "r AS (SELECT t_min, n_events, _n - COALESCE(SUM(n_events + n_censored) "
+    "OVER (ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0) AS n_at_risk FROM per_t, tot), "
+    "k AS (SELECT t_min, n_at_risk, n_events, "
+    "EXP(SUM(LN(GREATEST(1.0 - n_events / CAST(n_at_risk AS DOUBLE), 1e-12))) "
+    "OVER (ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "AS sv FROM r) "
+    "SELECT t_min, CAST(n_at_risk AS BIGINT) AS n_at_risk, "
+    "CAST(n_events AS BIGINT) AS n_events, ROUND(sv, 6) AS survival "
+    "FROM k WHERE n_events > 0",
+)
+def evt_survival_km(spark, sf_dir):
+    """Kaplan-Meier time-to-purchase survival curve
+    (windows.kaplan_meier) — churn/conversion with correct censoring."""
+    return windows.kaplan_meier(_ds(spark, sf_dir).events)
+
+
+@q(
     "evt_funnel",
     # ordered signup -> click -> purchase funnel; each stage strictly
     # after the user's previous stage

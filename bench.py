@@ -335,6 +335,7 @@ def _extra_headliners() -> set[str]:
         "mm_audio_segments",
         "sql_grouping_sets",
         "ml_mahalanobis",
+        "evt_survival_km",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

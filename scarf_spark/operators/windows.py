@@ -553,3 +553,88 @@ def zorder_key(
         .bitwiseOR(spread(F.col("qb")))
         .alias("zval"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    start_type: str = "signup",
+    end_type: str = "purchase",
+    horizon_minutes: int = 10080,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-event analysis (the
+    product-limit estimator): duration = minutes from a user's first
+    ``start_type`` to their first subsequent ``end_type``, censored at
+    ``horizon_minutes`` — churn/conversion analysis with the censoring
+    handled correctly instead of dropped.
+
+    Relational shape: two per-user MIN aggregates (dimension-sized) →
+    one per-distinct-time aggregate (d_t events, c_t censored) → one
+    ORDERED window pass building the at-risk count (total − prior
+    exits) and the running Σln(1−d/n) whose exp is S(t). The ordered
+    running sum accumulates left-to-right identically on every engine,
+    so the curve replays exactly under ROUND(6). Integer minutes keep
+    every d/n exact. Returns (t_min, n_at_risk, n_events, survival)
+    — one row per distinct event time."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), us.alias("s")
+    )
+    starts = e.where(F.col("t") == start_type).groupBy("u").agg(
+        F.min("s").alias("t0")
+    )
+    ends = (
+        e.where(F.col("t") == end_type)
+        .join(starts, "u")
+        .where(F.col("s") > F.col("t0"))
+        .groupBy("u")
+        .agg(F.min(F.col("s")).alias("tp"), F.min("t0").alias("_t0"))
+        # integer div, not double-divide-then-cast: a double quotient
+        # 1 ulp above an integer boundary would truncate differently
+        # than the oracle's exact // floor
+        .select("u", F.expr("(tp - _t0) div 60000000").alias("d"))
+    )
+    dur = starts.join(ends, "u", "left_outer").select(
+        "u",
+        F.least(F.coalesce("d", F.lit(horizon_minutes)), F.lit(horizon_minutes)).alias("obs"),
+        (F.col("d").isNotNull() & (F.col("d") <= horizon_minutes)).alias("evt"),
+    )
+    per_t = dur.groupBy(F.col("obs").alias("t_min")).agg(
+        F.sum(F.col("evt").cast("bigint")).alias("n_events"),
+        F.sum((~F.col("evt")).cast("bigint")).alias("n_censored"),
+    )
+    total = dur.agg(F.count("*").alias("_n"))
+    w = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, 0)
+    risked = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.greatest(
+                                F.lit(1.0)
+                                - F.col("n_events") / F.col("n_at_risk"),
+                                F.lit(1e-12),
+                            )
+                        )
+                    ).over(wall)
+                ),
+                6,
+            ),
+        )
+    )
+    return risked.where(F.col("n_events") > 0).select(
+        "t_min", "n_at_risk", "n_events", "survival"
+    )

@@ -192,3 +192,34 @@ def test_mahalanobis_flags_planted_outlier(spark):
     out = {r["cell_id"]: r["m2"] for r in reduction.mahalanobis_scores(vec).collect()}
     assert out[0] == max(out.values())  # outlier has the top score
     assert all(v >= 0 for v in out.values())
+
+
+def test_kaplan_meier_planted_curve(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import kaplan_meier
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return datetime(2024, 1, 1, minutes // 60, minutes % 60)
+
+    rows = []
+    # 4 users sign up at t0; purchases at 10, 20, 20 min; user 4 never
+    for u in range(1, 5):
+        rows.append((u * 10, t0, u, "signup", 0.0, ""))
+    rows += [
+        (101, ts(10), 1, "purchase", 1.0, ""),
+        (102, ts(20), 2, "purchase", 1.0, ""),
+        (103, ts(20), 3, "purchase", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["t_min"]: r for r in kaplan_meier(ev, horizon_minutes=100).collect()}
+    # t=10: 4 at risk, 1 event -> S = 0.75
+    assert out[10]["n_at_risk"] == 4 and out[10]["survival"] == 0.75
+    # t=20: 3 at risk, 2 events -> S = 0.75 * (1/3) = 0.25
+    assert out[20]["n_at_risk"] == 3 and out[20]["n_events"] == 2
+    assert out[20]["survival"] == 0.25
+    assert 100 not in out  # censored-only time emits no event row

@@ -39,6 +39,11 @@ ALLOWED: dict[str, str] = {
         "same global_ntile adaptive small branch (cell ordering at "
         "sf0.1 is 150k rows < 1M); at scale the grid path engages"
     ),
+    "evt_survival_km": (
+        "the KM cumulative windows run over the per-DISTINCT-DURATION "
+        "aggregate (<= horizon_minutes + 1 = 10081 rows by "
+        "construction), never event rows"
+    ),
 }
 
 
