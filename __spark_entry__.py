@@ -2083,6 +2083,74 @@ _KMEANS_CTE = (
 )
 
 
+def _gmm_cte(k: int = 2, d: int = 64, n_iter: int = 3) -> str:
+    """Unrolled diagonal-GMM EM as a DuckDB CTE chain — every step is
+    smooth (log-density sums, max-shifted softmax, weighted moments),
+    so the whole fit replays exactly; mirrors ml/cluster.gmm_diag's
+    expression shapes term for term."""
+    parts = [
+        "gpts AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"gdims AS MATERIALIZED (SELECT vec_id, i AS dim, v[i + 1] AS val "
+        f"FROM gpts, UNNEST(range(0, {d})) t(i))",
+        "gn AS (SELECT COUNT(*) AS n FROM gpts)",
+        "gseed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY "
+        "md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid, v FROM "
+        "(SELECT vec_id, v FROM gpts ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        f"vec_id LIMIT {k}))",
+        f"gpar0 AS (SELECT cid, i AS dim, v[i + 1] AS mu, 1.0 AS var "
+        f"FROM gseed, UNNEST(range(0, {d})) t(i))",
+        f"gw0 AS (SELECT cid, 1.0 / {k} AS w FROM gseed)",
+    ]
+    for it in range(n_iter + 1):
+        j = it + 1
+        parts += [
+            f"gll{j} AS (SELECT d.vec_id, p.cid, SUM((d.val - p.mu) * "
+            f"(d.val - p.mu) / p.var + LN(2 * pi() * p.var)) AS ll "
+            f"FROM gdims d JOIN gpar{it} p USING (dim) GROUP BY 1, 2)",
+            f"glg{j} AS (SELECT l.vec_id, l.cid, LN(w.w) - 0.5 * l.ll AS lg "
+            f"FROM gll{j} l JOIN gw{it} w USING (cid))",
+            f"gm{j} AS (SELECT vec_id, cid, EXP(lg - MAX(lg) OVER "
+            f"(PARTITION BY vec_id)) AS r FROM glg{j})",
+            f"gr{j} AS (SELECT vec_id, cid, r / SUM(r) OVER "
+            f"(PARTITION BY vec_id) AS resp FROM gm{j})",
+        ]
+        if it == n_iter:
+            break
+        parts += [
+            f"gst{j} AS (SELECT r.cid, d.dim, SUM(r.resp) AS sr, "
+            f"SUM(r.resp * d.val) AS srx, SUM(r.resp * d.val * d.val) AS srx2 "
+            f"FROM gr{j} r JOIN gdims d USING (vec_id) GROUP BY 1, 2)",
+            f"gpar{j} AS (SELECT cid, dim, srx / sr AS mu, "
+            f"GREATEST(srx2 / sr - (srx / sr) * (srx / sr), 1e-6) AS var "
+            f"FROM gst{j})",
+            f"gw{j} AS (SELECT cid, SUM(resp) / "
+            f"(SELECT CAST(n AS DOUBLE) FROM gn) AS w FROM gr{j} GROUP BY cid)",
+        ]
+    return ", ".join(parts)
+
+
+@q(
+    "ml_gmm_resp",
+    f"WITH {_gmm_cte(2, 64, 3)} "
+    "SELECT vec_id, cid AS cluster, ROUND(resp, 6) AS resp FROM gr4",
+)
+def ml_gmm_resp(spark, sf_dir):
+    """Diagonal-covariance GMM soft responsibilities after 3 EM
+    iterations (ml.cluster.gmm_diag) — probabilistic clustering whose
+    every step is smooth, hence fully oracle-replayable (the soft dual
+    of ml_kmeans)."""
+    from scarf_spark.ml import cluster
+
+    emb = _ds(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("v")
+    )
+    out = cluster.gmm_diag(emb, k=2, n_iter=3)
+    return out.select(
+        F.col("cell_id").alias("vec_id"), "cluster", "resp"
+    )
+
+
 @q(
     "ml_kmeans",
     f"WITH RECURSIVE {_KMEANS_CTE} "

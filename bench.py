@@ -336,6 +336,7 @@ def _extra_headliners() -> set[str]:
         "sql_grouping_sets",
         "ml_mahalanobis",
         "evt_survival_km",
+        "ml_gmm_resp",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

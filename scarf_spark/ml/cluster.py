@@ -474,3 +474,122 @@ def cut_dendrogram_balanced(
         for m in members:
             out[leaf_ids[m]] = ci
     return out
+
+
+def gmm_diag(
+    vectors: DataFrame,
+    k: int = 2,
+    n_iter: int = 3,
+    id_col: str = "cell_id",
+    vec_col: str = "v",
+    var_floor: float = 1e-6,
+) -> DataFrame:
+    """Deterministic diagonal-covariance Gaussian mixture (EM, fixed
+    ``n_iter`` iterations) — probabilistic soft clustering next to the
+    hard Lloyd assignment. Returns the SOFT responsibilities
+    (cell_id, cluster, resp): every step of EM is smooth (log-density
+    sums, softmax, weighted means), so unlike Louvain/Paris there is no
+    discrete float branch and the whole fit replays exactly in a SQL
+    oracle (the same boundary argument as Harmony and Lloyd's fixed
+    iterations; emitting soft responsibilities rather than an argmax
+    label keeps the output itself smooth too).
+
+    Init is seedless: means = the k smallest-(md5(id), id) vectors
+    (Lloyd's convention), unit variances, uniform weights. Distributed
+    shape per iteration: the long-form (id, dim, val) table joins the
+    broadcast k×d parameter table, one hash agg builds per-(id,
+    cluster) log-likelihoods, a per-id window normalizes the softmax
+    (max-shifted — exact cancellation, not an approximation), and one
+    map-side-combined agg of k×d weighted-moment rows re-estimates the
+    parameters. Only k×d parameter rows ever leave an aggregation."""
+    import math
+
+    pts = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    dims = pts.select(
+        "_id", F.posexplode("_v").alias("dim", "val")
+    ).localCheckpoint(eager=True)
+    n = pts.count()
+    # rank FIRST, explode SECOND: a window expression in the same
+    # select as posexplode is evaluated per exploded row (each dim row
+    # would get its own rank)
+    ranked = (
+        pts.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("_id").cast("string")), "_id"))
+            .cast("long")
+            .alias("cid"),
+            "_v",
+        )
+    )
+    seeds = ranked.select(
+        "cid", F.posexplode("_v").alias("dim", "mu")
+    ).select("cid", "dim", "mu", F.lit(1.0).alias("var"))
+    params = seeds.localCheckpoint(eager=True)
+    spark = vectors.sparkSession
+    weights = spark.createDataFrame(
+        [(c + 1, 1.0 / k) for c in range(k)], "cid long, w double"
+    )
+    two_pi = 2.0 * math.pi
+
+    def resp_of(params_df: DataFrame, weights_df: DataFrame) -> DataFrame:
+        ll = (
+            dims.join(F.broadcast(params_df), "dim")
+            .groupBy("_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("mu"))
+                    * (F.col("val") - F.col("mu"))
+                    / F.col("var")
+                    + F.log(F.lit(two_pi) * F.col("var"))
+                ).alias("_ll")
+            )
+        )
+        logit = ll.join(F.broadcast(weights_df), "cid").select(
+            "_id", "cid", (F.log("w") - 0.5 * F.col("_ll")).alias("_lg")
+        )
+        wv = Window.partitionBy("_id")
+        # two window layers (a window expr can't nest inside another):
+        # max-shift, exponentiate, then normalize by the window sum
+        return (
+            logit.withColumn("_m", F.max("_lg").over(wv))
+            .withColumn("_r", F.exp(F.col("_lg") - F.col("_m")))
+            .withColumn("_rs", F.sum("_r").over(wv))
+            .select("_id", "cid", (F.col("_r") / F.col("_rs")).alias("resp"))
+        )
+
+    for _ in range(n_iter):
+        resp = resp_of(params, weights)
+        stats = (
+            resp.join(dims, "_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("resp").alias("_sr"),
+                F.sum(F.col("resp") * F.col("val")).alias("_srx"),
+                F.sum(F.col("resp") * F.col("val") * F.col("val")).alias("_srx2"),
+            )
+        )
+        params = stats.select(
+            "cid",
+            "dim",
+            (F.col("_srx") / F.col("_sr")).alias("mu"),
+            F.greatest(
+                F.col("_srx2") / F.col("_sr")
+                - (F.col("_srx") / F.col("_sr")) * (F.col("_srx") / F.col("_sr")),
+                F.lit(var_floor),
+            ).alias("var"),
+        ).localCheckpoint(eager=True)
+        weights = (
+            resp.groupBy("cid")
+            .agg((F.sum("resp") / F.lit(float(n))).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return resp_of(params, weights).select(
+        F.col("_id").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.round("resp", 6).alias("resp"),
+    )

@@ -223,3 +223,29 @@ def test_kaplan_meier_planted_curve(spark):
     assert out[20]["n_at_risk"] == 3 and out[20]["n_events"] == 2
     assert out[20]["survival"] == 0.25
     assert 100 not in out  # censored-only time emits no event row
+
+
+def test_gmm_soft_responsibilities(spark):
+    import numpy as np
+
+    from scarf_spark.ml import cluster
+
+    rng = np.random.RandomState(11)
+    # two well-separated blobs
+    a = rng.randn(20, 4) * 0.1
+    b = rng.randn(20, 4) * 0.1 + 5.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    vec = spark.createDataFrame(rows, "cell_id long, v array<double>")
+    out = cluster.gmm_diag(vec, k=2, n_iter=3).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["cell_id"], {})[r["cluster"]] = r["resp"]
+    # responsibilities sum to 1 per point
+    for resp in by_id.values():
+        assert abs(sum(resp.values()) - 1.0) < 1e-5
+    # each point in a well-separated blob is confidently assigned
+    hard = {i: max(r, key=r.get) for i, r in by_id.items()}
+    blob_a = {hard[i] for i in range(20)}
+    blob_b = {hard[i] for i in range(20, 40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert all(max(r.values()) > 0.99 for r in by_id.values())
