@@ -259,3 +259,31 @@ def test_triangle_counts_partitioning_invariant(spark, sf_dir):
     a = sorted(map(tuple, triangle_counts(edges).collect()))
     b = sorted(map(tuple, triangle_counts(edges.repartition(7)).collect()))
     assert a == b
+
+
+@SET
+@given(parts=st.integers(min_value=1, max_value=9))
+def test_segment_dedup_partitioning_invariant(spark, parts):
+    """Cross-doc segment dedup must not depend on input partitioning or
+    row order — the doc-frequency table is a pure function of the
+    corpus content."""
+    from scarf_spark.operators.text import segment_dedup
+
+    rows = [(i, ("common seg one two three four five six " * (1 + i % 2)).strip())
+            for i in range(30)] + [(100 + i, f"unique{i} " * 9) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, segment_dedup(docs).collect()))
+    b = sorted(map(tuple, segment_dedup(docs.repartition(parts)).collect()))
+    assert a == b
+
+
+@SET
+@given(parts=st.integers(min_value=1, max_value=9))
+def test_star_contraction_partitioning_invariant(spark, parts):
+    from scarf_spark.operators.graph import connected_components_star
+
+    edges = [(i, i + 1) for i in range(25)] + [(50, 51), (52, 51)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, connected_components_star(df).collect()))
+    b = sorted(map(tuple, connected_components_star(df.repartition(parts)).collect()))
+    assert a == b
