@@ -2036,6 +2036,36 @@ def ml_mahalanobis(spark, sf_dir):
 
 
 @q(
+    "norm_zca_whiten",
+    # ZCA whitening x -> V diag(1/sqrt(lambda)) V^T x: v appears twice,
+    # so eigenvector sign flips cancel and no sign convention is needed
+    f"WITH RECURSIVE {COUNTS_CTE}, {_PCA_PREP_CTE}, {_jacobi_cte(10)}, "
+    "wevs AS (SELECT i, a[i * 10 + i + 1] AS ev FROM jfin, "
+    "UNNEST(range(0, 10)) t(i)), "
+    "wloads AS (SELECT s.i AS comp, r.i AS row_i, "
+    "v[r.i * 10 + s.i + 1] AS w, s.ev FROM jfin, wevs s, "
+    "UNNEST(range(0, 10)) r(i)), "
+    "wproj AS (SELECT z.cell_id, l.comp, SUM(z.val * l.w) AS pc "
+    "FROM zdims z JOIN wloads l ON l.row_i = z.slot - 1 GROUP BY 1, 2), "
+    "wout AS (SELECT p.cell_id, l.row_i + 1 AS slot, "
+    "SUM(p.pc * l.w / SQRT(GREATEST(l.ev, 1e-9))) AS wv "
+    "FROM wproj p JOIN wloads l ON p.comp = l.comp GROUP BY 1, 2) "
+    "SELECT cell_id, CAST(slot AS INT) AS slot, ROUND(wv, 6) AS white "
+    "FROM wout",
+)
+def norm_zca_whiten(spark, sf_dir):
+    """ZCA whitening of the z-scored top-10-feature matrix
+    (ml.reduction.zca_whiten) — decorrelate to unit covariance in the
+    original basis; sign-invariant, hence exactly replayable."""
+    from scarf_spark.ml import reduction
+
+    ds = _ds(spark, sf_dir)
+    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
+    z = reduction.zscore_vectors(vec)
+    return reduction.zca_whiten(z)
+
+
+@q(
     "ml_pca_project",
     f"WITH RECURSIVE {COUNTS_CTE}, {_PCA_PREP_CTE}, {_jacobi_cte(10)}, "
     + _pca_tail_sql(10, 3, 0, "pc"),

@@ -337,6 +337,7 @@ def _extra_headliners() -> set[str]:
         "ml_mahalanobis",
         "evt_survival_km",
         "ml_gmm_resp",
+        "norm_zca_whiten",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

@@ -193,3 +193,39 @@ def mahalanobis_scores(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
         for c, ev in enumerate(evs)
     )
     return proj.select("cell_id", F.round(score, 6).alias("m2"))
+
+
+def zca_whiten(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
+    """ZCA whitening: x → V Λ^(-1/2) Vᵀ x over the covariance
+    eigenpairs — decorrelates to unit covariance while staying as
+    close to the original basis as any whitening can (the standard
+    preprocessing before similarity search or coreset selection when
+    feature scales correlate).
+
+    The transform is expressed as Σ_c (x·v_c) · v_c/√λ_c — eigenvector
+    sign flips cancel (v appears twice), so like
+    :func:`mahalanobis_scores` it needs no sign convention and replays
+    exactly. One Gram pass + one projection expression per output
+    slot; eigenvalues floored at ``eps``. Returns
+    (cell_id, slot, white) long-form, slot 1-based."""
+    d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    loadings, evs = pca_fit(cells_vec, k=d)
+    proj = pca_transform(cells_vec, loadings)
+    outs = []
+    for i in range(d):
+        expr = sum(
+            F.col(f"pc{c + 1}")
+            * float(loadings[i, c] / max(ev, eps) ** 0.5)
+            for c, ev in enumerate(evs)
+        )
+        outs.append(F.round(expr, 6).alias(f"w{i + 1}"))
+    wide = proj.select("cell_id", *outs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("slot"), F.col(f"w{i + 1}").alias("white"))
+            for i in range(d)
+        ]
+    )
+    return wide.select("cell_id", F.explode(pairs).alias("_e")).select(
+        "cell_id", F.col("_e.slot").alias("slot"), F.col("_e.white").alias("white")
+    )

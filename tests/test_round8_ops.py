@@ -249,3 +249,23 @@ def test_gmm_soft_responsibilities(spark):
     blob_b = {hard[i] for i in range(20, 40)}
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
     assert all(max(r.values()) > 0.99 for r in by_id.values())
+
+
+def test_zca_whitening_decorrelates(spark):
+    import numpy as np
+
+    from scarf_spark.ml import reduction
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(200, 3)
+    # introduce strong correlation
+    mixed = base @ np.array([[1.0, 0.8, 0.0], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]])
+    mixed -= mixed.mean(axis=0)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mixed)]
+    vec = spark.createDataFrame(rows, "cell_id long, v array<double>")
+    out = reduction.zca_whiten(vec).collect()
+    m = np.zeros((200, 3))
+    for r in out:
+        m[r["cell_id"], r["slot"] - 1] = r["white"]
+    cov = (m.T @ m) / (len(m) - 1)
+    assert np.allclose(cov, np.eye(3), atol=1e-4)  # unit covariance
