@@ -292,6 +292,24 @@ def main() -> None:
     )
     timed("segment_dedup_2m", segment_dedup(docs_sd), results)
 
+    # 20. diagonal-GMM EM (round 8): long-form E-step joins n·d dim
+    # rows against the broadcast k·d parameter table; per-iteration
+    # shuffle state is k·d weighted-moment rows, never vectors
+    from scarf_spark.ml.cluster import gmm_diag
+
+    emb_g = spark.range(100_000).select(
+        F.col("id").alias("cell_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda dd: ((F.col("id") * dd * 48271) % 1000) / 500.0 - 1.0,
+        ).alias("v"),
+    )
+    timed(
+        "gmm_em_100k",
+        lambda: gmm_diag(emb_g, k=4, n_iter=2),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
