@@ -830,6 +830,42 @@ def mark_stats(spark, sf_dir):
 
 
 @q(
+    "mark_chi2",
+    # chi-squared expressed-vs-group independence per feature: exact
+    # integer contingency (absent = group size - present), double
+    # statistic, zero-expectation cells contribute 0
+    f"WITH {COUNTS_CTE}, {_CG_CTE}, "
+    "cc AS (SELECT DISTINCT c.cell_id, cg.grp FROM counts c "
+    "JOIN cg ON c.cell_id = cg.cell_id), "
+    "gsz AS (SELECT grp, COUNT(*) AS gn FROM cc GROUP BY grp), "
+    "nt AS (SELECT COUNT(*) AS n FROM cc), "
+    "pos AS (SELECT c.feat_id, cc.grp, COUNT(*) AS op FROM counts c "
+    "JOIN cc ON c.cell_id = cc.cell_id WHERE c.value > 0 "
+    "GROUP BY 1, 2), "
+    "grid AS (SELECT f.feat_id, g.grp, g.gn, COALESCE(p.op, 0) AS op "
+    "FROM (SELECT DISTINCT feat_id FROM counts) f CROSS JOIN gsz g "
+    "LEFT JOIN pos p ON p.feat_id = f.feat_id AND p.grp = g.grp), "
+    "pt AS (SELECT feat_id, SUM(op) AS pt FROM grid GROUP BY feat_id), "
+    "j AS (SELECT grid.feat_id, grid.gn, grid.op, pt.pt, nt.n, "
+    "pt.pt * grid.gn / CAST(nt.n AS DOUBLE) AS ep, "
+    "(nt.n - pt.pt) * grid.gn / CAST(nt.n AS DOUBLE) AS en "
+    "FROM grid JOIN pt USING (feat_id) CROSS JOIN nt) "
+    "SELECT feat_id, ROUND(SUM("
+    "CASE WHEN ep > 0 THEN (op - ep) * (op - ep) / ep ELSE 0.0 END "
+    "+ CASE WHEN en > 0 THEN ((gn - op) - en) * ((gn - op) - en) / en "
+    "ELSE 0.0 END), 6) AS chi2, "
+    "CAST(COUNT(*) - 1 AS BIGINT) AS dof "
+    "FROM j GROUP BY feat_id",
+)
+def mark_chi2(spark, sf_dir):
+    """Chi-squared expressed-vs-group independence per feature
+    (markers.marker_chi2) — the categorical complement of the
+    Mann-Whitney marker stats."""
+    ds = _ds(spark, sf_dir)
+    return markers.marker_chi2(ds.counts(), _cell_groups(ds))
+
+
+@q(
     "mark_regression",
     f"WITH {COUNTS_CTE}, "
     "cov AS (SELECT o_orderkey AS cell_id, o_totalprice AS x FROM orders) "

@@ -338,6 +338,7 @@ def _extra_headliners() -> set[str]:
         "evt_survival_km",
         "ml_gmm_resp",
         "norm_zca_whiten",
+        "mark_chi2",
         "text_segment_dedup",
         "dedup_ngram_decon",
         "samp_dsir",

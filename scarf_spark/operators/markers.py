@@ -239,3 +239,60 @@ def feature_modules(
 
     edges = feature_module_knn(counts, cell_order, n_bins=n_bins, k=k, order_col=order_col)
     return label_propagation(edges, n_iter=n_iter)
+
+
+def marker_chi2(
+    counts: DataFrame, groups: DataFrame, group_col: str = "grp"
+) -> DataFrame:
+    """Chi-squared independence test per feature: is "expresses
+    feature f" independent of the cell's group? The contingency-table
+    sibling of the Mann-Whitney marker stats — the right test when the
+    signal is presence/absence rather than rank shift
+    (``scarf/markers.py`` runs rank tests; chi² is the categorical
+    complement every DE toolkit ships).
+
+    All contingency cells are exact integers (observed = COO presence
+    joins, absent = group size − present), the statistic is one double
+    expression per (feature, group) pair, and zero-expectation cells
+    contribute 0 by the standard convention — so the whole test
+    replays exactly. Shapes: two dimension-sized aggregates + one
+    (feature × group) grid (G is small) + one feature-keyed agg.
+    Returns (feat_id, chi2, dof)."""
+    cells = (
+        counts.select("cell_id")
+        .distinct()
+        .join(groups, "cell_id")
+        .select("cell_id", F.col(group_col).alias("_g"))
+    )
+    gsz = cells.groupBy("_g").agg(F.count("*").alias("_gn"))
+    ntot = cells.agg(F.count("*").alias("_n"))
+    pos = (
+        counts.where(F.col("value") > 0)
+        .join(cells, "cell_id")
+        .groupBy("feat_id", "_g")
+        .agg(F.count("*").alias("_op"))
+    )
+    grid = (
+        counts.select("feat_id").distinct()
+        .crossJoin(F.broadcast(gsz))
+        .join(pos, ["feat_id", "_g"], "left_outer")
+        .select(
+            "feat_id",
+            "_g",
+            "_gn",
+            F.coalesce("_op", F.lit(0)).alias("_op"),
+        )
+    )
+    ptot = grid.groupBy("feat_id").agg(F.sum("_op").alias("_pt"))
+    j = grid.join(ptot, "feat_id").crossJoin(F.broadcast(ntot))
+    ep = F.col("_pt") * F.col("_gn") / F.col("_n")
+    en = (F.col("_n") - F.col("_pt")) * F.col("_gn") / F.col("_n")
+    on_ = F.col("_gn") - F.col("_op")
+    term = F.when(ep > 0, (F.col("_op") - ep) * (F.col("_op") - ep) / ep).otherwise(
+        F.lit(0.0)
+    ) + F.when(en > 0, (on_ - en) * (on_ - en) / en).otherwise(F.lit(0.0))
+    out = j.groupBy("feat_id").agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        (F.count("*") - 1).cast("bigint").alias("dof"),
+    )
+    return out

@@ -269,3 +269,23 @@ def test_zca_whitening_decorrelates(spark):
         m[r["cell_id"], r["slot"] - 1] = r["white"]
     cov = (m.T @ m) / (len(m) - 1)
     assert np.allclose(cov, np.eye(3), atol=1e-4)  # unit covariance
+
+
+def test_chi2_independence_semantics(spark):
+    from scarf_spark.operators.markers import marker_chi2
+
+    # feature 1 expressed only in group A; feature 2 uniform
+    counts = spark.createDataFrame(
+        [(c, 1, 1.0) for c in range(5)]  # feat 1 in cells 0-4 (group A)
+        + [(c, 2, 1.0) for c in range(10)],  # feat 2 everywhere
+        "cell_id long, feat_id long, value double",
+    )
+    groups = spark.createDataFrame(
+        [(c, "A" if c < 5 else "B") for c in range(10)],
+        "cell_id long, grp string",
+    )
+    out = {r["feat_id"]: r for r in marker_chi2(counts, groups).collect()}
+    assert out[1]["dof"] == 1 and out[2]["dof"] == 1
+    # perfectly dependent: chi2 = n = 10; perfectly independent: 0
+    assert out[1]["chi2"] == 10.0
+    assert out[2]["chi2"] == 0.0
