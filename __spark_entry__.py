@@ -5404,6 +5404,199 @@ def sql_q22(spark, sf_dir):
     return _sql_query(spark, sf_dir, _SQL_Q22)
 
 
+# TPC-H Q2 shape: minimum-cost supplier per part — a correlated MIN
+# scalar subquery repeated against the outer join. The driver schema
+# has no partsupp, so "supply cost" is the observed unit price
+# (l_extendedprice / l_quantity, IEEE double division on both
+# engines); the correlated-aggregate decorrelation (Catalyst rewrites
+# it into a grouped MIN + equi-join on p_partkey — the plan that scans
+# lineitem twice, never per-row) is exactly the Q2 plan. DISTINCT
+# collapses multiple min-priced lineitems of the same (part, supplier).
+_SQL_Q2 = (
+    "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name "
+    "FROM part, supplier, lineitem, nation, region "
+    "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'EUROPE' AND p_size = 15 "
+    "AND l_extendedprice / l_quantity = ("
+    "SELECT MIN(l2.l_extendedprice / l2.l_quantity) "
+    "FROM lineitem l2, supplier s2, nation n2, region r2 "
+    "WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey "
+    "AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey "
+    "AND r2.r_name = 'EUROPE') "
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+)
+
+
+@q("sql_q2", _SQL_Q2)
+def sql_q2(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q2)
+
+
+# TPC-H Q9 shape: product-line profit by nation × order year. No
+# partsupp in the driver schema, so profit omits the supply-cost term
+# (revenue only) — the plan shape is unchanged: a 5-table star join
+# with a LIKE filter on part, then a two-key aggregate over an
+# expression key (EXTRACT YEAR). DECIMAL money math, exact.
+_SQL_Q9 = (
+    "SELECT n_name AS nation, "
+    "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit "
+    "FROM part, supplier, lineitem, orders, nation "
+    "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey "
+    "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey "
+    "AND p_name LIKE '%gear%' "
+    "GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) "
+    "ORDER BY nation, o_year DESC"
+)
+
+
+@q("sql_q9", _SQL_Q9)
+def sql_q9(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q9)
+
+
+# TPC-H Q11 shape: important-stock screen — a grouped value SUM kept
+# only when it exceeds a fraction of the SAME sum computed globally
+# (scalar subquery re-evaluating the full join). partsupp-free
+# adaptation: value = price × quantity over lineitem restricted to one
+# nation's suppliers. Both sums are exact decimals; the threshold is
+# one double multiply, so the HAVING cut replays across engines.
+_SQL_Q11 = (
+    "SELECT l_partkey AS ps_partkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value "
+    "FROM lineitem, supplier, nation, region "
+    "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey "
+    "AND n_regionkey = r_regionkey AND r_name = 'EUROPE' "
+    "GROUP BY l_partkey "
+    "HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > ("
+    "SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+    "FROM lineitem, supplier, nation, region "
+    "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey "
+    "AND n_regionkey = r_regionkey AND r_name = 'EUROPE') "
+    "ORDER BY part_value DESC, ps_partkey"
+)
+
+
+@q("sql_q11", _SQL_Q11)
+def sql_q11(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q11)
+
+
+# TPC-H Q12 shape: shipping-priority conditional counts. The driver
+# lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the mode
+# becomes l_linestatus and "late" is l_shipdate > o_orderdate — the
+# plan (fact join + CASE-WHEN pivot aggregate) is Q12's. Explicit
+# BIGINT casts keep both engines' conditional sums hash-identical.
+_SQL_Q12 = (
+    "SELECT l_linestatus, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' "
+    "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' "
+    "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS low_line_count "
+    "FROM orders, lineitem "
+    "WHERE o_orderkey = l_orderkey AND l_shipdate > o_orderdate "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY l_linestatus ORDER BY l_linestatus"
+)
+
+
+@q("sql_q12", _SQL_Q12)
+def sql_q12(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q12)
+
+
+# TPC-H Q16 shape: supplier count per part attribute triple with a
+# NOT IN exclusion subquery (Catalyst: null-aware anti join). The
+# complaint-comment filter becomes s_acctbal < 0 (supplier has no
+# comment column); COUNT(DISTINCT l_suppkey) stands in for partsupp.
+_SQL_Q16 = (
+    "SELECT p_brand, p_type, p_size, "
+    "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM part, lineitem "
+    "WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5' "
+    "AND p_type NOT LIKE 'PROMO%' "
+    "AND p_size IN (1, 9, 15, 22, 30, 37, 44, 50) "
+    "AND l_suppkey NOT IN ("
+    "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+)
+
+
+@q("sql_q16", _SQL_Q16)
+def sql_q16(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q16)
+
+
+# TPC-H Q20 shape: the nested IN-over-grouped-HAVING — suppliers whose
+# shipped volume of a part family clears a threshold derived from a
+# scalar subquery over the same family. partsupp-free: volume comes
+# from lineitem; the original per-(part,supplier) availability
+# correlation becomes a global family share (documented relaxation).
+# Catalyst plans the IN as a left-semi join on the aggregated list.
+_SQL_Q20 = (
+    "SELECT s_name, s_acctbal FROM supplier, nation "
+    "WHERE s_suppkey IN ("
+    "SELECT l_suppkey FROM lineitem, part "
+    "WHERE l_partkey = p_partkey AND p_name LIKE 'red%' "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY l_suppkey "
+    "HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > ("
+    "SELECT 0.005 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+    "FROM lineitem, part "
+    "WHERE l_partkey = p_partkey AND p_name LIKE 'red%' "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')) "
+    "AND s_nationkey = n_nationkey "
+    "AND n_name IN ('NATION_1', 'NATION_4', 'NATION_9', 'NATION_16') "
+    "ORDER BY s_name"
+)
+
+
+@q("sql_q20", _SQL_Q20)
+def sql_q20(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q20)
+
+
+# TPC-H Q21 shape: suppliers who kept orders waiting — the classic
+# semi + anti correlated pair over the SAME fact table (EXISTS another
+# supplier on the order / NOT EXISTS another supplier who was also
+# late). Lateness is an absolute ship-date cut (the driver schema has
+# no receipt/commit dates), keeping the correlation on l_orderkey only
+# so both engines decorrelate into two aggregated self-joins.
+_SQL_Q21 = (
+    "SELECT s_name, COUNT(*) AS numwait "
+    "FROM supplier, lineitem l1, orders, nation "
+    "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+    "AND o_orderstatus = 'F' "
+    "AND l1.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+    "WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey "
+    "AND l3.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00') "
+    "AND s_nationkey = n_nationkey "
+    "AND n_name IN ('NATION_2', 'NATION_8', 'NATION_14', 'NATION_21') "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+)
+
+
+@q("sql_q21", _SQL_Q21)
+def sql_q21(spark, sf_dir):
+    return _sql_query(spark, sf_dir, _SQL_Q21)
+
+
 @q(
     "norm_pearson_residual",
     f"WITH {COUNTS_CTE}, "

@@ -368,6 +368,14 @@ def _extra_headliners() -> set[str]:
         "text_zipf_fit",
         "qc_digest",
         "text_langid_confusion",
+        # TPC-H completion (round 8): the adapted 22/22 suite
+        "sql_q2",
+        "sql_q9",
+        "sql_q11",
+        "sql_q12",
+        "sql_q16",
+        "sql_q20",
+        "sql_q21",
     }
 
 
