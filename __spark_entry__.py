@@ -4688,6 +4688,36 @@ def graph_triangles(spark, sf_dir):
     return graph.triangle_counts(_knn_edges(spark, sf_dir))
 
 
+@q(
+    "graph_adamic_adar",
+    # Adamic-Adar link prediction: wedges from one self-join on the
+    # middle vertex (the wedge's common SOURCE in the both-direction
+    # table), existing edges anti-joined away, score = sum over shared
+    # neighbours of 1/ln(deg) — ≤2k double terms, ROUND(6) absorbs
+    # accumulation order
+    f"WITH {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+    "GREATEST(src, dst) AS w FROM knn WHERE src <> dst), "
+    "dirs AS MATERIALIZED (SELECT u AS s, w AS d FROM und "
+    "UNION ALL SELECT w, u FROM und), "
+    "deg AS (SELECT s, COUNT(*) AS _deg FROM dirs GROUP BY s), "
+    "wedge AS (SELECT a.d AS u, a.s AS v, b.d AS w "
+    "FROM dirs a JOIN dirs b ON a.s = b.s WHERE a.d < b.d), "
+    "cand AS (SELECT u, v, w FROM wedge "
+    "WHERE NOT EXISTS (SELECT 1 FROM und "
+    "WHERE und.u = wedge.u AND und.w = wedge.w)) "
+    "SELECT u, w, COUNT(*) AS n_common, "
+    "ROUND(SUM(1.0 / LN(_deg)), 6) AS aa_score "
+    "FROM cand JOIN deg ON cand.v = deg.s GROUP BY u, w",
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the KNN graph
+    (graph.adamic_adar) — the which-pairs-merge-next gauge."""
+    from scarf_spark.operators import graph
+
+    return graph.adamic_adar(_knn_edges(spark, sf_dir))
+
+
 # PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and
 # 1.0/n literals are spelled as the same float expressions Python
 # computes driver-side (1.0-0.85 != 0.15 in IEEE — the SQL must
@@ -5992,6 +6022,67 @@ def text_bigram_logprob(spark, sf_dir):
 
 
 @q(
+    "text_ccnet_buckets",
+    # CCNet head/middle/tail routing: per-language exact terciles of
+    # the bigram-LM score (best-first); ordering on the ROUNDED score
+    # with doc_id tiebreak so the cut replays exactly. The engine side
+    # is windows.grouped_ntile — distributed rank arithmetic, one
+    # dominant language never collapses into one sort task.
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 1, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2])) AS bg FROM w), "
+    "bc AS (SELECT bg, COUNT(*) AS _bc FROM bg GROUP BY bg), "
+    "lc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS _lc "
+    "FROM bg GROUP BY 1), "
+    "v AS (SELECT COUNT(DISTINCT term) AS _v FROM "
+    "(SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) "
+    "AS term FROM documents)), "
+    "sc AS (SELECT bg.doc_id, "
+    "ROUND(AVG(LN((_bc + 1.0) / (_lc + _v))), 6) AS mean_logprob "
+    "FROM bg JOIN bc USING (bg) "
+    "JOIN lc ON split_part(bg.bg, ' ', 1) = lc.w1 CROSS JOIN v "
+    "GROUP BY bg.doc_id), "
+    "j AS (SELECT sc.doc_id, d.lang, sc.mean_logprob "
+    "FROM sc JOIN documents d ON sc.doc_id = d.doc_id), "
+    "t AS (SELECT doc_id, lang, mean_logprob, "
+    "CAST(NTILE(3) OVER (PARTITION BY lang "
+    "ORDER BY -mean_logprob, doc_id) AS INT) AS bucket FROM j) "
+    "SELECT doc_id, lang, mean_logprob, bucket, "
+    "CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail' "
+    "ELSE 'middle' END AS bucket_name FROM t",
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet per-language perplexity terciles (text.ccnet_buckets) —
+    the head/middle/tail routing gate of Wenzek 2020."""
+    return text.ccnet_buckets(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "text_readability",
+    # Flesch reading ease: word / sentence-run / vowel-group counts,
+    # all integer, one double formula at the end (same left-to-right
+    # expression on both engines), ROUND(6)
+    "WITH c AS (SELECT doc_id, "
+    "CAST(len(list_filter(string_split(text, ' '), x -> x != '')) "
+    "AS BIGINT) AS n_words, "
+    "CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) "
+    "AS BIGINT) AS n_sentences, "
+    "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+    "AS BIGINT) AS n_syllables FROM documents) "
+    "SELECT doc_id, n_words, n_sentences, n_syllables, "
+    "ROUND(206.835 - 1.015 * (n_words / n_sentences) "
+    "- 84.6 * (n_syllables / n_words), 6) AS flesch "
+    "FROM c WHERE n_words > 0",
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease quality score (text.readability) — the
+    classic readability gauge next to the length/punct quality rules."""
+    return text.readability(_ds(spark, sf_dir).documents)
+
+
+@q(
     "text_segment_dedup",
     # CCNet-style cross-doc segment dedup: 8-word windows, doc-freq
     # over distinct (doc, segment), drop segments seen in >1 doc;
@@ -6148,6 +6239,35 @@ def evt_funnel(spark, sf_dir):
 )
 def evt_retention(spark, sf_dir):
     return windows.cohort_retention(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_rfm",
+    # RFM segmentation: monetary accumulates integer micros (double
+    # SUMs drift across engines, integer sums cannot); each dimension
+    # is an exact NTILE(5) with the user_id tiebreak — the engine side
+    # reaches the identical cut via distributed rank arithmetic
+    # (windows.global_ntile), not a single-task sort
+    "WITH pu AS (SELECT user_id, MAX(epoch_us(ts)) AS tmax, "
+    "COUNT(*) AS frequency, "
+    "SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS monetary_micros "
+    "FROM events GROUP BY user_id), "
+    "g AS (SELECT MAX(tmax) AS gm FROM pu), "
+    "b AS (SELECT user_id, (gm - tmax) // 86400000000 AS recency_days, "
+    "frequency, monetary_micros FROM pu, g), "
+    "s AS (SELECT user_id, recency_days, frequency, monetary_micros, "
+    "CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_score, "
+    "CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score, "
+    "CAST(NTILE(5) OVER (ORDER BY monetary_micros, user_id) AS INT) "
+    "AS m_score FROM b) "
+    "SELECT user_id, recency_days, frequency, monetary_micros, "
+    "r_score, f_score, m_score, "
+    "r_score * 100 + f_score * 10 + m_score AS rfm_code FROM s",
+)
+def evt_rfm(spark, sf_dir):
+    """RFM (recency/frequency/monetary) segmentation
+    (windows.rfm_segments) — the classic event-log customer rollup."""
+    return windows.rfm_segments(_ds(spark, sf_dir).events)
 
 
 @q(

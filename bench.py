@@ -376,6 +376,11 @@ def _extra_headliners() -> set[str]:
         "sql_q16",
         "sql_q20",
         "sql_q21",
+        # round-8 third batch
+        "graph_adamic_adar",
+        "evt_rfm",
+        "text_ccnet_buckets",
+        "text_readability",
     }
 
 

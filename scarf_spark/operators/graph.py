@@ -568,3 +568,40 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def adamic_adar(edges: DataFrame) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected KNN graph: for
+    every non-adjacent pair (u, w) with at least one common neighbour,
+    score = Σ_v 1/ln(deg(v)) over the shared neighbours v — the
+    standard "which cells/documents are about to merge" gauge next to
+    the same KNN graph the reference's clustering consumes
+    (``scarf/datastore/graph_datastore.py``).
+
+    Plan: wedges come from one self-join of the both-direction edge
+    table on the middle vertex (u < w keeps each pair once), existing
+    edges drop out with a left-anti join against the canonical edge
+    set, and degrees broadcast-join onto the wedge stream. Everything
+    shuffles on edge endpoints; wedge volume is |V|·(2k)² on a
+    degree-bounded KNN graph (linear in nodes), never all-pairs. Every
+    middle vertex has deg ≥ 2 (it sits on a wedge), so ln(deg) > 0.
+    Scores are ≤ 2k-term double sums — ROUND(6) absorbs accumulation-
+    order drift."""
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    dirs = und.select(F.col("u").alias("s"), F.col("w").alias("d")).unionAll(
+        und.select(F.col("w").alias("s"), F.col("u").alias("d"))
+    )
+    deg = dirs.groupBy("s").agg(F.count("*").alias("_deg"))
+    wedge = (
+        dirs.select(F.col("d").alias("u"), F.col("s").alias("v"))
+        .join(dirs.select(F.col("s").alias("v"), F.col("d").alias("w")), "v")
+        .where(F.col("u") < F.col("w"))
+    )
+    cand = wedge.join(
+        und, (wedge["u"] == und["u"]) & (wedge["w"] == und["w"]), "left_anti"
+    )
+    scored = cand.join(deg, cand["v"] == deg["s"]).groupBy("u", "w").agg(
+        F.count("*").alias("n_common"),
+        F.round(F.sum(1.0 / F.log(F.col("_deg"))), 6).alias("aa_score"),
+    )
+    return scored

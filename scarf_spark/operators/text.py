@@ -782,3 +782,77 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic quality-scoring
+    companion to length/punct ratios: 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words). Sentences are ``[.!?]+`` runs, syllables
+    the standard vowel-group approximation (``[aeiouy]+`` runs in the
+    lowercased text) — both single-pass JVM regex counts inside
+    whole-stage codegen, one map-side projection, zero shuffles. Docs
+    with no words are dropped (the ratio is undefined); sentence count
+    floors at 1 so headline-like fragments still score."""
+    n_words = F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    n_sent = F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+    n_syll = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    out = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.greatest(n_sent, F.lit(1)).cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    n_bins: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek 2020):
+    score every document with the corpus bigram LM
+    (:func:`bigram_logprob` — the KenLM stand-in), then split EACH
+    language into exact ``n_bins`` quantile buckets by score,
+    best-first (bucket 1 = "head" = highest mean log-probability =
+    lowest perplexity). This is the routing gate real pretraining
+    corpora apply per language before sampling.
+
+    The per-language ntile runs on :func:`windows.grouped_ntile` — the
+    distributed rank-arithmetic form — so one dominant language never
+    collapses into a single sort task the way a naive
+    ``PARTITION BY lang`` window would at corpus scale. Ordering is on
+    the ROUNDED score with the doc id as tiebreak, so the cut replays
+    exactly on any engine."""
+    from scarf_spark.operators import windows
+
+    scored = bigram_logprob(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    neg = scored.withColumn("_neg_lp", -F.col("mean_logprob"))
+    tiled = windows.grouped_ntile(
+        neg, [lang_col], ["_neg_lp", id_col], n_bins, out="bucket"
+    ).drop("_neg_lp")
+    name = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_bins, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return tiled.select(
+        id_col, lang_col, "mean_logprob", "bucket", name.alias("bucket_name")
+    )

@@ -638,3 +638,130 @@ def kaplan_meier(
     return risked.where(F.col("n_events") > 0).select(
         "t_min", "n_at_risk", "n_events", "survival"
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    n_bins: int,
+    out: str = "bin",
+    grid: int = 1 << 12,
+) -> DataFrame:
+    """Distributed EXACT per-group ntile — same output as
+    ``ntile(n_bins).over(Window.partitionBy(*part_cols)
+    .orderBy(*order_cols))`` without collapsing each group into one
+    task.
+
+    :func:`global_ntile` solves the single-ordering case with a
+    driver-collected bucket histogram; this is the grouped
+    generalization and it never touches the driver: per-group min/max/
+    count come from one aggregate joined back (Catalyst broadcasts it
+    when small), rows land on a deterministic fixed grid, per-(group,
+    grid-cell) counts turn into cumulative offsets via a window over
+    the COUNTS table (≤ ``grid`` rows per group — always tiny), and
+    the final rank is offset + row_number within a (group, cell)
+    window whose task size is ~|group|/grid. The ntile is then pure
+    arithmetic with Spark's larger-buckets-first semantics.
+
+    ``order_cols`` must end in a unique tiebreak so the total order is
+    deterministic; ``order_cols[0]`` must be numeric or timestamp (it
+    is the grid key — ties on it stay in one cell, so exactness never
+    depends on the grid resolution)."""
+    first_dtype = dict(df.dtypes).get(order_cols[0], "")
+    if first_dtype.startswith("timestamp"):
+        key = F.unix_micros(F.col(order_cols[0]).cast("timestamp")).cast("double")
+    else:
+        key = F.col(order_cols[0]).cast("double")
+    stats = df.groupBy(*part_cols).agg(
+        F.min(key).alias("_lo"),
+        F.max(key).alias("_hi"),
+        F.count("*").alias("_n"),
+    )
+    with_stats = df.join(stats, part_cols)
+    span = F.when(F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")).otherwise(
+        F.lit(1.0)
+    )
+    cell = F.least(
+        F.floor((key - F.col("_lo")) / span * grid), F.lit(grid - 1)
+    ).cast("long")
+    binned = with_stats.withColumn("_cell", cell)
+    counts = binned.groupBy(*part_cols, "_cell").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).drop("_c")
+    w_rn = Window.partitionBy(*part_cols, "_cell").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    ranked = binned.join(offsets, [*part_cols, "_cell"]).withColumn(
+        "_r", F.col("_off") + F.row_number().over(w_rn) - 1
+    )
+    # Spark ntile: first (n % k) buckets get (n/k + 1) rows. With
+    # 0-based rank r: r < rem*(q+1) -> bucket 1 + r/(q+1), else
+    # 1 + rem + (r - rem*(q+1))/q. q = 0 only when n < k, and then the
+    # first branch always holds (rem = n > r) — the GREATEST guard
+    # keeps the unevaluated divisor ANSI-safe.
+    q = F.col("_n").cast("long") / F.lit(n_bins)
+    qi = F.floor(q).cast("long")
+    rem = F.col("_n") - qi * n_bins
+    thresh = rem * (qi + 1)
+    tile = F.when(
+        F.col("_r") < thresh, F.lit(1) + F.floor(F.col("_r") / (qi + 1))
+    ).otherwise(
+        F.lit(1)
+        + rem
+        + F.floor((F.col("_r") - thresh) / F.greatest(qi, F.lit(1)))
+    )
+    return ranked.withColumn(out, tile.cast("int")).drop(
+        "_lo", "_hi", "_n", "_cell", "_off", "_r"
+    )
+
+
+def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic event-log marketing rollup, distributed-exact.
+
+    Recency = whole days between the user's last event and the corpus
+    maximum (one broadcast scalar); frequency = event count; monetary
+    accumulates each value quantized to integer micros (FLOOR(value *
+    1e6) — double SUM accumulation order can drift between engines,
+    integer sums cannot). Each dimension is scored into ``n_bins``
+    exact quintiles by :func:`global_ntile` (user_id tiebreak), and
+    the combined code is r*100 + f*10 + m. All shuffles key on
+    user_id; the three ntile passes are rank arithmetic, not global
+    sorts."""
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_tmax"),
+        F.count("*").alias("frequency"),
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias(
+            "monetary_micros"
+        ),
+    )
+    gmax = per_user.agg(F.max("_tmax").alias("_g"))
+    base = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .withColumn("recency_days", F.expr("(_g - _tmax) DIV 86400000000"))
+        .drop("_tmax", "_g")
+    )
+    scored = global_ntile(base, ["recency_days", "user_id"], n_bins, out="r_score")
+    scored = global_ntile(scored, ["frequency", "user_id"], n_bins, out="f_score")
+    scored = global_ntile(
+        scored, ["monetary_micros", "user_id"], n_bins, out="m_score"
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_code"),
+    )

@@ -289,3 +289,95 @@ def test_chi2_independence_semantics(spark):
     # perfectly dependent: chi2 = n = 10; perfectly independent: 0
     assert out[1]["chi2"] == 10.0
     assert out[2]["chi2"] == 0.0
+
+
+def test_grouped_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+    from scarf_spark.operators.windows import grouped_ntile
+
+    # deterministic pseudo-random values, one group smaller than n_bins
+    rows = [
+        (g, i, float((i * 37 + g * 11) % 23)) for g in range(3) for i in range(17)
+    ]
+    rows += [(9, 0, 5.0), (9, 1, 5.0)]  # 2-row group, ties on the key
+    df = spark.createDataFrame(rows, "grp int, rid int, val double")
+    got = grouped_ntile(df, ["grp"], ["val", "rid"], 5, out="bin")
+    ref = df.withColumn(
+        "ref", F.ntile(5).over(Window.partitionBy("grp").orderBy("val", "rid"))
+    )
+    joined = got.join(ref, ["grp", "rid", "val"]).collect()
+    assert len(joined) == len(rows)
+    assert all(r["bin"] == r["ref"] for r in joined)
+
+
+def test_adamic_adar_path_graph(spark):
+    import math
+
+    from scarf_spark.operators.graph import adamic_adar
+
+    # path 1-2-3: the only non-adjacent wedge pair is (1, 3) via 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    out = adamic_adar(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["w"], r["n_common"]) == (1, 3, 1)
+    assert r["aa_score"] == round(1.0 / math.log(2.0), 6)
+
+
+def test_rfm_segments_semantics(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import rfm_segments
+
+    rows = [
+        (1, datetime(2026, 1, 1), 10.0),
+        (1, datetime(2026, 1, 5), 10.0),  # user 1: recent, 2 events, 20
+        (2, datetime(2026, 1, 1), 1.0),  # user 2: 4 days stale, 1 event
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in rfm_segments(ev, n_bins=2).collect()}
+    assert out[1]["recency_days"] == 0 and out[2]["recency_days"] == 4
+    assert out[1]["frequency"] == 2 and out[2]["frequency"] == 1
+    assert out[1]["monetary_micros"] == 20_000_000
+    # user 1 is better on every dimension: recency bin 1, f/m bin 2
+    assert out[1]["rfm_code"] == 122 and out[2]["rfm_code"] == 211
+
+
+def test_readability_counts(spark):
+    from scarf_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. On a mat!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert 2 not in out  # empty doc dropped
+    r = out[1]
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    # vowel groups: e, a, a, o, a, a  -> 6
+    assert r["n_syllables"] == 6
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert abs(r["flesch"] - expected) < 1e-9
+
+
+def test_ccnet_buckets_head_beats_tail(spark):
+    from scarf_spark.operators.text import ccnet_buckets
+
+    # repeated phrasing scores high under the corpus bigram LM;
+    # one-off word salad lands in the tail
+    fluent = "the model trains on the data and the model learns"
+    rows = [(i, fluent, "en") for i in range(4)] + [
+        (10, "zq xv bn mk lp wy", "en"),
+        (11, fluent, "fr"),
+        (12, "qq ww ee rr tt yy", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert out[0]["bucket_name"] == "head"
+    assert out[10]["bucket_name"] == "tail"
+    # per-language: both fr docs present, ranked within fr only
+    assert out[11]["bucket"] < out[12]["bucket"]
+    by_lang = {(r["lang"], r["bucket_name"]) for r in out.values()}
+    assert ("fr", "head") in by_lang
