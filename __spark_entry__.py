@@ -2342,6 +2342,65 @@ def qc_drift_psi(spark, sf_dir):
     )
 
 
+# 3×3 normal-equation determinants for the closed-form ridge probe —
+# the SAME expression tree the engine builds (left-associated, same
+# parenthesization), so the doubles agree bit-for-bit. a11=n, a12=s1,
+# a13=s2, a22=s11+λ, a23=s12, a33=s22+λ; b=[sy, s1y, s2y]; λ=1000.
+_R_A22 = "(s11 + 1000.0)"
+_R_A33 = "(s22 + 1000.0)"
+_RIDGE_DET = (
+    f"(n * ({_R_A22} * {_R_A33} - s12 * s12) "
+    f"- s1 * (s1 * {_R_A33} - s12 * s2) "
+    f"+ s2 * (s1 * s12 - {_R_A22} * s2))"
+)
+_RIDGE_D0 = (
+    f"(sy * ({_R_A22} * {_R_A33} - s12 * s12) "
+    f"- s1 * (s1y * {_R_A33} - s12 * s2y) "
+    f"+ s2 * (s1y * s12 - {_R_A22} * s2y))"
+)
+_RIDGE_D1 = (
+    f"(n * (s1y * {_R_A33} - s12 * s2y) "
+    f"- sy * (s1 * {_R_A33} - s12 * s2) "
+    f"+ s2 * (s1 * s2y - s1y * s2))"
+)
+_RIDGE_D2 = (
+    f"(n * ({_R_A22} * s2y - s1y * s12) "
+    f"- s1 * (s1 * s2y - s1y * s2) "
+    f"+ sy * (s1 * s12 - {_R_A22} * s2))"
+)
+
+
+@q(
+    "ml_ridge",
+    # closed-form ridge regression (label ~ first two embedding dims):
+    # integer-quantized moments (exact — double sums drift, integer
+    # sums cannot), then Cramer's rule on doubles converted from exact
+    # integers (< 2^53, lossless)
+    "WITH qz AS (SELECT "
+    "CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) AS x1, "
+    "CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) AS x2, "
+    "CAST(label AS BIGINT) AS y FROM embeddings), "
+    "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2, "
+    "CAST(SUM(y) AS DOUBLE) AS sy, "
+    "CAST(SUM(x1 * x1) AS DOUBLE) AS s11, "
+    "CAST(SUM(x1 * x2) AS DOUBLE) AS s12, "
+    "CAST(SUM(x2 * x2) AS DOUBLE) AS s22, "
+    "CAST(SUM(x1 * y) AS DOUBLE) AS s1y, "
+    "CAST(SUM(x2 * y) AS DOUBLE) AS s2y FROM qz) "
+    f"SELECT ROUND({_RIDGE_D0} / {_RIDGE_DET}, 6) AS b_intercept, "
+    f"ROUND({_RIDGE_D1} / {_RIDGE_DET}, 6) AS b_x1, "
+    f"ROUND({_RIDGE_D2} / {_RIDGE_DET}, 6) AS b_x2, "
+    "CAST(n AS BIGINT) AS n_rows FROM m",
+)
+def ml_ridge(spark, sf_dir):
+    """Closed-form ridge linear probe (supervised.ridge_closed_form) —
+    one-pass exact normal equations, constant state at any scale."""
+    from scarf_spark.ml import supervised
+
+    return supervised.ridge_closed_form(_ds(spark, sf_dir).embeddings)
+
+
 @q(
     "ml_quality_logreg",
     # sparse logistic regression over 64 hashed features predicting
@@ -3423,6 +3482,35 @@ def mm_image_decode_real(spark, sf_dir):
     docs = _ds(spark, sf_dir).documents
     media = mm.attach_png_payload(docs, width=32)
     return mm.decode_image_real(media)
+
+
+@q(
+    "mm_image_tiles",
+    # average-pool the REAL-PNG pixel grid into 8x8 tiles (the ViT
+    # patchify front half); only complete tile rows are kept, means
+    # are exact integer ppm — the oracle recomputes straight from the
+    # pre-encode text bytes, so equality proves the decode + pooling
+    "WITH media AS (SELECT doc_id, " + _ASCII + " AS text "
+    "FROM documents WHERE doc_id % 3 = 0), "
+    "g AS (SELECT doc_id, substr(text, 1, (length(text) // 32) * 32) AS t "
+    "FROM media WHERE length(text) >= 32), "
+    "px AS (SELECT doc_id, ord(substr(t, CAST(i AS INT), 1)) AS p, "
+    "CAST(((i - 1) // 32) // 8 AS INT) AS tile_row, "
+    "CAST(((i - 1) % 32) // 8 AS INT) AS tile_col, "
+    "CAST((length(t) // 32) // 8 AS INT) AS ntr "
+    "FROM g, UNNEST(range(1, length(t) + 1)) AS u(i)) "
+    "SELECT doc_id, tile_row, tile_col, COUNT(*) AS n_px, "
+    "SUM(p) * 1000000 // COUNT(*) AS mean_ppm "
+    "FROM px WHERE tile_row < ntr GROUP BY 1, 2, 3",
+)
+def mm_image_tiles(spark, sf_dir):
+    """Tile-pooled image features over real PNG payloads
+    (multimodal.image_tile_pool) — the patch-embedding plumbing."""
+    from scarf_spark.operators import multimodal as mm
+
+    docs = _ds(spark, sf_dir).documents
+    media = mm.attach_png_payload(docs, width=32)
+    return mm.image_tile_pool(media, tile=8)
 
 
 @q(

@@ -381,6 +381,8 @@ def _extra_headliners() -> set[str]:
         "evt_rfm",
         "text_ccnet_buckets",
         "text_readability",
+        "mm_image_tiles",
+        "ml_ridge",
     }
 
 

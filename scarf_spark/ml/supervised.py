@@ -268,3 +268,83 @@ def logreg_gd_sparse(
     return bias.select("d", F.round("w", 6).alias("w")).unionAll(
         w.select(F.col("_f").alias("d"), F.round("_w", 6).alias("w"))
     )
+
+
+def ridge_closed_form(
+    emb: DataFrame,
+    lam: float = 1000.0,
+    quant: float = 1000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Closed-form ridge regression of the label on the first two
+    embedding dimensions (plus intercept): β = (XᵀX + λI)⁻¹ Xᵀy solved
+    exactly via Cramer's rule on the 3×3 normal-equation system — the
+    classical linear-probe baseline over an embedding table.
+
+    Determinism contract: features are quantized to integer units
+    (``FLOOR(x·quant)``) so every moment (Σx₁, Σx₁x₂, Σx₁y, …) is an
+    EXACT integer sum — double sums drift with accumulation order
+    between engines, integer sums cannot. The 3×3 determinant
+    arithmetic then runs on doubles converted from exact integers
+    (magnitudes ≪ 2⁵³, conversion lossless), so the coefficients
+    replay bit-identically in any engine. λ is not applied to the
+    intercept, per the standard convention.
+
+    Scale shape: one map-side-combined aggregate produces nine scalar
+    moments (constant state regardless of row count), and the solve is
+    a constant-size projection on that single row — the exact pattern
+    a 100 TB linear probe wants (no gradient iterations, no driver
+    collect, one pass)."""
+    x1 = F.floor(F.element_at(F.col(vec_col), 1).cast("double") * quant)
+    x2 = F.floor(F.element_at(F.col(vec_col), 2).cast("double") * quant)
+    y = F.col(label_col).cast("long")
+
+    def s(expr):  # exact wide-sum: per-row products fit long, sums don't
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    m = emb.agg(
+        F.count("*").cast("double").alias("n"),
+        s(x1).alias("s1"),
+        s(x2).alias("s2"),
+        s(y).alias("sy"),
+        s(x1 * x1).alias("s11"),
+        s(x1 * x2).alias("s12"),
+        s(x2 * x2).alias("s22"),
+        s(x1 * y).alias("s1y"),
+        s(x2 * y).alias("s2y"),
+    )
+    # A = [[n, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]], b = [sy, s1y, s2y]
+    a11, a12, a13 = F.col("n"), F.col("s1"), F.col("s2")
+    a22 = F.col("s11") + lam
+    a23 = F.col("s12")
+    a33 = F.col("s22") + lam
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    b1, b2, b3 = F.col("sy"), F.col("s1y"), F.col("s2y")
+    d0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    d1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    d2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    solved = m.select(
+        F.round(d0 / det, 6).alias("b_intercept"),
+        F.round(d1 / det, 6).alias("b_x1"),
+        F.round(d2 / det, 6).alias("b_x2"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+    return solved

@@ -569,3 +569,69 @@ def audio_active_segments(
             "sum_energy",
         )
     )
+
+
+_TILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tile_row", IntegerType()),
+        StructField("tile_col", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("mean_ppm", LongType()),
+    ]
+)
+
+
+def image_tile_pool(media: DataFrame, tile: int = 8) -> DataFrame:
+    """Tile-pooled features from REAL PNG payloads: decode each image
+    (pure-python codec) and average-pool the pixel grid into
+    ``tile``×``tile`` blocks — the patch-embedding front half of every
+    vision tower (ViT patchify, CNN stem pooling), as Spark plumbing.
+    Only COMPLETE tiles are emitted (a trailing partial row band is
+    dropped, mirroring the grid truncation of the decode contract);
+    means are exact integer ppm (``sum * 1e6 // count``, no float).
+
+    Scale shape: the decode is Arrow-batched ``mapInPandas``; each
+    image emits (h//tile)·(w//tile) small integer rows — output volume
+    is pixels/tile², a 64× reduction at the default, and every
+    downstream consumer (dedup by tile signature, ANN over flattened
+    tiles) groups on doc_id with no reshuffle of raw payloads."""
+    from scarf_spark.operators import codecs
+
+    import numpy as np
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    continue
+                px = codecs.decode_png(raw).astype("int64")
+                h, w = px.shape
+                for tr in range(h // tile):
+                    for tc in range(w // tile):
+                        blk = px[
+                            tr * tile : (tr + 1) * tile,
+                            tc * tile : (tc + 1) * tile,
+                        ]
+                        s = int(blk.sum())
+                        out.append(
+                            (
+                                int(doc_id),
+                                tr,
+                                tc,
+                                int(blk.size),
+                                s * 1_000_000 // int(blk.size),
+                            )
+                        )
+            cols = [f.name for f in _TILE_SCHEMA.fields]
+            # typed empty frame: object-dtype empties break Arrow
+            yield (
+                pd.DataFrame(out, columns=cols)
+                if out
+                else pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+            )
+
+    imgs = media.where(F.col("modality") == "image").select("doc_id", "payload")
+    return imgs.mapInPandas(pool, schema=_TILE_SCHEMA)

@@ -381,3 +381,50 @@ def test_ccnet_buckets_head_beats_tail(spark):
     assert out[11]["bucket"] < out[12]["bucket"]
     by_lang = {(r["lang"], r["bucket_name"]) for r in out.values()}
     assert ("fr", "head") in by_lang
+
+
+def test_image_tile_pool_means(spark):
+    from scarf_spark.operators import codecs
+    from scarf_spark.operators.multimodal import image_tile_pool
+
+    import numpy as np
+
+    # 16x16 image: left half zeros, right half 200s -> 2x2 tiles of 8x8
+    px = np.zeros((16, 16), dtype=np.uint8)
+    px[:, 8:] = 200
+    payload = codecs.encode_png(px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "doc_id long, modality string, payload binary",
+    )
+    out = {(r["tile_row"], r["tile_col"]): r for r in image_tile_pool(media).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert all(r["n_px"] == 64 for r in out.values())
+    assert out[(0, 0)]["mean_ppm"] == 0
+    assert out[(0, 1)]["mean_ppm"] == 200_000_000
+    assert out[(1, 0)]["mean_ppm"] == 0 and out[(1, 1)]["mean_ppm"] == 200_000_000
+
+
+def test_ridge_recovers_linear_signal(spark):
+    from scarf_spark.ml.supervised import ridge_closed_form
+
+    import numpy as np
+
+    # y = 2*x1 - x2 + 3 exactly, on a deterministic grid
+    rows = []
+    for i in range(40):
+        x1 = (i % 8) - 3.5
+        x2 = (i // 8) - 2.0
+        y = int(round(2 * x1 - x2 + 3))
+        rows.append((i, [float(x1), float(x2)], y))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = ridge_closed_form(emb, lam=1.0, quant=1000.0).collect()[0]
+    assert r["n_rows"] == 40
+    # small lambda + exact signal: coefficients land near the truth
+    # (quantization is exact here: x*1000 are integers)
+    # betas are per quantized (milli) unit: 2/1000 and -1/1000
+    assert abs(r["b_x1"] * 1000 - 2.0) < 0.05
+    assert abs(r["b_x2"] * 1000 + 1.0) < 0.05
+    assert abs(r["b_intercept"] - 3.0) < 0.2
