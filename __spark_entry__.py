@@ -1793,6 +1793,27 @@ def samp_hash_split(spark, sf_dir):
     )
 
 
+@q(
+    "samp_curriculum",
+    # shortest-first curriculum: exact length terciles (NTILE with the
+    # doc_id tiebreak), position inside each phase by md5-hash order —
+    # seedless and bit-reproducible; the engine reaches the identical
+    # cut via distributed rank arithmetic (global_ntile/grouped_rank)
+    "WITH h AS (SELECT doc_id, n_chars, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk "
+    "FROM documents), "
+    "p AS (SELECT doc_id, n_chars, hk, "
+    "CAST(NTILE(3) OVER (ORDER BY n_chars, doc_id) AS INT) AS phase FROM h) "
+    "SELECT doc_id, n_chars, phase, "
+    "ROW_NUMBER() OVER (PARTITION BY phase ORDER BY hk, doc_id) AS position "
+    "FROM p",
+)
+def samp_curriculum(spark, sf_dir):
+    """Length-curriculum training order (filters.curriculum_order) —
+    deterministic phase + position for every document."""
+    return filters.curriculum_order(_ds(spark, sf_dir).documents)
+
+
 # ---------------------------------------------------------------------------
 # §2.10 ML: HVG selection, clustering, reduction, metrics, pseudotime
 # ---------------------------------------------------------------------------
@@ -2795,6 +2816,81 @@ def ml_wnn(spark, sf_dir):
     emb32 = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
     edges_b = knn.cosine_knn_exact(emb32, k=5)
     return integrate.wnn_blend(edges_a, edges_b, k=5)
+
+
+@q(
+    "knn_purity",
+    # neighborhood label purity: two label joins + one hash agg; exact
+    # integer ppm (n_same*1e6 // k) — no float division
+    f"WITH {_KNN_CTE}, "
+    "lab AS (SELECT vec_id, label FROM embeddings) "
+    "SELECT knn.src, COUNT(*) AS n_neighbors, "
+    "CAST(SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_same, "
+    "CAST(SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS BIGINT) "
+    "* 1000000 // COUNT(*) AS purity_ppm "
+    "FROM knn JOIN lab ls ON knn.src = ls.vec_id "
+    "JOIN lab ld ON knn.dst = ld.vec_id GROUP BY knn.src",
+)
+def knn_purity(spark, sf_dir):
+    """KNN neighborhood label purity (ml.metrics.knn_label_purity) —
+    the direct classification-quality read on the embedding space."""
+    from scarf_spark.ml import metrics
+
+    emb = _ds(spark, sf_dir).embeddings
+    return metrics.knn_label_purity(
+        _knn_edges(spark, sf_dir), emb.select("vec_id", "label")
+    )
+
+
+@q(
+    "ml_calibration",
+    # reliability bins for the BINARY naive-Bayes en-posterior: two
+    # scores only, so p = 1/(1+exp(s_other - s_en)) is one smooth
+    # expression over ROUND(6)-stable log-scores — no cross-class sum,
+    # no accumulation-order sensitivity; per-bin outputs are exact
+    # integers
+    "WITH words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "labs AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END "
+    "AS cls FROM documents), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "vv AS (SELECT COUNT(DISTINCT term) AS v FROM words), "
+    "pri AS (SELECT cls, COUNT(*) AS n_c FROM labs GROUP BY cls), "
+    "ctt AS (SELECT cls, term, COUNT(*) AS ct FROM words "
+    "JOIN labs USING (doc_id) GROUP BY 1, 2), "
+    "tc AS (SELECT cls, SUM(ct) AS tc FROM ctt GROUP BY cls), "
+    "dim AS (SELECT pri.cls, n_c, tc FROM pri JOIN tc USING (cls)), "
+    "sco AS (SELECT w.doc_id, d.cls, "
+    "ROUND(SUM(LN((COALESCE(ctt.ct, 0) + 1) / "
+    "CAST(d.tc + (SELECT v FROM vv) AS DOUBLE))) "
+    "+ LN(d.n_c / CAST((SELECT n FROM nd) AS DOUBLE)), 6) AS score "
+    "FROM words w CROSS JOIN dim d "
+    "LEFT JOIN ctt ON ctt.cls = d.cls AND ctt.term = w.term "
+    "GROUP BY w.doc_id, d.cls, d.n_c), "
+    "piv AS (SELECT doc_id, "
+    "MAX(CASE WHEN cls = 'en' THEN score END) AS se, "
+    "MAX(CASE WHEN cls = 'other' THEN score END) AS so "
+    "FROM sco GROUP BY doc_id), "
+    "bn AS (SELECT LEAST(CAST(FLOOR((1.0 / (1.0 + EXP(so - se))) * 10) "
+    "AS INT), 9) AS bin, "
+    "CAST(FLOOR((1.0 / (1.0 + EXP(so - se))) * 1000000.0) AS BIGINT) AS ppm, "
+    "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos "
+    "FROM piv JOIN documents d USING (doc_id)), "
+    "ag AS (SELECT bin, COUNT(*) AS n_docs, "
+    "CAST(SUM(ppm) AS BIGINT) AS sum_pred_ppm, "
+    "CAST(SUM(pos) AS BIGINT) AS n_pos FROM bn GROUP BY bin) "
+    "SELECT bin, n_docs, sum_pred_ppm, n_pos, "
+    "sum_pred_ppm // n_docs AS mean_pred_ppm, "
+    "(n_pos * 1000000) // n_docs AS acc_ppm FROM ag",
+)
+def ml_calibration(spark, sf_dir):
+    """Reliability/ECE bins for the binary NB 'en' posterior
+    (ml.metrics.nb_binary_calibration) — the classifier-honesty gauge
+    before any score-threshold curation step."""
+    from scarf_spark.ml import metrics
+
+    return metrics.nb_binary_calibration(_ds(spark, sf_dir).documents)
 
 
 @q(
@@ -6356,6 +6452,26 @@ def evt_rfm(spark, sf_dir):
     """RFM (recency/frequency/monetary) segmentation
     (windows.rfm_segments) — the classic event-log customer rollup."""
     return windows.rfm_segments(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_attribution",
+    # last-touch attribution: one ignore-nulls carry-forward window
+    # per user (deterministic (ts, event_id) order), revenue in exact
+    # integer micros; channel -1 = purchase with no prior click
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS s, event_id, event_type, "
+    "value, CAST(json_extract(props, '$.k') AS INT) AS k FROM events), "
+    "c AS (SELECT *, LAST_VALUE(CASE WHEN event_type = 'click' THEN k END "
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY s, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lk FROM e) "
+    "SELECT COALESCE(lk % 10, -1) AS channel, COUNT(*) AS n_purchases, "
+    "SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS revenue_micros "
+    "FROM c WHERE event_type = 'purchase' GROUP BY 1",
+)
+def evt_attribution(spark, sf_dir):
+    """Last-touch channel attribution (windows.last_touch_attribution)
+    — purchases credited to the user's most recent preceding click."""
+    return windows.last_touch_attribution(_ds(spark, sf_dir).events)
 
 
 @q(

@@ -383,6 +383,10 @@ def _extra_headliners() -> set[str]:
         "text_readability",
         "mm_image_tiles",
         "ml_ridge",
+        "samp_curriculum",
+        "knn_purity",
+        "ml_calibration",
+        "evt_attribution",
     }
 
 

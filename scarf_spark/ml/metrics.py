@@ -310,3 +310,77 @@ def auc(
             F.col("_num") / (F.col("n_pos") * F.col("n_neg")).cast("double"), 6
         ).alias("auc"),
     )
+
+
+def knn_label_purity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Neighborhood label purity: for each node, the fraction of its
+    KNN neighbours sharing its label — the direct classification-
+    quality read on an embedding space (the 0/1 cousin of LISI's
+    inverse Simpson). Exact integer ppm (``n_same·1e6 // k``) so the
+    result is engine-portable without float division.
+
+    Plan: two equi-joins of the edge table against the label table
+    (src side, then dst side) and one hash aggregate on src — all
+    shuffles key on vec_id, the label table broadcasts while small."""
+    lab_s = labels.select(F.col("vec_id").alias("src"), F.col("label").alias("_ls"))
+    lab_d = labels.select(F.col("vec_id").alias("dst"), F.col("label").alias("_ld"))
+    return (
+        edges.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("_ls") == F.col("_ld"), 1).otherwise(0)
+            ).cast("long").alias("n_same"),
+        )
+        .select(
+            "src",
+            "n_neighbors",
+            "n_same",
+            F.expr("n_same * 1000000 DIV n_neighbors").alias("purity_ppm"),
+        )
+    )
+
+
+def nb_binary_calibration(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram (ECE bins) for the binary naive-Bayes
+    posterior of lang = 'en' — the is-my-classifier-honest gauge every
+    curation pipeline needs before thresholding on model scores.
+
+    The binary posterior avoids the multi-class softmax (whose
+    cross-class sum would be accumulation-order-sensitive): with only
+    two scores, p = 1/(1 + exp(s_other − s_en)) is a single smooth
+    expression over the ROUND(6)-stable per-class log-scores, so the
+    binning replays exactly across engines. Per-bin outputs are exact
+    integers (counts and floor-ppm sums); mean-confidence and accuracy
+    come from integer division."""
+    from scarf_spark.ml import supervised
+
+    bin_docs = docs.withColumn(
+        "_b", F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other"))
+    )
+    scores = supervised.naive_bayes_scores(bin_docs, label_col="_b")
+    piv = scores.groupBy("doc_id").agg(
+        F.max(F.when(F.col("cls") == "en", F.col("score"))).alias("_se"),
+        F.max(F.when(F.col("cls") == "other", F.col("score"))).alias("_so"),
+    )
+    p = 1.0 / (1.0 + F.exp(F.col("_so") - F.col("_se")))
+    binned = piv.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("int").alias("bin"),
+        F.floor(p * 1000000.0).cast("long").alias("_ppm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("_pos"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ppm").alias("sum_pred_ppm"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "sum_pred_ppm",
+        "n_pos",
+        F.expr("sum_pred_ppm DIV n_docs").alias("mean_pred_ppm"),
+        F.expr("(n_pos * 1000000) DIV n_docs").alias("acc_ppm"),
+    )

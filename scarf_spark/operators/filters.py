@@ -450,3 +450,28 @@ def dsir_log_weights(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_lr"), 6).alias("mean_logratio"),
     )
+
+
+def curriculum_order(docs: DataFrame, n_phases: int = 3) -> DataFrame:
+    """Length-curriculum training order (Bengio 2009 curriculum
+    learning, the shortest-first schedule): split the corpus into
+    ``n_phases`` exact length terciles (phase 1 = shortest docs), then
+    give every doc a deterministic position inside its phase by
+    md5-hash order — the same seedless bit-reproducible shuffle the
+    sampling family uses, so the training order is a pure function of
+    the corpus.
+
+    Both steps are the distributed rank-arithmetic forms
+    (windows.global_ntile / windows.grouped_rank): no single-task
+    global sort, no driver state — the exact shape a 100 TB ordering
+    pass needs."""
+    from scarf_spark.operators import windows
+
+    base = docs.select("doc_id", "n_chars").withColumn(
+        "_h",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    phased = windows.global_ntile(base, ["n_chars", "doc_id"], n_phases, out="phase")
+    pos = windows.grouped_rank(phased, ["phase"], ["_h", "doc_id"], out="position")
+    return pos.select("doc_id", "n_chars", "phase", "position")

@@ -640,34 +640,17 @@ def kaplan_meier(
     )
 
 
-def grouped_ntile(
+def _grouped_rank0(
     df: DataFrame,
     part_cols: list[str],
     order_cols: list[str],
-    n_bins: int,
-    out: str = "bin",
     grid: int = 1 << 12,
 ) -> DataFrame:
-    """Distributed EXACT per-group ntile — same output as
-    ``ntile(n_bins).over(Window.partitionBy(*part_cols)
-    .orderBy(*order_cols))`` without collapsing each group into one
-    task.
-
-    :func:`global_ntile` solves the single-ordering case with a
-    driver-collected bucket histogram; this is the grouped
-    generalization and it never touches the driver: per-group min/max/
-    count come from one aggregate joined back (Catalyst broadcasts it
-    when small), rows land on a deterministic fixed grid, per-(group,
-    grid-cell) counts turn into cumulative offsets via a window over
-    the COUNTS table (≤ ``grid`` rows per group — always tiny), and
-    the final rank is offset + row_number within a (group, cell)
-    window whose task size is ~|group|/grid. The ntile is then pure
-    arithmetic with Spark's larger-buckets-first semantics.
-
-    ``order_cols`` must end in a unique tiebreak so the total order is
-    deterministic; ``order_cols[0]`` must be numeric or timestamp (it
-    is the grid key — ties on it stay in one cell, so exactness never
-    depends on the grid resolution)."""
+    """Shared core of :func:`grouped_rank` / :func:`grouped_ntile`:
+    adds ``_r`` (0-based exact per-group rank by ``order_cols``) and
+    ``_n`` (group size) via the distributed fixed-grid plan described
+    on :func:`grouped_ntile` — no single-group sort task, no driver
+    collect."""
     first_dtype = dict(df.dtypes).get(order_cols[0], "")
     if first_dtype.startswith("timestamp"):
         key = F.unix_micros(F.col(order_cols[0]).cast("timestamp")).cast("double")
@@ -698,9 +681,61 @@ def grouped_ntile(
     w_rn = Window.partitionBy(*part_cols, "_cell").orderBy(
         *[F.col(c) for c in order_cols]
     )
-    ranked = binned.join(offsets, [*part_cols, "_cell"]).withColumn(
-        "_r", F.col("_off") + F.row_number().over(w_rn) - 1
+    return (
+        binned.join(offsets, [*part_cols, "_cell"])
+        .withColumn("_r", F.col("_off") + F.row_number().over(w_rn) - 1)
+        .drop("_lo", "_hi", "_cell", "_off")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    out: str = "rank",
+    grid: int = 1 << 12,
+) -> DataFrame:
+    """Distributed EXACT per-group ROW_NUMBER — same output as
+    ``row_number().over(Window.partitionBy(*part_cols)
+    .orderBy(*order_cols))`` via the fixed-grid rank-arithmetic plan
+    (see :func:`grouped_ntile`), so one giant group never collapses
+    into a single sort task."""
+    return (
+        _grouped_rank0(df, part_cols, order_cols, grid)
+        .withColumn(out, (F.col("_r") + 1).cast("long"))
+        .drop("_r", "_n")
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    n_bins: int,
+    out: str = "bin",
+    grid: int = 1 << 12,
+) -> DataFrame:
+    """Distributed EXACT per-group ntile — same output as
+    ``ntile(n_bins).over(Window.partitionBy(*part_cols)
+    .orderBy(*order_cols))`` without collapsing each group into one
+    task.
+
+    :func:`global_ntile` solves the single-ordering case with a
+    driver-collected bucket histogram; this is the grouped
+    generalization and it never touches the driver: per-group min/max/
+    count come from one aggregate joined back (Catalyst broadcasts it
+    when small), rows land on a deterministic fixed grid, per-(group,
+    grid-cell) counts turn into cumulative offsets via a window over
+    the COUNTS table (≤ ``grid`` rows per group — always tiny), and
+    the final rank is offset + row_number within a (group, cell)
+    window whose task size is ~|group|/grid. The ntile is then pure
+    arithmetic with Spark's larger-buckets-first semantics.
+
+    ``order_cols`` must end in a unique tiebreak so the total order is
+    deterministic; ``order_cols[0]`` must be numeric or timestamp (it
+    is the grid key — ties on it stay in one cell, so exactness never
+    depends on the grid resolution)."""
+    ranked = _grouped_rank0(df, part_cols, order_cols, grid)
     # Spark ntile: first (n % k) buckets get (n/k + 1) rows. With
     # 0-based rank r: r < rem*(q+1) -> bucket 1 + r/(q+1), else
     # 1 + rem + (r - rem*(q+1))/q. q = 0 only when n < k, and then the
@@ -764,4 +799,49 @@ def rfm_segments(events: DataFrame, n_bins: int = 5) -> DataFrame:
         (
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).alias("rfm_code"),
+    )
+
+
+def last_touch_attribution(events: DataFrame, n_channels: int = 10) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the channel (``props.k mod n_channels``) of the user's most recent
+    PRECEDING click — the standard event-log attribution rollup.
+
+    The carry-forward is one ``last(..., ignorenulls=True)`` running
+    window per user (ordered by (ts, event_id) so the total order is
+    deterministic); revenue accumulates integer micros (double SUMs
+    drift across engines, integer sums cannot). Purchases with no
+    prior click land in channel −1. Windows partition by user_id —
+    per-user event counts are bounded, so no single-task collapse."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    e = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("_ts"),
+        "event_id",
+        "event_type",
+        "value",
+        k.alias("_k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = e.withColumn(
+        "_lk",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("_k")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("_lk") % n_channels, F.lit(-1)).alias("channel"),
+            F.floor(F.col("value") * 1000000.0).cast("long").alias("_rev"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("_rev").alias("revenue_micros"),
+        )
     )

@@ -428,3 +428,83 @@ def test_ridge_recovers_linear_signal(spark):
     assert abs(r["b_x1"] * 1000 - 2.0) < 0.05
     assert abs(r["b_x2"] * 1000 + 1.0) < 0.05
     assert abs(r["b_intercept"] - 3.0) < 0.2
+
+
+def test_last_touch_attribution_semantics(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import last_touch_attribution
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [
+        # user 1: click(k=7) -> purchase -> click(k=23) -> purchase
+        (1, t(0), 1, "click", 0.0, '{"k": 7}'),
+        (1, t(1), 2, "purchase", 10.5, "{}"),
+        (1, t(2), 3, "click", 0.0, '{"k": 23}'),
+        (1, t(3), 4, "purchase", 4.0, "{}"),
+        # user 2: purchase with no prior click
+        (2, t(0), 5, "purchase", 1.25, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["channel"]: r for r in last_touch_attribution(ev).collect()}
+    assert out[7]["n_purchases"] == 1 and out[7]["revenue_micros"] == 10_500_000
+    assert out[3]["n_purchases"] == 1 and out[3]["revenue_micros"] == 4_000_000
+    assert out[-1]["n_purchases"] == 1 and out[-1]["revenue_micros"] == 1_250_000
+
+
+def test_knn_label_purity(spark):
+    from scarf_spark.ml.metrics import knn_label_purity
+
+    edges = spark.createDataFrame(
+        [(1, 0, 2), (1, 0, 3), (2, 0, 1), (2, 0, 3)],
+        "src long, rank int, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "vec_id long, label int"
+    )
+    out = {r["src"]: r for r in knn_label_purity(edges, labels).collect()}
+    assert out[1]["n_same"] == 1 and out[1]["purity_ppm"] == 500_000
+    assert out[2]["n_same"] == 1 and out[2]["purity_ppm"] == 500_000
+
+
+def test_curriculum_order_phases_and_positions(spark):
+    from scarf_spark.operators.filters import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, "x", 10 * (i + 1)) for i in range(9)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = curriculum_order(docs, n_phases=3).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], []).append(r)
+    assert sorted(by_phase) == [1, 2, 3]
+    # shortest-first: phase 1 holds the 3 shortest docs
+    assert {r["doc_id"] for r in by_phase[1]} == {0, 1, 2}
+    for ph in (1, 2, 3):
+        assert sorted(r["position"] for r in by_phase[ph]) == [1, 2, 3]
+
+
+def test_nb_calibration_bins_consistent(spark):
+    from scarf_spark.ml.metrics import nb_binary_calibration
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world again", "en"),
+            (2, "hello there world", "en"),
+            (3, "bonjour le monde", "fr"),
+            (4, "hola mundo otra", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = nb_binary_calibration(docs).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+    assert sum(r["n_pos"] for r in out) == 2
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["mean_pred_ppm"] <= 1_000_000
+        assert r["sum_pred_ppm"] // r["n_docs"] == r["mean_pred_ppm"]
