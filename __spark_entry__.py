@@ -2423,6 +2423,57 @@ def ml_ridge(spark, sf_dir):
 
 
 @q(
+    "ml_conformal",
+    # split-conformal interval for the ridge probe: seedless md5
+    # train/calib/test buckets, exact-integer moments on train, q-hat =
+    # k-th smallest calib residual with k in INTEGER arithmetic
+    # (float ceil(0.9*(n+1)) straddles integers differently per
+    # engine), coverage as exact integer ppm
+    "WITH pts AS (SELECT vec_id, "
+    "CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) AS x1, "
+    "CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) AS x2, "
+    "CAST(label AS BIGINT) AS y, "
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 "
+    "AS bkt FROM embeddings), "
+    "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2, "
+    "CAST(SUM(y) AS DOUBLE) AS sy, "
+    "CAST(SUM(x1 * x1) AS DOUBLE) AS s11, "
+    "CAST(SUM(x1 * x2) AS DOUBLE) AS s12, "
+    "CAST(SUM(x2 * x2) AS DOUBLE) AS s22, "
+    "CAST(SUM(x1 * y) AS DOUBLE) AS s1y, "
+    "CAST(SUM(x2 * y) AS DOUBLE) AS s2y FROM pts WHERE bkt < 50), "
+    f"b AS (SELECT {_RIDGE_D0} / {_RIDGE_DET} AS b0, "
+    f"{_RIDGE_D1} / {_RIDGE_DET} AS b1, "
+    f"{_RIDGE_D2} / {_RIDGE_DET} AS b2, "
+    "CAST(n AS BIGINT) AS n_train FROM m), "
+    "cal AS (SELECT vec_id, "
+    "ABS(CAST(y AS DOUBLE) - (b0 + b1 * x1 + b2 * x2)) AS r "
+    "FROM pts, b WHERE bkt >= 50 AND bkt < 80), "
+    "kk AS (SELECT (9 * (COUNT(*) + 1) + 9) // 10 AS k, "
+    "COUNT(*) AS n_cal FROM cal), "
+    "rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r, vec_id) AS rn FROM cal), "
+    "qq AS (SELECT MAX(r) AS q FROM rr, kk WHERE rn <= k), "
+    "tst AS (SELECT ABS(CAST(y AS DOUBLE) - (b0 + b1 * x1 + b2 * x2)) AS r "
+    "FROM pts, b WHERE bkt >= 80), "
+    "cov AS (SELECT COUNT(*) AS n_test, "
+    "CAST(SUM(CASE WHEN r <= (SELECT q FROM qq) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_covered FROM tst) "
+    "SELECT b.n_train, kk.n_cal AS n_calib, cov.n_test, "
+    "ROUND((SELECT q FROM qq), 6) AS q_hat, cov.n_covered, "
+    "cov.n_covered * 1000000 // cov.n_test AS coverage_ppm "
+    "FROM cov, kk, b",
+)
+def ml_conformal(spark, sf_dir):
+    """Split-conformal prediction interval + test coverage for the
+    ridge probe (supervised.conformal_ridge) — the distribution-free
+    guarantee check on any model-score-thresholding pipeline."""
+    from scarf_spark.ml import supervised
+
+    return supervised.conformal_ridge(_ds(spark, sf_dir).embeddings)
+
+
+@q(
     "ml_quality_logreg",
     # sparse logistic regression over 64 hashed features predicting
     # lang='en' (the fastText-style curation classifier): two unrolled

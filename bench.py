@@ -387,6 +387,7 @@ def _extra_headliners() -> set[str]:
         "knn_purity",
         "ml_calibration",
         "evt_attribution",
+        "ml_conformal",
     }
 
 

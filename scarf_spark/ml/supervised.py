@@ -297,6 +297,22 @@ def ridge_closed_form(
     a constant-size projection on that single row — the exact pattern
     a 100 TB linear probe wants (no gradient iterations, no driver
     collect, one pass)."""
+    m = _ridge_moments(emb, quant, vec_col, label_col)
+    det, d0, d1, d2 = _cramer_cols(lam)
+    solved = m.select(
+        F.round(d0 / det, 6).alias("b_intercept"),
+        F.round(d1 / det, 6).alias("b_x1"),
+        F.round(d2 / det, 6).alias("b_x2"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+    return solved
+
+
+def _ridge_moments(
+    emb: DataFrame, quant: float, vec_col: str, label_col: str
+) -> DataFrame:
+    """One-row exact normal-equation moments for the 2-feature ridge
+    (see :func:`ridge_closed_form` for the determinism contract)."""
     x1 = F.floor(F.element_at(F.col(vec_col), 1).cast("double") * quant)
     x2 = F.floor(F.element_at(F.col(vec_col), 2).cast("double") * quant)
     y = F.col(label_col).cast("long")
@@ -304,7 +320,7 @@ def ridge_closed_form(
     def s(expr):  # exact wide-sum: per-row products fit long, sums don't
         return F.sum(expr.cast("decimal(38,0)")).cast("double")
 
-    m = emb.agg(
+    return emb.agg(
         F.count("*").cast("double").alias("n"),
         s(x1).alias("s1"),
         s(x2).alias("s2"),
@@ -315,7 +331,14 @@ def ridge_closed_form(
         s(x1 * y).alias("s1y"),
         s(x2 * y).alias("s2y"),
     )
-    # A = [[n, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]], b = [sy, s1y, s2y]
+
+
+def _cramer_cols(lam: float):
+    """Cramer determinants over the moment row — the SAME expression
+    tree mirrored by the oracle SQL in ``__spark_entry__`` (left-
+    associated, same parenthesization), so doubles agree bit-for-bit.
+    A = [[n, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]],
+    b = [sy, s1y, s2y]."""
     a11, a12, a13 = F.col("n"), F.col("s1"), F.col("s2")
     a22 = F.col("s11") + lam
     a23 = F.col("s12")
@@ -341,10 +364,93 @@ def ridge_closed_form(
         - a12 * (a12 * b3 - b2 * a13)
         + b1 * (a12 * a23 - a22 * a13)
     )
-    solved = m.select(
-        F.round(d0 / det, 6).alias("b_intercept"),
-        F.round(d1 / det, 6).alias("b_x1"),
-        F.round(d2 / det, 6).alias("b_x2"),
-        F.col("n").cast("long").alias("n_rows"),
+    return det, d0, d1, d2
+
+
+def conformal_ridge(
+    emb: DataFrame,
+    coverage_num: int = 9,
+    coverage_den: int = 10,
+    lam: float = 1000.0,
+    quant: float = 1000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Split-conformal prediction interval for the ridge probe
+    (Vovk 2005 / Lei 2018): hash-split the table into train /
+    calibration / test (the same seedless md5 buckets as hash_split —
+    bit-reproducible, zero shuffle), fit the closed-form ridge on
+    train, take q̂ = the ⌈(1−α)(n_cal+1)⌉-th smallest absolute
+    calibration residual (1−α = coverage_num/coverage_den; the ceil
+    runs in INTEGER arithmetic — a float ceil(0.9·(n+1)) can straddle
+    an integer differently per engine at exact multiples), and report
+    test coverage of ŷ ± q̂ — the
+    distribution-free ML-ops guarantee check.
+
+    Determinism: the betas replay exactly (see
+    :func:`ridge_closed_form`); every residual is the same double
+    expression on both engines, and the q̂ selection is a sort + limit
+    on (residual, id) — Spark plans TakeOrderedAndProject (per-
+    partition top-k, merged once, no global sort). The single
+    ``count()`` of the calibration split is the one driver scalar
+    (same envelope as global_ntile's histogram)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
     )
-    return solved
+    pts = emb.withColumn("_bkt", bucket)
+    train = pts.where(F.col("_bkt") < 50)
+    calib = pts.where((F.col("_bkt") >= 50) & (F.col("_bkt") < 80))
+    test = pts.where(F.col("_bkt") >= 80)
+    m = _ridge_moments(train, quant, vec_col, label_col)
+    det, d0, d1, d2 = _cramer_cols(lam)
+    betas = F.broadcast(
+        m.select(
+            (d0 / det).alias("_b0"),
+            (d1 / det).alias("_b1"),
+            (d2 / det).alias("_b2"),
+            F.col("n").cast("long").alias("_n_train"),
+        )
+    )
+
+    def resid(df: DataFrame) -> DataFrame:
+        x1 = F.floor(F.element_at(F.col(vec_col), 1).cast("double") * quant)
+        x2 = F.floor(F.element_at(F.col(vec_col), 2).cast("double") * quant)
+        pred = F.col("_b0") + F.col("_b1") * x1 + F.col("_b2") * x2
+        return df.crossJoin(betas).select(
+            F.col(id_col),
+            F.abs(F.col(label_col).cast("double") - pred).alias("_r"),
+        )
+
+    n_cal = calib.count()
+    k = (coverage_num * (n_cal + 1) + coverage_den - 1) // coverage_den
+    q = (
+        resid(calib)
+        .orderBy("_r", id_col)
+        .limit(min(k, n_cal))
+        .agg(F.max("_r").alias("_q"))
+    )
+    cov = (
+        resid(test)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(F.col("_r") <= F.col("_q"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(q))
+        .crossJoin(betas.select("_n_train"))
+        .select(
+            F.col("_n_train").alias("n_train"),
+            F.lit(n_cal).cast("long").alias("n_calib"),
+            "n_test",
+            F.round(F.col("_q"), 6).alias("q_hat"),
+            "n_covered",
+            F.expr("n_covered * 1000000 DIV n_test").alias("coverage_ppm"),
+        )
+    )

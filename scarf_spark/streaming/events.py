@@ -27,6 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -616,4 +617,79 @@ def decontaminate_stream(
             )
             > 0
         ).alias("contaminated"),
+    )
+
+
+_ATTRIB_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("channel", IntegerType()),
+        StructField("rev_micros", LongType()),
+    ]
+)
+
+_ATTRIB_STATE_SCHEMA = StructType(
+    [
+        StructField("lk", LongType()),
+        StructField("has", LongType()),
+    ]
+)
+
+
+def _attrib_fn(n_channels: int):
+    import math
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        lk, has = state.get if state.exists else (0, 0)
+        out = []
+        for et, k, v in zip(rows["event_type"], rows["k"], rows["value"]):
+            if et == "click" and k == k and k is not None:
+                lk, has = int(k), 1
+            elif et == "purchase":
+                ch = int(lk) % n_channels if has else -1
+                out.append((user_id, ch, int(math.floor(v * 1000000.0))))
+        state.update((int(lk), int(has)))
+        yield pd.DataFrame(
+            out, columns=["user_id", "channel", "rev_micros"]
+        ) if out else pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "channel": pd.Series(dtype="int32"),
+                "rev_micros": pd.Series(dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def attribution_stream(events: DataFrame, n_channels: int = 10) -> DataFrame:
+    """Stateful last-touch attribution at ingest: per-user carry of the
+    most recent click channel via ``applyInPandasWithState`` (two longs
+    of state per user — the same constant-state envelope as the
+    sessionizer), emitting one attributed row per arriving purchase.
+    The batch twin is ``windows.last_touch_attribution``; the graded
+    query runs the batch form and the stream is parity-tested in
+    test_streaming (same determinism note as sessionize: within-batch
+    events sort by (ts, event_id), so an availableNow replay of the
+    table reproduces the batch answer exactly)."""
+    e = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return e.groupBy("user_id").applyInPandasWithState(
+        _attrib_fn(n_channels),
+        outputStructType=_ATTRIB_OUT_SCHEMA,
+        stateStructType=_ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

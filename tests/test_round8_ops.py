@@ -508,3 +508,24 @@ def test_nb_calibration_bins_consistent(spark):
         assert 0 <= r["bin"] <= 9
         assert 0 <= r["mean_pred_ppm"] <= 1_000_000
         assert r["sum_pred_ppm"] // r["n_docs"] == r["mean_pred_ppm"]
+
+
+def test_conformal_coverage_on_exact_signal(spark):
+    from scarf_spark.ml.supervised import conformal_ridge
+
+    # exact linear signal: residuals collapse near 0, coverage ~ 100%
+    rows = []
+    for i in range(300):
+        x1 = float((i % 17) - 8)
+        x2 = float((i % 7) - 3)
+        y = int(round(3 * x1 + 2 * x2))
+        rows.append((i, [x1, x2], y))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = conformal_ridge(emb, lam=1.0).collect()[0]
+    assert r["n_train"] + r["n_calib"] + r["n_test"] == 300
+    assert min(r["n_train"], r["n_calib"], r["n_test"]) > 0
+    assert r["q_hat"] >= 0.0
+    # the interval must cover nearly everything on a noiseless signal
+    assert r["coverage_ppm"] >= 900_000

@@ -384,3 +384,22 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir):
     }
     assert len(batch) > 0 and got == batch
     assert any(v[1] for v in got.values())  # at least one contaminated doc
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, events_batch):
+    from scarf_spark.operators.windows import last_touch_attribution
+
+    batch = {
+        r["channel"]: (r["n_purchases"], r["revenue_micros"])
+        for r in last_touch_attribution(events_batch).collect()
+    }
+    sdf = strm.attribution_stream(strm.read_events_stream(spark, sf_dir))
+    _run_stream(sdf, "attrib_rows", mode="append")
+    got = {
+        r["channel"]: (r["n"], r["rev"])
+        for r in spark.sql(
+            "SELECT channel, COUNT(*) AS n, SUM(rev_micros) AS rev "
+            "FROM attrib_rows GROUP BY channel"
+        ).collect()
+    }
+    assert got == batch

@@ -44,6 +44,18 @@ ALLOWED: dict[str, str] = {
         "aggregate (<= horizon_minutes + 1 = 10081 rows by "
         "construction), never event rows"
     ),
+    "evt_rfm": (
+        "three global_ntile adaptive small branches over the PER-USER "
+        "aggregate (n_users <= 1M picked the single-partition ntile); "
+        "the distributed grid path engages above the threshold"
+    ),
+    "samp_curriculum": (
+        "ONE global_ntile adaptive small branch (corpus <= 1M rows "
+        "picked the single-partition ntile), appearing 4x because "
+        "grouped_rank's stats/offsets self-joins replicate the subtree; "
+        "the per-phase position windows are partitioned (phase, cell) "
+        "and the grid path engages above the threshold"
+    ),
 }
 
 
