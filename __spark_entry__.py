@@ -2329,6 +2329,36 @@ def qc_digest(spark, sf_dir):
 
 
 @q(
+    "qc_table_diff",
+    # row-level snapshot diff (the digest's drill-down): full-outer on
+    # the key, added/removed/changed/same counters; the two snapshots
+    # are deterministic modular slices of documents with a planted
+    # mutation on doc_id % 11
+    "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0), "
+    "nn AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN upper(text) "
+    "ELSE text END AS text FROM documents WHERE doc_id % 7 != 0) "
+    "SELECT status, COUNT(*) AS n_keys FROM ("
+    "SELECT CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN nn.doc_id IS NULL THEN 'removed' "
+    "WHEN o.text IS NOT DISTINCT FROM nn.text THEN 'same' "
+    "ELSE 'changed' END AS status "
+    "FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id) GROUP BY status",
+)
+def qc_table_diff(spark, sf_dir):
+    """Snapshot row diff (qc.table_diff) — added/removed/changed/same
+    counts from one full-outer join; constant output at any scale."""
+    docs = _ds(spark, sf_dir).documents
+    old = docs.where(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return qc.table_diff(old, new, "doc_id", "text")
+
+
+@q(
     "qc_drift_psi",
     # PSI drift between the user_id-parity halves of the events value
     # column: shared equal-width bins, Laplace-smoothed shares
@@ -4951,6 +4981,27 @@ def graph_adamic_adar(spark, sf_dir):
     from scarf_spark.operators import graph
 
     return graph.adamic_adar(_knn_edges(spark, sf_dir))
+
+
+@q(
+    "graph_reciprocity",
+    # directed reciprocity: one semi-join on the reversed edge key,
+    # exact integer ppm
+    f"WITH {_KNN_CTE}, "
+    "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM knn WHERE src <> dst), "
+    "mu AS (SELECT COUNT(*) AS n_mutual FROM de WHERE EXISTS ("
+    "SELECT 1 FROM de e2 WHERE e2.src = de.dst AND e2.dst = de.src)), "
+    "ne AS (SELECT COUNT(*) AS n_edges FROM de) "
+    "SELECT n_edges, n_mutual, "
+    "n_mutual * 1000000 // n_edges AS reciprocity_ppm FROM ne, mu",
+)
+def graph_reciprocity(spark, sf_dir):
+    """Mutual-edge fraction of the directed KNN graph
+    (graph.reciprocity) — what SNN re-ranking and UMAP symmetrization
+    reward."""
+    from scarf_spark.operators import graph
+
+    return graph.reciprocity(_knn_edges(spark, sf_dir))
 
 
 # PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and

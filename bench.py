@@ -388,6 +388,8 @@ def _extra_headliners() -> set[str]:
         "ml_calibration",
         "evt_attribution",
         "ml_conformal",
+        "graph_reciprocity",
+        "qc_table_diff",
     }
 
 

@@ -605,3 +605,22 @@ def adamic_adar(edges: DataFrame) -> DataFrame:
         F.round(F.sum(1.0 / F.log(F.col("_deg"))), 6).alias("aa_score"),
     )
     return scored
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity of the KNN edge table: the fraction
+    of directed edges whose reverse edge also exists — the classic
+    are-neighbourhoods-mutual gauge (mutual KNN pairs are exactly what
+    SNN re-ranking and UMAP symmetrization reward). One self-join on
+    the reversed key + exact integer ppm; both sides shuffle on the
+    edge key, linear in |E|."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        mutual.agg(F.count("*").alias("n_mutual"))
+    ).select(
+        "n_edges",
+        "n_mutual",
+        F.expr("n_mutual * 1000000 DIV n_edges").alias("reciprocity_ppm"),
+    )

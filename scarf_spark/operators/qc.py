@@ -257,3 +257,32 @@ def embedding_drift(
             ).alias("mean_cosine"),
         )
     )
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, key: str, payload: str
+) -> DataFrame:
+    """Row-level snapshot diff — the drill-down companion to
+    :func:`table_digest` (digest says the snapshots differ; this says
+    HOW): one full-outer join on the key, classifying each key as
+    added / removed / changed / same. One shuffle on the key, constant
+    output (four counters) — the shape a 100 TB snapshot comparison
+    needs (no collect, no second pass).
+
+    Presence is tracked with explicit flags (not payload nullness, so
+    a legitimately-null payload never misreads as added/removed), and
+    ``payload`` equality is null-safe."""
+    o = old.select(
+        F.col(key).alias("_k"), F.col(payload).alias("_po"), F.lit(1).alias("_ho")
+    )
+    nn = new.select(
+        F.col(key).alias("_k"), F.col(payload).alias("_pn"), F.lit(1).alias("_hn")
+    )
+    j = o.join(nn, "_k", "full_outer").select(
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_po").eqNullSafe(F.col("_pn")), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status")
+    )
+    return j.groupBy("status").agg(F.count("*").alias("n_keys"))

@@ -529,3 +529,29 @@ def test_conformal_coverage_on_exact_signal(spark):
     assert r["q_hat"] >= 0.0
     # the interval must cover nearly everything on a noiseless signal
     assert r["coverage_ppm"] >= 900_000
+
+
+def test_reciprocity_counts(spark):
+    from scarf_spark.operators.graph import reciprocity
+
+    # 1<->2 mutual; 1->3 and 2->3 one-way
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3)], "src long, dst long"
+    )
+    r = reciprocity(edges).collect()[0]
+    assert r["n_edges"] == 4 and r["n_mutual"] == 2
+    assert r["reciprocity_ppm"] == 500_000
+
+
+def test_table_diff_statuses(spark):
+    from scarf_spark.operators.qc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (5, None)], "k long, p string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d"), (5, None)], "k long, p string"
+    )
+    out = {r["status"]: r["n_keys"] for r in table_diff(old, new, "k", "p").collect()}
+    # 1 removed, 4 added, 3 changed, 2 same, 5 same (null-safe equality)
+    assert out == {"removed": 1, "added": 1, "changed": 1, "same": 2}

@@ -310,6 +310,35 @@ def main() -> None:
         results,
     )
 
+    # 21. grouped exact ntile / rank (round 8): the per-group fixed-grid
+    # rank-arithmetic plan — one skewed giant group (80% of rows) plus
+    # many small ones; no single-task sort, offsets stay distributed
+    from scarf_spark.operators.windows import grouped_ntile
+
+    gn = spark.range(n).select(
+        F.when(F.col("id") % 5 < 4, F.lit("big"))
+        .otherwise((F.col("id") % 37).cast("string"))
+        .alias("grp"),
+        ((F.col("id") * 2654435761) % 999_983).cast("double").alias("x"),
+        F.col("id"),
+    )
+    timed(
+        "grouped_ntile_skewed",
+        grouped_ntile(gn, ["grp"], ["x", "id"], 10),
+        results,
+    )
+
+    # 22. Adamic-Adar wedges (round 8): self-join on the middle vertex
+    # over a degree-bounded graph — wedge volume n_nodes * deg^2, the
+    # shape that stays linear in nodes at any corpus size
+    from scarf_spark.operators.graph import adamic_adar
+
+    e_aa = spark.range(min(n, 2_000_000)).select(
+        (F.col("id") % 500_000).alias("src"),
+        ((F.col("id") * 97) % 500_000).alias("dst"),
+    )
+    timed("adamic_adar_2m_edges", lambda: adamic_adar(e_aa), results)
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
