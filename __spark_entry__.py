@@ -6425,6 +6425,54 @@ def dedup_ngram_decon(spark, sf_dir):
     )
 
 
+# the 4 bloom probe positions of a shingle, as oracle SQL (md5 of
+# "shingle:<i>", first 60 bits, mod m=16384 — the same arithmetic as
+# dedup.bloom_decontaminate's JVM expressions)
+_BLOOM_PROBES = ", ".join(
+    f"('0x' || substr(md5(shingle || ':{i}'), 1, 15))::BIGINT % 16384"
+    for i in (1, 2, 3, 4)
+)
+
+
+@q(
+    "dedup_bloom_decon",
+    # Bloom-gate decontamination: the filter is the benchmark's
+    # DISTINCT probe-position table (<= 16384 rows by construction);
+    # a corpus shingle is flagged iff NO probe position is missing
+    "WITH w AS (SELECT doc_id, source, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents), "
+    "bsh AS (SELECT DISTINCT unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE source = 'src0'), "
+    f"bpos AS (SELECT DISTINCT unnest([{_BLOOM_PROBES}]) AS pos FROM bsh), "
+    "csh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 3, 0)), "
+    "i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) AS shingle FROM w WHERE source != 'src0'), "
+    f"cpos AS (SELECT doc_id, shingle, unnest([{_BLOOM_PROBES}]) AS pos "
+    "FROM csh), "
+    "miss AS (SELECT DISTINCT doc_id, shingle FROM cpos "
+    "WHERE pos NOT IN (SELECT pos FROM bpos)), "
+    "nm AS (SELECT doc_id, COUNT(*) AS n_miss FROM miss GROUP BY doc_id), "
+    "pd AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY doc_id) "
+    "SELECT pd.doc_id, pd.n_shingles, "
+    "CAST(pd.n_shingles - COALESCE(nm.n_miss, 0) AS BIGINT) AS n_flagged, "
+    "(pd.n_shingles - COALESCE(nm.n_miss, 0)) > 0 AS flagged "
+    "FROM pd LEFT JOIN nm USING (doc_id)",
+)
+def dedup_bloom_decon(spark, sf_dir):
+    """Bloom-filter decontamination gate (dedup.bloom_decontaminate) —
+    the constant-size first pass in front of the exact n-gram
+    decontaminator; completes the sketch family next to KMV/HLL/CMS."""
+    docs = _ds(spark, sf_dir).documents
+    return dedup.bloom_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=4,
+    )
+
+
 @q(
     "samp_dsir",
     # DSIR hashed-unigram importance weights: target = the src0 slice,
@@ -6574,6 +6622,32 @@ def evt_attribution(spark, sf_dir):
     """Last-touch channel attribution (windows.last_touch_attribution)
     — purchases credited to the user's most recent preceding click."""
     return windows.last_touch_attribution(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_active_users",
+    # DAU/WAU/MAU, exact: each distinct (user, day) expands to the
+    # <=30 trailing windows it belongs to — a constant-factor
+    # equi-join, never a distinct-over-window sort
+    "WITH act AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 86400000000 AS day FROM events), "
+    "days AS (SELECT DISTINCT day FROM act), "
+    "dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY day), "
+    "w7 AS (SELECT act.user_id, act.day + o AS day FROM act, "
+    "UNNEST(range(0, 7)) AS t(o)), "
+    "wau AS (SELECT w7.day, COUNT(DISTINCT w7.user_id) AS wau "
+    "FROM w7 JOIN days USING (day) GROUP BY w7.day), "
+    "m30 AS (SELECT act.user_id, act.day + o AS day FROM act, "
+    "UNNEST(range(0, 30)) AS t(o)), "
+    "mau AS (SELECT m30.day, COUNT(DISTINCT m30.user_id) AS mau "
+    "FROM m30 JOIN days USING (day) GROUP BY m30.day) "
+    "SELECT dau.day, dau.dau, wau.wau, mau.mau "
+    "FROM dau JOIN wau USING (day) JOIN mau USING (day)",
+)
+def evt_active_users(spark, sf_dir):
+    """Exact DAU/WAU/MAU per day (windows.active_user_bands) — the
+    canonical engagement rollup, offset-expansion form."""
+    return windows.active_user_bands(_ds(spark, sf_dir).events)
 
 
 @q(

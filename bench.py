@@ -390,6 +390,8 @@ def _extra_headliners() -> set[str]:
         "ml_conformal",
         "graph_reciprocity",
         "qc_table_diff",
+        "evt_active_users",
+        "dedup_bloom_decon",
     }
 
 

@@ -777,3 +777,70 @@ def ngram_decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    k_hashes: int = 4,
+    m_bits: int = 16384,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the sketch-family
+    completion next to KMV/HLL/CMS: the benchmark's n-gram shingles
+    set ``k_hashes`` md5-derived positions each in an ``m_bits``-slot
+    filter; a corpus shingle is flagged iff ALL its positions are set
+    (the Bloom membership rule, with its deterministic and engine-
+    portable false-positive behaviour — same md5 arithmetic both
+    sides).
+
+    Relational Bloom: the filter is the DISTINCT position table
+    (≤ m_bits rows — broadcast-sized BY CONSTRUCTION no matter how big
+    the benchmark grows, the whole point of a Bloom gate), the probe
+    is one left-semi join of the corpus' (shingle, position) stream,
+    and a shingle hits when its surviving position count equals
+    ``k_hashes``. The corpus is never reshuffled; at 100 TB this is
+    the cheap first gate in front of the exact n-gram decontaminator."""
+    probes = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(1, k_hashes + 1)
+        ]
+    )
+    bench_pos = (
+        word_shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select(F.explode(probes).alias("pos"))
+        .distinct()
+    )
+    corp_sh = word_shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    corp_pos = corp_sh.select(id_col, "shingle", F.explode(probes).alias("pos"))
+    # membership = NO probe position missing (counting surviving
+    # positions against k would under-count when two of a shingle's
+    # probes collide onto the same slot)
+    missing = (
+        corp_pos.join(F.broadcast(bench_pos), "pos", "left_anti")
+        .select(id_col, "shingle")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_miss"))
+    )
+    per_doc = corp_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return per_doc.join(missing, id_col, "left_outer").select(
+        id_col,
+        "n_shingles",
+        (F.col("n_shingles") - F.coalesce(F.col("_n_miss"), F.lit(0)))
+        .cast("long")
+        .alias("n_flagged"),
+        (
+            F.col("n_shingles") - F.coalesce(F.col("_n_miss"), F.lit(0)) > 0
+        ).alias("flagged"),
+    )

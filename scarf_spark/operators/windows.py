@@ -845,3 +845,49 @@ def last_touch_attribution(events: DataFrame, n_channels: int = 10) -> DataFrame
             F.sum("_rev").alias("revenue_micros"),
         )
     )
+
+
+def active_user_bands(events: DataFrame) -> DataFrame:
+    """DAU / WAU / MAU per day — the canonical product-analytics
+    rollup, EXACT at any scale without a distinct-over-window.
+
+    A trailing COUNT(DISTINCT) window would re-sort the event log per
+    day; instead each distinct (user, active-day) row is expanded to
+    the ≤30 future days whose trailing window it falls into (day + 0…6
+    for WAU, + 0…29 for MAU) and semi-joined against the observed-day
+    list — turning the range join into an equi-join whose volume is a
+    CONSTANT 30× the deduped user-day table (not the event log). All
+    shuffles key on (day, user); integer day arithmetic is engine-
+    portable."""
+    act = (
+        events.select(
+            F.col("user_id"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+                "day"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    days = act.select("day").distinct()
+    dau = act.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+
+    def band(n_days: int, out: str) -> DataFrame:
+        exp = act.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (n_days - 1))
+            ).alias("day"),
+        )
+        return (
+            exp.join(days, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(out))
+        )
+
+    out = (
+        dau.join(band(7, "wau"), "day")
+        .join(band(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )
+    return out

@@ -555,3 +555,47 @@ def test_table_diff_statuses(spark):
     out = {r["status"]: r["n_keys"] for r in table_diff(old, new, "k", "p").collect()}
     # 1 removed, 4 added, 3 changed, 2 same, 5 same (null-safe equality)
     assert out == {"removed": 1, "added": 1, "changed": 1, "same": 2}
+
+
+def test_active_user_bands_windows(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import active_user_bands
+
+    d = lambda day: datetime(2026, 1, day)
+    rows = [
+        (1, d(1)), (2, d(1)),          # day 0: users 1,2
+        (1, d(2)),                     # day 1: user 1
+        (3, d(9)),                     # day 8: user 3 (outside 7d of day 1)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    base = min(r["day"] for r in active_user_bands(ev).collect())
+    out = {r["day"] - base: r for r in active_user_bands(ev).collect()}
+    assert out[0]["dau"] == 2 and out[0]["wau"] == 2 and out[0]["mau"] == 2
+    assert out[1]["dau"] == 1 and out[1]["wau"] == 2  # day-0 users in window
+    assert out[8]["dau"] == 1
+    assert out[8]["wau"] == 1  # days 0-1 fell out of the 7-day window
+    assert out[8]["mau"] == 3  # but stay inside the 30-day window
+
+
+def test_bloom_decon_flags_shared_ngrams(spark):
+    from scarf_spark.operators.dedup import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "saw the quick brown fox run"),  # shares one 4-gram
+            (2, "totally unrelated words right here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(corpus, bench, n=4).collect()
+    }
+    assert out[1]["flagged"] is True and out[1]["n_flagged"] >= 1
+    # bloom false positives are possible but vanishingly unlikely at
+    # 2 benchmark shingles over 16384 slots
+    assert out[2]["flagged"] is False
