@@ -2328,6 +2328,33 @@ def qc_digest(spark, sf_dir):
     return qc.table_digest(_ds(spark, sf_dir).events)
 
 
+_BENFORD = ", ".join(repr(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10))
+
+
+@q(
+    "qc_benford",
+    # Benford first-digit audit: digit from INTEGER string length
+    # (micros quantization) — float log10/floor can flip at
+    # power-of-ten boundaries between libm builds, integer rendering
+    # cannot; expectations are the same Python-repr literals inlined
+    # into both engines
+    "WITH pos AS (SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS _n "
+    "FROM events WHERE CAST(FLOOR(value * 1000000.0) AS BIGINT) > 0), "
+    "c AS (SELECT CAST(_n // CAST(POWER(10, LENGTH(CAST(_n AS VARCHAR)) - 1) "
+    "AS BIGINT) AS INT) AS digit, COUNT(*) AS n_obs FROM pos GROUP BY 1), "
+    "t AS (SELECT COUNT(*) AS _t FROM pos) "
+    f"SELECT digit, n_obs, ROUND(([{_BENFORD}]::DOUBLE[])[digit] * _t, 6) AS n_expected, "
+    f"ROUND((n_obs - ([{_BENFORD}]::DOUBLE[])[digit] * _t) "
+    f"* (n_obs - ([{_BENFORD}]::DOUBLE[])[digit] * _t) / (([{_BENFORD}]::DOUBLE[])[digit] * _t), 6) "
+    "AS chi2_term FROM c, t",
+)
+def qc_benford(spark, sf_dir):
+    """Benford's-law first-digit audit of the event values
+    (qc.benford_digits) — the fabricated-data / corrupted-feed screen."""
+    return qc.benford_digits(_ds(spark, sf_dir).events)
+
+
+
 @q(
     "qc_table_diff",
     # row-level snapshot diff (the digest's drill-down): full-outer on
@@ -2972,6 +2999,63 @@ def ml_calibration(spark, sf_dir):
     from scarf_spark.ml import metrics
 
     return metrics.nb_binary_calibration(_ds(spark, sf_dir).documents)
+
+
+@q(
+    "ml_pr_curve",
+    # precision/recall at decile thresholds of the SAME binned binary
+    # NB posterior as ml_calibration: cumulative window DESC over the
+    # <= 10 aggregate rows, exact integer ppm
+    _CAL_CTE := (
+        "WITH words AS (SELECT doc_id, unnest(list_filter("
+        "string_split(text, ' '), x -> x != '')) AS term FROM documents), "
+        "labs AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 'en' "
+        "ELSE 'other' END AS cls FROM documents), "
+        "nd AS (SELECT COUNT(*) AS n FROM documents), "
+        "vv AS (SELECT COUNT(DISTINCT term) AS v FROM words), "
+        "pri AS (SELECT cls, COUNT(*) AS n_c FROM labs GROUP BY cls), "
+        "ctt AS (SELECT cls, term, COUNT(*) AS ct FROM words "
+        "JOIN labs USING (doc_id) GROUP BY 1, 2), "
+        "tc AS (SELECT cls, SUM(ct) AS tc FROM ctt GROUP BY cls), "
+        "dim AS (SELECT pri.cls, n_c, tc FROM pri JOIN tc USING (cls)), "
+        "sco AS (SELECT w.doc_id, d.cls, "
+        "ROUND(SUM(LN((COALESCE(ctt.ct, 0) + 1) / "
+        "CAST(d.tc + (SELECT v FROM vv) AS DOUBLE))) "
+        "+ LN(d.n_c / CAST((SELECT n FROM nd) AS DOUBLE)), 6) AS score "
+        "FROM words w CROSS JOIN dim d "
+        "LEFT JOIN ctt ON ctt.cls = d.cls AND ctt.term = w.term "
+        "GROUP BY w.doc_id, d.cls, d.n_c), "
+        "piv AS (SELECT doc_id, "
+        "MAX(CASE WHEN cls = 'en' THEN score END) AS se, "
+        "MAX(CASE WHEN cls = 'other' THEN score END) AS so "
+        "FROM sco GROUP BY doc_id), "
+        "bn AS (SELECT LEAST(CAST(FLOOR((1.0 / (1.0 + EXP(so - se))) * 10) "
+        "AS INT), 9) AS bin, "
+        "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos "
+        "FROM piv JOIN documents d USING (doc_id)), "
+        "ag AS (SELECT bin, COUNT(*) AS n_docs, "
+        "CAST(SUM(pos) AS BIGINT) AS n_pos FROM bn GROUP BY bin), "
+        "cum AS (SELECT bin AS threshold_bin, "
+        "CAST(SUM(n_pos) OVER (ORDER BY bin DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp, "
+        "CAST(SUM(n_docs) OVER (ORDER BY bin DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "- SUM(n_pos) OVER (ORDER BY bin DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp "
+        "FROM ag), "
+        "tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM ag) "
+        "SELECT threshold_bin, tp, fp, CAST(p - tp AS BIGINT) AS fn, "
+        "tp * 1000000 // (tp + fp) AS precision_ppm, "
+        "tp * 1000000 // p AS recall_ppm FROM cum, tot"
+    ),
+)
+def ml_pr_curve(spark, sf_dir):
+    """Precision/recall operating points for the binary NB posterior
+    (ml.metrics.nb_pr_curve) — pairs with ml_calibration on the same
+    binned classifier."""
+    from scarf_spark.ml import metrics
+
+    return metrics.nb_pr_curve(_ds(spark, sf_dir).documents)
 
 
 @q(
@@ -5002,6 +5086,33 @@ def graph_reciprocity(spark, sf_dir):
     from scarf_spark.operators import graph
 
     return graph.reciprocity(_knn_edges(spark, sf_dir))
+
+
+@q(
+    "graph_clustering_coeff",
+    # local clustering coefficient: triangles over wedges per node,
+    # exact integer ppm; triangle counts reuse the node-iterator joins
+    f"WITH {_KNN_CTE}, {_UND_CANON_CTE}, "
+    "dirs AS MATERIALIZED (SELECT u AS s, w AS d FROM und "
+    "UNION ALL SELECT w, u FROM und), "
+    "deg AS (SELECT s, COUNT(*) AS degree FROM dirs GROUP BY s), "
+    "tri AS (SELECT a.u AS x, a.w AS y, b.w AS z FROM und a "
+    "JOIN und b ON a.w = b.u JOIN und c ON c.u = a.u AND c.w = b.w), "
+    "pn AS (SELECT v, COUNT(*) AS n_triangles FROM "
+    "(SELECT x AS v FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY v) "
+    "SELECT deg.s AS v, degree, COALESCE(pn.n_triangles, 0) AS n_triangles, "
+    "CASE WHEN degree >= 2 THEN COALESCE(pn.n_triangles, 0) * 2000000 "
+    "// (degree * (degree - 1)) ELSE 0 END AS cc_ppm "
+    "FROM deg LEFT JOIN pn ON deg.s = pn.v",
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient
+    (graph.clustering_coefficient) — neighbourhood density in exact
+    integer ppm."""
+    from scarf_spark.operators import graph
+
+    return graph.clustering_coefficient(_knn_edges(spark, sf_dir))
 
 
 # PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and

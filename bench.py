@@ -392,6 +392,9 @@ def _extra_headliners() -> set[str]:
         "qc_table_diff",
         "evt_active_users",
         "dedup_bloom_decon",
+        "graph_clustering_coeff",
+        "qc_benford",
+        "ml_pr_curve",
     }
 
 

@@ -384,3 +384,38 @@ def nb_binary_calibration(docs: DataFrame, n_bins: int = 10) -> DataFrame:
         F.expr("sum_pred_ppm DIV n_docs").alias("mean_pred_ppm"),
         F.expr("(n_pos * 1000000) DIV n_docs").alias("acc_ppm"),
     )
+
+
+def nb_pr_curve(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Precision/recall at decile score thresholds for the binary
+    naive-Bayes 'en' posterior — the operating-point picker that pairs
+    with :func:`nb_binary_calibration` (same binned posterior, so the
+    two reports describe one classifier). Threshold at bin b =
+    "predict positive when the posterior lands in bin ≥ b"; TP/FP come
+    from a cumulative window DESCENDING over the ≤ n_bins aggregate
+    rows (constant-size input, same envelope as the KM curve), and
+    precision/recall are exact integer ppm."""
+    from pyspark.sql import Window
+
+    bins = nb_binary_calibration(docs, n_bins=n_bins).select(
+        "bin", "n_docs", "n_pos"
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = bins.agg(F.sum("n_pos").alias("_p")).collect()[0]["_p"]
+    cum = bins.select(
+        F.col("bin").alias("threshold_bin"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        (F.sum("n_docs").over(w) - F.sum("n_pos").over(w))
+        .cast("long")
+        .alias("fp"),
+    )
+    return cum.select(
+        "threshold_bin",
+        "tp",
+        "fp",
+        (F.lit(int(tot)) - F.col("tp")).cast("long").alias("fn"),
+        F.expr("tp * 1000000 DIV (tp + fp)").alias("precision_ppm"),
+        F.expr(f"tp * 1000000 DIV {int(tot)}").alias("recall_ppm"),
+    )

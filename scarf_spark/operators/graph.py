@@ -624,3 +624,39 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         "n_mutual",
         F.expr("n_mutual * 1000000 DIV n_edges").alias("reciprocity_ppm"),
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected KNN
+    graph: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each
+    neighbourhood is to a clique, the density gauge Leiden/Paris
+    communities optimize implicitly. Composes :func:`triangle_counts`
+    (node-iterator joins) with the degree table; nodes of degree < 2
+    report 0. Exact integer ppm (2·T·1e6 // wedges) so the result is
+    engine-portable without float division."""
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("v"))
+        .unionAll(und.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(und.select(F.col("u").alias("src"), F.col("w").alias("dst")))
+    return (
+        deg.join(tri, "v", "left_outer")
+        .select(
+            "v",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "coalesce(n_triangles, 0) * 2000000 "
+                    "DIV (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )

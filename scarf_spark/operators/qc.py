@@ -286,3 +286,40 @@ def table_diff(
         .alias("status")
     )
     return j.groupBy("status").agg(F.count("*").alias("n_keys"))
+
+
+def benford_digits(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    corrupted-feed screen: observed first-significant-digit counts of
+    the positive values vs the Benford expectation log10(1 + 1/d),
+    with the per-digit chi-squared contribution.
+
+    Engine-portability contract: the first digit comes from INTEGER
+    string length (quantize to micros, digit = n // 10^(len−1)) — a
+    float log10/floor pair can flip at power-of-ten boundaries between
+    libm implementations, an integer rendering cannot. The Benford
+    expectations are Python-computed literals inlined identically into
+    both engines' expressions."""
+    import math
+
+    n_micros = F.floor(F.col(value_col) * 1000000.0).cast("long")
+    pos = df.where(n_micros > 0).select(n_micros.alias("_n"))
+    digit = F.expr("_n DIV CAST(POWER(10, LENGTH(CAST(_n AS STRING)) - 1) AS BIGINT)")
+    counts = pos.select(digit.cast("int").alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    total = pos.agg(F.count("*").alias("_t"))
+    rows = counts.crossJoin(F.broadcast(total))
+    exp_lit = F.array(
+        *[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    )
+    expected = F.element_at(exp_lit, F.col("digit")) * F.col("_t")
+    return rows.select(
+        "digit",
+        "n_obs",
+        F.round(expected, 6).alias("n_expected"),
+        F.round(
+            (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected,
+            6,
+        ).alias("chi2_term"),
+    )

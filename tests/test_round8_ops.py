@@ -599,3 +599,51 @@ def test_bloom_decon_flags_shared_ngrams(spark):
     # bloom false positives are possible but vanishingly unlikely at
     # 2 benchmark shingles over 16384 slots
     assert out[2]["flagged"] is False
+
+
+def test_clustering_coefficient_triangle(spark):
+    from scarf_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    out = {r["v"]: r for r in clustering_coefficient(edges).collect()}
+    assert out[2]["cc_ppm"] == 1_000_000  # deg 2, 1 triangle
+    assert out[3]["cc_ppm"] == 1_000_000
+    assert out[1]["degree"] == 3 and out[1]["cc_ppm"] == 333_333  # 2/6
+    assert out[4]["degree"] == 1 and out[4]["cc_ppm"] == 0
+
+
+def test_benford_uniform_counts(spark):
+    from scarf_spark.operators.qc import benford_digits
+
+    # values 1..999 quantized: first digits uniform-ish, all 9 present
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 1000)], "value double"
+    )
+    out = {r["digit"]: r for r in benford_digits(df).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n_obs"] == 111  # 1, 10-19, 100-199
+    assert all(r["chi2_term"] >= 0 for r in out.values())
+
+
+def test_pr_curve_monotone_recall(spark):
+    from scarf_spark.ml.metrics import nb_pr_curve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world again", "en"),
+            (2, "hello there world", "en"),
+            (3, "bonjour le monde", "fr"),
+            (4, "hola mundo otra", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = sorted(nb_pr_curve(docs).collect(), key=lambda r: -r["threshold_bin"])
+    # lowering the threshold can only grow tp and recall
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls)
+    last = rows[-1]
+    assert last["tp"] + last["fn"] == 2  # all positives accounted for
+    assert last["recall_ppm"] == 1_000_000  # threshold 0 catches all

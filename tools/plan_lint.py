@@ -49,6 +49,11 @@ ALLOWED: dict[str, str] = {
         "aggregate (n_users <= 1M picked the single-partition ntile); "
         "the distributed grid path engages above the threshold"
     ),
+    "ml_pr_curve": (
+        "cumulative threshold windows run over the <= 10 posterior-bin "
+        "aggregate rows, never document rows (same envelope as "
+        "evt_survival_km)"
+    ),
     "samp_curriculum": (
         "ONE global_ntile adaptive small branch (corpus <= 1M rows "
         "picked the single-partition ntile), appearing 4x because "
