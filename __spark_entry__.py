@@ -4684,6 +4684,31 @@ def agg_exact_median(spark, sf_dir):
 
 
 @q(
+    "agg_boxplot",
+    # Tukey box-plot card: exact quartiles, 1.5*IQR fences from the
+    # ROUNDED quartiles (the cross-engine-stable values), one re-scan
+    # for the outlier count
+    "WITH qs AS (SELECT event_type, "
+    "ROUND(quantile_cont(value, 0.25), 6) AS q25, "
+    "ROUND(quantile_cont(value, 0.50), 6) AS q50, "
+    "ROUND(quantile_cont(value, 0.75), 6) AS q75 "
+    "FROM events GROUP BY event_type), "
+    "f AS (SELECT event_type, q25, q50, q75, "
+    "ROUND(q75 - q25, 6) AS iqr, "
+    "q25 - 1.5 * (q75 - q25) AS lo, q75 + 1.5 * (q75 - q25) AS hi FROM qs) "
+    "SELECT e.event_type, q25, q50, q75, iqr, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_outliers "
+    "FROM events e JOIN f ON e.event_type = f.event_type "
+    "GROUP BY e.event_type, q25, q50, q75, iqr",
+)
+def agg_boxplot(spark, sf_dir):
+    """Tukey box-plot summary per event type (aggregate.boxplot_stats)
+    — quartiles, IQR fences, and outlier counts in two shuffles."""
+    return aggregate.boxplot_stats(_ds(spark, sf_dir).events, "event_type", "value")
+
+
+@q(
     "samp_weighted",
     # Efraimidis-Spirakis A-ES weighted sampling without replacement:
     # key = ln(u)/w with u from the 60-bit md5 of the id — seedless,
@@ -6759,6 +6784,32 @@ def evt_active_users(spark, sf_dir):
     """Exact DAU/WAU/MAU per day (windows.active_user_bands) — the
     canonical engagement rollup, offset-expansion form."""
     return windows.active_user_bands(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_conversion",
+    # conversion by session depth: the sessionizer's lag+cumsum island
+    # assignment, purchase flag per session, exact integer ppm
+    "WITH o AS (SELECT user_id, event_id, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS buy "
+    "FROM events), "
+    "b AS (SELECT *, CASE WHEN t - LAG(t) OVER "
+    "(PARTITION BY user_id ORDER BY t, event_id) > 1800 "
+    "THEN 1 ELSE 0 END AS brk FROM o), "
+    "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b), "
+    "per AS (SELECT user_id, sid, COUNT(*) AS session_len, "
+    "MAX(buy) AS conv FROM s GROUP BY 1, 2) "
+    "SELECT session_len, COUNT(*) AS n_sessions, "
+    "CAST(SUM(conv) AS BIGINT) AS n_converted, "
+    "CAST(SUM(conv) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm "
+    "FROM per GROUP BY session_len",
+)
+def evt_conversion(spark, sf_dir):
+    """Session-depth conversion rates (windows.session_conversion) —
+    the does-engagement-convert read over the sessionized event log."""
+    return windows.session_conversion(_ds(spark, sf_dir).events)
 
 
 @q(

@@ -395,6 +395,8 @@ def _extra_headliners() -> set[str]:
         "graph_clustering_coeff",
         "qc_benford",
         "ml_pr_curve",
+        "agg_boxplot",
+        "evt_conversion",
     }
 
 

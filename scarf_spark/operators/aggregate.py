@@ -819,3 +819,39 @@ def feature_cooccurrence(
         .orderBy(F.col("n_cells").desc(), "fa", "fb")
         .limit(top_n)
     )
+
+
+def boxplot_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Tukey box-plot summary per group: exact quartiles (via
+    :func:`exact_quantiles`), the 1.5·IQR fences, and the outlier
+    count beyond them — the standard distribution-health card next to
+    the moments/entropy aggregates. Fences derive from the ROUNDED
+    quartiles (the cross-engine stable values) and the outlier
+    comparison re-scans the fact table once with the fence row
+    broadcast — two shuffles total, constant per-group state."""
+    qs = exact_quantiles(df, group_col, value_col, (0.25, 0.5, 0.75))
+    fences = qs.select(
+        group_col,
+        "q25",
+        "q50",
+        "q75",
+        F.round(F.col("q75") - F.col("q25"), 6).alias("iqr"),
+        (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("_lo"),
+        (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("_hi"),
+    )
+    joined = df.select(group_col, F.col(value_col).alias("_v")).join(
+        F.broadcast(fences), group_col
+    )
+    return joined.groupBy(
+        group_col, "q25", "q50", "q75", "iqr"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("_v") < F.col("_lo")) | (F.col("_v") > F.col("_hi")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

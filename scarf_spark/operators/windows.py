@@ -891,3 +891,40 @@ def active_user_bands(events: DataFrame) -> DataFrame:
         .select("day", "dau", "wau", "mau")
     )
     return out
+
+
+def session_conversion(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Conversion rate by session depth: sessions are the same
+    30-minute-gap islands the sessionizer builds (lag + cumulative-sum
+    windows per user — partitioned, task-local), a session converts if
+    it contains a purchase, and the report groups by session length —
+    the does-engagement-convert product read. Exact integer ppm."""
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias("_t"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("_buy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    brk = F.when(
+        F.col("_t") - F.lag("_t").over(w) > gap_seconds, 1
+    ).otherwise(0)
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("_t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = e.withColumn("_sid", F.sum(brk).over(wc))
+    per = sess.groupBy("user_id", "_sid").agg(
+        F.count("*").alias("session_len"),
+        F.max("_buy").alias("_conv"),
+    )
+    return per.groupBy("session_len").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("_conv").cast("long").alias("n_converted"),
+    ).select(
+        "session_len",
+        "n_sessions",
+        "n_converted",
+        F.expr("n_converted * 1000000 DIV n_sessions").alias("conv_ppm"),
+    )

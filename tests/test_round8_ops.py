@@ -647,3 +647,36 @@ def test_pr_curve_monotone_recall(spark):
     last = rows[-1]
     assert last["tp"] + last["fn"] == 2  # all positives accounted for
     assert last["recall_ppm"] == 1_000_000  # threshold 0 catches all
+
+
+def test_boxplot_outlier_count(spark):
+    from scarf_spark.operators.aggregate import boxplot_stats
+
+    vals = [float(v) for v in range(1, 12)] + [1000.0]  # planted outlier
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, value double")
+    r = boxplot_stats(df, "g", "value").collect()[0]
+    assert r["n"] == 12 and r["n_outliers"] == 1
+    assert r["q25"] < r["q50"] < r["q75"]
+    assert r["iqr"] == round(r["q75"] - r["q25"], 6)
+
+
+def test_session_conversion_depth(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import session_conversion
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [
+        # user 1 session A (2 events, converts), session B (1 event, no)
+        (1, t(0), 1, "view"), (1, t(5), 2, "purchase"),
+        (1, datetime(2026, 1, 1, 6, 0), 3, "view"),
+        # user 2: single-event converting session
+        (2, t(0), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["session_len"]: r for r in session_conversion(ev).collect()}
+    assert out[2]["n_sessions"] == 1 and out[2]["n_converted"] == 1
+    assert out[1]["n_sessions"] == 2 and out[1]["n_converted"] == 1
+    assert out[1]["conv_ppm"] == 500_000
