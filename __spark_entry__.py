@@ -6813,6 +6813,52 @@ def evt_conversion(spark, sf_dir):
 
 
 @q(
+    "win_rolling_median",
+    # exact trailing 5-row median: the window multiset as a sorted
+    # array, middle element by integer arithmetic — no interpolation,
+    # bit-exact element selection on any engine
+    "SELECT user_id, event_id, "
+    "list_sort(l)[CAST((len(l) + 1) // 2 AS INT)] AS rolling_median "
+    "FROM (SELECT user_id, event_id, list(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l FROM events)",
+)
+def win_rolling_median(spark, sf_dir):
+    """Exact trailing-window median per user (windows.rolling_median)
+    — the robust twin of the centered rolling mean."""
+    return windows.rolling_median(
+        _ds(spark, sf_dir).events, ["user_id"], ["ts", "event_id"], "value"
+    ).select("user_id", "event_id", "rolling_median")
+
+
+@q(
+    "evt_stage_latency",
+    # funnel stage-transition latency: first-qualifying-event cascade
+    # (same as evt_funnel), exact p50/p90 over integer seconds
+    "WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type "
+    "FROM events), "
+    "s1 AS (SELECT user_id, MIN(t) AS t0 FROM e "
+    "WHERE event_type = 'signup' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, MIN(e.t) AS t1, MIN(s1.t0) AS t0b "
+    "FROM e JOIN s1 USING (user_id) "
+    "WHERE e.event_type = 'click' AND e.t > s1.t0 GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, MIN(e.t) AS t1, MIN(s2.t1) AS t0b "
+    "FROM e JOIN s2 USING (user_id) "
+    "WHERE e.event_type = 'purchase' AND e.t > s2.t1 GROUP BY 1) "
+    "SELECT 'signup->click' AS transition, COUNT(*) AS n_users, "
+    "ROUND(quantile_cont(t1 - t0b, 0.5), 6) AS p50_sec, "
+    "ROUND(quantile_cont(t1 - t0b, 0.9), 6) AS p90_sec FROM s2 "
+    "UNION ALL SELECT 'click->purchase', COUNT(*), "
+    "ROUND(quantile_cont(t1 - t0b, 0.5), 6), "
+    "ROUND(quantile_cont(t1 - t0b, 0.9), 6) FROM s3",
+)
+def evt_stage_latency(spark, sf_dir):
+    """Funnel stage-transition latency percentiles
+    (windows.stage_latency) — how long each conversion step takes."""
+    return windows.stage_latency(_ds(spark, sf_dir).events)
+
+
+@q(
     "win_ewma",
     # recursive EWMA as a relational fold: list_reduce replays the same
     # left-to-right IEEE op sequence as Spark's aggregate() HOF

@@ -397,6 +397,8 @@ def _extra_headliners() -> set[str]:
         "ml_pr_curve",
         "agg_boxplot",
         "evt_conversion",
+        "win_rolling_median",
+        "evt_stage_latency",
     }
 
 

@@ -928,3 +928,74 @@ def session_conversion(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         "n_converted",
         F.expr("n_converted * 1000000 DIV n_sessions").alias("conv_ppm"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    width: int = 5,
+    out: str = "rolling_median",
+) -> DataFrame:
+    """Exact trailing-window median (lower median of the last ``width``
+    rows) — the robust twin of :func:`rolling_mean` for spiky series.
+    The window's value multiset is materialized as a sorted array and
+    the middle element picked by integer arithmetic — no percentile
+    UDAF, no interpolation (element selection is bit-exact on any
+    engine), shrinking windows at the partition head use their actual
+    size. Window state is ``width`` values per row — constant."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(width - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    mid = F.floor((F.size(arr) + 1) / 2).cast("int")
+    return df.withColumn(out, F.element_at(arr, mid))
+
+
+def stage_latency(
+    events: DataFrame, stages: list[str] | None = None
+) -> DataFrame:
+    """Funnel stage-transition latency: for each adjacent stage pair
+    (signup→click→purchase by default), the per-user seconds between
+    the FIRST qualifying events (strictly ordered, the same cascade as
+    the funnel counts) summarized as exact p50/p90 over integer
+    seconds. Per-pair state is one duration per converting user; the
+    percentile is Spark's exact distributed aggregate over that
+    user-sized set (the same envelope as exact_quantiles — switch to
+    histogram quantiles if a single pair ever outgrows an executor)."""
+    stages = stages or ["signup", "click", "purchase"]
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias("_t"),
+        "event_type",
+    )
+    firsts = (
+        e.where(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("_t").alias("_t0"))
+    )
+    out = None
+    prev = firsts
+    for i, nxt in enumerate(stages[1:], start=1):
+        step = (
+            e.where(F.col("event_type") == nxt)
+            .join(prev, "user_id")
+            .where(F.col("_t") > F.col("_t0"))
+            .groupBy("user_id")
+            .agg(F.min("_t").alias("_t1"), F.min("_t0").alias("_t0b"))
+        )
+        lat = step.select(
+            "user_id", (F.col("_t1") - F.col("_t0b")).alias("_lat")
+        )
+        row = lat.agg(
+            F.lit(f"{stages[i - 1]}->{nxt}").alias("transition"),
+            F.count("*").alias("n_users"),
+            F.round(F.expr("percentile(_lat, 0.5)"), 6).alias("p50_sec"),
+            F.round(F.expr("percentile(_lat, 0.9)"), 6).alias("p90_sec"),
+        )
+        out = row if out is None else out.unionAll(row)
+        prev = step.select("user_id", F.col("_t1").alias("_t0"))
+    return out

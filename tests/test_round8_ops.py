@@ -680,3 +680,44 @@ def test_session_conversion_depth(spark):
     assert out[2]["n_sessions"] == 1 and out[2]["n_converted"] == 1
     assert out[1]["n_sessions"] == 2 and out[1]["n_converted"] == 1
     assert out[1]["conv_ppm"] == 500_000
+
+
+def test_rolling_median_exact(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import rolling_median
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 100.0]
+    rows = [(1, t(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: r["rolling_median"]
+        for r in rolling_median(df, ["user_id"], ["ts", "event_id"], "value").collect()
+    }
+    assert out[0] == 5.0            # window [5]
+    assert out[1] == 1.0            # [1,5] -> lower median
+    assert out[2] == 5.0            # [1,5,9]
+    assert out[4] == 5.0            # [1,3,5,7,9]
+    assert out[5] == 7.0            # [1,3,7,9,100]
+
+
+def test_stage_latency_cascade(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import stage_latency
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [
+        (1, t(0), "signup"), (1, t(2), "click"), (1, t(5), "purchase"),
+        (2, t(0), "signup"), (2, t(10), "click"),  # never purchases
+        (3, t(0), "click"),  # no signup: excluded entirely
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["transition"]: r for r in stage_latency(ev).collect()}
+    sc = out["signup->click"]
+    assert sc["n_users"] == 2 and sc["p50_sec"] == (120 + 600) / 2
+    cp = out["click->purchase"]
+    assert cp["n_users"] == 1 and cp["p50_sec"] == 180.0
