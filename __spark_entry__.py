@@ -5140,6 +5140,38 @@ def graph_clustering_coeff(spark, sf_dir):
     return graph.clustering_coefficient(_knn_edges(spark, sf_dir))
 
 
+@q(
+    "graph_eigencentrality",
+    # 3 power iterations, MAX-normalized (max is accumulation-order-
+    # free where an L2 norm would drift); the PageRank plan shape
+    f"WITH {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+    "GREATEST(src, dst) AS w FROM knn WHERE src <> dst), "
+    "dirs AS MATERIALIZED (SELECT u AS s, w AS d FROM und "
+    "UNION ALL SELECT w, u FROM und), "
+    "nodes AS (SELECT DISTINCT s AS v FROM dirs), "
+    "x0 AS (SELECT v, 1.0 AS x FROM nodes), "
+    + " ".join(
+        (
+            "y{t} AS (SELECT dd.d AS v, SUM(xx.x) AS y FROM dirs dd "
+            "JOIN x{p} xx ON dd.s = xx.v GROUP BY dd.d), "
+            "m{t} AS (SELECT MAX(y) AS m FROM y{t}), "
+            "x{t} AS (SELECT nodes.v, COALESCE(y{t}.y, 0.0) "
+            "/ (SELECT m FROM m{t}) AS x "
+            "FROM nodes LEFT JOIN y{t} USING (v)),"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    ).rstrip(",")
+    + " SELECT v, ROUND(x, 6) AS centrality FROM x3",
+)
+def graph_eigencentrality(spark, sf_dir):
+    """Eigenvector centrality (graph.eigencentrality) — fixed-iteration
+    power method with order-free max-normalization."""
+    from scarf_spark.operators import graph
+
+    return graph.eigencentrality(_knn_edges(spark, sf_dir), n_iter=3)
+
+
 # PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and
 # 1.0/n literals are spelled as the same float expressions Python
 # computes driver-side (1.0-0.85 != 0.15 in IEEE — the SQL must
@@ -5316,7 +5348,10 @@ def ann_pq(spark, sf_dir):
 
 
 _BPE_STEPS = 5
-_BPE_SQL = (
+# the shared merge-training CTE chain (through s{_BPE_STEPS}, the
+# post-merge vocabulary segmentation) — the trainer's final SELECT and
+# the encoder's per-doc rollup both hang off it
+_BPE_CHAIN = (
     "WITH w AS (SELECT UNNEST(list_filter(string_split(text, ' '), "
     "x -> x != '')) AS word FROM documents), "
     "v AS (SELECT word, COUNT(*) AS wc FROM w GROUP BY word), "
@@ -5335,6 +5370,10 @@ _BPE_SQL = (
         ).format(t=t, p=t - 1)
         for t in range(1, _BPE_STEPS + 1)
     ).rstrip(",")
+)
+
+_BPE_SQL = (
+    _BPE_CHAIN
     + " "
     + " UNION ALL ".join(
         f"SELECT {t} AS step, pr AS pair, replace(pr, ' ', '') AS merged, "
@@ -5353,6 +5392,32 @@ def text_bpe_train(spark, sf_dir):
     from scarf_spark.operators import text
 
     return text.bpe_train_merges(_ds(spark, sf_dir).documents, n_merges=5)
+
+
+@q(
+    "text_bpe_encode",
+    # tokenizer APPLICATION: the trainer's s5 CTE IS the post-merge
+    # vocabulary segmentation, so encoding is one word-keyed join +
+    # per-doc rollup; compression in exact integer ppm
+    _BPE_CHAIN
+    + ", dw AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS word FROM documents), "
+    "seg AS (SELECT word, CAST(length(word) + 1 AS BIGINT) AS nct, "
+    f"CAST(len(string_split(s, ' ')) AS BIGINT) AS nt FROM s{_BPE_STEPS}) "
+    "SELECT dw.doc_id, COUNT(*) AS n_words, "
+    "CAST(SUM(nct) AS BIGINT) AS n_char_tokens, "
+    "CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens, "
+    "CAST(SUM(nt) AS BIGINT) * 1000000 // CAST(SUM(nct) AS BIGINT) "
+    "AS compression_ppm "
+    "FROM dw JOIN seg USING (word) GROUP BY dw.doc_id",
+)
+def text_bpe_encode(spark, sf_dir):
+    """Tokenizer application (text.bpe_encode): encode the corpus with
+    the learned merges, per-doc token counts + compression — the other
+    half of the tokenizer loop."""
+    from scarf_spark.operators import text
+
+    return text.bpe_encode(_ds(spark, sf_dir).documents, n_merges=5)
 
 
 @q(

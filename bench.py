@@ -399,6 +399,8 @@ def _extra_headliners() -> set[str]:
         "evt_conversion",
         "win_rolling_median",
         "evt_stage_latency",
+        "text_bpe_encode",
+        "graph_eigencentrality",
     }
 
 

@@ -660,3 +660,37 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("cc_ppm"),
         )
     )
+
+
+def eigencentrality(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Eigenvector centrality by ``n_iter`` power iterations over the
+    undirected KNN graph, max-normalized each round — prestige beyond
+    degree (the same neighbourhood-influence axis PageRank measures,
+    without teleportation). Max-normalization instead of the L2 norm
+    is deliberate: MAX is accumulation-order-free, so the iteration
+    replays across engines where a global sum-of-squares would drift.
+
+    Each round is one edge join + hash aggregate + a broadcast scalar
+    — the PageRank plan shape, linear per round, no driver state."""
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    dirs = und.select(F.col("u").alias("s"), F.col("w").alias("d")).unionAll(
+        und.select(F.col("w").alias("s"), F.col("u").alias("d"))
+    )
+    nodes = dirs.select(F.col("s").alias("v")).distinct()
+    x = nodes.select("v", F.lit(1.0).alias("x"))
+    for _ in range(n_iter):
+        y = (
+            dirs.join(x.withColumnRenamed("v", "s"), "s")
+            .groupBy(F.col("d").alias("v"))
+            .agg(F.sum("x").alias("y"))
+        )
+        m = y.agg(F.max("y").alias("_m"))
+        x = (
+            nodes.join(y, "v", "left_outer")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "v",
+                (F.coalesce(F.col("y"), F.lit(0.0)) / F.col("_m")).alias("x"),
+            )
+        )
+    return x.select("v", F.round("x", 6).alias("centrality"))

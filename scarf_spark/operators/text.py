@@ -856,3 +856,66 @@ def ccnet_buckets(
     return tiled.select(
         id_col, lang_col, "mean_logprob", "bucket", name.alias("bucket_name")
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the trained BPE merges — the other half of the tokenizer
+    loop (:func:`bpe_train_merges` learns the rules; this encodes the
+    corpus with them and reports per-doc token counts + compression).
+    Encoding is the same literal left-to-right ``replace`` the trainer
+    used, unrolled over the ``n_merges`` learned rules on the
+    char-spaced word form — all JVM string expressions; the learned
+    rules are the only driver traffic (``n_merges`` rows, the same
+    envelope as training).
+
+    Scale shape: merges apply to the DISTINCT word vocabulary (Zipf-
+    small), then one equi-join maps every corpus word to its token
+    count — the corpus text itself is scanned once and never carries
+    segmentation strings through a shuffle."""
+    merges = [
+        (r["pair"], r["merged"])
+        for r in sorted(
+            bpe_train_merges(docs, n_merges, text_col, id_col).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    vocab = words.select("word").distinct()
+    seg = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("</w>")
+    )
+    for pair, merged in merges:
+        seg = F.replace(seg, F.lit(pair), F.lit(merged))
+    seg_tbl = vocab.select(
+        "word",
+        (F.length("word") + 1).cast("long").alias("_n_char_tok"),
+        F.size(F.split(seg, " ")).cast("long").alias("_n_tok"),
+    )
+    return (
+        words.join(seg_tbl, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n_char_tok").alias("n_char_tokens"),
+            F.sum("_n_tok").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000 DIV n_char_tokens").alias(
+                "compression_ppm"
+            ),
+        )
+    )

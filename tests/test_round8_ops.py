@@ -721,3 +721,31 @@ def test_stage_latency_cascade(spark):
     assert sc["n_users"] == 2 and sc["p50_sec"] == (120 + 600) / 2
     cp = out["click->purchase"]
     assert cp["n_users"] == 1 and cp["p50_sec"] == 180.0
+
+
+def test_bpe_encode_compresses_repeated_text(spark):
+    from scarf_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, "banana banana banana banana") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = bpe_encode(docs, n_merges=3).collect()
+    for r in out:
+        assert r["n_words"] == 4
+        assert r["n_char_tokens"] == 4 * 7  # 6 chars + </w> each
+        # 3 merges on one repeated word must shrink the token count
+        assert r["n_bpe_tokens"] < r["n_char_tokens"]
+        assert r["compression_ppm"] < 1_000_000
+
+
+def test_eigencentrality_star_hub(spark):
+    from scarf_spark.operators.graph import eigencentrality
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    out = {r["v"]: r["centrality"] for r in eigencentrality(star).collect()}
+    assert out[0] == 1.0  # hub has max centrality
+    assert all(out[i] < 1.0 for i in range(1, 6))
+    assert len({out[i] for i in range(1, 6)}) == 1  # leaves symmetric
