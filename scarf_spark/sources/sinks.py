@@ -221,3 +221,20 @@ def compact_parquet(
     dst = out_path or (path.rstrip("/") + "__compact")
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(dst)
     return dst
+
+
+def write_partitioned(
+    df: DataFrame, out_dir: str, partition_cols: list[str]
+) -> str:
+    """Hive-partitioned parquet layout — the table organization that
+    makes partition PRUNING (not just row-group skipping) work at
+    100 TB: a reader's filter on a partition column eliminates whole
+    directories before any file is opened, visible in the scan plan as
+    PartitionFilters. Pair with Z-order keys (``sort_zorder``) inside
+    each partition for two-level skipping.
+
+    One shuffle-free write when the partition column correlates with
+    input order; otherwise Spark's dynamic partition insert handles
+    fan-out. Returns the output directory."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+    return out_dir
