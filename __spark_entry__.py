@@ -5421,6 +5421,43 @@ def text_bpe_encode(spark, sf_dir):
 
 
 @q(
+    "pipe_text_ann",
+    # end-to-end text -> ANN: vocabulary-free md5 hash embedding
+    # (ln(1+tf) per slot, one integer count each — no double-sum
+    # drift), then exact cosine top-3 — the embedding-space dual of
+    # text_minhash_cluster, entirely model-free
+    "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS t FROM documents), "
+    "tf AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 "
+    "AS feature, COUNT(*) AS tf FROM w GROUP BY 1, 2), "
+    "slots AS (SELECT d.doc_id, r.b, COALESCE(LN(1 + tf.tf), 0.0) AS wt "
+    "FROM (SELECT DISTINCT doc_id FROM tf) d "
+    "CROSS JOIN (SELECT UNNEST(range(0, 64)) AS b) r "
+    "LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.feature = r.b), "
+    "vec AS (SELECT doc_id, list(wt ORDER BY b) AS v FROM slots "
+    "GROUP BY doc_id), "
+    "nv AS (SELECT doc_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+    "FROM vec), "
+    "pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
+    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
+    "FROM nv a JOIN nv b ON a.doc_id != b.doc_id) "
+    "SELECT src, rn AS rank, dst, ROUND(distance, 6) AS distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src "
+    "ORDER BY distance, dst) AS rn FROM pairs) WHERE rn <= 3",
+)
+def pipe_text_ann(spark, sf_dir):
+    """Model-free text similarity search end-to-end (text.hash_embed →
+    knn.cosine_knn_exact): hash-embed every document and return its
+    exact cosine top-3 — the embedding-space dual of
+    text_minhash_cluster."""
+    from scarf_spark.operators import knn, text
+
+    emb = text.hash_embed(_ds(spark, sf_dir).documents, dim=64)
+    return knn.cosine_knn_exact(emb, k=3, id_col="doc_id")
+
+
+@q(
     "text_boilerplate",
     f"WITH {_SHINGLE_CTE}, "
     "nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), "

@@ -57,6 +57,7 @@ def main() -> None:
     # longest job). The list is from serial sf0.1 measurements; a
     # mis-listed query only costs schedule quality, never correctness.
     heavy = [
+        "pipe_text_ann",
         "text_minhash_cluster", "mark_stats", "graph_modularity",
         "graph_components", "ann_ivfpq", "ml_quality_logreg",
         "pipe_pretrain_prep", "ml_mahalanobis", "ml_gmm_resp",
@@ -401,6 +402,7 @@ def _extra_headliners() -> set[str]:
         "evt_stage_latency",
         "text_bpe_encode",
         "graph_eigencentrality",
+        "pipe_text_ann",
     }
 
 

@@ -919,3 +919,27 @@ def bpe_encode(
             ),
         )
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense log-TF hash embedding per document — the vocabulary-free
+    doc vector that turns any text corpus into ANN input without an
+    external model: reuse :func:`hashing_tf`'s portable md5 buckets,
+    weight each slot ln(1 + tf) (one integer count per slot, so the
+    weight is a single exact expression — no accumulation-order
+    drift), and assemble the fixed-``dim`` array with one conditional
+    aggregate. Output: (doc_id, embedding double[dim])."""
+    tf = hashing_tf(docs, n_features=dim, text_col=text_col, id_col=id_col)
+    slots = [
+        F.coalesce(
+            F.max(F.when(F.col("feature") == i, F.log1p(F.col("tf")))),
+            F.lit(0.0),
+        )
+        for i in range(dim)
+    ]
+    return tf.groupBy(id_col).agg(F.array(*slots).alias("embedding"))

@@ -749,3 +749,25 @@ def test_eigencentrality_star_hub(spark):
     assert out[0] == 1.0  # hub has max centrality
     assert all(out[i] < 1.0 for i in range(1, 6))
     assert len({out[i] for i in range(1, 6)}) == 1  # leaves symmetric
+
+
+def test_hash_embed_similar_docs_are_close(spark):
+    from scarf_spark.operators.knn import cosine_knn_exact
+    from scarf_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat today"),  # near-dup of 1
+            (3, "gradient descent optimizes neural networks"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(docs, dim=64)
+    rows = emb.collect()
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    nn = {
+        r["src"]: r["dst"]
+        for r in cosine_knn_exact(emb, k=1, id_col="doc_id").collect()
+    }
+    assert nn[1] == 2 and nn[2] == 1  # the near-dups find each other
