@@ -935,11 +935,15 @@ def hash_embed(
     drift), and assemble the fixed-``dim`` array with one conditional
     aggregate. Output: (doc_id, embedding double[dim])."""
     tf = hashing_tf(docs, n_features=dim, text_col=text_col, id_col=id_col)
-    slots = [
-        F.coalesce(
-            F.max(F.when(F.col("feature") == i, F.log1p(F.col("tf")))),
-            F.lit(0.0),
-        )
-        for i in range(dim)
-    ]
-    return tf.groupBy(id_col).agg(F.array(*slots).alias("embedding"))
+    # one map per doc, then a dim-sized lookup transform — one pass,
+    # instead of dim conditional aggregates each scanning every row
+    m = tf.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("feature"), F.log1p(F.col("tf"))))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("long")), F.lit(0.0)),
+    )
+    return m.select(F.col(id_col), vec.alias("embedding"))
