@@ -287,3 +287,81 @@ def test_star_contraction_partitioning_invariant(spark, parts):
     a = sorted(map(tuple, connected_components_star(df).collect()))
     b = sorted(map(tuple, connected_components_star(df.repartition(parts)).collect()))
     assert a == b
+
+
+@SET
+@given(
+    n=st.integers(min_value=1, max_value=150),
+    bins=st.integers(min_value=1, max_value=11),
+    groups=st.integers(min_value=1, max_value=5),
+    mult=st.integers(min_value=1, max_value=9973),
+)
+def test_grouped_ntile_equals_window_ntile(spark, n, bins, groups, mult):
+    from scarf_spark.operators.windows import grouped_ntile
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % groups).alias("g"),
+        ((F.col("id") * mult) % 977).cast("double").alias("x"),
+    )
+    a = {
+        r["id"]: r["bin"]
+        for r in grouped_ntile(df, ["g"], ["x", "id"], bins, grid=8).collect()
+    }
+    w = Window.partitionBy("g").orderBy("x", "id")
+    b = {
+        r["id"]: r["bin"]
+        for r in df.select("id", F.ntile(bins).over(w).alias("bin")).collect()
+    }
+    assert a == b
+
+
+@SET
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    groups=st.integers(min_value=1, max_value=4),
+    mult=st.integers(min_value=1, max_value=9973),
+)
+def test_grouped_rank_equals_row_number(spark, n, groups, mult):
+    from scarf_spark.operators.windows import grouped_rank
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % groups).alias("g"),
+        ((F.col("id") * mult) % 53).cast("double").alias("x"),  # many ties
+    )
+    a = {
+        r["id"]: r["rank"]
+        for r in grouped_rank(df, ["g"], ["x", "id"], grid=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy("x", "id")
+    b = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert a == b
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([1, 2, 3, 5, 8]),
+)
+def test_rolling_median_matches_python(spark, vals, width):
+    from scarf_spark.operators.windows import rolling_median
+
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, i long, value double")
+    got = {
+        r["i"]: r["rolling_median"]
+        for r in rolling_median(df, ["g"], ["i"], "value", width=width).collect()
+    }
+    for i in range(len(vals)):
+        win = sorted(vals[max(0, i - width + 1) : i + 1])
+        assert got[i] == win[(len(win) + 1) // 2 - 1]
