@@ -4267,6 +4267,49 @@ def src_jsonl_docs(spark, sf_dir):
     )
 
 
+_CSV_STORE_CACHE: dict[str, str] = {}
+
+
+def _csv_fixture_store(spark, sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents table as RFC-4180 CSV via
+    Spark's writer — the roundtrip fixture for the CSV ingest query."""
+    if sf_dir in _CSV_STORE_CACHE:
+        return _CSV_STORE_CACHE[sf_dir]
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="scarf_csv_") + "/docs_csv"
+    _ds(spark, sf_dir).documents.write.mode("overwrite").option(
+        "header", True
+    ).option("escape", '"').csv(out)
+    _CSV_STORE_CACHE[sf_dir] = out
+    return out
+
+
+@q(
+    "src_csv_docs",
+    # the CSV fixture is a faithful RFC-4180 re-serialization of
+    # documents, so the oracle reads the parquet directly; text
+    # compared by md5
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
+    "FROM documents",
+)
+def src_csv_docs(spark, sf_dir):
+    """CSV corpus ingest: schema-pinned header CSV scan with RFC-4180
+    quoting (quote-escape), scanned back and fingerprinted against the
+    parquet truth — the flat-file twin of src_jsonl_docs."""
+    docs = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", True)
+        .option("escape", '"')
+        .csv(_csv_fixture_store(spark, sf_dir))
+    )
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
 _ZARR_STORE_CACHE: dict[str, str] = {}
 
 

@@ -403,6 +403,7 @@ def _extra_headliners() -> set[str]:
         "text_bpe_encode",
         "graph_eigencentrality",
         "pipe_text_ann",
+        "src_csv_docs",
     }
 
 
