@@ -7004,6 +7004,50 @@ def evt_stage_latency(spark, sf_dir):
 
 
 @q(
+    "win_cusum",
+    # one-sided CUSUM drift detector: the recursion is a relational
+    # fold — GREATEST + add replays as the same IEEE op sequence in
+    # list_reduce; the 0-seed is a prepended sentinel (list_reduce has
+    # no initial accumulator)
+    "SELECT user_id, len(l) AS n_events, "
+    "ROUND(list_reduce(list_prepend(0.0, l), "
+    "(acc, x) -> GREATEST(0.0, acc + x - 50.0)), 6) AS cusum, "
+    "list_reduce(list_prepend(0.0, l), "
+    "(acc, x) -> GREATEST(0.0, acc + x - 50.0)) > 200.0 AS drifted "
+    "FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l "
+    "FROM events GROUP BY user_id)",
+)
+def win_cusum(spark, sf_dir):
+    """Per-user CUSUM change detection (windows.cusum_final) — the
+    sequential drift alarm next to win_ewma."""
+    return windows.cusum_final(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_cohort_ltv",
+    # cohort LTV curves: integer-micros revenue, cumulative window
+    # over the tiny (cohort x offset) aggregate
+    "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk, "
+    "CAST(FLOOR(value * 1000000.0) AS BIGINT) AS rev FROM events), "
+    "c AS (SELECT user_id, MIN(wk) AS c FROM e GROUP BY 1), "
+    "j AS (SELECT c.c AS cohort_week, e.wk - c.c AS week_offset, e.rev, "
+    "e.user_id FROM e JOIN c USING (user_id)), "
+    "per AS (SELECT cohort_week, week_offset, "
+    "COUNT(DISTINCT user_id) AS n_users, SUM(rev) AS revenue_micros "
+    "FROM j GROUP BY 1, 2) "
+    "SELECT cohort_week, week_offset, n_users, "
+    "CAST(revenue_micros AS BIGINT) AS revenue_micros, "
+    "CAST(SUM(revenue_micros) OVER (PARTITION BY cohort_week "
+    "ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS cum_revenue_micros FROM per",
+)
+def evt_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves (windows.cohort_ltv) — the revenue
+    twin of the retention matrix, exact integer micros."""
+    return windows.cohort_ltv(_ds(spark, sf_dir).events)
+
+
+@q(
     "win_ewma",
     # recursive EWMA as a relational fold: list_reduce replays the same
     # left-to-right IEEE op sequence as Spark's aggregate() HOF

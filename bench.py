@@ -404,6 +404,8 @@ def _extra_headliners() -> set[str]:
         "graph_eigencentrality",
         "pipe_text_ann",
         "src_csv_docs",
+        "win_cusum",
+        "evt_cohort_ltv",
     }
 
 

@@ -999,3 +999,83 @@ def stage_latency(
         out = row if out is None else out.unionAll(row)
         prev = step.select("user_id", F.col("_t1").alias("_t0"))
     return out
+
+
+def cusum_final(
+    events: DataFrame,
+    ref: float = 50.0,
+    threshold: float = 200.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-sided CUSUM change detection per user (Page 1954): S_0 = 0,
+    S_t = max(0, S_{t−1} + x_t − ref) — the sequential drift detector
+    EWMA pairs with. Like :func:`ewma_final`, the recursion is a
+    relational fold over the sort-collected series (GREATEST + add is
+    the exact IEEE op sequence DuckDB's ``list_reduce`` replays), so
+    the final statistic and the alarm flag are engine-exact. State per
+    user = its own series — the sessionization envelope."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    arr = events.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    us.alias("s"),
+                    F.col(id_col).alias("i"),
+                    F.col(value_col).alias("v"),
+                )
+            )
+        ).alias("xs")
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + x["v"] - F.lit(ref)),
+    )
+    return arr.select(
+        user_col,
+        F.size("xs").alias("n_events"),
+        F.round(fold, 6).alias("cusum"),
+        (fold > threshold).alias("drifted"),
+    )
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by signup week
+    (first-event week), revenue accumulated per week offset — the
+    retention matrix's revenue twin. Revenue is integer micros (exact
+    sums), the cumulative curve is a window over the tiny
+    (cohort × offset) aggregate, and the whole plan is two hash
+    aggregates + one broadcast-scale window."""
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000").alias(
+            "_wk"
+        ),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("_rev"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("_wk").alias("_c"))
+    j = e.join(cohort, "user_id").select(
+        F.col("_c").alias("cohort_week"),
+        (F.col("_wk") - F.col("_c")).alias("week_offset"),
+        "_rev",
+        "user_id",
+    )
+    per = j.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("_rev").alias("revenue_micros"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "revenue_micros",
+        F.sum("revenue_micros").over(w).cast("long").alias("cum_revenue_micros"),
+    )

@@ -771,3 +771,35 @@ def test_hash_embed_similar_docs_are_close(spark):
         for r in cosine_knn_exact(emb, k=1, id_col="doc_id").collect()
     }
     assert nn[1] == 2 and nn[2] == 1  # the near-dups find each other
+
+
+def test_cusum_detects_level_shift(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import cusum_final
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    # user 1 hovers at the reference; user 2 runs consistently high
+    rows = [(1, t(i), i, 50.0) for i in range(5)] + [
+        (2, t(i), 10 + i, 150.0) for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r["user_id"]: r for r in cusum_final(ev).collect()}
+    assert out[1]["cusum"] == 0.0 and out[1]["drifted"] is False
+    assert out[2]["cusum"] == 500.0 and out[2]["drifted"] is True
+
+
+def test_cohort_ltv_accumulates(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import cohort_ltv
+
+    w0, w1 = datetime(2026, 1, 1), datetime(2026, 1, 9)
+    rows = [(1, w0, 10.0), (1, w1, 5.0), (2, w0, 2.0)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["week_offset"]: r for r in cohort_ltv(ev).collect()}
+    assert out[0]["n_users"] == 2 and out[0]["revenue_micros"] == 12_000_000
+    assert out[1]["revenue_micros"] == 5_000_000
+    assert out[1]["cum_revenue_micros"] == 17_000_000
