@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scarf_spark.catalog import COUNTS_CTE, DataStore
@@ -1328,6 +1328,80 @@ def text_minhash_cluster(spark, sf_dir):
     sizes = comp.groupBy("cluster").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, "cluster").select(
         "doc_id", "cluster", "n_members", "keep"
+    )
+
+
+@q(
+    "dedup_keep_best",
+    # detect -> cluster -> SELECT: same verified near-dup clusters as
+    # text_minhash_cluster, but the survivor is the best-QUALITY
+    # member (longest doc, doc_id tie-break — integer argmax, exact)
+    # rather than the smallest id
+    f"WITH {_MINHASH_CTE}, "
+    "prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
+    "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+    "shc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100), "
+    "shf AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh "
+    "JOIN shc ON sh.shingle = shc.shingle), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+    "FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id "
+    "JOIN prs ON prs.a = x.doc_id AND prs.b = y.doc_id "
+    "GROUP BY 1, 2), "
+    "ve AS MATERIALIZED (SELECT inter.a, inter.b FROM inter "
+    "JOIN sizes sa ON inter.a = sa.doc_id "
+    "JOIN sizes sb ON inter.b = sb.doc_id "
+    "WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5), "
+    "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ve "
+    "UNION ALL SELECT b, a FROM ve), "
+    "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents), "
+    + " ".join(
+        (
+            "l{t} AS MATERIALIZED (SELECT n.node, "
+            "LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl "
+            "FROM l{p} n LEFT JOIN und u ON u.src = n.node "
+            "LEFT JOIN l{p} l ON l.node = u.dst GROUP BY n.node, n.lbl),"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    )
+    + " lab AS (SELECT node AS doc_id, lbl AS cluster FROM l3), "
+    "qj AS (SELECT lab.cluster, lab.doc_id, d.n_chars, "
+    "ROW_NUMBER() OVER (PARTITION BY lab.cluster "
+    "ORDER BY d.n_chars DESC, lab.doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY lab.cluster) AS n_members "
+    "FROM lab JOIN documents d ON lab.doc_id = d.doc_id) "
+    "SELECT cluster, CAST(n_members AS BIGINT) AS n_members, "
+    "doc_id AS kept_doc_id, n_chars AS kept_n_chars "
+    "FROM qj WHERE rn = 1",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: the
+    text_minhash_cluster pipeline with the keep rule flipped from
+    smallest-id to best-quality member (longest doc, integer argmax) —
+    the detect → cluster → select close of the dedup story."""
+    docs = _ds(spark, sf_dir).documents
+    sh = dedup.word_shingles(docs, 3, distinct=False).persist()
+    cand = dedup.minhash_candidate_pairs(
+        docs, n=3, n_hashes=8, n_bands=4, shingles=sh
+    )
+    jac = dedup.ngram_jaccard(
+        docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
+    )
+    edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+    comp = dedup.min_label_components(edges, docs, n_iter=3)
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("cluster")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster",
+            "n_members",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+        )
     )
 
 

@@ -57,6 +57,7 @@ def main() -> None:
     # longest job). The list is from serial sf0.1 measurements; a
     # mis-listed query only costs schedule quality, never correctness.
     heavy = [
+        "dedup_keep_best",
         "pipe_text_ann",
         "text_minhash_cluster", "mark_stats", "graph_modularity",
         "graph_components", "ann_ivfpq", "ml_quality_logreg",
@@ -406,6 +407,7 @@ def _extra_headliners() -> set[str]:
         "src_csv_docs",
         "win_cusum",
         "evt_cohort_ltv",
+        "dedup_keep_best",
     }
 
 

@@ -803,3 +803,24 @@ def test_cohort_ltv_accumulates(spark):
     assert out[0]["n_users"] == 2 and out[0]["revenue_micros"] == 12_000_000
     assert out[1]["revenue_micros"] == 5_000_000
     assert out[1]["cum_revenue_micros"] == 17_000_000
+
+
+def test_keep_best_prefers_longest(spark):
+    from scarf_spark.operators import dedup
+
+    # two near-identical docs, the longer one must survive
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base, len(base)), (2, base + " iota", len(base) + 5),
+         (9, "totally different content here now", 34)],
+        "doc_id long, text string, n_chars long",
+    )
+    sh = dedup.word_shingles(docs, 3, distinct=False)
+    cand = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4, shingles=sh)
+    jac = dedup.ngram_jaccard(docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct())
+    from pyspark.sql import functions as F
+
+    edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+    comp = dedup.min_label_components(edges, docs, n_iter=3)
+    clusters = {r["doc_id"]: r["cluster"] for r in comp.collect()}
+    assert clusters[1] == clusters[2] != clusters[9]
