@@ -7122,6 +7122,52 @@ def evt_cohort_ltv(spark, sf_dir):
 
 
 @q(
+    "evt_seasonality",
+    # hour x weekday load heatmap: INTEGER epoch arithmetic for both
+    # time fields (engine date functions disagree on week
+    # conventions), exact integer-micros revenue
+    "SELECT ((epoch_us(ts) // 3600000000) % 24) AS hour, "
+    "(((epoch_us(ts) // 86400000000) + 3) % 7) AS dow, "
+    "COUNT(*) AS n_events, "
+    "SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS revenue_micros "
+    "FROM events GROUP BY 1, 2",
+)
+def evt_seasonality(spark, sf_dir):
+    """Hour-of-day × day-of-week profile (windows.seasonality_profile)
+    — the load/seasonality heatmap behind anomaly baselines."""
+    return windows.seasonality_profile(_ds(spark, sf_dir).events)
+
+
+@q(
+    "text_drift_terms",
+    # WHICH words drive the source shift: unigram share diff between
+    # src0 and the rest, ROUND(6)-stable ranking key, term tie-break,
+    # TakeOrderedAndProject cut
+    "WITH w AS (SELECT source, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS term FROM documents), "
+    "ca AS (SELECT term, COUNT(*) AS _ca FROM w WHERE source = 'src0' "
+    "GROUP BY 1), "
+    "cb AS (SELECT term, COUNT(*) AS _cb FROM w WHERE source != 'src0' "
+    "GROUP BY 1), "
+    "na AS (SELECT COUNT(*) AS n FROM w WHERE source = 'src0'), "
+    "nb AS (SELECT COUNT(*) AS n FROM w WHERE source != 'src0'), "
+    "j AS (SELECT COALESCE(ca.term, cb.term) AS term, "
+    "COALESCE(_ca, 0) AS n_a, COALESCE(_cb, 0) AS n_b "
+    "FROM ca FULL OUTER JOIN cb ON ca.term = cb.term) "
+    "SELECT term, n_a, n_b, "
+    "ROUND(ABS(n_a / CAST((SELECT n FROM na) AS DOUBLE) "
+    "- n_b / CAST((SELECT n FROM nb) AS DOUBLE)), 6) AS share_diff "
+    "FROM j ORDER BY share_diff DESC, term LIMIT 30",
+)
+def text_drift_terms(spark, sf_dir):
+    """Top drift-driving terms between the src0 slice and the rest
+    (text.drift_terms) — the interpretable companion to PSI/JS."""
+    from scarf_spark.operators import text
+
+    return text.drift_terms(_ds(spark, sf_dir).documents)
+
+
+@q(
     "win_ewma",
     # recursive EWMA as a relational fold: list_reduce replays the same
     # left-to-right IEEE op sequence as Spark's aggregate() HOF

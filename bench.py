@@ -408,6 +408,8 @@ def _extra_headliners() -> set[str]:
         "win_cusum",
         "evt_cohort_ltv",
         "dedup_keep_best",
+        "evt_seasonality",
+        "text_drift_terms",
     }
 
 

@@ -947,3 +947,48 @@ def hash_embed(
         lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("long")), F.lit(0.0)),
     )
     return m.select(F.col(id_col), vec.alias("embedding"))
+
+
+def drift_terms(
+    docs: DataFrame,
+    split_col: str = "source",
+    split_value: str = "src0",
+    n_top: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Which words drive the distribution shift: unigram share in the
+    ``split_value`` slice vs the rest, top ``n_top`` terms by absolute
+    share difference — the interpretable companion to the scalar PSI /
+    JS drift monitors (a number says THAT the mix moved; this says
+    WHAT moved). Shares are single divisions of exact integer counts,
+    the ranking key is ROUND(6)-stable with the term as tie-break, and
+    the cut is a TakeOrderedAndProject — no global sort."""
+    words = docs.select(
+        F.col(split_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("term"),
+    )
+    a = words.where(F.col(split_col) == split_value)
+    b = words.where(F.col(split_col) != split_value)
+    ca = a.groupBy("term").agg(F.count("*").alias("_ca"))
+    cb = b.groupBy("term").agg(F.count("*").alias("_cb"))
+    na = a.count()
+    nb = b.count()
+    j = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("_ca", F.lit(0)).alias("n_a"),
+        F.coalesce("_cb", F.lit(0)).alias("n_b"),
+    )
+    diff = F.round(
+        F.abs(
+            F.col("n_a") / F.lit(float(na)) - F.col("n_b") / F.lit(float(nb))
+        ),
+        6,
+    )
+    return (
+        j.select("term", "n_a", "n_b", diff.alias("share_diff"))
+        .orderBy(F.desc("share_diff"), "term")
+        .limit(n_top)
+    )

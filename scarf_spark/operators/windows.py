@@ -1079,3 +1079,28 @@ def cohort_ltv(events: DataFrame) -> DataFrame:
         "revenue_micros",
         F.sum("revenue_micros").over(w).cast("long").alias("cum_revenue_micros"),
     )
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile — the load/seasonality
+    heatmap behind capacity planning and anomaly baselines. Both time
+    fields come from INTEGER epoch arithmetic (hour = epoch-hours mod
+    24, dow = (epoch-days + 4) mod 7 with Monday = 0 — engine date
+    functions disagree on week conventions, integer math cannot);
+    revenue in exact micros. One map-side projection + one 168-group
+    hash aggregate."""
+    e = events.select(
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"
+        ).alias("hour"),
+        F.expr(
+            # epoch day 0 = Thursday; +3 makes Monday 0. Integer DIV —
+            # a double division + cast can round across the boundary.
+            "((unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) + 3) % 7"
+        ).alias("dow"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("_rev"),
+    )
+    return e.groupBy("dow", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_rev").alias("revenue_micros"),
+    )

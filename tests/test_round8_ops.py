@@ -824,3 +824,33 @@ def test_keep_best_prefers_longest(spark):
     comp = dedup.min_label_components(edges, docs, n_iter=3)
     clusters = {r["doc_id"]: r["cluster"] for r in comp.collect()}
     assert clusters[1] == clusters[2] != clusters[9]
+
+
+def test_seasonality_integer_time_fields(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import seasonality_profile
+
+    # 1970-01-01 was a Thursday; 2026-01-05 is a Monday
+    ev = spark.createDataFrame(
+        [(1, datetime(2026, 1, 5, 13, 30), 2.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    r = seasonality_profile(ev).collect()[0]
+    assert r["dow"] == 0 and r["hour"] == 13
+    assert r["n_events"] == 1 and r["revenue_micros"] == 2_500_000
+
+
+def test_drift_terms_finds_planted_word(spark):
+    from scarf_spark.operators.text import drift_terms
+
+    docs = spark.createDataFrame(
+        [(i, "common words here plus zzsignal", "src0") for i in range(5)]
+        + [(10 + i, "common words here plus nothing", "src1") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    top = drift_terms(docs, n_top=3).collect()
+    terms = {r["term"] for r in top}
+    assert "zzsignal" in terms and "nothing" in terms
+    z = next(r for r in top if r["term"] == "zzsignal")
+    assert z["n_a"] == 5 and z["n_b"] == 0
