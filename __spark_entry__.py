@@ -7139,6 +7139,42 @@ def evt_seasonality(spark, sf_dir):
 
 
 @q(
+    "evt_streaks",
+    # gaps-and-islands on integer epoch days: day - row_number is
+    # constant along consecutive runs
+    "WITH act AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 86400000000 AS day FROM events), "
+    "runs AS (SELECT user_id, day - ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY day) AS grp FROM act), "
+    "st AS (SELECT user_id, grp, COUNT(*) AS len FROM runs GROUP BY 1, 2) "
+    "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, "
+    "CAST(MAX(len) AS BIGINT) AS longest_streak FROM st GROUP BY user_id",
+)
+def evt_streaks(spark, sf_dir):
+    """Longest consecutive-day streak per user
+    (windows.activity_streaks) — the engagement-streak classic."""
+    return windows.activity_streaks(_ds(spark, sf_dir).events)
+
+
+@q(
+    "text_ttr",
+    # type-token ratio in exact integer ppm: one narrow projection,
+    # no shuffle
+    "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(ws)) AS BIGINT) AS n_types, "
+    "CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 // len(ws) AS ttr_ppm "
+    "FROM (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x != '') AS ws FROM documents) WHERE len(ws) > 0",
+)
+def text_ttr(spark, sf_dir):
+    """Type-token lexical diversity per doc (text.type_token_ratio) —
+    the low-TTR = template/spam quality feature."""
+    from scarf_spark.operators import text
+
+    return text.type_token_ratio(_ds(spark, sf_dir).documents)
+
+
+@q(
     "text_drift_terms",
     # WHICH words drive the source shift: unigram share diff between
     # src0 and the rest, ROUND(6)-stable ranking key, term tie-break,

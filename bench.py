@@ -410,6 +410,8 @@ def _extra_headliners() -> set[str]:
         "dedup_keep_best",
         "evt_seasonality",
         "text_drift_terms",
+        "evt_streaks",
+        "text_ttr",
     }
 
 

@@ -992,3 +992,25 @@ def drift_terms(
         .orderBy(F.desc("share_diff"), "term")
         .limit(n_top)
     )
+
+
+def type_token_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Type-token ratio per document (distinct words / total words, in
+    exact integer ppm) — the lexical-diversity quality feature next to
+    the repetition rules (low TTR = template/spam-like text). One
+    narrow projection: both counts come from the tokenized array
+    (array_distinct is per-row, no shuffle at all)."""
+    tok = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size("_w")
+    d = F.size(F.array_distinct("_w"))
+    return tok.where(n > 0).select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        d.cast("long").alias("n_types"),
+        F.expr(
+            "CAST(size(array_distinct(_w)) AS BIGINT) * 1000000 "
+            "DIV size(_w)"
+        ).alias("ttr_ppm"),
+    )

@@ -1104,3 +1104,27 @@ def seasonality_profile(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("_rev").alias("revenue_micros"),
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic on integer epoch days: within a user,
+    day − row_number(day) is constant exactly along a run of
+    consecutive days, so one per-user window + one hash aggregate
+    yields every streak; report the longest and the active-day count.
+    All integer arithmetic; per-user windows are task-local."""
+    act = events.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = act.withColumn("_grp", F.col("day") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "_grp").agg(
+        F.count("*").alias("_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("_len").cast("long").alias("n_active_days"),
+        F.max("_len").cast("long").alias("longest_streak"),
+    )

@@ -854,3 +854,29 @@ def test_drift_terms_finds_planted_word(spark):
     assert "zzsignal" in terms and "nothing" in terms
     z = next(r for r in top if r["term"] == "zzsignal")
     assert z["n_a"] == 5 and z["n_b"] == 0
+
+
+def test_activity_streaks_islands(spark):
+    from datetime import datetime
+
+    from scarf_spark.operators.windows import activity_streaks
+
+    d = lambda day: datetime(2026, 1, day)
+    rows = [(1, d(1)), (1, d(2)), (1, d(3)), (1, d(7)), (1, d(8)), (2, d(5))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in activity_streaks(ev).collect()}
+    assert out[1]["n_active_days"] == 5 and out[1]["longest_streak"] == 3
+    assert out[2]["n_active_days"] == 1 and out[2]["longest_streak"] == 1
+
+
+def test_ttr_detects_repetition(spark):
+    from scarf_spark.operators.text import type_token_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words fully distinct"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in type_token_ratio(docs).collect()}
+    assert 3 not in out
+    assert out[1]["ttr_ppm"] == 250_000
+    assert out[2]["ttr_ppm"] == 1_000_000
