@@ -5289,6 +5289,33 @@ def graph_eigencentrality(spark, sf_dir):
     return graph.eigencentrality(_knn_edges(spark, sf_dir), n_iter=3)
 
 
+@q(
+    "graph_degree_hist",
+    # undirected degree distribution: two hash aggregates, the
+    # first-look topology report (hubs, isolates, mean degree) every
+    # graph consumer starts from
+    f"WITH {_KNN_CTE}, "
+    "und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w "
+    "FROM knn WHERE src <> dst), "
+    "dirs AS (SELECT u AS s FROM und UNION ALL SELECT w FROM und), "
+    "deg AS (SELECT s, COUNT(*) AS degree FROM dirs GROUP BY s) "
+    "SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree",
+)
+def graph_degree_hist(spark, sf_dir):
+    """Degree distribution of the undirected KNN graph — two hash
+    aggregates; the first-look topology report."""
+    from scarf_spark.operators import graph
+
+    und = graph.undirected_edges(_knn_edges(spark, sf_dir))
+    deg = (
+        und.select(F.col("u").alias("v"))
+        .unionAll(und.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 # PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and
 # 1.0/n literals are spelled as the same float expressions Python
 # computes driver-side (1.0-0.85 != 0.15 in IEEE — the SQL must

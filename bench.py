@@ -412,6 +412,7 @@ def _extra_headliners() -> set[str]:
         "text_drift_terms",
         "evt_streaks",
         "text_ttr",
+        "graph_degree_hist",
     }
 
 
