@@ -365,3 +365,45 @@ def test_rolling_median_matches_python(spark, vals, width):
     for i in range(len(vals)):
         win = sorted(vals[max(0, i - width + 1) : i + 1])
         assert got[i] == win[(len(win) + 1) // 2 - 1]
+
+
+@SET
+@given(parts=st.sampled_from([1, 3, 13]), n=st.integers(min_value=5, max_value=60))
+def test_active_user_bands_partition_invariant(spark, parts, n):
+    from datetime import datetime, timedelta
+
+    from scarf_spark.operators.windows import active_user_bands
+
+    rows = [
+        (i % 7, datetime(2026, 1, 1) + timedelta(days=(i * 3) % 40))
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sorted(map(tuple, active_user_bands(ev).collect()))
+    b = sorted(map(tuple, active_user_bands(ev.repartition(parts)).collect()))
+    assert a == b
+
+
+@SET
+@given(parts=st.sampled_from([1, 2, 11]))
+def test_bloom_decon_partition_invariant(spark, parts):
+    from scarf_spark.operators.dedup import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta end") for i in range(8)]
+        + [(20 + i, f"unique{i} totally different text here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bloom_decontaminate(corpus, bench, n=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bloom_decontaminate(
+                corpus.repartition(parts), bench.repartition(parts), n=4
+            ).collect(),
+        )
+    )
+    assert a == b
