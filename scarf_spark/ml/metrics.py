@@ -403,7 +403,9 @@ def nb_pr_curve(docs: DataFrame, n_bins: int = 10) -> DataFrame:
     w = Window.orderBy(F.desc("bin")).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tot = bins.agg(F.sum("n_pos").alias("_p")).collect()[0]["_p"]
+    # SUM over zero rows is NULL — coalesce so an empty input yields an
+    # empty curve instead of int(None) raising below.
+    tot = bins.agg(F.sum("n_pos").alias("_p")).collect()[0]["_p"] or 0
     cum = bins.select(
         F.col("bin").alias("threshold_bin"),
         F.sum("n_pos").over(w).cast("long").alias("tp"),

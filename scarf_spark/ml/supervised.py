@@ -425,6 +425,11 @@ def conformal_ridge(
         )
 
     n_cal = calib.count()
+    if n_cal == 0:
+        # An empty calibration split would make q̂ NULL and every test
+        # point silently "uncovered" — the guarantee is undefined
+        # without calibration data, so fail loudly.
+        raise ValueError("conformal_ridge: calibration split is empty")
     k = (coverage_num * (n_cal + 1) + coverage_den - 1) // coverage_den
     q = (
         resid(calib)

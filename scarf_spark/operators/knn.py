@@ -474,11 +474,14 @@ def cosine_knn_ivf(
     scored = e.mapInPandas(
         rank_centroids,
         "vid long, v array<double>, nrm double, cid long, crank int",
-    ).persist()
-    # persist: both the assignment branch (crank==1) and the probe
-    # branch (crank<=n_probe) read `scored`; without it the centroid
-    # ranking recomputes once per branch — a 2x waste at any scale
-    # (spill-safe: MEMORY_AND_DISK default, lists shuffle by cid next).
+    ).localCheckpoint(eager=True)
+    # eager localCheckpoint, not persist: both the assignment branch
+    # (crank==1) and the probe branch (crank<=n_probe) read `scored`;
+    # without materialization the centroid ranking recomputes once per
+    # branch — a 2x waste at any scale. A bare persist() here had no
+    # paired unpersist (the result is returned lazily), leaking
+    # executor storage across calls in a long-lived session — the same
+    # convention the ivfpq path already uses below.
     # distinct column names per side: cogrouping two children of the
     # same plan trips Spark's ambiguous-self-join analysis otherwise
     assign = scored.where(F.col("crank") == 1).select(

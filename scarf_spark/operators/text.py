@@ -976,6 +976,14 @@ def drift_terms(
     cb = b.groupBy("term").agg(F.count("*").alias("_cb"))
     na = a.count()
     nb = b.count()
+    if na == 0 or nb == 0:
+        # An empty slice would make one share denominator 0 and every
+        # share_diff null/NaN, silently corrupting the top-N ranking —
+        # fail loudly instead (a drift comparison needs both sides).
+        raise ValueError(
+            f"drift_terms: empty comparison slice (n_a={na}, n_b={nb}); "
+            f"check split_col={split_col!r} / split_value={split_value!r}"
+        )
     j = ca.join(cb, "term", "full_outer").select(
         "term",
         F.coalesce("_ca", F.lit(0)).alias("n_a"),

@@ -656,18 +656,30 @@ def _grouped_rank0(
         key = F.unix_micros(F.col(order_cols[0]).cast("timestamp")).cast("double")
     else:
         key = F.col(order_cols[0]).cast("double")
+    # NULL / NaN grid keys get dedicated sentinel cells so the
+    # equi-join on _cell never drops them and the rank matches the
+    # window row_number() it claims bit-equivalence to: Spark's
+    # ascending order is nulls-FIRST (cell -1) and NaN-LAST (cell
+    # `grid`). min/max see only finite keys so one NaN can't poison
+    # the whole group's span.
+    finite_key = F.when(key.isNull() | F.isnan(key), F.lit(None)).otherwise(key)
     stats = df.groupBy(*part_cols).agg(
-        F.min(key).alias("_lo"),
-        F.max(key).alias("_hi"),
+        F.min(finite_key).alias("_lo"),
+        F.max(finite_key).alias("_hi"),
         F.count("*").alias("_n"),
     )
     with_stats = df.join(stats, part_cols)
     span = F.when(F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")).otherwise(
         F.lit(1.0)
     )
-    cell = F.least(
-        F.floor((key - F.col("_lo")) / span * grid), F.lit(grid - 1)
-    ).cast("long")
+    cell = (
+        F.when(key.isNull(), F.lit(-1))
+        .when(F.isnan(key), F.lit(grid))
+        .otherwise(
+            F.least(F.floor((key - F.col("_lo")) / span * grid), F.lit(grid - 1))
+        )
+        .cast("long")
+    )
     binned = with_stats.withColumn("_cell", cell)
     counts = binned.groupBy(*part_cols, "_cell").agg(F.count("*").alias("_c"))
     w_off = (
@@ -812,7 +824,10 @@ def last_touch_attribution(events: DataFrame, n_channels: int = 10) -> DataFrame
     deterministic); revenue accumulates integer micros (double SUMs
     drift across engines, integer sums cannot). Purchases with no
     prior click land in channel −1. Windows partition by user_id —
-    per-user event counts are bounded, so no single-task collapse."""
+    per-user event counts are bounded, so no single-task collapse.
+    The channel is ``pmod(k, n_channels)`` — always non-negative, like
+    the stream twin's Python ``%`` — so −1 unambiguously means
+    no-prior-click even for negative ``props.k``."""
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     e = events.select(
         "user_id",
@@ -836,7 +851,9 @@ def last_touch_attribution(events: DataFrame, n_channels: int = 10) -> DataFrame
     return (
         carried.where(F.col("event_type") == "purchase")
         .select(
-            F.coalesce(F.col("_lk") % n_channels, F.lit(-1)).alias("channel"),
+            F.coalesce(
+                F.pmod(F.col("_lk"), F.lit(n_channels)), F.lit(-1)
+            ).alias("channel"),
             F.floor(F.col("value") * 1000000.0).cast("long").alias("_rev"),
         )
         .groupBy("channel")
@@ -867,7 +884,11 @@ def active_user_bands(events: DataFrame) -> DataFrame:
             ),
         )
         .distinct()
-        .persist()
+        # eager localCheckpoint (not persist): act is referenced four
+        # times below, and checkpointing both reuses the dedup and
+        # avoids leaking executor storage across calls in a long-lived
+        # session (persist here had no paired unpersist).
+        .localCheckpoint(eager=True)
     )
     days = act.select("day").distinct()
     dau = act.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))

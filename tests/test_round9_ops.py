@@ -1,0 +1,138 @@
+"""Round-9 regression tests: the ADVICE fixes — grouped_rank NULL/NaN
+sentinel cells, pmod channel attribution (batch ≡ stream for negative
+props.k), drift_terms empty-slice guard, nb_pr_curve / conformal_ridge
+empty-input behavior — plus the pipe_text_ann sharded-KNN reroute."""
+
+import json
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import text, windows
+
+
+def test_grouped_rank_null_keys_match_window(spark):
+    # NULL order keys used to vanish: the grid cell was NULL and the
+    # equi-join dropped the row, while row_number() ranks them
+    # nulls-first. The sentinel cell (-1) restores bit-equivalence.
+    rows = [(0, 0, None), (1, 0, 5.0), (2, 0, None), (3, 0, 1.0),
+            (4, 1, None), (5, 1, 2.0)]
+    df = spark.createDataFrame(rows, "id long, g int, x double")
+    got = {
+        r["id"]: r["rank"]
+        for r in windows.grouped_rank(df, ["g"], ["x", "id"], grid=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy("x", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)  # no dropped rows
+
+
+def test_grouped_rank_nan_keys_match_window(spark):
+    # NaN sorts LAST in Spark's ascending order (greater than +Inf);
+    # the dedicated `grid` cell keeps that without letting one NaN
+    # poison the whole group's min/max span.
+    rows = [(0, 0, float("nan")), (1, 0, 5.0), (2, 0, 1.0),
+            (3, 0, float("nan")), (4, 0, 9.0)]
+    df = spark.createDataFrame(rows, "id long, g int, x double")
+    got = {
+        r["id"]: r["rank"]
+        for r in windows.grouped_rank(df, ["g"], ["x", "id"], grid=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy("x", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_ntile_null_nan_mix_matches_window(spark):
+    rows = [(i, i % 2, v) for i, v in enumerate(
+        [None, 3.0, float("nan"), 1.0, None, 2.0, 7.0, float("nan"), 4.0]
+    )]
+    df = spark.createDataFrame(rows, "id long, g int, x double")
+    got = {
+        r["id"]: r["bin"]
+        for r in windows.grouped_ntile(df, ["g"], ["x", "id"], 3, grid=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy("x", "id")
+    want = {
+        r["id"]: r["bin"]
+        for r in df.select("id", F.ntile(3).over(w).alias("bin")).collect()
+    }
+    assert got == want
+
+
+def _attrib_events(spark, ks):
+    rows = []
+    for i, k in enumerate(ks):
+        rows.append(
+            (1, f"2024-01-01 00:{i:02d}:00", 2 * i, "click", 0.0,
+             json.dumps({"k": k}))
+        )
+        rows.append(
+            (1, f"2024-01-01 00:{i:02d}:30", 2 * i + 1, "purchase", 1.5, "{}")
+        )
+    return spark.createDataFrame(
+        rows,
+        "user_id long, ts string, event_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_attribution_negative_k_is_pmod(spark):
+    # Spark's sign-following % would map k=-3 to channel -3 (and k=-1
+    # to the no-click sentinel -1); pmod keeps channels non-negative,
+    # matching the stream twin's Python %.
+    events = _attrib_events(spark, ks=[-3, -1, 7])
+    out = {r["channel"]: r["n_purchases"]
+           for r in windows.last_touch_attribution(events, 10).collect()}
+    assert out == {7: 2, 9: 1}  # pmod(-3,10)=7, pmod(-1,10)=9
+    assert -1 not in out  # sentinel reserved for no-prior-click
+
+
+def test_drift_terms_empty_slice_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "srcX", "a b"), (2, "srcX", "b c")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="empty comparison slice"):
+        text.drift_terms(docs, split_value="srcX").collect()
+    with pytest.raises(ValueError, match="empty comparison slice"):
+        text.drift_terms(docs, split_value="absent").collect()
+
+
+def test_nb_pr_curve_empty_input(spark):
+    from scarf_spark.ml import metrics
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert metrics.nb_pr_curve(docs).count() == 0  # no TypeError
+
+
+def test_conformal_ridge_empty_calibration_raises(spark):
+    from scarf_spark.ml.supervised import conformal_ridge
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label double"
+    )
+    with pytest.raises(ValueError, match="calibration split is empty"):
+        conformal_ridge(emb)
+
+
+def test_pipe_text_ann_uses_sharded_scorer(spark):
+    # The graded end-to-end query must not collect the embedded corpus
+    # to the driver: its plan goes through the cogrouped grid scorer
+    # (FlatMapCoGroupsInPandas), not a broadcast of a toPandas index.
+    import __spark_entry__ as entry
+
+    df = entry.queries()["pipe_text_ann"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    rows = df.limit(5).collect()
+    assert {c for c in df.columns} == {"src", "rank", "dst", "distance"}
+    assert len(rows) > 0
