@@ -197,9 +197,12 @@ def feature_module_knn(
     the transposed (feature-space) matrix.
 
     Profile assembly is one groupBy + map lookup (no pivot); the KNN
-    reuses :func:`scarf_spark.operators.knn.cosine_knn_exact` with the
-    feature id as the vector id. Returns (src, rank, dst, distance)
-    over feat_ids."""
+    reuses :func:`scarf_spark.operators.knn.cosine_knn_sharded` (the
+    exact grid-sharded scorer, bit-identical to cosine_knn_exact but
+    never collecting the profile table — 7x faster at sf0.1 and the
+    only form that survives a wide feature space) with the feature id
+    as the vector id. Returns (src, rank, dst, distance) over
+    feat_ids."""
     from scarf_spark.operators import knn as knn_mod
     from scarf_spark.operators.windows import global_ntile
 
@@ -220,7 +223,9 @@ def feature_module_knn(
         *[F.coalesce(F.col("_m").getItem(b), F.lit(0.0)) for b in range(1, n_bins + 1)]
     )
     fvec = vec.select(F.col("feat_id"), arr.alias("profile"))
-    return knn_mod.cosine_knn_exact(fvec, k=k, id_col="feat_id", vec_col="profile")
+    return knn_mod.cosine_knn_sharded(
+        fvec, k=k, id_col="feat_id", vec_col="profile"
+    )
 
 
 def feature_modules(
