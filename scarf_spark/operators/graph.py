@@ -354,7 +354,9 @@ def kcore_hindex(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     return h.select("node", F.col("h").alias("coreness"))
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50, rounds_out: list | None = None
+) -> DataFrame:
     """Connected components to TRUE convergence: synchronous min-label
     propagation with a fixpoint check each round (one count action on
     the changed-label set), so every node ends with its component's
@@ -371,7 +373,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     convergence loop's lineage otherwise grows a plan tree that is
     EXPONENTIAL in rounds (persist caches data but keeps the logical
     plan; a 12-round path graph OOM-ed the plan stringifier).
-    ``max_rounds`` is a safety cap. Returns (node, component)."""
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixpoint — silently returning labels that are only exact within
+    max_rounds hops would corrupt every downstream dedup/cluster
+    consumer; high-diameter graphs belong on
+    :func:`connected_components_star`. ``rounds_out``, when a list, is
+    appended with the number of rounds executed (scale telemetry).
+    Returns (node, component)."""
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -385,7 +393,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
         nb_min = (
             und.join(
                 labels.select(F.col("node").alias("dst"), F.col("lbl").alias("_nl")),
@@ -412,15 +422,24 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     # labels is an eager checkpoint: the edge cache is unreachable from
     # the returned plan — free it instead of leaking across calls
     und.unpersist()
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(graph diameter exceeds the cap) — use "
+            "connected_components_star, which converges in O(log n) rounds"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 
 def connected_components_star(
-    edges: DataFrame, max_rounds: int = 25
+    edges: DataFrame, max_rounds: int = 25, rounds_out: list | None = None
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al. 2014, "Connected Components in
@@ -456,7 +475,8 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_sig = None
-    for _ in range(max_rounds):
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
         # large-star: neighbors in both directions; every v > u links
         # to m = min(min neighbor, u). Each undirected edge is emitted
         # exactly once (from its smaller endpoint's perspective).
@@ -493,6 +513,8 @@ def connected_components_star(
         if sig == prev_sig:
             break
         prev_sig = sig
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(

@@ -136,3 +136,22 @@ def test_pipe_text_ann_uses_sharded_scorer(spark):
     rows = df.limit(5).collect()
     assert {c for c in df.columns} == {"src", "rank", "dst", "distance"}
     assert len(rows) > 0
+
+
+def test_components_fixpoint_raises_past_cap(spark):
+    from scarf_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = spark.range(20).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(path, max_rounds=3)
+    # star contraction closes the same path in O(log n) rounds and
+    # reports how many via rounds_out
+    rounds: list[int] = []
+    out = connected_components_star(path, rounds_out=rounds)
+    assert out.select("component").distinct().count() == 1
+    assert rounds[0] <= 7

@@ -254,16 +254,49 @@ def main() -> None:
     # 17. star-contraction components (round 8) on a high-diameter
     # graph: 1M-node path ⇒ the min-label fixpoint would need 1M
     # rounds; star contraction closes it in O(log n)
-    from scarf_spark.operators.graph import connected_components_star
+    from scarf_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
 
     path_edges = spark.range(min(n, 1_000_000) - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
+    star_rounds: list[int] = []
     timed(
         "components_star_path_1m",
-        lambda: connected_components_star(path_edges),
+        lambda: connected_components_star(path_edges, rounds_out=star_rounds),
         results,
     )
+    results["components_star_path_1m_rounds"] = star_rounds[0]
+
+    # 17b. head-to-head round count on a 64-node path (diameter 63):
+    # the min-label fixpoint needs O(diameter) rounds — measured here
+    # and linear in path length, so the 1M path above would take ~1M
+    # rounds vs star contraction's O(log n) measured in 17. (The
+    # fixpoint now RAISES past its cap instead of returning unconverged
+    # labels.)
+    small_path = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    fix_rounds: list[int] = []
+    star_rounds_64: list[int] = []
+    timed(
+        "components_fixpoint_path_64",
+        lambda: connected_components(
+            small_path, max_rounds=200, rounds_out=fix_rounds
+        ),
+        results,
+    )
+    results["components_fixpoint_path_64_rounds"] = fix_rounds[0]
+    timed(
+        "components_star_path_64",
+        lambda: connected_components_star(
+            small_path, rounds_out=star_rounds_64
+        ),
+        results,
+    )
+    results["components_star_path_64_rounds"] = star_rounds_64[0]
 
     # 18. semdedup shard grid (round 8): one deliberately skewed
     # mega-cluster (all vectors) forced through the shard-pair grid —
