@@ -3848,6 +3848,84 @@ def mm_image_tiles(spark, sf_dir):
     return mm.image_tile_pool(media, tile=8)
 
 
+# 16-bit aHash over the (row,col)-ordered tile-mean list `a` (with tot
+# = list sum, n = list length): the same integer cross-multiply bit
+# rule as the byte-level phash oracle, generated per chunk. Empty
+# chunks (n < 16 tiles): DuckDB list_aggregate(empty) is NULL -> CASE
+# ELSE 0; Spark folds empty to the 0 initial -> bit 0. Both sides 0.
+_TILE_AHASH_BITS = " + ".join(
+    "CASE WHEN CAST(list_aggregate(list_slice(a, "
+    f"CAST(FLOOR(n * {c} / 16) AS INT) + 1, "
+    f"CAST(FLOOR(n * {c + 1} / 16) AS INT)), 'sum') AS BIGINT) * n > tot * "
+    f"CAST((CAST(FLOOR(n * {c + 1} / 16) AS INT)) - "
+    f"(CAST(FLOOR(n * {c} / 16) AS INT) + 1) + 1 AS BIGINT) "
+    f"THEN {1 << c} ELSE 0 END"
+    for c in range(16)
+)
+
+
+@q(
+    "pipe_mm_prep",
+    # end-to-end MULTIMODAL pretraining prep (the image dual of
+    # pipe_pretrain_prep): real PNG decode -> 4x4 tile pooling (16-48
+    # tiles/doc at the fixture text lengths — an 8px tile leaves only
+    # 4-8 tiles and a degenerate 27-distinct-hash signature space) ->
+    # perceptual dedup on the tile-signature aHash (banded hamming
+    # pairs, drop the larger doc_id) -> md5-bucketed packing of the
+    # surviving patch streams into 64-tile training rows. The oracle
+    # is the verbatim composition of the stage oracles
+    # (mm_image_tiles tiles CTE + the mm_phash_dedup band/hamming
+    # pattern + the samp_pack_sequences bucket-window pack).
+    "WITH media AS (SELECT doc_id, " + _ASCII + " AS text "
+    "FROM documents WHERE doc_id % 3 = 0), "
+    "g AS (SELECT doc_id, substr(text, 1, (length(text) // 32) * 32) AS t "
+    "FROM media WHERE length(text) >= 32), "
+    "px AS (SELECT doc_id, ord(substr(t, CAST(i AS INT), 1)) AS p, "
+    "CAST(((i - 1) // 32) // 4 AS INT) AS tile_row, "
+    "CAST(((i - 1) % 32) // 4 AS INT) AS tile_col, "
+    "CAST((length(t) // 32) // 4 AS INT) AS ntr "
+    "FROM g, UNNEST(range(1, length(t) + 1)) AS u(i)), "
+    "tiles AS MATERIALIZED (SELECT doc_id, tile_row, tile_col, "
+    "SUM(p) * 1000000 // COUNT(*) AS mean_ppm "
+    "FROM px WHERE tile_row < ntr GROUP BY 1, 2, 3), "
+    "sigarr AS (SELECT doc_id, "
+    "list(mean_ppm ORDER BY tile_row, tile_col) AS a FROM tiles "
+    "GROUP BY doc_id), "
+    "st AS (SELECT doc_id, a, CAST(list_aggregate(a, 'sum') AS BIGINT) AS tot, "
+    "CAST(len(a) AS BIGINT) AS n FROM sigarr), "
+    "ph AS MATERIALIZED (SELECT doc_id, n AS n_tiles, "
+    f"CAST({_TILE_AHASH_BITS} AS BIGINT) AS phash FROM st), "
+    "bands AS (SELECT doc_id, phash, 0 AS band, phash % 256 AS key FROM ph "
+    "UNION ALL SELECT doc_id, phash, 1, phash // 256 FROM ph), "
+    "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+    "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key "
+    "AND x.doc_id < y.doc_id "
+    "WHERE bit_count(CAST(xor(x.phash, y.phash) AS BIGINT)) <= 3), "
+    "surv AS (SELECT * FROM ph WHERE doc_id NOT IN (SELECT b FROM pairs)), "
+    "hb AS (SELECT doc_id, n_tiles, phash, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _h "
+    "FROM surv), "
+    "pk AS (SELECT doc_id, n_tiles, phash, _h % 8 AS bucket, "
+    "SUM(n_tiles) OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tiles "
+    "AS start_off FROM hb) "
+    "SELECT doc_id, n_tiles, phash, bucket, "
+    "start_off // 64 AS seq_id, start_off FROM pk",
+)
+def pipe_mm_prep(spark, sf_dir):
+    """End-to-end multimodal pretraining prep
+    (multimodal.mm_pretrain_prep): PNG decode → tile pooling →
+    tile-signature near-dup removal → packed 64-tile sequences — the
+    image dual of pipe_pretrain_prep, closing the pipeline story for
+    media the way round 8 closed it for text."""
+    from scarf_spark.operators import multimodal as mm
+
+    return mm.mm_pretrain_prep(
+        _ds(spark, sf_dir).documents,
+        width=32, tile=4, max_hamming=3, budget=64, n_buckets=8,
+    )
+
+
 @q(
     "mm_ocr_stub",
     # OCR plumbing over REAL PNG payloads: the oracle recovers the

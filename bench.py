@@ -69,7 +69,7 @@ def main() -> None:
         "pipe_text_ann",
         "text_minhash_cluster", "mark_stats", "graph_modularity",
         "graph_components", "ann_ivfpq", "ml_quality_logreg",
-        "pipe_pretrain_prep", "ml_mahalanobis", "ml_gmm_resp",
+        "pipe_pretrain_prep", "pipe_mm_prep", "ml_mahalanobis", "ml_gmm_resp",
         "dedup_ngram_jaccard", "src_zarr_counts", "agg_cooccur_hvg",
         "dedup_incremental", "ml_wnn", "graph_pagerank", "graph_kcore",
         "dedup_semdedup", "qc_percent_feature", "mm_phash_dedup",

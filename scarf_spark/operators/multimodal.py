@@ -422,6 +422,15 @@ def ahash16(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "transform(filter(split(text_view, ''), x -> x != ''), x -> ascii(x))"
     )
     base = base.select(id_col, arr.alias("arr"))
+    return _ahash_bits(base, id_col).select(id_col, "phash")
+
+
+def _ahash_bits(base: DataFrame, id_col: str) -> DataFrame:
+    """Shared aHash core over any ``(id, arr: array<long-ish>)`` table
+    (payload bytes in :func:`ahash16`, tile means in
+    :func:`tile_signature`): bit c = (sum of sixteenth c) · n >
+    (total) · |chunk| — integer cross-multiply, bit-exact in any
+    engine. Returns (id, n, phash)."""
     tot = F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x)
     n = F.size("arr")
     base = base.select(id_col, "arr", tot.alias("tot"), n.alias("n"))
@@ -442,7 +451,7 @@ def ahash16(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     phash = bits[0]
     for x in bits[1:]:
         phash = phash + x
-    return base.select(id_col, phash.alias("phash"))
+    return base.select(id_col, "n", phash.alias("phash"))
 
 
 def phash_near_pairs(
@@ -635,3 +644,83 @@ def image_tile_pool(media: DataFrame, tile: int = 8) -> DataFrame:
 
     imgs = media.where(F.col("modality") == "image").select("doc_id", "payload")
     return imgs.mapInPandas(pool, schema=_TILE_SCHEMA)
+
+
+def tile_signature(tiles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual signature from DECODED pixels: 16-bit aHash over the
+    (tile_row, tile_col)-ordered tile means of :func:`image_tile_pool`
+    — the "dedup by tile signature" consumer its docstring promises.
+    Unlike :func:`ahash16` (payload bytes), this hashes the decoded,
+    pooled luma plane, so it survives any byte-level re-encoding of
+    the same image. Returns (id, n_tiles, phash).
+
+    One groupBy on doc_id (the tile table's natural key) + per-row
+    array math; the signature is the same integer cross-multiply bit
+    rule as ahash16, bit-exact cross-engine."""
+    sig = (
+        tiles.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tile_row", "tile_col", "mean_ppm"))
+            ).alias("_s")
+        )
+        .select(id_col, F.expr("transform(_s, s -> s.mean_ppm)").alias("arr"))
+    )
+    return _ahash_bits(sig, id_col).select(
+        id_col, F.col("n").cast("long").alias("n_tiles"), "phash"
+    )
+
+
+def mm_pretrain_prep(
+    docs: DataFrame,
+    width: int = 32,
+    tile: int = 8,
+    max_hamming: int = 3,
+    budget: int = 64,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """End-to-end multimodal pretraining prep — the image dual of the
+    text-side ``pipe_pretrain_prep``: REAL PNG decode → ViT-style tile
+    pooling (:func:`image_tile_pool`) → perceptual near-dup removal on
+    the tile signature (:func:`tile_signature` + banded hamming pairs,
+    drop the larger doc_id of every near pair) → deterministic packing
+    of the surviving patch streams into fixed-``budget`` training rows
+    (the same md5-bucketed concat-and-chunk scheme as
+    ``filters.pack_sequences`` — never a global sort).
+
+    Scale shape: decode/pooling is Arrow-batched mapInPandas emitting
+    pixels/tile² rows; the signature is one doc_id groupBy; the dedup
+    join is banded (hamming ≤ 3 ⇒ pigeonhole-exact byte bands, never a
+    cross join — constant-tone images can pile into one band key, the
+    same hot-key envelope as text boilerplate shingles); packing
+    windows partition by hash bucket. No driver collect anywhere.
+    Returns (doc_id, n_tiles, phash, bucket, seq_id, start_off) for
+    every surviving image doc with ≥1 complete tile."""
+    tiles = image_tile_pool(attach_png_payload(docs, width=width), tile=tile)
+    sig = tile_signature(tiles).localCheckpoint(eager=True)
+    # eager localCheckpoint: the signature feeds both band-join sides
+    # and the survivor anti-join; without it the decode+pool pipeline
+    # re-executes three times (and persist here would leak storage —
+    # the ivf/dedup convention).
+    pairs = phash_near_pairs(sig, max_hamming=max_hamming)
+    drops = pairs.select(F.col("b").alias("doc_id")).distinct()
+    surv = sig.join(drops, "doc_id", "left_anti")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    d = surv.select(
+        "doc_id", "n_tiles", "phash", h.alias("_h"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", "doc_id")
+    start = F.sum("n_tiles").over(w) - F.col("n_tiles")
+    return d.select(
+        "doc_id", "n_tiles", "phash", "bucket", start.alias("start_off")
+    ).select(
+        "doc_id",
+        "n_tiles",
+        "phash",
+        "bucket",
+        F.expr(f"start_off div {int(budget)}").alias("seq_id"),
+        "start_off",
+    )

@@ -155,3 +155,35 @@ def test_components_fixpoint_raises_past_cap(spark):
     out = connected_components_star(path, rounds_out=rounds)
     assert out.select("component").distinct().count() == 1
     assert rounds[0] <= 7
+
+
+def test_tile_signature_and_mm_prep(spark):
+    from scarf_spark.operators import multimodal as mm
+
+    # two byte-identical images (near-dup by construction), one very
+    # different; 64-char rows at width 8 -> every doc has >= 16 tiles
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(256))
+    flat = "m" * 256
+    docs = spark.createDataFrame(
+        [(0, base), (3, base), (6, flat)], "doc_id long, text string"
+    )
+    tiles = mm.image_tile_pool(mm.attach_png_payload(docs, width=8), tile=4)
+    sig = {r["doc_id"]: r for r in mm.tile_signature(tiles).collect()}
+    assert sig[0]["phash"] == sig[3]["phash"]  # identical pixels
+    assert sig[0]["n_tiles"] == 16  # (256/8 rows // 4) * (8/4 cols) = 8*2
+    out = mm.mm_pretrain_prep(
+        docs, width=8, tile=4, max_hamming=3, budget=64
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the larger id of the identical pair is dropped; both others kept
+    assert set(rows) == {0, 6}
+    assert all(r["start_off"] % 1 == 0 and r["seq_id"] >= 0 for r in rows.values())
+
+
+def test_mm_prep_empty_and_short_docs(spark):
+    from scarf_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "short"), (3, "")], "doc_id long, text string"
+    )  # both image-modality (doc_id % 3 == 0) but no complete tile
+    assert mm.mm_pretrain_prep(docs, width=8, tile=4).count() == 0
