@@ -4879,6 +4879,36 @@ def agg_exact_median(spark, sf_dir):
 
 
 @q(
+    "agg_weighted_median",
+    # exact weighted (lower) median: smallest price v with
+    # 2*sum{qty : price <= v} >= total qty — defined on VALUES (no row
+    # tiebreak), so the result is an input value, engine-portable by
+    # construction. The engine computes the same v via the distributed
+    # threshold-crossing grid (windows.grouped_weighted_median), never
+    # a per-group sort task
+    "WITH b AS (SELECT l_returnflag, l_extendedprice AS val, "
+    "CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+    "tw AS (SELECT l_returnflag, SUM(wt) AS w FROM b GROUP BY l_returnflag), "
+    "vv AS (SELECT l_returnflag, val, SUM(wt) AS vw FROM b "
+    "GROUP BY l_returnflag, val), "
+    "cum AS (SELECT l_returnflag, val, SUM(vw) OVER "
+    "(PARTITION BY l_returnflag ORDER BY val) AS cw FROM vv) "
+    "SELECT cum.l_returnflag, tw.w AS w_total, MIN(val) AS wmedian "
+    "FROM cum JOIN tw ON cum.l_returnflag = tw.l_returnflag "
+    "WHERE 2 * cw >= tw.w GROUP BY cum.l_returnflag, tw.w",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median extended price per return flag
+    (windows.grouped_weighted_median) — exact, via the fixed-grid
+    threshold-crossing plan (only the crossing cell's rows ever see a
+    window)."""
+    li = _ds(spark, sf_dir).table("lineitem")
+    return windows.grouped_weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
+@q(
     "agg_boxplot",
     # Tukey box-plot card: exact quartiles, 1.5*IQR fences from the
     # ROUNDED quartiles (the cross-engine-stable values), one re-scan
@@ -5285,6 +5315,36 @@ def graph_adamic_adar(spark, sf_dir):
     from scarf_spark.operators import graph
 
     return graph.adamic_adar(_knn_edges(spark, sf_dir))
+
+
+@q(
+    "graph_jaccard_sim",
+    # neighbour-set Jaccard link prediction: same wedge join as
+    # adamic_adar, but the score is exact integer ppm of
+    # common / (deg_u + deg_w - common) — no float math at all
+    f"WITH {_KNN_CTE}, "
+    "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+    "GREATEST(src, dst) AS w FROM knn WHERE src <> dst), "
+    "dirs AS MATERIALIZED (SELECT u AS s, w AS d FROM und "
+    "UNION ALL SELECT w, u FROM und), "
+    "deg AS (SELECT s, COUNT(*) AS _deg FROM dirs GROUP BY s), "
+    "wedge AS (SELECT a.d AS u, a.s AS v, b.d AS w "
+    "FROM dirs a JOIN dirs b ON a.s = b.s WHERE a.d < b.d), "
+    "cand AS (SELECT u, w FROM wedge "
+    "WHERE NOT EXISTS (SELECT 1 FROM und "
+    "WHERE und.u = wedge.u AND und.w = wedge.w)), "
+    "cm AS (SELECT u, w, COUNT(*) AS n_common FROM cand GROUP BY u, w) "
+    "SELECT cm.u, cm.w, n_common, "
+    "n_common * 1000000 // (du._deg + dw._deg - n_common) AS jaccard_ppm "
+    "FROM cm JOIN deg du ON cm.u = du.s JOIN deg dw ON cm.w = dw.s",
+)
+def graph_jaccard_sim(spark, sf_dir):
+    """Neighbour-set Jaccard link prediction over the KNN graph
+    (graph.neighbor_jaccard) — the set-overlap sibling of Adamic-Adar,
+    exact integer ppm."""
+    from scarf_spark.operators import graph
+
+    return graph.neighbor_jaccard(_knn_edges(spark, sf_dir))
 
 
 @q(
@@ -7086,6 +7146,66 @@ def evt_attribution(spark, sf_dir):
     """Last-touch channel attribution (windows.last_touch_attribution)
     — purchases credited to the user's most recent preceding click."""
     return windows.last_touch_attribution(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_churn",
+    # weekly churn/acquisition ledger: one distinct (user, period)
+    # projection, new/retained/churned from ±1-period equi-joins —
+    # integer period arithmetic, no windows
+    "WITH act AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 604800000000 AS p FROM events), "
+    "prev AS (SELECT user_id, p + 1 AS p FROM act), "
+    "actv AS (SELECT p, COUNT(*) AS n_active FROM act GROUP BY p), "
+    "ret AS (SELECT a.p, COUNT(*) AS n_retained FROM act a "
+    "JOIN prev ON a.user_id = prev.user_id AND a.p = prev.p GROUP BY a.p), "
+    "chn AS (SELECT prev.p, COUNT(*) AS n_churned FROM prev "
+    "LEFT JOIN act ON act.user_id = prev.user_id AND act.p = prev.p "
+    "WHERE act.user_id IS NULL GROUP BY prev.p) "
+    "SELECT actv.p AS period, n_active, "
+    "COALESCE(n_retained, 0) AS n_retained, "
+    "n_active - COALESCE(n_retained, 0) AS n_new, "
+    "COALESCE(n_churned, 0) AS n_churned "
+    "FROM actv LEFT JOIN ret ON actv.p = ret.p "
+    "LEFT JOIN chn ON actv.p = chn.p",
+)
+def evt_churn(spark, sf_dir):
+    """Weekly churn / new / retained user ledger
+    (windows.churn_analysis) — the per-period complement of cohort
+    retention."""
+    return windows.churn_analysis(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_interarrival",
+    # per-type inter-arrival gap profile: lag window per (user, type),
+    # exact integer micros; the MEDIAN is the distributed
+    # threshold-crossing weighted median (unit weights) — the same
+    # value the plain cumulative form below computes
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, "
+    "event_id FROM events), "
+    "g AS (SELECT event_type, us - LAG(us) OVER (PARTITION BY user_id, "
+    "event_type ORDER BY us, event_id) AS gap FROM e), "
+    "gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL), "
+    "base AS (SELECT event_type, COUNT(*) AS n_gaps, "
+    "SUM(gap) // COUNT(*) AS mean_gap_us, MAX(gap) AS max_gap_us "
+    "FROM gg GROUP BY event_type), "
+    "tw AS (SELECT event_type, COUNT(*) AS w FROM gg GROUP BY event_type), "
+    "vv AS (SELECT event_type, gap, COUNT(*) AS vw FROM gg "
+    "GROUP BY event_type, gap), "
+    "cum AS (SELECT event_type, gap, SUM(vw) OVER (PARTITION BY event_type "
+    "ORDER BY gap) AS cw FROM vv), "
+    "med AS (SELECT cum.event_type, MIN(gap) AS median_gap_us "
+    "FROM cum JOIN tw ON cum.event_type = tw.event_type "
+    "WHERE 2 * cw >= w GROUP BY cum.event_type) "
+    "SELECT base.event_type, n_gaps, mean_gap_us, median_gap_us, "
+    "max_gap_us FROM base JOIN med ON base.event_type = med.event_type",
+)
+def evt_interarrival(spark, sf_dir):
+    """Inter-arrival time profile per event type
+    (windows.interarrival_stats): count / integer-mean / EXACT
+    distributed median / max of same-type per-user gaps in micros."""
+    return windows.interarrival_stats(_ds(spark, sf_dir).events)
 
 
 @q(

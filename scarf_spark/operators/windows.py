@@ -1149,3 +1149,176 @@ def activity_streaks(events: DataFrame) -> DataFrame:
         F.sum("_len").cast("long").alias("n_active_days"),
         F.max("_len").cast("long").alias("longest_streak"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    grid: int = 1 << 12,
+) -> DataFrame:
+    """Distributed EXACT weighted (lower) median per group: the
+    smallest value v with 2·Σ{w : value ≤ v} ≥ W — defined on values,
+    so no row tiebreak is needed and the result is engine-portable by
+    construction (the output IS an input value, never arithmetic).
+
+    Plan (the :func:`grouped_ntile` fixed-grid generalization, with
+    weights): per-group min/max/total-weight from one aggregate;
+    values land on a deterministic grid (monotone in value, so any
+    binning partitions the sorted order correctly); per-(group, cell)
+    weight sums turn into cumulative offsets via a window over the
+    ≤``grid``-row counts table; the threshold-crossing CELL is found
+    by pure arithmetic; and only THAT cell's rows (≈|group|/grid) see
+    a within-cell cumulative window. Weights must be non-negative
+    integers (cast to long; fractional weights are the caller's
+    quantization problem — float weight sums drift across engines);
+    NULL values are excluded with the standard aggregate convention.
+    Returns (part_cols…, w_total, wmedian)."""
+    d = df.where(F.col(value_col).isNotNull()).select(
+        *part_cols,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_wt"),
+    )
+    key = F.col("_v").cast("double")
+    stats = d.groupBy(*part_cols).agg(
+        F.min(key).alias("_lo"),
+        F.max(key).alias("_hi"),
+        F.sum("_wt").alias("_W"),
+    )
+    j = d.join(stats, part_cols)
+    span = F.when(F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")).otherwise(
+        F.lit(1.0)
+    )
+    cell = F.least(
+        F.floor((key - F.col("_lo")) / span * grid), F.lit(grid - 1)
+    ).cast("long")
+    binned = j.withColumn("_cell", cell)
+    cellw = binned.groupBy(*part_cols, "_cell").agg(
+        F.sum("_wt").alias("_cw"), F.max("_W").alias("_W")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cellw.withColumn(
+        "_off", F.coalesce(F.sum("_cw").over(w_off), F.lit(0))
+    )
+    target = (
+        offs.where((F.col("_off") + F.col("_cw")) * 2 >= F.col("_W"))
+        .groupBy(*part_cols)
+        .agg(F.min("_cell").alias("_tc"))
+    )
+    toff = (
+        offs.join(target, part_cols)
+        .where(F.col("_cell") == F.col("_tc"))
+        .select(*part_cols, "_cell", "_off", "_W")
+    )
+    # only the target cell's rows get a window; weights aggregate per
+    # VALUE first so equal values share one cumulative point. Project
+    # the stats columns away first — toff re-supplies _off/_W and a
+    # duplicate _W would be ambiguous downstream.
+    rows = binned.select(*part_cols, "_v", "_wt", "_cell")
+    vals = (
+        rows.join(toff, [*part_cols, "_cell"])
+        .groupBy(*part_cols, "_v")
+        .agg(F.sum("_wt").alias("_vw"), F.max("_off").alias("_off"),
+             F.max("_W").alias("_W"))
+    )
+    w_cum = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vals.withColumn("_cum", F.col("_off") + F.sum("_vw").over(w_cum))
+    return (
+        cum.where(F.col("_cum") * 2 >= F.col("_W"))
+        .groupBy(*part_cols)
+        .agg(
+            F.max("_W").alias("w_total"),
+            F.min("_v").alias("wmedian"),
+        )
+    )
+
+
+def churn_analysis(events: DataFrame, period_us: int = 604800000000) -> DataFrame:
+    """Weekly churn / acquisition ledger: per period, how many users
+    were active, how many are NEW (not active the previous period),
+    RETAINED (active both), and how many of the previous period's
+    users CHURNED (absent this period) — the complement of
+    :func:`cohort_retention`, reported per calendar period rather than
+    per cohort.
+
+    One distinct (user, period) projection; new/retained come from a
+    self-join shifted one period forward, churn from the reverse
+    direction — all equi-joins on (user, period), integer period
+    arithmetic (epoch-micros DIV period), no windows at all. Volume
+    never exceeds the deduped user-period table."""
+    act = (
+        events.select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {int(period_us)}")
+            .alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = act.select("user_id", (F.col("p") + 1).alias("p"))
+    both = act.join(prev, ["user_id", "p"], "left_semi")
+    retained = both.groupBy("p").agg(F.count("*").alias("n_retained"))
+    active = act.groupBy("p").agg(F.count("*").alias("n_active"))
+    churned = (
+        prev.join(act, ["user_id", "p"], "left_anti")
+        .groupBy("p")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        active.join(retained, "p", "left_outer")
+        .join(churned, "p", "left_outer")
+        .select(
+            F.col("p").alias("period"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            (F.col("n_active") - F.coalesce("n_retained", F.lit(0))).alias("n_new"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Inter-arrival time statistics per event type: for each user's
+    stream of same-type events (deterministic (ts, event_id) order),
+    the gaps in exact integer MICROSECONDS, aggregated per type into
+    count / mean / exact median / max — the workload-cadence profile
+    behind rate limiting and anomaly thresholds.
+
+    Gaps are one lag window partitioned by (user, type) — per-user
+    streams are bounded, no single-task collapse; the mean is integer
+    division of an integer sum; the MEDIAN is exact and distributed
+    via :func:`grouped_weighted_median` with unit weights (the
+    threshold-crossing grid plan — never a per-type sort task)."""
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("_us", "event_id")
+    gaps = (
+        e.withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+        .where(F.col("_gap").isNotNull())
+        .select("event_type", "_gap")
+        .localCheckpoint(eager=True)
+    )
+    base = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("sum(_gap) div count(*)").alias("mean_gap_us"),
+        F.max("_gap").alias("max_gap_us"),
+    )
+    med = grouped_weighted_median(
+        gaps.withColumn("_one", F.lit(1)), ["event_type"], "_gap", "_one"
+    ).select("event_type", F.col("wmedian").alias("median_gap_us"))
+    return base.join(med, "event_type").select(
+        "event_type", "n_gaps", "mean_gap_us", "median_gap_us", "max_gap_us"
+    )

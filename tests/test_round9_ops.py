@@ -187,3 +187,71 @@ def test_mm_prep_empty_and_short_docs(spark):
         [(0, "short"), (3, "")], "doc_id long, text string"
     )  # both image-modality (doc_id % 3 == 0) but no complete tile
     assert mm.mm_pretrain_prep(docs, width=8, tile=4).count() == 0
+
+
+def test_grouped_weighted_median_matches_bruteforce(spark):
+    # grid plan vs the definition: smallest v with 2*cumw(<=v) >= W
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (g, float(rnd.randint(0, 40)), rnd.randint(1, 5))
+        for g in range(3)
+        for _ in range(rnd.randint(1, 60))
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, wt int")
+    got = {
+        r["g"]: (r["w_total"], r["wmedian"])
+        for r in windows.grouped_weighted_median(df, ["g"], "v", "wt", grid=8).collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        items = sorted((v, wt) for gg, v, wt in rows if gg == g)
+        W = sum(wt for _, wt in items)
+        cum = 0
+        for v, wt in items:
+            cum += wt
+            if 2 * cum >= W:
+                want[g] = (W, v)
+                break
+    assert got == want
+
+
+def test_grouped_weighted_median_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, None, 100), (0, 1.0, 1), (0, 2.0, 1), (0, 3.0, 1)],
+        "g int, v double, wt int",
+    )
+    [r] = windows.grouped_weighted_median(df, ["g"], "v", "wt").collect()
+    assert (r["w_total"], r["wmedian"]) == (3, 2.0)
+
+
+def test_churn_analysis_toy(spark):
+    # u1 active weeks 0,1; u2 active week 0 only; u3 joins week 1
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-08 00:00:00"),
+        (2, "2024-01-02 00:00:00"),
+        (3, "2024-01-09 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["period"]: r for r in windows.churn_analysis(ev).collect()}
+    p0, p1 = sorted(out)
+    assert out[p0]["n_active"] == 2 and out[p0]["n_new"] == 2
+    assert out[p1]["n_active"] == 2
+    assert out[p1]["n_retained"] == 1  # u1
+    assert out[p1]["n_new"] == 1  # u3
+    assert out[p1]["n_churned"] == 1  # u2
+
+
+def test_neighbor_jaccard_toy(spark):
+    from scarf_spark.operators.graph import neighbor_jaccard
+
+    # path 1-2-3: the only non-adjacent wedge pair is (1,3), sharing
+    # {2}; deg(1)=deg(3)=1 -> jaccard = 1/(1+1-1) = 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    [r] = neighbor_jaccard(edges).collect()
+    assert (r["u"], r["w"], r["n_common"], r["jaccard_ppm"]) == (1, 3, 1, 1000000)
