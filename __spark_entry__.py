@@ -5780,6 +5780,79 @@ def samp_temperature(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _kcenter_oracle(k: int = 5) -> str:
+    """Unrolled greedy k-center trace: each round one min-distance
+    aggregate over the selected set + one (dm DESC, vec_id) argmax —
+    the same staged double arithmetic as the engine loop (the proven
+    KNN distance kernel), so the trace is hash-exact."""
+    parts = [
+        "kv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "kn AS MATERIALIZED (SELECT vec_id, v, "
+        "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+        "FROM kv)",
+        "s0 AS (SELECT vec_id, v, nrm FROM kn "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM kn))",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"d{i} AS (SELECT p.vec_id, "
+            "MIN(1.0 - list_inner_product(p.v, s.v) / (p.nrm * s.nrm)) AS dm "
+            f"FROM kn p, s{i - 1} s "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM s{i - 1}) "
+            "GROUP BY p.vec_id)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT d{i}.vec_id, kn.v, kn.nrm, dm FROM d{i} "
+            f"JOIN kn ON kn.vec_id = d{i}.vec_id "
+            f"ORDER BY dm DESC, d{i}.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT vec_id, v, nrm FROM s{i - 1} "
+            f"UNION ALL SELECT vec_id, v, nrm FROM p{i})"
+        )
+    tail = " UNION ALL ".join(
+        ["SELECT 0 AS pick_order, vec_id, 0.0 AS dist FROM s0"]
+        + [
+            f"SELECT {i} AS pick_order, vec_id, ROUND(dm, 6) AS dist FROM p{i}"
+            for i in range(1, k)
+        ]
+    )
+    return "WITH " + ", ".join(parts) + " " + tail
+
+
+@q("samp_kcenter", _kcenter_oracle(5))
+def samp_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset over the embeddings
+    (filters.kcenter_sample) — the diversity-sampling step of
+    training-data curation; k=5, fully deterministic, selected set
+    broadcasts each round."""
+    return filters.kcenter_sample(_ds(spark, sf_dir).embeddings, k=5)
+
+
+@q(
+    "dedup_cross_source",
+    # cross-source shingle containment matrix: one distinct (source,
+    # shingle) projection, one shingle self-join (rows per shingle
+    # bounded by the source-domain size squared), exact integer ppm
+    "WITH w2 AS (SELECT source, string_split(text, ' ') AS ws FROM documents), "
+    "ssh AS MATERIALIZED (SELECT DISTINCT source, unnest(list_transform("
+    "range(0, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS shingle FROM w2), "
+    "ns AS (SELECT source, COUNT(*) AS n_sh FROM ssh GROUP BY source), "
+    "sh2 AS (SELECT a.source AS src_a, b.source AS src_b, "
+    "COUNT(*) AS n_shared FROM ssh a JOIN ssh b ON a.shingle = b.shingle "
+    "AND a.source != b.source GROUP BY 1, 2) "
+    "SELECT src_a, src_b, n_shared, "
+    "n_shared * 1000000 // n_sh AS containment_ppm "
+    "FROM sh2 JOIN ns ON sh2.src_a = ns.source",
+)
+def dedup_cross_source(spark, sf_dir):
+    """Cross-source shingle-containment matrix
+    (dedup.cross_source_containment) — the "is source B a mirror of
+    source A" corpus-curation gauge, exact integer ppm."""
+    return dedup.cross_source_containment(_ds(spark, sf_dir).documents, n=3)
+
+
 @q(
     "win_lead_lag",
     "WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events), "
@@ -7206,6 +7279,47 @@ def evt_interarrival(spark, sf_dir):
     (windows.interarrival_stats): count / integer-mean / EXACT
     distributed median / max of same-type per-user gaps in micros."""
     return windows.interarrival_stats(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_pareto",
+    # whale curve: activity deciles (exact distributed ntile with the
+    # user_id tiebreak) and each decile's integer-ppm share of events
+    "WITH pu AS (SELECT user_id, COUNT(*) AS n_events FROM events "
+    "GROUP BY user_id), "
+    "b AS (SELECT user_id, n_events, CAST(NTILE(10) OVER "
+    "(ORDER BY n_events, user_id) AS INT) AS decile FROM pu), "
+    "tot AS (SELECT SUM(n_events) AS t FROM pu) "
+    "SELECT decile, COUNT(*) AS n_users, SUM(n_events) AS n_events, "
+    "SUM(n_events) * 1000000 // t AS events_share_ppm "
+    "FROM b, tot GROUP BY decile, t",
+)
+def evt_pareto(spark, sf_dir):
+    """Activity concentration (whale curve) by user decile
+    (windows.pareto_activity) — exact distributed ntile + integer-ppm
+    shares."""
+    return windows.pareto_activity(_ds(spark, sf_dir).events)
+
+
+@q(
+    "evt_wow",
+    # week-over-week growth per type: one hash agg + one lag window
+    # over the (type x week) aggregate; growth in integer ppm (both
+    # engines' integer division truncates toward zero, so negative
+    # growth agrees too); first observed week NULL by lag convention
+    "WITH wk AS (SELECT event_type, epoch_us(ts) // 604800000000 AS period, "
+    "COUNT(*) AS n_events FROM events GROUP BY 1, 2), "
+    "l AS (SELECT event_type, period, n_events, LAG(n_events) OVER "
+    "(PARTITION BY event_type ORDER BY period) AS prev_events FROM wk) "
+    "SELECT event_type, period, n_events, prev_events, "
+    "CASE WHEN prev_events IS NULL THEN NULL "
+    "ELSE (n_events - prev_events) * 1000000 // prev_events END "
+    "AS wow_growth_ppm FROM l",
+)
+def evt_wow(spark, sf_dir):
+    """Week-over-week event volume growth per type
+    (windows.wow_growth) — integer-ppm deltas over observed weeks."""
+    return windows.wow_growth(_ds(spark, sf_dir).events)
 
 
 @q(

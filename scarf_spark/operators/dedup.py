@@ -844,3 +844,43 @@ def bloom_decontaminate(
             F.col("n_shingles") - F.coalesce(F.col("_n_miss"), F.lit(0)) > 0
         ).alias("flagged"),
     )
+
+
+def cross_source_containment(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source overlap matrix: for every ordered source pair
+    (a, b), how many of a's DISTINCT word n-gram shingles also occur in
+    b — the corpus-curation gauge for "source b is a re-crawl/mirror of
+    a" and the source-level generalization of pairwise containment
+    dedup. Exact integer ppm (shared · 1e6 // |a's shingles|).
+
+    One distinct (source, shingle) projection (:func:`word_shingles`
+    keyed by source), one self-equi-join on the shingle, one pair
+    aggregate. A shingle shared by s sources contributes s·(s−1)
+    join rows — bounded by the SOURCE-domain size squared, never by
+    corpus size, so the plan survives any corpus with a small source
+    domain; the shingle join key is the only shuffle."""
+    sh = word_shingles(
+        docs, n=n, text_col=text_col, id_col=source_col
+    ).localCheckpoint(eager=True)
+    per_src = sh.groupBy(source_col).agg(F.count("*").alias("_n_sh"))
+    a = sh.select(F.col(source_col).alias("src_a"), "shingle")
+    b = sh.select(F.col(source_col).alias("src_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return shared.join(
+        per_src.select(F.col(source_col).alias("src_a"), "_n_sh"), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        F.expr("n_shared * 1000000 div _n_sh").alias("containment_ppm"),
+    )

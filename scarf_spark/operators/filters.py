@@ -475,3 +475,79 @@ def curriculum_order(docs: DataFrame, n_phases: int = 3) -> DataFrame:
     phased = windows.global_ntile(base, ["n_chars", "doc_id"], n_phases, out="phase")
     pos = windows.grouped_rank(phased, ["phase"], ["_h", "doc_id"], out="position")
     return pos.select("doc_id", "n_chars", "phase", "position")
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embedding
+    table — the diversity-sampling step of training-data curation
+    (pick the point farthest from everything already picked; Gonzalez
+    1985 gives the 2-approximation of the k-center cover). Seedless:
+    the first center is the minimum id, each next center the
+    (max-min-cosine-distance, min id) argmax — fully deterministic,
+    and every arithmetic step is the same double expression on any
+    engine (the proven KNN distance kernel), so the trace replays in
+    an unrolled SQL CTE.
+
+    Scale shape: the selected set is ≤ k rows and BROADCASTS to the
+    min-distance join — each round is one broadcast join + one
+    aggregate + one TakeOrderedAndProject(1); the corpus never
+    reshuffles and nothing but k scalars ever sits on the driver (the
+    argmax row stays a DataFrame; rounds chain lazily with
+    localCheckpoint lineage cuts). k is a constant (coresets are
+    small), so the k−1 rounds are a fixed-depth plan.
+    Returns (pick_order, vec_id, dist) — dist = the farthest-point
+    distance at selection time (0 for the seed), ROUND(6)."""
+    from scarf_spark.operators.knn import _as_double_vec, _dot
+
+    e = _as_double_vec(emb, id_col, vec_col).localCheckpoint(eager=True)
+    first = (
+        e.orderBy("vid")
+        .limit(1)
+        .select("vid", "v", "nrm", F.lit(0).alias("pick_order"),
+                F.lit(0.0).alias("dist"))
+    )
+    selected = first.localCheckpoint(eager=True)
+    for i in range(1, k):
+        s = F.broadcast(
+            selected.select(
+                F.col("vid").alias("svid"), F.col("v").alias("sv"),
+                F.col("nrm").alias("snrm"),
+            )
+        )
+        # exclude already-selected points from the candidate argmax: a
+        # selected point's self-distance is 1 − dot/nrm² ≈ ±2e-16, not
+        # exactly 0, so on a degenerate input (everything else at
+        # distance 0) it could win the argmax and be picked twice
+        cand = e.join(
+            selected.select(F.col("vid")), "vid", "left_anti"
+        )
+        dmin = (
+            cand.crossJoin(s)
+            .select(
+                "vid", "v", "nrm",
+                (
+                    F.lit(1.0)
+                    - _dot(F.col("v"), F.col("sv"))
+                    / (F.col("nrm") * F.col("snrm"))
+                ).alias("_d"),
+            )
+            .groupBy("vid", "v", "nrm")
+            .agg(F.min("_d").alias("_dm"))
+        )
+        pick = (
+            dmin.orderBy(F.desc("_dm"), "vid")
+            .limit(1)
+            .select(
+                "vid", "v", "nrm", F.lit(i).alias("pick_order"),
+                F.col("_dm").alias("dist"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "pick_order", F.col("vid").alias(id_col), F.round("dist", 6).alias("dist")
+    )

@@ -1322,3 +1322,57 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     return base.join(med, "event_type").select(
         "event_type", "n_gaps", "mean_gap_us", "median_gap_us", "max_gap_us"
     )
+
+
+def pareto_activity(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Whale curve: rank users into activity deciles (by event count,
+    user_id tiebreak) and report each decile's share of total events —
+    the classic "top 10% of users drive X% of traffic" concentration
+    gauge next to :func:`rfm_segments`.
+
+    The per-user count is one hash agg; the decile is the EXACT
+    distributed :func:`global_ntile` (grid path above 1M users, never
+    a single-task sort); shares are integer ppm of integer sums."""
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    binned = global_ntile(per_user, ["n_events", "user_id"], n_bins, out="decile")
+    tot = binned.agg(F.sum("n_events").alias("_tot"))
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.expr("n_events * 1000000 div _tot").alias("events_share_ppm"),
+        )
+    )
+
+
+def wow_growth(events: DataFrame, period_us: int = 604800000000) -> DataFrame:
+    """Week-over-week growth per event type: weekly event counts with
+    the previous OBSERVED week's count and the growth in exact integer
+    ppm ((n − prev) · 1e6 div prev; the first observed week has NULL
+    prev/growth by the standard lag convention). One hash agg + one
+    lag window partitioned by type over the ≤(types × weeks) aggregate
+    rows — constant-size window input at any corpus scale."""
+    weekly = events.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {int(period_us)}")
+        .alias("period"),
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("period")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "period",
+        "n_events",
+        prev.alias("prev_events"),
+        F.expr(
+            "CASE WHEN prev_events IS NULL THEN NULL "
+            "ELSE (n_events - prev_events) * 1000000 div prev_events END"
+        ).alias("wow_growth_ppm"),
+    )

@@ -255,3 +255,59 @@ def test_neighbor_jaccard_toy(spark):
     )
     [r] = neighbor_jaccard(edges).collect()
     assert (r["u"], r["w"], r["n_common"], r["jaccard_ppm"]) == (1, 3, 1, 1000000)
+
+
+def test_kcenter_sample_toy(spark):
+    from scarf_spark.operators.filters import kcenter_sample
+
+    # four unit vectors: e1, e1 (dup), e2, mid(e1,e2). Seed = min id
+    # (0, e1); farthest is e2 (id 2); then the midpoint; the duplicate
+    # of e1 (dist 0) is picked last.
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [r["vec_id"] for r in kcenter_sample(emb, k=4).orderBy("pick_order").collect()]
+    assert out == [0, 2, 3, 1]
+
+
+def test_pareto_shares_sum(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+
+    ev = DataStore(spark, sf_dir).table("events")
+    rows = windows.pareto_activity(ev).collect()
+    assert len(rows) == 10
+    total_share = sum(r["events_share_ppm"] for r in rows)
+    assert 999990 <= total_share <= 1000000  # integer-floor ppm rounding
+
+
+def test_wow_growth_toy(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "click"), (2, "2024-01-02 00:00:00", "click"),
+         (3, "2024-01-08 00:00:00", "click"),
+         (4, "2024-01-15 00:00:00", "click"), (5, "2024-01-16 00:00:00", "click"),
+         (6, "2024-01-17 00:00:00", "click")],
+        "event_id long, ts string, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = sorted(
+        (r["period"], r["n_events"], r["prev_events"], r["wow_growth_ppm"])
+        for r in windows.wow_growth(ev).collect()
+    )
+    assert out[0][1:] == (2, None, None)
+    assert out[1][1:] == (1, 2, -500000)  # 2 -> 1: -50%
+    assert out[2][1:] == (3, 1, 2000000)  # 1 -> 3: +200%
+
+
+def test_cross_source_containment_toy(spark):
+    from scarf_spark.operators.dedup import cross_source_containment
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c x", "s2"), (3, "p q r s", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in cross_source_containment(docs).collect()}
+    # s1 shingles: {abc, bcd}; s2: {abc, bcx, pqr, qrs}; shared = {abc}
+    assert out[("s1", "s2")]["n_shared"] == 1
+    assert out[("s1", "s2")]["containment_ppm"] == 500000   # 1 of 2
+    assert out[("s2", "s1")]["containment_ppm"] == 250000   # 1 of 4
