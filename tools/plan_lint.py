@@ -49,6 +49,11 @@ ALLOWED: dict[str, str] = {
         "aggregate (n_users <= 1M picked the single-partition ntile); "
         "the distributed grid path engages above the threshold"
     ),
+    "evt_pareto": (
+        "global_ntile adaptive small branch over the PER-USER count "
+        "aggregate (n_users <= 1M picked the single-partition ntile); "
+        "the distributed grid path engages above the threshold"
+    ),
     "ml_pr_curve": (
         "cumulative threshold windows run over the <= 10 posterior-bin "
         "aggregate rows, never document rows (same envelope as "
