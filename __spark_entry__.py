@@ -1517,6 +1517,39 @@ def dedup_jaccard_all(spark, sf_dir):
 
 
 @q(
+    "dedup_lsh_recall",
+    # recall of the MinHash band join vs exact-Jaccard ground truth at
+    # 0.5 — the dedup twin of the ANN recall gauges (an AUDIT query:
+    # the exhaustive truth side runs on a sample at 100 TB)
+    f"WITH {_MINHASH_CTE}, "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+    "FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id "
+    "GROUP BY 1, 2), "
+    "truth AS (SELECT inter.a, inter.b FROM inter "
+    "JOIN sizes sa ON inter.a = sa.doc_id "
+    "JOIN sizes sb ON inter.b = sb.doc_id "
+    "WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) * 1000000 "
+    ">= 500000), "
+    "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a "
+    "JOIN bk b ON a.band = b.band AND a.bucket = b.bucket "
+    "AND a.doc_id < b.doc_id), "
+    "hit AS (SELECT COUNT(*) AS n_hit FROM truth WHERE EXISTS "
+    "(SELECT 1 FROM cand WHERE cand.a = truth.a AND cand.b = truth.b)), "
+    "nt AS (SELECT COUNT(*) AS n_true FROM truth) "
+    "SELECT n_true, n_hit, CASE WHEN n_true > 0 THEN "
+    "ROUND(n_hit / CAST(n_true AS DOUBLE), 6) END AS recall FROM nt, hit",
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """MinHash-LSH candidate recall vs exact Jaccard ≥ 0.5
+    (dedup.lsh_recall) — the (n_hashes, n_bands) sizing gauge."""
+    return dedup.lsh_recall(
+        _ds(spark, sf_dir).documents, threshold_ppm=500000,
+        n=3, n_hashes=8, n_bands=4,
+    )
+
+
+@q(
     "dedup_simhash",
     "WITH words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
     "x -> x != '')) AS w FROM documents), "
@@ -3026,6 +3059,37 @@ def knn_purity(spark, sf_dir):
 
 
 @q(
+    "ml_ndcg",
+    # NDCG@5 of the KNN graph vs class labels: DCG folds the ordered
+    # rel/log2(rank+1) list (fixed order both engines), IDCG is a
+    # closed-form literal per n_rel, zero-relevance rows score 0
+    f"WITH {_KNN_CTE}, "
+    "lab AS (SELECT vec_id, label FROM embeddings), "
+    "ee AS (SELECT knn.src, knn.rank, "
+    "CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END AS rel "
+    "FROM knn JOIN lab ls ON knn.src = ls.vec_id "
+    "JOIN lab ld ON knn.dst = ld.vec_id), "
+    "ag AS (SELECT src, list_aggregate(list("
+    "CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END "
+    "ORDER BY rank), 'sum') AS dcg, SUM(rel) AS n_rel FROM ee GROUP BY src) "
+    "SELECT src, CAST(n_rel AS INT) AS n_rel, "
+    "CASE WHEN n_rel > 0 THEN ROUND(dcg / (CASE CAST(n_rel AS INT) "
+    "WHEN 1 THEN 1.0 WHEN 2 THEN 1.6309297535714575 "
+    "WHEN 3 THEN 2.1309297535714578 WHEN 4 THEN 2.5616063116448506 "
+    "ELSE 2.9484591188793923 END), 6) ELSE 0.0 END AS ndcg FROM ag",
+)
+def ml_ndcg(spark, sf_dir):
+    """NDCG@5 of the KNN graph against labels (ml.metrics.knn_ndcg) —
+    purity counts hits, NDCG weighs where they rank."""
+    from scarf_spark.ml import metrics
+
+    emb = _ds(spark, sf_dir).embeddings
+    return metrics.knn_ndcg(
+        _knn_edges(spark, sf_dir), emb.select("vec_id", "label"), k=5
+    )
+
+
+@q(
     "ml_calibration",
     # reliability bins for the BINARY naive-Bayes en-posterior: two
     # scores only, so p = 1/(1+exp(s_other - s_en)) is one smooth
@@ -4457,6 +4521,42 @@ def src_csv_docs(spark, sf_dir):
         .option("escape", '"')
         .csv(_csv_fixture_store(spark, sf_dir))
     )
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+_ORC_STORE_CACHE: dict[str, str] = {}
+
+
+def _orc_fixture_store(spark, sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents table as ORC via Spark's
+    built-in writer — the columnar-format roundtrip fixture next to
+    the CSV/JSONL flat-file twins."""
+    if sf_dir in _ORC_STORE_CACHE:
+        return _ORC_STORE_CACHE[sf_dir]
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="scarf_orc_") + "/docs_orc"
+    _ds(spark, sf_dir).documents.write.mode("overwrite").orc(out)
+    _ORC_STORE_CACHE[sf_dir] = out
+    return out
+
+
+@q(
+    "src_orc_docs",
+    # the ORC fixture is a faithful re-serialization of documents, so
+    # the oracle reads the parquet directly; text compared by md5
+    "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
+    "FROM documents",
+)
+def src_orc_docs(spark, sf_dir):
+    """ORC corpus ingest: Spark's second native columnar format,
+    scanned back and fingerprinted against the parquet truth —
+    predicate pushdown and column pruning reach the ORC reader the
+    same way they reach parquet, so a corpus delivered as ORC needs
+    no conversion step."""
+    docs = spark.read.orc(_orc_fixture_store(spark, sf_dir))
     return docs.select(
         "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
     )

@@ -421,3 +421,53 @@ def nb_pr_curve(docs: DataFrame, n_bins: int = 10) -> DataFrame:
         F.expr("tp * 1000000 DIV (tp + fp)").alias("precision_ppm"),
         F.expr(f"tp * 1000000 DIV {int(tot)}").alias("recall_ppm"),
     )
+
+
+def knn_ndcg(edges: DataFrame, labels: DataFrame, k: int = 5) -> DataFrame:
+    """NDCG@k of the KNN graph against class labels: a neighbour is
+    relevant iff it shares the query's label; DCG folds the
+    rank-ordered rel/log2(rank+1) terms in a FIXED order (an
+    array_sort + left fold — group-aggregate double sums reorder
+    per-partition, a fold cannot), IDCG is the closed-form constant
+    for n_rel ∈ {0..k} (precomputed literals, identical decimal
+    renderings both engines), and queries with no relevant neighbour
+    score 0 by convention. The retrieval-quality twin of
+    :func:`knn_label_purity` — purity counts hits, NDCG weighs WHERE
+    they rank. One broadcast label join + one per-src fold; never a
+    shuffle beyond the src groupBy."""
+    import math
+
+    lab = labels.select(F.col("vec_id").alias("_id"), F.col("label").alias("_l"))
+    e = (
+        edges.join(F.broadcast(lab.withColumnRenamed("_id", "src")
+                               .withColumnRenamed("_l", "_ls")), "src")
+        .join(F.broadcast(lab.withColumnRenamed("_id", "dst")
+                          .withColumnRenamed("_l", "_ld")), "dst")
+        .where(F.col("rank") <= k)
+    )
+    term = F.when(F.col("_ls") == F.col("_ld"),
+                  1.0 / F.log2(F.col("rank") + 1.0)).otherwise(F.lit(0.0))
+    per = e.select("src", F.col("rank"), term.alias("_t"),
+                   (F.col("_ls") == F.col("_ld")).cast("int").alias("_rel"))
+    agg = per.groupBy("src").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "_t"))),
+                lambda s: s["_t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_dcg"),
+        F.sum("_rel").alias("n_rel"),
+    )
+    idcg = F.lit(0.0)
+    for i in range(k, 0, -1):
+        c = sum(1.0 / math.log2(r + 1) for r in range(1, i + 1))
+        idcg = F.when(F.col("n_rel") == i, F.lit(c)).otherwise(idcg)
+    return agg.select(
+        "src",
+        F.col("n_rel").cast("int").alias("n_rel"),
+        F.when(F.col("n_rel") > 0, F.round(F.col("_dcg") / idcg, 6))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )

@@ -884,3 +884,42 @@ def cross_source_containment(
         "n_shared",
         F.expr("n_shared * 1000000 div _n_sh").alias("containment_ppm"),
     )
+
+
+def lsh_recall(
+    docs: DataFrame,
+    threshold_ppm: int = 500000,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Recall of the MinHash-LSH banding against ground truth: of the
+    pairs whose EXACT shingle Jaccard ≥ threshold, what fraction did
+    the band join surface as candidates — the quality gauge that
+    decides (n_hashes, n_bands) sizing, the dedup twin of the ANN
+    recall queries. Returns one row (n_true, n_hit, recall).
+
+    The ground-truth side scores every intersecting pair
+    (:func:`ngram_jaccard` with pairs=None) — an AUDIT query by
+    nature: run it on a sample at 100 TB (the graded scale dedup path
+    is candidate-bounded ngram_jaccard; this measures that path's
+    miss rate). The threshold compares the ROUND(6) jaccard against
+    an integer-ppm literal, so the cut is bit-stable cross-engine."""
+    truth = ngram_jaccard(docs, pairs=None, n=n, df_cap=df_cap).where(
+        F.col("jaccard") * 1000000 >= F.lit(threshold_ppm)
+    )
+    cand = minhash_candidate_pairs(docs, n=n, n_hashes=n_hashes, n_bands=n_bands)
+    hit = truth.join(cand, ["a", "b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6),
+            ).alias("recall"),
+        )
+    )

@@ -311,3 +311,32 @@ def test_cross_source_containment_toy(spark):
     assert out[("s1", "s2")]["n_shared"] == 1
     assert out[("s1", "s2")]["containment_ppm"] == 500000   # 1 of 2
     assert out[("s2", "s1")]["containment_ppm"] == 250000   # 1 of 4
+
+
+def test_knn_ndcg_toy(spark):
+    from scarf_spark.ml.metrics import knn_ndcg
+
+    edges = spark.createDataFrame(
+        [(1, 1, 2, 0.1), (1, 2, 3, 0.2), (1, 3, 4, 0.3)],
+        "src long, rank long, dst long, distance double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 0)], "vec_id long, label int"
+    )
+    [r] = knn_ndcg(edges, labels, k=3).collect()
+    # rel = [0, 1, 1]: dcg = 1/log2(3) + 1/log2(4); idcg(2) = 1 + 1/log2(3)
+    import math
+    dcg = 1 / math.log2(3) + 0.5
+    idcg = 1 + 1 / math.log2(3)
+    assert r["n_rel"] == 2 and abs(r["ndcg"] - round(dcg / idcg, 6)) < 1e-9
+
+
+def test_lsh_recall_bounds(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.dedup import lsh_recall
+
+    docs = DataStore(spark, sf_dir).table("documents")
+    [r] = lsh_recall(docs).collect()
+    assert r["n_true"] >= 0 and 0 <= r["n_hit"] <= r["n_true"]
+    if r["n_true"]:
+        assert 0.0 <= r["recall"] <= 1.0
