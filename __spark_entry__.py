@@ -7423,6 +7423,99 @@ def evt_wow(spark, sf_dir):
 
 
 @q(
+    "win_hampel",
+    # Hampel robust outlier filter: trailing-window median ± k·MAD in
+    # exact integer micros — medians are array picks, the flag an
+    # integer cross-multiply; no float anywhere
+    "WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us, "
+    "CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events), "
+    "a AS (SELECT event_id, event_type, v AS v_micros, "
+    "list_sort(list(v) OVER (PARTITION BY event_type ORDER BY us, event_id "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM e), "
+    "m AS (SELECT event_id, event_type, v_micros, arr, "
+    "arr[(len(arr) + 1) // 2] AS med FROM a), "
+    "dv AS (SELECT event_id, event_type, v_micros, med, "
+    "list_sort(list_transform(arr, x -> abs(x - med))) AS dev FROM m) "
+    "SELECT event_id, event_type, v_micros, med, "
+    "dev[(len(dev) + 1) // 2] AS mad, "
+    "abs(v_micros - med) > 3 * dev[(len(dev) + 1) // 2] AS is_outlier "
+    "FROM dv",
+)
+def win_hampel(spark, sf_dir):
+    """Hampel outlier filter (windows.hampel_filter) — trailing
+    median ± 3·MAD, the robust spike detector."""
+    return windows.hampel_filter(_ds(spark, sf_dir).events, width=7, k=3)
+
+
+@q(
+    "evt_trend",
+    # Theil-Sen robust daily-volume trend: median pairwise slope in
+    # truncating integer ppm; quadratic over DAYS (calendar-bounded),
+    # median via the cumulative threshold-crossing form
+    "WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "sl AS (SELECT a.event_type, "
+    "(b.n - a.n) * 1000000 // (b.d - a.d) AS slope_ppm "
+    "FROM daily a JOIN daily b ON a.event_type = b.event_type "
+    "AND b.d > a.d), "
+    "tw AS (SELECT event_type, COUNT(*) AS w FROM sl GROUP BY 1), "
+    "vv AS (SELECT event_type, slope_ppm, COUNT(*) AS vw FROM sl "
+    "GROUP BY 1, 2), "
+    "cum AS (SELECT event_type, slope_ppm, SUM(vw) OVER "
+    "(PARTITION BY event_type ORDER BY slope_ppm) AS cw FROM vv), "
+    "med AS (SELECT cum.event_type, MIN(slope_ppm) AS slope_ppm_per_day "
+    "FROM cum JOIN tw ON cum.event_type = tw.event_type "
+    "WHERE 2 * cw >= w GROUP BY 1), "
+    "nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1) "
+    "SELECT nd.event_type, n_days, tw.w AS n_pairs, slope_ppm_per_day "
+    "FROM nd JOIN tw ON nd.event_type = tw.event_type "
+    "JOIN med ON nd.event_type = med.event_type",
+)
+def evt_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily event volume per type
+    (windows.theilsen_trend) — the estimator one spike day can't
+    move; exact distributed median of integer-ppm slopes."""
+    return windows.theilsen_trend(_ds(spark, sf_dir).events)
+
+
+@q(
+    "agg_log_hist",
+    # power-of-two histogram: bucket = binary digit count of the micros
+    # value (length(bin(x)) identical in both engines — no libm log2
+    # boundary), <= 64 buckets of state per group
+    "WITH d AS (SELECT event_type, CAST(FLOOR(value * 1000000.0) AS BIGINT) "
+    "AS v FROM events WHERE FLOOR(value * 1000000.0) > 0) "
+    "SELECT event_type, CAST(length(bin(v)) AS INT) AS bucket, "
+    "COUNT(*) AS n, MIN(v) AS min_micros, MAX(v) AS max_micros "
+    "FROM d GROUP BY 1, 2",
+)
+def agg_log_hist(spark, sf_dir):
+    """HdrHistogram-style power-of-two value histogram per event type
+    (aggregate.log2_histogram) — constant-state long-tail profiling."""
+    return aggregate.log2_histogram(_ds(spark, sf_dir).events, "event_type", "value")
+
+
+@q(
+    "stream_cms",
+    # count-min sketch cells (the streaming build's batch twin): the
+    # CMS update IS a groupBy, so the same cms_cells runs unchanged on
+    # a stream as a windowless aggregation with constant d*w state
+    "WITH k AS (SELECT event_type AS key FROM events), "
+    "cells AS (SELECT CAST(g.r AS INT) AS r, "
+    "('0x' || substr(md5(g.r || '_' || key), 1, 15))::BIGINT % 64 AS bucket "
+    "FROM k, generate_series(0, 3) g(r)) "
+    "SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2",
+)
+def stream_cms(spark, sf_dir):
+    """Count-min sketch build (streaming.events.cms_sketch_stream
+    batch twin) — stream parity in test_streaming; the sketch state is
+    the constant d·w cells at any stream volume."""
+    from scarf_spark import streaming as strm
+
+    return strm.cms_sketch_stream(_ds(spark, sf_dir).events, "event_type")
+
+
+@q(
     "evt_active_users",
     # DAU/WAU/MAU, exact: each distinct (user, day) expands to the
     # <=30 trailing windows it belongs to — a constant-factor

@@ -420,6 +420,35 @@ def hll_distinct(
     )
 
 
+def cms_cells(df: DataFrame, key_col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """The (r, bucket, cnt) count-min sketch table — the shared build
+    behind :func:`cms_heavy_hitters` and the STREAMING twin
+    (``streaming.events.cms_sketch_stream``): the same groupBy runs
+    unchanged on a streaming DataFrame as a windowless aggregation
+    whose state is the constant d·w cells, and register-wise SUM
+    merges shards/restarts."""
+
+    def bucket(r: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}_"), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w))
+
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket")) for r in range(d)
+    ])
+    return (
+        df.select(F.explode(cells).alias("_c"))
+        .select("_c.r", "_c.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -445,26 +474,7 @@ def cms_heavy_hitters(
 
     Emits the top ``n_top`` keys by exact count (key tie-break):
     (key, exact_cnt, est_cnt, overestimate)."""
-
-    def bucket(r: int) -> Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{r}_"), F.col(key_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        return F.pmod(h, F.lit(w))
-
-    cells = F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket")) for r in range(d)
-    ])
-    sketch = (
-        df.select(F.explode(cells).alias("_c"))
-        .select("_c.r", "_c.bucket")
-        .groupBy("r", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    sketch = cms_cells(df, key_col, d=d, w=w)
     exact = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("exact_cnt")
     )
@@ -854,4 +864,26 @@ def boxplot_stats(
         )
         .cast("long")
         .alias("n_outliers"),
+    )
+
+
+def log2_histogram(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Power-of-two (HdrHistogram-style) latency/value histogram per
+    group: bucket = number of binary digits of the value in integer
+    micros (⌊log2⌋+1 without touching libm — ``length(bin(x))`` is
+    identical in Spark and DuckDB, so no float log boundary can flip a
+    bucket). The constant-state way to see a long-tailed value
+    distribution at 100 TB: ≤64 buckets per group through the shuffle,
+    with exact min/max per bucket for the drill-down."""
+    v = F.floor(F.col(value_col) * 1000000.0).cast("long")
+    d = df.select(F.col(group_col), v.alias("_v")).where(F.col("_v") > 0)
+    bucket = F.length(F.bin(F.col("_v")))
+    return (
+        d.withColumn("bucket", bucket.cast("int"))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_v").alias("min_micros"),
+            F.max("_v").alias("max_micros"),
+        )
     )

@@ -1376,3 +1376,85 @@ def wow_growth(events: DataFrame, period_us: int = 604800000000) -> DataFrame:
             "ELSE (n_events - prev_events) * 1000000 div prev_events END"
         ).alias("wow_growth_ppm"),
     )
+
+
+def hampel_filter(
+    events: DataFrame, width: int = 7, k: int = 3
+) -> DataFrame:
+    """Hampel outlier filter per event type: flag a value when it sits
+    more than ``k`` MADs from the trailing-window MEDIAN — the robust
+    replacement for z-score spike detection (one outlier can't drag
+    the center the way it drags a mean/std). All integer micros: the
+    window array's lower median and the lower median of absolute
+    deviations are exact array picks, and the flag is the integer
+    cross-multiply |x − med| > k·MAD — no float anywhere, bit-exact on
+    any engine. Windows partition by event_type and order by (ts,
+    event_id); per-row work is two sorts of a ≤``width`` array."""
+    e = events.select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("v_micros"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_us", "event_id")
+        .rowsBetween(-(width - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("v_micros").over(w))
+    d = e.withColumn("_arr", arr).withColumn(
+        "med", F.expr("element_at(_arr, CAST((size(_arr) + 1) div 2 AS INT))")
+    )
+    dev = F.array_sort(
+        F.transform("_arr", lambda x: F.abs(x - F.col("med")))
+    )
+    d = d.withColumn("_dev", dev).withColumn(
+        "mad", F.expr("element_at(_dev, CAST((size(_dev) + 1) div 2 AS INT))")
+    )
+    return d.select(
+        "event_id",
+        "event_type",
+        "v_micros",
+        "med",
+        "mad",
+        (F.abs(F.col("v_micros") - F.col("med")) > F.lit(k) * F.col("mad"))
+        .alias("is_outlier"),
+    )
+
+
+def theilsen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per type: the
+    MEDIAN of all pairwise slopes (n₂−n₁)/(d₂−d₁) over observed days —
+    the estimator one spike day cannot move (unlike OLS). Slopes are
+    quantized to integer ppm with truncating division (identical in
+    both engines, verified incl. negatives), and the median is the
+    exact distributed :func:`grouped_weighted_median` with unit
+    weights. The day dimension is calendar-bounded, so the pairwise
+    slope set is tiny at ANY corpus scale — the quadratic is over
+    days, never events. Returns (event_type, n_days, n_pairs,
+    slope_ppm_per_day)."""
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("d"),
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("n").alias("n1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("n").alias("n2"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            F.expr("(n2 - n1) * 1000000 div (d2 - d1)").alias("slope_ppm"),
+        )
+    )
+    med = grouped_weighted_median(
+        slopes.withColumn("_one", F.lit(1)), ["event_type"], "slope_ppm", "_one"
+    ).select(
+        "event_type",
+        F.col("w_total").alias("n_pairs"),
+        F.col("wmedian").alias("slope_ppm_per_day"),
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return nd.join(med, "event_type").select(
+        "event_type", "n_days", "n_pairs", "slope_ppm_per_day"
+    )

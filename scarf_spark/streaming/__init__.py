@@ -13,6 +13,7 @@ sessionization — with batch twins for oracle verification.
 from scarf_spark.streaming.events import (  # noqa: F401
     attribution_join,
     attribution_stream,
+    cms_sketch_stream,
     decontaminate_stream,
     enrich_events,
     read_documents_stream,

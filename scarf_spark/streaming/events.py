@@ -693,3 +693,20 @@ def attribution_stream(events: DataFrame, n_channels: int = 10) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_sketch_stream(
+    events: DataFrame, key_col: str = "event_type", d: int = 4, w: int = 64
+) -> DataFrame:
+    """Streaming count-min sketch build — the frequency twin of
+    :func:`kmv_distinct_stream` / :func:`hll_distinct_stream`, and the
+    simplest of the three: the CMS update IS a groupBy, so the batch
+    build (``aggregate.cms_cells``) runs unchanged on a streaming
+    DataFrame as a windowless aggregation. Aggregation state = the
+    constant d·w cells regardless of stream volume; register-wise SUM
+    merges micro-batches, shards, and restarts. Probe estimates stay a
+    batch-side broadcast join against the (tiny) materialized sketch.
+    Use complete output mode (the sketch is a whole-table summary)."""
+    from scarf_spark.operators.aggregate import cms_cells
+
+    return cms_cells(events, key_col, d=d, w=w)

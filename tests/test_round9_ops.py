@@ -340,3 +340,45 @@ def test_lsh_recall_bounds(spark, sf_dir):
     assert r["n_true"] >= 0 and 0 <= r["n_hit"] <= r["n_true"]
     if r["n_true"]:
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_hampel_flags_spike(spark):
+    rows = [(i, "t", f"2024-01-01 00:{i:02d}:00", 10.0 if i != 5 else 500.0)
+            for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    )
+    out = {r["event_id"]: r for r in windows.hampel_filter(ev).collect()}
+    assert out[5]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    # the spike does NOT drag the median: neighbours stay inliers
+    assert out[6]["med"] == 10_000_000
+
+
+def test_theilsen_ignores_spike_day(spark):
+    # days 0..9 with n = 2/day except one spike day; slope median = 0
+    rows = []
+    eid = 0
+    for d in range(10):
+        n = 20 if d == 4 else 2
+        for _ in range(n):
+            rows.append((eid, "t", f"2024-01-{d + 1:02d} 00:00:00"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts string")
+    [r] = windows.theilsen_trend(ev).collect()
+    assert r["n_days"] == 10 and r["n_pairs"] == 45
+    assert r["slope_ppm_per_day"] == 0  # robust to the one spike day
+
+
+def test_log2_histogram_buckets(spark):
+    from scarf_spark.operators.aggregate import log2_histogram
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1e-6), (2, "a", 3e-6), (3, "a", 1000.0), (4, "a", 0.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r["bucket"]: r for r in log2_histogram(ev, "event_type", "value").collect()}
+    assert out[1]["n"] == 1          # 1 micro -> '1'
+    assert out[2]["n"] == 1          # 3 micros -> '11'
+    assert out[30]["min_micros"] == 1_000_000_000  # 1e9 micros = 30 bits
+    assert 0 not in out              # zero filtered (no bin for 0)

@@ -403,3 +403,31 @@ def test_attribution_stream_matches_batch(spark, sf_dir, events_batch):
         ).collect()
     }
     assert got == batch
+
+
+def test_cms_stream_matches_batch_cells(spark, sf_dir, events_batch):
+    """The streaming count-min sketch's final cells (complete mode —
+    the CMS update is just a windowless groupBy) equal the batch
+    cms_cells table exactly: counts are integers, no tolerance."""
+    from scarf_spark.operators.aggregate import cms_cells
+
+    batch = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_cells(events_batch, "event_type").collect()
+    }
+    stream = strm.cms_sketch_stream(
+        strm.read_events_stream(spark, sf_dir), "event_type"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cms_cells_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_cells_t").collect()
+    }
+    assert got == batch
