@@ -7740,6 +7740,64 @@ def text_drift_terms(spark, sf_dir):
 
 
 @q(
+    "text_novelty",
+    # per-doc n-gram novelty: share of a doc's distinct 3-grams with
+    # corpus document frequency 1 — exact integer ppm, one shingle-
+    # keyed df aggregate joined back
+    f"WITH {_SHINGLE_CTE}, "
+    "dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle) "
+    "SELECT sh.doc_id, COUNT(*) AS n_shingles, "
+    "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+    "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 "
+    "// COUNT(*) AS novelty_ppm "
+    "FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle GROUP BY sh.doc_id",
+)
+def text_novelty(spark, sf_dir):
+    """Per-document shingle novelty (text.shingle_novelty) — the
+    inverse signal of the boilerplate detector: how much of a doc no
+    other doc contains."""
+    from scarf_spark.operators import text
+
+    return text.shingle_novelty(_ds(spark, sf_dir).documents, n=3)
+
+
+@q(
+    "text_jsd_drift",
+    # Jensen-Shannon divergence src0 vs rest over the full unigram
+    # vocabulary: per-term contributions ROUND(12) then summed as
+    # DECIMAL(38,18) — an order-free exact sum, so the vocabulary-
+    # sized accumulation cannot drift across engines
+    "WITH w3 AS (SELECT (source = 'src0') AS a, "
+    "unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term "
+    "FROM documents), "
+    "counts AS (SELECT term, "
+    "CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+    "CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+    "FROM w3 GROUP BY term), "
+    "tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, "
+    "CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS n_terms FROM counts), "
+    "t AS (SELECT n_terms, CAST(ROUND(("
+    "CASE WHEN ca > 0 THEN (ca / CAST(na AS DOUBLE)) * "
+    "LN((ca / CAST(na AS DOUBLE)) / ((ca / CAST(na AS DOUBLE) "
+    "+ cb / CAST(nb AS DOUBLE)) / 2.0)) ELSE 0.0 END "
+    "+ CASE WHEN cb > 0 THEN (cb / CAST(nb AS DOUBLE)) * "
+    "LN((cb / CAST(nb AS DOUBLE)) / ((ca / CAST(na AS DOUBLE) "
+    "+ cb / CAST(nb AS DOUBLE)) / 2.0)) ELSE 0.0 END) / 2.0, 12) "
+    "AS DECIMAL(38,18)) AS t FROM counts, tot) "
+    "SELECT n_terms, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS jsd FROM t "
+    "GROUP BY n_terms",
+)
+def text_jsd_drift(spark, sf_dir):
+    """Jensen-Shannon unigram divergence, src0 vs rest
+    (text.jsd_drift) — the bounded symmetric scalar drift monitor over
+    the FULL vocabulary (no binning), made order-free by per-term
+    ROUND + DECIMAL accumulation."""
+    from scarf_spark.operators import text
+
+    return text.jsd_drift(_ds(spark, sf_dir).documents)
+
+
+@q(
     "win_ewma",
     # recursive EWMA as a relational fold: list_reduce replays the same
     # left-to-right IEEE op sequence as Spark's aggregate() HOF

@@ -1022,3 +1022,88 @@ def type_token_ratio(
             "DIV size(_w)"
         ).alias("ttr_ppm"),
     )
+
+
+def shingle_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that occur in NO other document (corpus document
+    frequency 1) — high novelty separates genuinely new material from
+    template/recombined text, the inverse signal of the boilerplate
+    detector. Exact integer ppm.
+
+    One distinct (doc, shingle) projection, one shingle-keyed document
+    -frequency aggregate joined back, one per-doc rollup — the same
+    shingle shuffle key as every dedup stage, nothing quadratic."""
+    from scarf_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = sh.localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+def jsd_drift(
+    docs: DataFrame,
+    split_col: str = "source",
+    split_value: str = "src0",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the ``split_value`` slice's
+    unigram distribution and the rest — the bounded, symmetric scalar
+    drift monitor next to the binned PSI (JSD works directly on the
+    full vocabulary; PSI needs a binning). Returns one row
+    (n_terms, jsd).
+
+    Cross-engine determinism: each term's contribution
+    ½(p·ln(p/m) + q·ln(q/m)) is the same double expression on both
+    engines, ROUNDED to 12 decimals per term and accumulated as
+    DECIMAL(38,18) — an ORDER-FREE exact sum, so vocabulary-sized
+    summation never drifts (the same trick as the DECIMAL money
+    sums). Terms absent from a side contribute only the present
+    side's half (0·ln0 = 0 convention)."""
+    words = docs.select(
+        (F.col(split_col) == split_value).alias("_a"),
+        F.explode(_words(text_col)).alias("term"),
+    )
+    counts = words.groupBy("term").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("n_terms"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.col("na")
+    qq = F.col("cb") / F.col("nb")
+    m = (p + qq) / 2.0
+    term = (
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, qq * F.log(qq / m)).otherwise(F.lit(0.0))
+    ) / 2.0
+    return (
+        j.select(
+            F.col("n_terms"),
+            F.round(term, 12).cast("decimal(38,18)").alias("_t"),
+        )
+        .groupBy("n_terms")
+        .agg(F.round(F.sum("_t").cast("double"), 6).alias("jsd"))
+        .select("n_terms", "jsd")
+    )

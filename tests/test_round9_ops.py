@@ -382,3 +382,31 @@ def test_log2_histogram_buckets(spark):
     assert out[2]["n"] == 1          # 3 micros -> '11'
     assert out[30]["min_micros"] == 1_000_000_000  # 1e9 micros = 30 bits
     assert 0 not in out              # zero filtered (no bin for 0)
+
+
+def test_shingle_novelty_toy(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.shingle_novelty(docs, n=3).collect()}
+    # doc1: {abc(df2), bcd(df1)} -> 50% novel; doc3 fully novel
+    assert out[1]["novelty_ppm"] == 500000
+    assert out[2]["novelty_ppm"] == 500000
+    assert out[3]["novelty_ppm"] == 1000000
+
+
+def test_jsd_drift_bounds(spark):
+    same = spark.createDataFrame(
+        [(1, "s1", "a b c"), (2, "s2", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    [r] = text.jsd_drift(same, split_value="s1").collect()
+    assert r["jsd"] == 0.0  # identical distributions
+    disjoint = spark.createDataFrame(
+        [(1, "s1", "a a"), (2, "s2", "b b")],
+        "doc_id long, source string, text string",
+    )
+    [r2] = text.jsd_drift(disjoint, split_value="s1").collect()
+    import math
+    assert abs(r2["jsd"] - math.log(2)) < 1e-6  # max JSD (nats)
