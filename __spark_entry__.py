@@ -7479,6 +7479,59 @@ def evt_trend(spark, sf_dir):
 
 
 @q(
+    "evt_concurrency",
+    # peak concurrent sessions per day: the sweep line as ±1 deltas
+    # over the sessionizer's islands, midnight-spanning sessions carry
+    # +1 into each day they cross, running sum partitioned by day,
+    # (sec, d DESC, user, session) order — all integer arithmetic
+    "WITH o AS (SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) "
+    "AS t FROM events), "
+    "b AS (SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id) > 1800 THEN 1 ELSE 0 END AS brk FROM o), "
+    "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM b), "
+    "ses AS (SELECT user_id, session_id, MIN(t) AS st, MAX(t) AS en "
+    "FROM s GROUP BY 1, 2), "
+    "del AS (SELECT st AS sec, 1 AS d, user_id, session_id FROM ses "
+    "UNION ALL SELECT en + 1, -1, user_id, session_id FROM ses "
+    "UNION ALL SELECT dd * 86400, 1, user_id, session_id FROM ses, "
+    "UNNEST(range(st // 86400 + 1, en // 86400 + 1)) AS u(dd) "
+    "WHERE en // 86400 > st // 86400), "
+    "dd2 AS (SELECT *, sec // 86400 AS day FROM del), "
+    "run AS (SELECT day, d, SUM(d) OVER (PARTITION BY day "
+    "ORDER BY sec, d DESC, user_id, session_id ROWS UNBOUNDED PRECEDING) "
+    "AS r FROM dd2) "
+    "SELECT day, CAST(MAX(r) AS BIGINT) AS max_concurrent, "
+    "CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_session_starts FROM run GROUP BY day",
+)
+def evt_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (windows.session_concurrency)
+    — the capacity-planning sweep line over the sessionizer's
+    islands."""
+    return windows.session_concurrency(_ds(spark, sf_dir).events)
+
+
+@q(
+    "dedup_normalized",
+    # fuzzy-exact dedup after C4-style normalization: lowercase, map
+    # non-[a-z0-9] to SPACE (punctuation separates), squeeze space
+    # runs, trim; group on the md5 of the canonical form, keep the
+    # smallest id
+    "WITH n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 "
+    "FROM documents) "
+    "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups, norm_md5 "
+    "FROM n GROUP BY norm_md5",
+)
+def dedup_normalized(spark, sf_dir):
+    """Fuzzy-exact dedup on the normalized text fingerprint
+    (dedup.normalized_exact_dedup) — catches casing/punctuation
+    near-dups without MinHash cost."""
+    return dedup.normalized_exact_dedup(_ds(spark, sf_dir).documents)
+
+
+@q(
     "agg_log_hist",
     # power-of-two histogram: bucket = binary digit count of the micros
     # value (length(bin(x)) identical in both engines — no libm log2

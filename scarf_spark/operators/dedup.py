@@ -923,3 +923,33 @@ def lsh_recall(
             ).alias("recall"),
         )
     )
+
+
+def normalized_exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fuzzy-exact dedup after canonical text normalization (the C4
+    rule family): lowercase, map every non-[a-z0-9] character to a
+    SPACE (so punctuation acts as a separator — "hello-world" and
+    "hello world" collapse), squeeze space runs, trim — then
+    exact-group on the md5 of the normalized form and keep the
+    smallest id. Catches the casing/punctuation near-dups exact dedup
+    misses without paying for MinHash. One hash agg on the
+    fingerprint; survivors carry their group size.
+    Returns (doc_id, n_dups, norm_md5)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", " "),
+            " +",
+            " ",
+        )
+    )
+    d = docs.select(F.col(id_col), F.md5(norm).alias("norm_md5"))
+    return (
+        d.groupBy("norm_md5")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .select(id_col, "n_dups", "norm_md5")
+    )

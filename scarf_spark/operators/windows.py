@@ -1458,3 +1458,69 @@ def theilsen_trend(events: DataFrame) -> DataFrame:
     return nd.join(med, "event_type").select(
         "event_type", "n_days", "n_pairs", "slope_ppm_per_day"
     )
+
+
+def session_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning sweep
+    line: every session (the sessionizer's 30-minute-gap islands)
+    contributes +1 at its start and −1 one second after its end; the
+    running sum over each DAY's time-ordered deltas peaks at the
+    day's max concurrency. Sessions spanning midnight carry over via
+    an explicit day-start delta (the running sum restarts exact at
+    each day boundary with the carried-in open-session count).
+
+    Deterministic: deltas order by (second, delta DESC, user, session)
+    — a start and an end at the same instant count as overlapping
+    (the max-overlap convention). All integer seconds/counts. The
+    sweep window partitions by day — bounded by one day's session
+    churn, never the full history."""
+    from scarf_spark.streaming.events import sessionize_batch
+
+    s = sessionize_batch(events, gap_minutes=gap_minutes).localCheckpoint(
+        eager=True
+    )
+    day = lambda c: F.expr(f"{c} div 86400")  # noqa: E731 — integer div,
+    # never a double quotient (double rounding could flip a midnight)
+    # carry-over: a session open at a day boundary adds +1 at that
+    # day's first second (and its -1 lands on whatever day it ends)
+    deltas = (
+        s.select(
+            F.col("session_start").alias("sec"), F.lit(1).alias("d"),
+            "user_id", "session_id",
+        )
+        .unionByName(
+            s.select(
+                (F.col("session_end") + 1).alias("sec"),
+                F.lit(-1).alias("d"), "user_id", "session_id",
+            )
+        )
+        .unionByName(
+            # for each midnight a session spans, emit +1 at the day
+            # start and -1 at the previous day's *virtual* end-of-day
+            # so per-day running sums are self-contained
+            s.where(day("session_end") > day("session_start")).select(
+                F.explode(
+                    F.sequence(
+                        day("session_start") + 1, day("session_end")
+                    )
+                ).alias("_d"),
+                "user_id", "session_id",
+            ).select(
+                (F.col("_d") * 86400).alias("sec"), F.lit(1).alias("d"),
+                "user_id", "session_id",
+            )
+        )
+    )
+    deltas = deltas.withColumn("day", F.expr("sec div 86400"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("sec", F.desc("d"), "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.withColumn("_run", F.sum("d").over(w))
+    return run.groupBy("day").agg(
+        F.max("_run").cast("long").alias("max_concurrent"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_session_starts"),
+    )

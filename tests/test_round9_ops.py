@@ -410,3 +410,35 @@ def test_jsd_drift_bounds(spark):
     [r2] = text.jsd_drift(disjoint, split_value="s1").collect()
     import math
     assert abs(r2["jsd"] - math.log(2)) < 1e-6  # max JSD (nats)
+
+
+def test_session_concurrency_toy(spark):
+    # two users overlapping within one day; one session spanning
+    # midnight contributes to both days
+    rows = [
+        (1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 10:10:00"),
+        (3, 20, "2024-01-01 10:05:00"),
+        (4, 30, "2024-01-01 23:50:00"), (5, 30, "2024-01-02 00:10:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["day"]: r for r in windows.session_concurrency(ev).collect()}
+    d1, d2 = sorted(out)
+    # 10:05-10:10 users 10+20 overlap (=2); 23:50 user 30 is alone, so
+    # day-1 peak is 2
+    assert out[d1]["max_concurrent"] == 2
+    assert out[d2]["max_concurrent"] == 1  # the carried-over session
+    assert out[d2]["n_session_starts"] == 1  # the midnight carry +1
+
+
+def test_normalized_dedup_collapses_case_punct(spark):
+    from scarf_spark.operators.dedup import normalized_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO-WORLD"),
+         (4, "different text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_dups"] for r in normalized_exact_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1}  # 1/2/3 collapse to the smallest id

@@ -382,7 +382,10 @@ def main() -> None:
                 "rows": n,
                 "kernels": results,
                 "mrows_per_sec": {
-                    k: round(n / 1e6 / v, 1) if v else None for k, v in results.items()
+                    k: round(n / 1e6 / v, 1) if v else None
+                    for k, v in results.items()
+                    # *_rounds entries are iteration counts, not times
+                    if not k.endswith("_rounds")
                 },
             }
         )
