@@ -147,6 +147,27 @@ HEADLINE = [
     "text_drift_terms",
     "evt_streaks",
     "text_ttr",
+    # round-9 additions
+    "pipe_mm_prep",
+    "graph_jaccard_sim",
+    "agg_weighted_median",
+    "evt_churn",
+    "evt_interarrival",
+    "evt_pareto",
+    "evt_wow",
+    "samp_kcenter",
+    "dedup_cross_source",
+    "dedup_lsh_recall",
+    "ml_ndcg",
+    "src_orc_docs",
+    "win_hampel",
+    "evt_trend",
+    "agg_log_hist",
+    "stream_cms",
+    "text_novelty",
+    "text_jsd_drift",
+    "evt_concurrency",
+    "dedup_normalized",
 ]
 
 
