@@ -289,3 +289,172 @@ class ScarfDataStore:
             .orderBy(F.col("score").desc(), "feat_id")
             .limit(top_n)
         )
+
+    # ---- additional reference-surface methods (round 9) ---------------
+
+    def run_cell_cycle_scoring(
+        self,
+        s_regex: str = "^S_",
+        g2m_regex: str = "^G2M_",
+        name_col: str = "name",
+    ) -> "ScarfDataStore":
+        """``datastore.py:744-822``: S/G2M phase assignment from
+        regex-matched gene sets; phase lands as ``{assay}_phase``."""
+        from scarf_spark.operators.demux import cell_cycle_phase
+
+        if name_col not in self.feats.columns:
+            feats = self.feats.withColumn(
+                name_col, F.concat(F.lit("F"), F.col("feat_id").cast("string"))
+            )
+        else:
+            feats = self.feats
+        out = cell_cycle_phase(
+            self._active_counts(), feats, s_regex, g2m_regex, name_col
+        ).select("cell_id", F.col("phase").alias(f"{self.assay}_phase"))
+        self._set_cell_cols(out)
+        return self
+
+    def mark_hto_identities(
+        self, counts_hto: DataFrame, n_htos: int, quantile: float = 0.99
+    ) -> "ScarfDataStore":
+        """``datastore.py:199-221``: HTO demultiplexing; the assignment
+        lands as ``{assay}_HTO_tag``."""
+        from scarf_spark.operators.demux import hto_demux
+
+        out = hto_demux(counts_hto, n_htos=n_htos, quantile=quantile).select(
+            "cell_id", F.col("assignment").alias(f"{self.assay}_HTO_tag")
+        )
+        self._set_cell_cols(out)
+        return self
+
+    def make_bulk(self, group_key: str) -> DataFrame:
+        """``datastore.py:978-1116``: pseudo-bulk per (group, feature)
+        over the active cells."""
+        from scarf_spark.operators.aggregate import make_bulk
+
+        groups = self.cells.where("I").select(
+            "cell_id", F.col(group_key).alias("group")
+        )
+        return make_bulk(self._active_counts(), groups)
+
+    def add_grouped_assay(self, feat_group_key: str, group_col: str = "feat_group") -> DataFrame:
+        """``datastore.py:824-894``: per-(cell, feature-group) mean
+        assay from a feature grouping column."""
+        from scarf_spark.operators.aggregate import grouped_assay
+
+        fg = self.feats.select("feat_id", F.col(feat_group_key).alias(group_col))
+        return grouped_assay(self._active_counts(), fg, group_col=group_col)
+
+    def smart_label(self, from_key: str, to_key: str) -> DataFrame:
+        """``datastore.py:1189-1239``: crosstab argmax relabel between
+        two cell groupings."""
+        from scarf_spark.operators.aggregate import smart_label_argmax
+
+        return smart_label_argmax(self.cells.where("I"), from_key, to_key)
+
+    def calc_membership_strength(self, label_key: str, k: int = 5) -> DataFrame:
+        """``datastore.py:1171-1187``: fraction of k neighbours sharing
+        the cell's modal neighbour label."""
+        from scarf_spark.operators.graph import membership_strength
+
+        labels = self.cells.where("I").select(
+            "cell_id", F.col(label_key).alias("label")
+        )
+        return membership_strength(self._require_graph(), labels, k=k)
+
+    def run_pseudotime(self, source_node: int | None = None) -> "ScarfDataStore":
+        """``graph_datastore.py:1818-2003``: PBA pseudotime over the
+        KNN graph (driver_compute boundary, like the reference);
+        lands as ``{assay}_pseudotime``."""
+        from scarf_spark.ml.pseudotime import pba_pseudotime
+
+        edges = self._require_graph()
+        if source_node is None:
+            source_node = edges.agg(F.min("src")).collect()[0][0]
+        out = pba_pseudotime(edges, source_node=int(source_node)).select(
+            F.col("node").alias("cell_id"),
+            F.col("pseudotime").alias(f"{self.assay}_pseudotime"),
+        )
+        self._set_cell_cols(out)
+        return self
+
+    def run_topacedo_sampler(self, label_key: str, cap_per_cluster: int = 50) -> "ScarfDataStore":
+        """``graph_datastore.py:1586-1727``: TopACeDo-style sketch —
+        the kept flag lands as ``{assay}_sketched``."""
+        from scarf_spark.operators.demux import downsample_sketch
+
+        kept = downsample_sketch(
+            self.cells.where("I").select("cell_id", label_key),
+            label_col=label_key,
+            cap_per_cluster=cap_per_cluster,
+        ).select("cell_id", F.lit(True).alias(f"{self.assay}_sketched"))
+        self._set_cell_cols(kept)
+        self.cells = self.cells.withColumn(
+            f"{self.assay}_sketched",
+            F.coalesce(F.col(f"{self.assay}_sketched"), F.lit(False)),
+        )
+        return self
+
+    def metric_lisi(self, label_key: str, perplexity: float = 5.0) -> DataFrame:
+        """``datastore.py:2063-2141``: per-cell LISI over the graph."""
+        from scarf_spark.ml.metrics import lisi
+
+        labels = self.cells.where("I").select(
+            "cell_id", F.col(label_key).alias("label")
+        )
+        return lisi(self._require_graph(), labels, perplexity=perplexity)
+
+    def metric_silhouette(self, label_key: str, dims: int = 5) -> DataFrame:
+        """``datastore.py:2143-2175``: silhouette of a cell grouping in
+        the HVG z-score space (sufficient-statistics form — O(n·C))."""
+        from scarf_spark.ml.metrics import silhouette_squared
+        from scarf_spark.ml.reduction import assemble_vectors, zscore_vectors
+
+        feat_ids = [
+            r["feat_id"]
+            for r in self.feats.where(F.col("hvgs")).orderBy("feat_id").collect()
+        ]
+        vec = zscore_vectors(assemble_vectors(self._active_counts(), feat_ids))
+        labels = self.cells.where("I").select(
+            F.col("cell_id").alias("vec_id"), F.col(label_key).alias("label")
+        )
+        pts = vec.select(F.col("cell_id").alias("vec_id"), "v").join(
+            labels, "vec_id"
+        )
+        return silhouette_squared(pts, dim=len(feat_ids))
+
+    def to_anndata(self, path: str) -> str:
+        """``datastore.py:1118-1157``: export the ACTIVE cells' counts
+        + cell/feature tables as an AnnData-compatible ``.h5ad`` (CSR X
+        + obs/var; the vendored pure-python HDF5 writer keeps this
+        un-gated). Sparse ids are densified to 0..n−1 first — the CSR
+        indptr indexes by position, like the reference's matrix
+        export."""
+        from scarf_spark.sources.sinks import to_h5ad
+
+        cells = self.cells.where("I")
+        cid = (
+            cells.select("cell_id").orderBy("cell_id")
+            .rdd.map(lambda r: r[0]).zipWithIndex().toDF(["cell_id", "_ci"])
+        )
+        fid = (
+            self.feats.select("feat_id").distinct().orderBy("feat_id")
+            .rdd.map(lambda r: r[0]).zipWithIndex().toDF(["feat_id", "_fi"])
+        )
+        n_cells, n_feats = cid.count(), fid.count()
+        ac = (
+            self._active_counts()
+            .join(F.broadcast(cid), "cell_id")
+            .join(F.broadcast(fid), "feat_id")
+            .select(
+                F.col("_ci").alias("cell_id"),
+                F.col("_fi").alias("feat_id"),
+                "value",
+            )
+        )
+        obs = cells.join(F.broadcast(cid), "cell_id").select(
+            F.col("_ci").alias("cell_id"),
+            *[c for c in ("n_counts", "n_features") if c in cells.columns],
+        )
+        var = fid.select(F.col("_fi").alias("feat_id"))
+        return to_h5ad(ac, obs, var, path, n_cells=n_cells, n_feats=n_feats)

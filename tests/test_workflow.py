@@ -3,6 +3,7 @@ filter → HVG → graph → cluster → UMAP → markers, plus registry
 memoization of the graph build."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from scarf_spark.workflow import ScarfDataStore
 
@@ -73,3 +74,46 @@ def test_marker_search_and_get(wf):
     top = wf.get_markers("RNA_cluster", any_group, top_n=5).collect()
     assert 0 < len(top) <= 5
     assert all(r["group"] == any_group for r in top)
+
+
+def test_round9_reference_surface(wf, tmp_path):
+    """The round-9 facade additions: pseudotime / membership /
+    smart_label / make_bulk / grouped assay / sketch / metrics / cc
+    scoring / h5ad export all run off the same store state."""
+    wf.run_pseudotime()
+    assert "RNA_pseudotime" in wf.cells.columns
+    pt = wf.cells.where("RNA_pseudotime IS NOT NULL")
+    assert pt.count() > 0
+    lo, hi = pt.agg(
+        F.min("RNA_pseudotime"), F.max("RNA_pseudotime")
+    ).first()
+    assert 0.0 <= lo and hi <= 1.0
+
+    ms = wf.calc_membership_strength("RNA_cluster").collect()
+    assert len(ms) > 0 and all(0.0 <= r["strength"] <= 1.0 for r in ms)
+
+    sl = wf.smart_label("RNA_cluster", "RNA_leiden_cluster").collect()
+    assert len(sl) > 0
+
+    bulk = wf.make_bulk("RNA_cluster")
+    assert {"group", "feat_id", "sum_value"} <= set(bulk.columns)
+    assert bulk.count() > 0
+
+    wf.feats = wf.feats.withColumn("fg", (F.col("feat_id") % 3).cast("string"))
+    ga = wf.add_grouped_assay("fg")
+    assert ga.count() > 0
+
+    wf.run_topacedo_sampler("RNA_cluster", cap_per_cluster=10)
+    kept = wf.cells.where("RNA_sketched").count()
+    assert 0 < kept <= wf.cells.where("I").count()
+
+    wf.run_cell_cycle_scoring(s_regex="^F1", g2m_regex="^F2")
+    phases = {r["RNA_phase"] for r in wf.cells.where("I").select("RNA_phase").distinct().collect()}
+    assert phases <= {"S", "G2M", "G1", None}
+
+    sil = wf.metric_silhouette("RNA_cluster").collect()
+    assert len(sil) > 0
+
+    out = wf.to_anndata(str(tmp_path / "export.h5ad"))
+    import os
+    assert os.path.getsize(out) > 0
