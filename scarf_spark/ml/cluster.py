@@ -42,14 +42,17 @@ def label_propagation(
 
     Each iteration is one shuffle (groupBy node); the label table is
     node-sized and broadcastable against the edge list."""
-    # persist the symmetrized edge list: it is consumed once per
-    # iteration, and its upstream (typically a full KNN build) would
-    # otherwise be recomputed on every action of every iteration
+    # lazy localCheckpoint (not persist) on the symmetrized edge list:
+    # it is consumed once per iteration, and its upstream (typically a
+    # full KNN build) would otherwise be recomputed per action per
+    # iteration. Checkpoint blocks are GC-reclaimed when the returned
+    # plan drops — a bare persist here had no paired unpersist and
+    # leaked executor storage across calls (the ivf/dedup lesson).
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst"), F.col("src")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     if nodes is None:
         nodes = und.select(F.col("src").alias("node")).distinct()
@@ -63,14 +66,16 @@ def label_propagation(
             .agg(F.count("*").alias("n"))
         )
         w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("cluster"))
-        # persist each round's (node-sized) label table so the next
-        # round joins a materialized input instead of re-deriving the
-        # whole lineage; also keeps the plan depth constant
+        # lazy localCheckpoint on each round's (node-sized) label table
+        # so the next round joins a materialized input instead of
+        # re-deriving the whole lineage (constant plan depth) — and the
+        # blocks free themselves when the final labels drop, unlike the
+        # previous unpaired per-round persist chain
         labels = (
             nb.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("node", "cluster")
-            .persist()
+            .localCheckpoint(eager=False)
         )
     return labels
 

@@ -55,7 +55,7 @@ def mark_hvgs_binned(
     # persist the (feature-sized) stats table: global_ntile issues two
     # small driver jobs over it, which would otherwise re-run the full
     # fact-table aggregation three times
-    mv = mv.persist()
+    mv = mv.localCheckpoint(eager=False)
     binned = global_ntile(mv, ["mean", "feat_id"], n_bins)
     trend = binned.groupBy("bin").agg(F.median(F.log("variance")).alias("trend"))
     corrected = (

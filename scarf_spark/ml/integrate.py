@@ -45,9 +45,11 @@ def wnn_blend(
 
     Returns (src, rank, dst, weight[rounded 6])."""
     # each edge table is consumed twice (affinity agg + candidate join);
-    # persist so an expensive upstream (a full KNN build) runs once
-    edges_a = edges_a.persist()
-    edges_b = edges_b.persist()
+    # lazy localCheckpoint so an expensive upstream (a full KNN build)
+    # runs once — and the blocks free themselves when the result drops
+    # (a bare persist here had no paired unpersist)
+    edges_a = edges_a.localCheckpoint(eager=False)
+    edges_b = edges_b.localCheckpoint(eager=False)
     aff_a = edges_a.groupBy("src").agg(F.avg(_affinity()).alias("aff_a"))
     aff_b = edges_b.groupBy("src").agg(F.avg(_affinity()).alias("aff_b"))
     wts = aff_a.join(aff_b, "src", "full_outer").select(
@@ -151,7 +153,7 @@ def harmony_lite(
     import numpy as np
 
     d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    df = cells_vec.join(batch_df, "cell_id").persist()
+    df = cells_vec.join(batch_df, "cell_id").localCheckpoint(eager=False)
     seeds = df.orderBy("cell_id").limit(n_clusters).collect()
     centroids = np.array([r["v"] for r in seeds], dtype=float)
     eps = 1e-9

@@ -48,7 +48,7 @@ def logreg_gd(
     e = emb.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
         F.when(F.col(label_col) == pos_label, 1.0).otherwise(0.0).alias("y"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     head = e.agg(F.count("*").alias("n"), F.min(F.size("x")).alias("dim")).collect()[0]
     n, dim = head["n"], head["dim"]
     w = [0.0] * dim
@@ -156,13 +156,13 @@ def naive_bayes_scores(
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
         ).alias("term"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     labs = docs.select(F.col(id_col), F.col(label_col).alias("cls"))
     n_docs = docs.count()
     v = words.select("term").distinct().count()
     priors = labs.groupBy("cls").agg(F.count("*").alias("n_c"))
     wl = words.join(labs, id_col)
-    cls_tok = wl.groupBy("cls", "term").agg(F.count("*").alias("ct")).persist()
+    cls_tok = wl.groupBy("cls", "term").agg(F.count("*").alias("ct")).localCheckpoint(eager=False)
     tot_tok = cls_tok.groupBy("cls").agg(F.sum("ct").alias("tc"))
     cls_dim = priors.join(tot_tok, "cls")
     scored = (
@@ -224,12 +224,12 @@ def logreg_gd_sparse(
         F.col(id_col).alias("_id"),
         F.col(feat_col).cast("long").alias("_f"),
         F.col(val_col).cast("double").alias("_v"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     lab = labels.select(
         F.col(id_col).alias("_id"), F.col(label_col).cast("double").alias("_y")
-    ).persist()
+    ).localCheckpoint(eager=False)
     n = lab.count()
-    w = f.select("_f").distinct().select("_f", F.lit(0.0).alias("_w")).persist()
+    w = f.select("_f").distinct().select("_f", F.lit(0.0).alias("_w")).localCheckpoint(eager=False)
     b = 0.0
     for _ in range(n_iter):
         z = (
@@ -247,7 +247,7 @@ def logreg_gd_sparse(
                     - F.col("_y")
                 ).alias("_e"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         grad = (
             f.join(err, "_id")

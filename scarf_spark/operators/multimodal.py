@@ -466,7 +466,7 @@ def phash_near_pairs(
     is the byte band."""
     # persist: both band-join sides (and the distinct) re-derive the
     # hash pipeline otherwise — the aHash fold is the expensive parent
-    h = hashes.select(F.col(id_col).alias("id"), "phash").persist()
+    h = hashes.select(F.col(id_col).alias("id"), "phash").localCheckpoint(eager=False)
     banded = h.select(
         "id", "phash",
         F.explode(

@@ -271,7 +271,7 @@ def bpe_train_merges(
     sym = F.concat_ws(
         " ", F.concat(F.filter(F.split("word", ""), lambda c: c != ""), F.array(F.lit("</w>")))
     )
-    state = vocab.select("word", "wc", sym.alias("s")).persist()
+    state = vocab.select("word", "wc", sym.alias("s")).localCheckpoint(eager=False)
     out_rows = []
     for step in range(1, n_merges + 1):
         ws = F.split("s", " ")
@@ -297,7 +297,7 @@ def bpe_train_merges(
         state = state.select(
             "word", "wc",
             F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"),
-        ).persist()
+        ).localCheckpoint(eager=False)
     spark = docs.sparkSession
     return spark.createDataFrame(
         out_rows, "step int, pair string, merged string, pair_count long"
