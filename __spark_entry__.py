@@ -5152,6 +5152,48 @@ def sketch_hll(spark, sf_dir):
 
 
 @q(
+    "sketch_hll_merge",
+    # sketch ALGEBRA: per-group HLL registers merged by register-wise
+    # MAX must equal the directly-built global sketch — the property
+    # that lets shards/days be sketched independently at 100 TB
+    "WITH hashed AS (SELECT DISTINCT event_type AS grp, "
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+    "FROM events), "
+    "base AS (SELECT grp, h & 63 AS reg, CASE WHEN (h >> 6) = 0 THEN 55 "
+    "ELSE 55 - length(bin(h >> 6)) END AS rho FROM hashed), "
+    "pg AS (SELECT grp, reg, MAX(rho) AS mreg FROM base GROUP BY 1, 2), "
+    "mg AS (SELECT reg, MAX(mreg) AS mreg FROM pg GROUP BY reg), "
+    "dr AS (SELECT reg, MAX(rho) AS mreg FROM base GROUP BY reg), "
+    "em AS (SELECT COUNT(*) AS n_p, SUM(1::BIGINT << (55 - mreg)) AS np "
+    "FROM mg), "
+    "ed AS (SELECT COUNT(*) AS n_p, SUM(1::BIGINT << (55 - mreg)) AS np "
+    "FROM dr), "
+    "vm AS (SELECT ROUND(CASE WHEN (CAST(0.709 AS DOUBLE) * 64 * 64) "
+    "* 36028797018963968.0 / CAST(np + (64 - n_p) * 36028797018963968 "
+    "AS DOUBLE) <= 160.0 AND n_p < 64 THEN 64.0 * ln(64.0 / "
+    "CAST(64 - n_p AS DOUBLE)) ELSE (CAST(0.709 AS DOUBLE) * 64 * 64) "
+    "* 36028797018963968.0 / CAST(np + (64 - n_p) * 36028797018963968 "
+    "AS DOUBLE) END, 6) AS est_merged FROM em), "
+    "vd AS (SELECT ROUND(CASE WHEN (CAST(0.709 AS DOUBLE) * 64 * 64) "
+    "* 36028797018963968.0 / CAST(np + (64 - n_p) * 36028797018963968 "
+    "AS DOUBLE) <= 160.0 AND n_p < 64 THEN 64.0 * ln(64.0 / "
+    "CAST(64 - n_p AS DOUBLE)) ELSE (CAST(0.709 AS DOUBLE) * 64 * 64) "
+    "* 36028797018963968.0 / CAST(np + (64 - n_p) * 36028797018963968 "
+    "AS DOUBLE) END, 6) AS est_direct FROM ed), "
+    "ex AS (SELECT COUNT(DISTINCT h) AS exact_ndv FROM hashed), "
+    "ng AS (SELECT COUNT(DISTINCT grp) AS n_groups FROM hashed) "
+    "SELECT n_groups, exact_ndv, est_merged, est_direct, "
+    "est_merged = est_direct AS merge_exact FROM ng, ex, vm, vd",
+)
+def sketch_hll_merge(spark, sf_dir):
+    """HLL merge algebra (aggregate.hll_union): per-type sketches
+    merged register-wise equal the direct global sketch exactly."""
+    return aggregate.hll_union(
+        _ds(spark, sf_dir).events, "event_type", "user_id", p=6
+    )
+
+
+@q(
     "sketch_kmv",
     "WITH hashed AS (SELECT DISTINCT event_type AS grp, "
     "((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h FROM events), "
@@ -7445,6 +7487,29 @@ def win_hampel(spark, sf_dir):
     """Hampel outlier filter (windows.hampel_filter) — trailing
     median ± 3·MAD, the robust spike detector."""
     return windows.hampel_filter(_ds(spark, sf_dir).events, width=7, k=3)
+
+
+@q(
+    "evt_drawdown",
+    # max drawdown per user: cumulative micros, running max, peak gap —
+    # all exact integers over the deterministic (ts, event_id) order;
+    # the final value is the plain total (no argmax-by-time)
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+    "CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events), "
+    "c AS (SELECT user_id, us, event_id, v, SUM(v) OVER "
+    "(PARTITION BY user_id ORDER BY us, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS cum FROM e), "
+    "pk AS (SELECT user_id, v, cum, MAX(cum) OVER (PARTITION BY user_id "
+    "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS peak FROM c) "
+    "SELECT user_id, CAST(SUM(v) AS BIGINT) AS final_micros, "
+    "CAST(MAX(cum) AS BIGINT) AS peak_micros, "
+    "CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_micros "
+    "FROM pk GROUP BY user_id",
+)
+def evt_drawdown(spark, sf_dir):
+    """Maximum drawdown of cumulative value per user
+    (windows.max_drawdown) — peak-to-trough in exact integer micros."""
+    return windows.max_drawdown(_ds(spark, sf_dir).events)
 
 
 @q(

@@ -887,3 +887,64 @@ def log2_histogram(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
             F.max("_v").alias("max_micros"),
         )
     )
+
+
+def hll_union(df: DataFrame, group_col: str, key_col: str, p: int = 6) -> DataFrame:
+    """HLL sketch ALGEBRA demonstration — the property that makes a
+    sketch worth shipping at 100 TB: per-group register tables merged
+    by register-wise MAX give EXACTLY the sketch built directly over
+    the union (so shards/partitions/days can be sketched independently
+    and combined without revisiting data). Same md5 layout and
+    integer-exact estimator as :func:`hll_distinct`. Returns one row
+    (n_groups, exact_ndv, est_merged, est_direct, merge_exact) —
+    merge_exact is the structural guarantee and must always be true."""
+    if p != 6:
+        raise ValueError("p=6 (64 registers) is the oracle-pinned layout")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    rho = F.when(F.shiftright("h", 6) == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(F.shiftright("h", 6)))
+    )
+    base = hashed.select(
+        "grp", F.col("h").bitwiseAND(63).alias("reg"), rho.alias("rho")
+    ).localCheckpoint(eager=False)
+    per_grp = base.groupBy("grp", "reg").agg(F.max("rho").alias("mreg"))
+    merged = per_grp.groupBy("reg").agg(F.max("mreg").alias("mreg"))
+    direct = base.groupBy("reg").agg(F.max("rho").alias("mreg"))
+    two55 = 36028797018963968
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        ag = regs.agg(
+            F.count("*").alias("n_p"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - mreg)")).alias("np_"),
+        )
+        raw = (
+            F.lit(0.709 * 64 * 64)
+            * F.lit(float(two55))
+            / (F.col("np_") + (F.lit(64) - F.col("n_p")) * F.lit(two55)).cast(
+                "double"
+            )
+        )
+        e = F.when(
+            (raw <= F.lit(160.0)) & (F.col("n_p") < 64),
+            F.lit(64.0)
+            * F.log(F.lit(64.0) / (F.lit(64) - F.col("n_p")).cast("double")),
+        ).otherwise(raw)
+        return ag.select(F.round(e, 6).alias(name))
+
+    exact = hashed.select("h").distinct().agg(F.count("*").alias("exact_ndv"))
+    ng = hashed.select("grp").distinct().agg(F.count("*").alias("n_groups"))
+    return (
+        ng.crossJoin(exact)
+        .crossJoin(est(merged, "est_merged"))
+        .crossJoin(est(direct, "est_direct"))
+        .select(
+            "n_groups",
+            "exact_ndv",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+        )
+    )

@@ -1524,3 +1524,33 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .cast("long")
         .alias("n_session_starts"),
     )
+
+
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Maximum drawdown per user over the cumulative event value — the
+    classic peak-to-trough gauge (finance's risk staple, equally the
+    "how far below its best did this account fall" product metric).
+    All integer micros: the cumulative sum, its running max, and the
+    drawdown are exact integers over the deterministic (ts, event_id)
+    order; windows partition by user. Returns (user_id, final_micros,
+    peak_micros, max_drawdown_micros)."""
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+        "event_id",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("_v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("_v").over(w)
+    d = e.withColumn("_cum", cum).withColumn("_peak", F.max(F.col("_cum")).over(w))
+    return d.groupBy("user_id").agg(
+        # the final cumulative value is just the total — no argmax-by-
+        # time needed (and none of its cross-engine ordering risk)
+        F.sum("_v").alias("final_micros"),
+        F.max("_cum").alias("peak_micros"),
+        F.max(F.col("_peak") - F.col("_cum")).alias("max_drawdown_micros"),
+    ).select("user_id", "final_micros", "peak_micros", "max_drawdown_micros")

@@ -442,3 +442,30 @@ def test_normalized_dedup_collapses_case_punct(spark):
     )
     out = {r["doc_id"]: r["n_dups"] for r in normalized_exact_dedup(docs).collect()}
     assert out == {1: 3, 4: 1}  # 1/2/3 collapse to the smallest id
+
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.aggregate import hll_union
+
+    ev = DataStore(spark, sf_dir).table("events")
+    [r] = hll_union(ev, "event_type", "user_id").collect()
+    assert r["merge_exact"] is True
+    assert r["est_merged"] == r["est_direct"]
+    # sketch error within the usual 1.04/sqrt(64) ~ 13% HLL envelope
+    assert abs(r["est_merged"] - r["exact_ndv"]) / r["exact_ndv"] < 0.35
+
+
+def test_max_drawdown_toy(spark):
+    rows = [(1, 1, "2024-01-01 00:00:00", 10.0),
+            (2, 1, "2024-01-01 00:01:00", -4.0),
+            (3, 1, "2024-01-01 00:02:00", 1.0),
+            (4, 1, "2024-01-01 00:03:00", -7.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    )
+    [r] = windows.max_drawdown(ev).collect()
+    # cum: 10, 6, 7, 0; peak runs 10; max drawdown = 10 - 0 = 10
+    assert r["peak_micros"] == 10_000_000
+    assert r["final_micros"] == 0
+    assert r["max_drawdown_micros"] == 10_000_000
