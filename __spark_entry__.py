@@ -7513,6 +7513,59 @@ def evt_drawdown(spark, sf_dir):
 
 
 @q(
+    "evt_welch_t",
+    # Welch's unequal-variance t between two event types' values, from
+    # exact sufficient statistics (integer-micro sums; DECIMAL sum of
+    # squares) — one closed-form double expression per output
+    "WITH side AS (SELECT (event_type = 'purchase') AS a, "
+    "CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events "
+    "WHERE event_type IN ('purchase', 'click')), "
+    "st AS (SELECT a, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 "
+    "FROM side GROUP BY a), "
+    "aa AS (SELECT n AS na, CAST(s1 AS DOUBLE) AS sa, "
+    "CAST(s2 AS DOUBLE) AS qa FROM st WHERE a), "
+    "bb AS (SELECT n AS nb, CAST(s1 AS DOUBLE) AS sb, "
+    "CAST(s2 AS DOUBLE) AS qb FROM st WHERE NOT a), "
+    "m AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, "
+    "(qa - na * (sa / na) * (sa / na)) / (na - 1) AS va, "
+    "(qb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb FROM aa, bb) "
+    "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+    "ROUND(ma - mb, 6) AS mean_diff_micros, "
+    "ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat, "
+    "ROUND((va / na + vb / nb) * (va / na + vb / nb) / "
+    "((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), "
+    "6) AS df_ws FROM m",
+)
+def evt_welch_t(spark, sf_dir):
+    """Welch's t between purchase and click value distributions
+    (windows.welch_t_test) — the A/B readout from exact sufficient
+    statistics, two rows of aggregate state at any scale."""
+    return windows.welch_t_test(_ds(spark, sf_dir).events)
+
+
+@q(
+    "win_bollinger",
+    # Bollinger outliers without a float std: |x - S/n| > k*sigma  <=>
+    # (n*x - S)^2 > k^2*(n*Q - S^2), all exact integers (HUGEINT /
+    # DECIMAL squares — micros^2 passes 2^63)
+    "WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us, "
+    "CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events), "
+    "d AS (SELECT event_id, event_type, v AS v_micros, "
+    "COUNT(*) OVER w AS n, SUM(v) OVER w AS s, SUM(v * v) OVER w AS q "
+    "FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id "
+    "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id, event_type, v_micros, CAST(n AS BIGINT) AS window_n, "
+    "(n * v_micros - s) * (n * v_micros - s) > 4 * (n * q - s * s) "
+    "AS is_outlier FROM d",
+)
+def win_bollinger(spark, sf_dir):
+    """Bollinger-band outlier flags (windows.bollinger_outliers) —
+    k=2 trailing-window bands via an integer cross-multiply, no float
+    std anywhere."""
+    return windows.bollinger_outliers(_ds(spark, sf_dir).events, width=20, k=2)
+
+
+@q(
     "evt_trend",
     # Theil-Sen robust daily-volume trend: median pairwise slope in
     # truncating integer ppm; quadratic over DAYS (calendar-bounded),

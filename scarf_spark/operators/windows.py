@@ -1554,3 +1554,99 @@ def max_drawdown(events: DataFrame) -> DataFrame:
         F.max("_cum").alias("peak_micros"),
         F.max(F.col("_peak") - F.col("_cum")).alias("max_drawdown_micros"),
     ).select("user_id", "final_micros", "peak_micros", "max_drawdown_micros")
+
+
+def welch_t_test(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between two event types'
+    value distributions — the default two-sample comparison when
+    variances differ (A/B-test readout). Sufficient statistics only
+    (count / integer-micro sum / integer-micro sum of squares — exact,
+    order-free), so the statistic and the Welch-Satterthwaite degrees
+    of freedom are each ONE closed-form double expression over exact
+    inputs, ROUND(6)-portable. Two rows of aggregate state at any
+    scale. Returns (n_a, n_b, mean_diff_micros, t_stat, df_ws)."""
+    v = F.floor(F.col("value") * 1000000.0).cast("long")
+    side = events.where(F.col("event_type").isin([type_a, type_b])).select(
+        (F.col("event_type") == type_a).alias("_a"), v.alias("_v")
+    )
+    st = side.groupBy("_a").agg(
+        F.count("*").alias("n"),
+        F.sum("_v").alias("s1"),
+        # DECIMAL inside the SUM: micros² reaches 1e18 per row, so an
+        # int64 accumulator overflows under ANSI before any cast could
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v")).alias("s2"),
+    )
+    a = st.where(F.col("_a")).select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = st.where(~F.col("_a")).select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.crossJoin(b)
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    # unbiased sample variances from exact sums
+    va = (F.col("qa").cast("double") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("qb").cast("double") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
+        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma - mb, 6).alias("mean_diff_micros"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df_ws"),
+    )
+
+
+def bollinger_outliers(
+    events: DataFrame, width: int = 20, k: int = 2
+) -> DataFrame:
+    """Bollinger-band outlier flags per event type: is the value more
+    than ``k`` trailing-window standard deviations from the trailing
+    mean? The float-free formulation: with window sum S, sum of
+    squares Q, count n (all exact integers over micros),
+    |x − S/n| > k·σ_pop  ⇔  (n·x − S)² > k²·(n·Q − S²) —
+    an integer cross-multiply with DECIMAL(38,0) squares (micros² can
+    pass 2⁶³), so the flag is bit-exact on any engine. One window per
+    (event_type); per-row work is O(1)."""
+    e = events.select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("v_micros"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_us", "event_id")
+        .rowsBetween(-(width - 1), 0)
+    )
+    d = e.withColumn("_n", F.count("*").over(w)).withColumn(
+        "_s", F.sum("v_micros").over(w)
+    ).withColumn(
+        "_q",
+        F.sum(F.col("v_micros").cast("decimal(38,0)") * F.col("v_micros")).over(w),
+    )
+    lhs = (
+        (F.col("_n") * F.col("v_micros") - F.col("_s")).cast("decimal(38,0)")
+    )
+    rhs = (
+        F.lit(k * k).cast("decimal(38,0)")
+        * (
+            F.col("_n").cast("decimal(38,0)") * F.col("_q")
+            - F.col("_s").cast("decimal(38,0)") * F.col("_s").cast("decimal(38,0)")
+        )
+    )
+    return d.select(
+        "event_id",
+        "event_type",
+        "v_micros",
+        F.col("_n").cast("long").alias("window_n"),
+        (lhs * lhs > rhs).alias("is_outlier"),
+    )

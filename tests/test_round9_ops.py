@@ -469,3 +469,36 @@ def test_max_drawdown_toy(spark):
     assert r["peak_micros"] == 10_000_000
     assert r["final_micros"] == 0
     assert r["max_drawdown_micros"] == 10_000_000
+
+
+def test_welch_t_toy(spark):
+    import math
+    rows = ([(i, "purchase", 10.0 + (i % 3)) for i in range(30)]
+            + [(100 + i, "click", 5.0 + (i % 5)) for i in range(40)])
+    ev = spark.createDataFrame(
+        [(eid, t, f"2024-01-01 00:00:{eid % 60:02d}", v) for eid, t, v in rows],
+        "event_id long, event_type string, ts string, value double",
+    )
+    [r] = windows.welch_t_test(ev).collect()
+    assert r["n_a"] == 30 and r["n_b"] == 40
+    # brute force in micros
+    a = [int((10.0 + (i % 3)) * 1e6) for i in range(30)]
+    b = [int((5.0 + (i % 5)) * 1e6) for i in range(40)]
+    ma, mb = sum(a) / 30, sum(b) / 40
+    va = sum((x - ma) ** 2 for x in a) / 29
+    vb = sum((x - mb) ** 2 for x in b) / 39
+    t = (ma - mb) / math.sqrt(va / 30 + vb / 40)
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-4
+    assert r["mean_diff_micros"] > 0
+
+
+def test_bollinger_flags_spike(spark):
+    rows = [(i, "t", f"2024-01-01 00:{i:02d}:00", 10.0 if i != 30 else 900.0)
+            for i in range(40)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    )
+    out = {r["event_id"]: r["is_outlier"]
+           for r in windows.bollinger_outliers(ev, width=20, k=2).collect()}
+    assert out[30] is True
+    assert not any(v for k, v in out.items() if k < 30)  # flat prefix clean
