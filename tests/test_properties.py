@@ -407,3 +407,62 @@ def test_bloom_decon_partition_invariant(spark, parts):
         )
     )
     assert a == b
+
+
+@SET
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    groups=st.integers(min_value=1, max_value=4),
+    mult=st.integers(min_value=1, max_value=9973),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_weighted_median_partitioning_invariant(spark, n, groups, mult, parts):
+    """grouped_weighted_median must be invariant to input partitioning
+    AND match the sequential definition (smallest v with 2·cumw ≥ W)."""
+    from scarf_spark.operators.windows import grouped_weighted_median
+
+    rows = [
+        (i % groups, float((i * mult) % 37), 1 + (i * 7) % 5)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, wt int")
+    a = sorted(
+        map(tuple, grouped_weighted_median(df, ["g"], "v", "wt", grid=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            grouped_weighted_median(
+                df.repartition(parts), ["g"], "v", "wt", grid=8
+            ).collect(),
+        )
+    )
+    assert a == b
+    want = {}
+    for g in {r[0] for r in rows}:
+        items = sorted((v, wt) for gg, v, wt in rows if gg == g)
+        W = sum(wt for _, wt in items)
+        cum = 0
+        for v, wt in items:
+            cum += wt
+            if 2 * cum >= W:
+                want[g] = (g, W, v)
+                break
+    assert a == sorted(want.values())
+
+
+@SET
+@given(parts=st.integers(min_value=1, max_value=9))
+def test_session_concurrency_partitioning_invariant(spark, parts):
+    from scarf_spark.operators.windows import session_concurrency
+
+    rows = [
+        (i, 1 + i % 5, f"2024-01-0{1 + i % 3} {10 + i % 12}:{i % 60:02d}:00")
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    a = sorted(map(tuple, session_concurrency(ev).collect()))
+    b = sorted(map(tuple, session_concurrency(ev.repartition(parts)).collect()))
+    assert a == b
