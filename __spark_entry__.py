@@ -5009,6 +5009,37 @@ def agg_weighted_median(spark, sf_dir):
 
 
 @q(
+    "agg_grouped_p90",
+    # exact distributed p90: smallest v with 10*cumw(<=v) >= 9*W — the
+    # same threshold-crossing grid kernel at an integer-fraction
+    # quantile (a float p would sit on a rounding knife-edge)
+    "WITH b AS (SELECT event_type, CAST(FLOOR(value * 1000000.0) AS BIGINT) "
+    "AS val, 1 AS wt FROM events), "
+    "tw AS (SELECT event_type, SUM(wt) AS w FROM b GROUP BY event_type), "
+    "vv AS (SELECT event_type, val, SUM(wt) AS vw FROM b "
+    "GROUP BY event_type, val), "
+    "cum AS (SELECT event_type, val, SUM(vw) OVER "
+    "(PARTITION BY event_type ORDER BY val) AS cw FROM vv) "
+    "SELECT cum.event_type, tw.w AS w_total, MIN(val) AS wmedian "
+    "FROM cum JOIN tw ON cum.event_type = tw.event_type "
+    "WHERE 10 * cw >= 9 * tw.w GROUP BY cum.event_type, tw.w",
+)
+def agg_grouped_p90(spark, sf_dir):
+    """Exact p90 of event value micros per type via the grid kernel
+    (windows.grouped_weighted_median with p = 9/10, unit weights) —
+    the arbitrary-quantile form of the distributed exact median."""
+    ev = _ds(spark, sf_dir).events
+    d = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("val"),
+        F.lit(1).alias("wt"),
+    )
+    return windows.grouped_weighted_median(
+        d, ["event_type"], "val", "wt", p_num=9, p_den=10
+    )
+
+
+@q(
     "agg_boxplot",
     # Tukey box-plot card: exact quartiles, 1.5*IQR fences from the
     # ROUNDED quartiles (the cross-engine-stable values), one re-scan

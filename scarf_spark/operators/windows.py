@@ -1157,11 +1157,17 @@ def grouped_weighted_median(
     value_col: str,
     weight_col: str,
     grid: int = 1 << 12,
+    p_num: int = 1,
+    p_den: int = 2,
 ) -> DataFrame:
-    """Distributed EXACT weighted (lower) median per group: the
-    smallest value v with 2·Σ{w : value ≤ v} ≥ W — defined on values,
-    so no row tiebreak is needed and the result is engine-portable by
+    """Distributed EXACT weighted (lower) p-quantile per group
+    (median by default): the smallest value v with
+    p_den·Σ{w : value ≤ v} ≥ p_num·W — defined on values, so no row
+    tiebreak is needed and the result is engine-portable by
     construction (the output IS an input value, never arithmetic).
+    ``p_num/p_den`` is the quantile as an exact INTEGER fraction
+    (9/10 = p90) — a float p would put the threshold on a rounding
+    knife-edge.
 
     Plan (the :func:`grouped_ntile` fixed-grid generalization, with
     weights): per-group min/max/total-weight from one aggregate;
@@ -1206,7 +1212,9 @@ def grouped_weighted_median(
         "_off", F.coalesce(F.sum("_cw").over(w_off), F.lit(0))
     )
     target = (
-        offs.where((F.col("_off") + F.col("_cw")) * 2 >= F.col("_W"))
+        offs.where(
+            (F.col("_off") + F.col("_cw")) * p_den >= F.lit(p_num) * F.col("_W")
+        )
         .groupBy(*part_cols)
         .agg(F.min("_cell").alias("_tc"))
     )
@@ -1233,7 +1241,7 @@ def grouped_weighted_median(
     )
     cum = vals.withColumn("_cum", F.col("_off") + F.sum("_vw").over(w_cum))
     return (
-        cum.where(F.col("_cum") * 2 >= F.col("_W"))
+        cum.where(F.col("_cum") * p_den >= F.lit(p_num) * F.col("_W"))
         .groupBy(*part_cols)
         .agg(
             F.max("_W").alias("w_total"),
