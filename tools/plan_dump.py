@@ -168,6 +168,11 @@ HEADLINE = [
     "text_jsd_drift",
     "evt_concurrency",
     "dedup_normalized",
+    "sketch_hll_merge",
+    "evt_drawdown",
+    "evt_welch_t",
+    "win_bollinger",
+    "agg_grouped_p90",
 ]
 
 
