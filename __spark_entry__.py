@@ -7643,6 +7643,7 @@ def evt_trend(spark, sf_dir):
     "FROM s GROUP BY 1, 2), "
     "del AS (SELECT st AS sec, 1 AS d, user_id, session_id FROM ses "
     "UNION ALL SELECT en + 1, -1, user_id, session_id FROM ses "
+    "WHERE (en + 1) // 86400 = en // 86400 "
     "UNION ALL SELECT dd * 86400, 1, user_id, session_id FROM ses, "
     "UNNEST(range(st // 86400 + 1, en // 86400 + 1)) AS u(dd) "
     "WHERE en // 86400 > st // 86400), "

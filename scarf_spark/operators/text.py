@@ -1085,11 +1085,22 @@ def jsd_drift(
     counts = words.groupBy("term").agg(
         F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("ca"),
         F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("cb"),
-    )
+    ).localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
         F.count("*").alias("n_terms"),
     )
+    trow = tot.first()
+    if trow is None or not trow["na"] or not trow["nb"]:
+        # An empty slice zeroes one denominator, making p or q NULL and
+        # the whole divergence silently NULL — fail loudly instead,
+        # exactly like drift_terms (same misconfiguration class).
+        na_ = 0 if trow is None else (trow["na"] or 0)
+        nb_ = 0 if trow is None else (trow["nb"] or 0)
+        raise ValueError(
+            f"jsd_drift: empty comparison slice (n_a={na_}, n_b={nb_}); "
+            f"check split_col={split_col!r} / split_value={split_value!r}"
+        )
     j = counts.crossJoin(F.broadcast(tot))
     p = F.col("ca") / F.col("na")
     qq = F.col("cb") / F.col("nb")

@@ -1471,7 +1471,9 @@ def theilsen_trend(events: DataFrame) -> DataFrame:
 def session_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Peak concurrent sessions per day — the capacity-planning sweep
     line: every session (the sessionizer's 30-minute-gap islands)
-    contributes +1 at its start and −1 one second after its end; the
+    contributes +1 at its start and −1 one second after its end
+    (dropped when that second would cross midnight — the session is
+    open through end-of-day and the day-carry rows own later days); the
     running sum over each DAY's time-ordered deltas peaks at the
     day's max concurrency. Sessions spanning midnight carry over via
     an explicit day-start delta (the running sum restarts exact at
@@ -1497,15 +1499,21 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "user_id", "session_id",
         )
         .unionByName(
-            s.select(
+            # the close delta stays on the session's own end day: when
+            # session_end is a day's final second (end+1 crosses
+            # midnight) the -1 is dropped — the session is open through
+            # end-of-day and the next day's carry logic owns anything
+            # beyond, so a stray -1 there would offset that day's sum
+            s.where(day("(session_end + 1)") == day("session_end")).select(
                 (F.col("session_end") + 1).alias("sec"),
                 F.lit(-1).alias("d"), "user_id", "session_id",
             )
         )
         .unionByName(
             # for each midnight a session spans, emit +1 at the day
-            # start and -1 at the previous day's *virtual* end-of-day
-            # so per-day running sums are self-contained
+            # start so per-day running sums are self-contained (there
+            # is no matching virtual end-of-day -1: the prior day's
+            # max is unaffected by a decrement at its last instant)
             s.where(day("session_end") > day("session_start")).select(
                 F.explode(
                     F.sequence(
@@ -1585,7 +1593,18 @@ def welch_t_test(
         # DECIMAL inside the SUM: micros² reaches 1e18 per row, so an
         # int64 accumulator overflows under ANSI before any cast could
         F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v")).alias("s2"),
-    )
+    ).localCheckpoint(eager=True)
+    ns = {r["_a"]: r["n"] for r in st.collect()}  # two rows at any scale
+    if ns.get(True, 0) < 2 or ns.get(False, 0) < 2:
+        # n<2 zeroes a variance denominator (silent NULL t), and an
+        # absent side empties the crossJoin — both indistinguishable
+        # from "no signal" downstream, so fail loudly like
+        # conformal_ridge's empty-calibration guard.
+        raise ValueError(
+            f"welch_t_test: need >=2 rows per side, got "
+            f"n_a={ns.get(True, 0)} ({type_a!r}), "
+            f"n_b={ns.get(False, 0)} ({type_b!r})"
+        )
     a = st.where(F.col("_a")).select(
         F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
     )

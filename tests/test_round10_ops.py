@@ -1,0 +1,107 @@
+"""Round-10 regression tests: the ADVICE fixes — session_concurrency's
+midnight close delta (a session ending at a day's final second used to
+leak a phantom -1 into the NEXT day's sweep), welch_t_test's n>=2 /
+absent-side guard, jsd_drift's empty-slice guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scarf_spark.operators import text, windows
+
+
+def _events(spark, rows):
+    # rows: (user_id, event_id, epoch_sec)
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long"
+    ).select(
+        "user_id", "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+
+
+def test_session_concurrency_day_final_second_close(spark):
+    # u1's session ends at 86399 (day 0's last second) → the close
+    # delta at end+1 would land at 86400 = day 1. Pre-fix that phantom
+    # -1 offset day 1's running sum by -1; u2's lone day-1 session
+    # then peaked at 0 instead of 1.
+    rows = [
+        (1, 10, 86390), (1, 11, 86399),        # u1: ends at day 0's last sec
+        (2, 20, 86410), (2, 21, 86420),        # u2: entirely in day 1
+        (3, 30, 86395), (3, 31, 86405),        # u3: spans the midnight
+    ]
+    got = {
+        r["day"]: (r["max_concurrent"], r["n_session_starts"])
+        for r in windows.session_concurrency(_events(spark, rows)).collect()
+    }
+    # day 0: u1 open 86390-EOD (close dropped), u3 open from 86395 → peak 2
+    # day 1: u3 carries in (+1 @ 86400, -1 @ 86406), u2 86410-86420 → peak 1
+    assert got == {0: (2, 2), 1: (1, 2)}
+
+
+def test_session_concurrency_no_cross_day_drift(spark):
+    # A mid-day session is untouched by the fix: close delta stays.
+    rows = [(1, 1, 100), (1, 2, 200), (2, 3, 150)]
+    got = {
+        r["day"]: r["max_concurrent"]
+        for r in windows.session_concurrency(_events(spark, rows)).collect()
+    }
+    assert got == {0: 2}
+
+
+def _valued_events(spark, rows):
+    # rows: (event_type, event_id, value)
+    return spark.createDataFrame(
+        rows, "event_type string, event_id long, value double"
+    ).select(
+        "event_type", "event_id", "value",
+        F.timestamp_seconds(F.col("event_id") * 60).alias("ts"),
+        F.col("event_id").alias("user_id"),
+    )
+
+
+def test_welch_t_single_row_side_raises(spark):
+    ev = _valued_events(
+        spark, [("a", 1, 1.0), ("b", 2, 2.0), ("b", 3, 3.0)]
+    )
+    with pytest.raises(ValueError, match="need >=2 rows per side"):
+        windows.welch_t_test(ev, type_a="a", type_b="b")
+
+
+def test_welch_t_absent_side_raises(spark):
+    ev = _valued_events(spark, [("a", 1, 1.0), ("a", 2, 2.0)])
+    with pytest.raises(ValueError, match="n_b=0"):
+        windows.welch_t_test(ev, type_a="a", type_b="b")
+
+
+def test_welch_t_happy_path_still_exact(spark):
+    ev = _valued_events(
+        spark,
+        [("a", 1, 1.0), ("a", 2, 3.0), ("b", 3, 2.0), ("b", 4, 6.0)],
+    )
+    row = windows.welch_t_test(ev, type_a="a", type_b="b").first()
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    # means 2.0 vs 4.0 (micros): diff -2e6; va=2e12, vb=8e12;
+    # se2=5e12; t=-2e6/sqrt(5e12)
+    assert row["mean_diff_micros"] == pytest.approx(-2_000_000.0)
+    assert row["t_stat"] == pytest.approx(-2e6 / (5e12) ** 0.5, rel=1e-6)
+
+
+def test_jsd_drift_empty_slice_raises(spark):
+    docs = spark.createDataFrame(
+        [("d1", "src0", "hello world"), ("d2", "src0", "more words")],
+        "doc_id string, source string, text string",
+    )
+    with pytest.raises(ValueError, match="empty comparison slice"):
+        text.jsd_drift(docs, split_col="source", split_value="src0")
+    with pytest.raises(ValueError, match="empty comparison slice"):
+        # value matches nothing → the other direction is empty too
+        text.jsd_drift(docs, split_col="source", split_value="nope")
+
+
+def test_jsd_drift_happy_path(spark):
+    docs = spark.createDataFrame(
+        [("d1", "src0", "a a b"), ("d2", "src1", "a b b")],
+        "doc_id string, source string, text string",
+    )
+    row = text.jsd_drift(docs, split_col="source", split_value="src0").first()
+    assert row["n_terms"] == 2
+    assert 0.0 < row["jsd"] < 1.0
