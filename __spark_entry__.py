@@ -916,8 +916,12 @@ def _knn_edges(spark, sf_dir, k: int = 5):
     (``graph_datastore.py:474-511``)."""
     key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _KNN_EDGE_CACHE:
-        _KNN_EDGE_CACHE[key] = knn.cosine_knn_exact(
-            _ds(spark, sf_dir).embeddings, k=k
+        # sharded grid build: no driver-side index collect (the
+        # broadcast-index baseline stays available as
+        # knn.cosine_knn_exact); result contract is identical —
+        # knn_exact_sharded proved hash-equality against the same CTE
+        _KNN_EDGE_CACHE[key] = knn.cosine_knn_sharded(
+            _ds(spark, sf_dir).embeddings, k=k, n_shards=8
         ).persist()
     return _KNN_EDGE_CACHE[key]
 
@@ -1264,7 +1268,10 @@ def dedup_minhash_bands(spark, sf_dir):
 def dedup_components(spark, sf_dir):
     docs = _ds(spark, sf_dir).documents
     pairs = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
-    return dedup.min_label_components(pairs, docs, n_iter=3)
+    # engine runs the O(log n) star contraction; the 3-round min-label
+    # CTE stays the oracle — identical fixpoint on the band-bucket
+    # near-clique LSH graph (equality asserted in test_round10_ops)
+    return dedup.star_components(pairs, docs)
 
 
 @q(

@@ -392,6 +392,38 @@ def min_label_components(
     )
 
 
+def star_components(
+    pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster labeling via alternating large-star/small-star
+    contraction (:func:`scarf_spark.operators.graph.
+    connected_components_star`) — the O(log n)-round scale path for
+    :func:`min_label_components` (which needs O(diameter) rounds).
+    Same output contract: (id_col, cluster, keep) over ALL nodes,
+    singletons labeled by themselves, ``keep = (doc == cluster)``.
+
+    On the LSH candidate graph both reach the identical fixpoint when
+    every node is within the min-label round budget of its component
+    minimum — near-dup clusters are band-bucket near-cliques, so this
+    holds at every tested SF and is asserted by the equality test in
+    tests/test_round10_ops.py (the min-label CTE stays the oracle)."""
+    from scarf_spark.operators.graph import connected_components_star
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components_star(edges)
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left_outer")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("cluster"),
+            (
+                F.col("node") == F.coalesce("component", F.col("node"))
+            ).alias("keep"),
+        )
+    )
+
+
 def embedding_near_dups(knn_edges: DataFrame, max_distance: float = 0.05) -> DataFrame:
     """Embedding-cosine near-duplicate pairs from a KNN edge table:
     unordered pairs with distance ≤ threshold."""

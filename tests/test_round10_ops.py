@@ -105,3 +105,39 @@ def test_jsd_drift_happy_path(spark):
     row = text.jsd_drift(docs, split_col="source", split_value="src0").first()
     assert row["n_terms"] == 2
     assert 0.0 < row["jsd"] < 1.0
+
+
+def test_star_components_match_min_label_on_lsh_graph(spark):
+    # dedup_components' engine now runs star contraction while its
+    # oracle stays the 3-round min-label CTE — assert the two reach the
+    # same fixpoint on the real LSH candidate graph (near-dup clusters
+    # are band-bucket near-cliques, well inside 3 hops).
+    from scarf_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_candidate_pairs(
+        docs, n=3, n_hashes=8, n_bands=4
+    ).localCheckpoint(eager=True)
+    star = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup.star_components(pairs, docs).collect()
+    }
+    ml = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup.min_label_components(pairs, docs, n_iter=3).collect()
+    }
+    assert star == ml
+    assert len(star) == docs.count()  # singletons present
+
+
+def test_star_components_singletons_kept(spark):
+    from scarf_spark.operators import dedup
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 3)], "a long, b long")
+    got = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup.star_components(pairs, nodes).collect()
+    }
+    assert got == {1: (1, True), 2: (2, True), 3: (2, False), 9: (9, True)}
