@@ -1526,9 +1526,23 @@ def dedup_jaccard_all(spark, sf_dir):
 @q(
     "dedup_lsh_recall",
     # recall of the MinHash band join vs exact-Jaccard ground truth at
-    # 0.5 — the dedup twin of the ANN recall gauges (an AUDIT query:
-    # the exhaustive truth side runs on a sample at 100 TB)
-    f"WITH {_MINHASH_CTE}, "
+    # 0.5 — the dedup twin of the ANN recall gauges. The AUDIT runs on
+    # a seedless md5 40% doc sample (the hash_split draw), so the
+    # quadratic truth side costs (0.4)² of the corpus at ANY scale;
+    # both sides see the same subset → unbiased recall estimate.
+    "WITH sdocs AS (SELECT doc_id, text FROM documents "
+    "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 100 < 40), "
+    "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sdocs), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(0, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS shingle FROM w), "
+    "sg AS (SELECT doc_id, t.seed, "
+    "MIN(('0x' || substr(md5(t.seed || '_' || shingle), 1, 15))::BIGINT) AS mh "
+    "FROM sh, generate_series(0, 7) t(seed) GROUP BY 1, 2), "
+    "bk AS (SELECT doc_id, seed // 2 AS band, "
+    "md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed)) AS bucket "
+    "FROM sg GROUP BY 1, 2), "
     "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
     "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
     "FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id "
@@ -1549,10 +1563,11 @@ def dedup_jaccard_all(spark, sf_dir):
 )
 def dedup_lsh_recall(spark, sf_dir):
     """MinHash-LSH candidate recall vs exact Jaccard ≥ 0.5
-    (dedup.lsh_recall) — the (n_hashes, n_bands) sizing gauge."""
+    (dedup.lsh_recall) — the (n_hashes, n_bands) sizing gauge, audited
+    on a seedless md5 40% doc sample (constant-cost at any corpus)."""
     return dedup.lsh_recall(
         _ds(spark, sf_dir).documents, threshold_ppm=500000,
-        n=3, n_hashes=8, n_bands=4,
+        n=3, n_hashes=8, n_bands=4, sample_pct=40,
     )
 
 

@@ -925,6 +925,8 @@ def lsh_recall(
     n_hashes: int = 8,
     n_bands: int = 4,
     df_cap: int | None = None,
+    sample_pct: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Recall of the MinHash-LSH banding against ground truth: of the
     pairs whose EXACT shingle Jaccard ≥ threshold, what fraction did
@@ -937,7 +939,21 @@ def lsh_recall(
     nature: run it on a sample at 100 TB (the graded scale dedup path
     is candidate-bounded ngram_jaccard; this measures that path's
     miss rate). The threshold compares the ROUND(6) jaccard against
-    an integer-ppm literal, so the cut is bit-stable cross-engine."""
+    an integer-ppm literal, so the cut is bit-stable cross-engine.
+
+    ``sample_pct`` makes the audit constant-cost at any corpus size:
+    keep only docs whose seedless md5 bucket (first 60 bits mod 100,
+    the :func:`scarf_spark.operators.filters.hash_split` draw) is <
+    ``sample_pct``, then measure recall of the band join over the
+    SAMPLED corpus — both truth and candidate sides see the same
+    subset, so the ratio is an unbiased estimate of full-corpus recall
+    while the quadratic truth side shrinks by (pct/100)². Seedless and
+    engine-portable, so the sampled gauge oracles exactly."""
+    if sample_pct is not None:
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        )
+        docs = docs.where(h.cast("bigint") % 100 < F.lit(sample_pct))
     truth = ngram_jaccard(docs, pairs=None, n=n, df_cap=df_cap).where(
         F.col("jaccard") * 1000000 >= F.lit(threshold_ppm)
     )

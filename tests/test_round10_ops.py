@@ -141,3 +141,19 @@ def test_star_components_singletons_kept(spark):
         for r in dedup.star_components(pairs, nodes).collect()
     }
     assert got == {1: (1, True), 2: (2, True), 3: (2, False), 9: (9, True)}
+
+
+def test_lsh_recall_sample_pct(spark):
+    from scarf_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = dedup.lsh_recall(docs, threshold_ppm=500000).first()
+    samp = dedup.lsh_recall(docs, threshold_ppm=500000, sample_pct=40).first()
+    # sampling shrinks the quadratic truth side and both sides see the
+    # same subset — n_true strictly bounded by the full gauge, recall
+    # stays a valid ratio (or NULL when the sampled truth set is empty)
+    assert samp["n_true"] <= full["n_true"]
+    assert samp["n_hit"] <= samp["n_true"]
+    if samp["n_true"] > 0:
+        assert 0.0 <= samp["recall"] <= 1.0
