@@ -4373,6 +4373,27 @@ def ann_ivf_recall(spark, sf_dir):
     return knn.knn_recall(ivf, exact)
 
 
+@q("ann_ivf_persisted", f"WITH {_IVF_CTE} SELECT src, rank, dst, distance FROM ivf")
+def ann_ivf_persisted(spark, sf_dir):
+    """IVF search through the params-hash-keyed PERSISTED index
+    (knn.cosine_knn_ivf_persisted): first call materializes the
+    centroid + inverted-list tables via the RunRegistry, later calls
+    probe the stored parquet without rebuilding — the ANN sibling of
+    dedup_incremental and the parity piece for the reference's
+    serialized hnswlib index (graph_datastore.py:855-956). Results
+    bit-match the inline ann_ivf, so the oracle is the same CTE."""
+    from scarf_spark.plans.registry import RunRegistry
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse", "ann_registry",
+    )
+    reg = RunRegistry(spark, root)
+    return knn.cosine_knn_ivf_persisted(
+        _ds(spark, sf_dir).embeddings, reg, k=5, n_cells=8, n_probe=2
+    )
+
+
 _GFF_CTE = (
     # synthetic GFF3-like projection of events: one gene per event
     "gff AS (SELECT 'chr' || CAST(user_id % 3 AS VARCHAR) AS seqid, "

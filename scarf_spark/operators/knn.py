@@ -395,6 +395,86 @@ def cosine_knn_lsh(
     )
 
 
+def _centroid_ranker(bc, npb: int):
+    """Arrow-batched centroid ranking for the IVF family: per query
+    vector, the ``npb`` nearest centroids by (distance, cid) — the
+    assignment step (npb=1) and the probe step (npb=n_probe) are the
+    same kernel. ``bc`` broadcasts (sorted cids, normalized C×d)."""
+    import numpy as np
+
+    def rank_centroids(batches):
+        cids, cn = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            q = np.array(b["v"].tolist(), dtype=np.float64)
+            qn = q / np.maximum(b["nrm"].to_numpy()[:, None], 1e-300)
+            cd = 1.0 - qn @ cn.T
+            order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
+            nrow = cd.shape[0]
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(b["vid"].to_numpy(), npb),
+                    "v": np.repeat(b["v"].to_numpy(), npb),
+                    "nrm": np.repeat(b["nrm"].to_numpy(), npb),
+                    "cid": cids[order].ravel(),
+                    "crank": np.tile(np.arange(1, npb + 1), nrow),
+                }
+            )
+
+    return rank_centroids
+
+
+def _ivf_list_searcher(k: int):
+    """Per-inverted-list cogrouped BLAS search: each query's top-k
+    within one centroid's member list, deterministic (distance, dst)
+    candidate order, self hits stripped. Shared by the inline IVF and
+    the persisted-index probe."""
+    import numpy as np
+
+    def search(key, probes: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if probes.empty or members.empty:
+            return pd.DataFrame(columns=["src", "dst", "distance"])
+        q = np.array(probes["q_v"].tolist(), dtype=np.float64)
+        qn = q / np.maximum(probes["q_nrm"].to_numpy()[:, None], 1e-300)
+        m = np.array(members["m_v"].tolist(), dtype=np.float64)
+        mn = m / np.maximum(members["m_nrm"].to_numpy()[:, None], 1e-300)
+        dst = members["m_vid"].to_numpy()
+        # members sorted by id: stable argsort over distances then ties
+        # break ascending-dst — the vectorized np.lexsort((dst, dist))
+        m_order = np.argsort(dst, kind="stable")
+        dst, mn = dst[m_order], mn[m_order]
+        dist = 1.0 - qn @ mn.T
+        src = probes["q_vid"].to_numpy()
+        nrow, ncol = dist.shape
+        kk = min(k + 1, ncol)
+        if ncol > kk:
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            pd_d = np.take_along_axis(dist, part, axis=1)
+        else:
+            part = np.broadcast_to(np.arange(ncol), (nrow, ncol))
+            pd_d = dist
+        # order the kk candidates per row by (distance, dst) — one
+        # vectorized lexsort over the transposed candidate block
+        cand_dst = dst[part]
+        ordr = np.lexsort((cand_dst, pd_d), axis=-1)
+        sel_dst = np.take_along_axis(cand_dst, ordr, axis=1)
+        sel_dist = np.take_along_axis(pd_d, ordr, axis=1)
+        keep = sel_dst != src[:, None]
+        rank_valid = np.cumsum(keep, axis=1)
+        take = keep & (rank_valid <= k)
+        rows = np.repeat(np.arange(nrow), take.sum(axis=1))
+        return pd.DataFrame(
+            {
+                "src": src[rows],
+                "dst": sel_dst[take],
+                "distance": sel_dist[take],
+            }
+        )
+
+    return search
+
+
 def cosine_knn_ivf(
     emb: DataFrame,
     k: int = 5,
@@ -451,28 +531,8 @@ def cosine_knn_ivf(
     bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
     npb = max(1, n_probe)
 
-    def rank_centroids(batches):
-        cids, cn = bc.value
-        for b in batches:
-            if b.empty:
-                continue
-            q = np.array(b["v"].tolist(), dtype=np.float64)
-            qn = q / np.maximum(b["nrm"].to_numpy()[:, None], 1e-300)
-            cd = 1.0 - qn @ cn.T
-            order = np.argsort(cd, axis=1, kind="stable")[:, :npb]
-            nrow = cd.shape[0]
-            yield pd.DataFrame(
-                {
-                    "vid": np.repeat(b["vid"].to_numpy(), npb),
-                    "v": np.repeat(b["v"].to_numpy(), npb),
-                    "nrm": np.repeat(b["nrm"].to_numpy(), npb),
-                    "cid": cids[order].ravel(),
-                    "crank": np.tile(np.arange(1, npb + 1), nrow),
-                }
-            )
-
     scored = e.mapInPandas(
-        rank_centroids,
+        _centroid_ranker(bc, npb),
         "vid long, v array<double>, nrm double, cid long, crank int",
     ).localCheckpoint(eager=True)
     # eager localCheckpoint, not persist: both the assignment branch
@@ -493,56 +553,146 @@ def cosine_knn_ivf(
         F.col("nrm").alias("q_nrm"), F.col("cid").alias("q_cid"),
     )
 
-    def search(key, probes: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
-        if probes.empty or members.empty:
-            return pd.DataFrame(columns=["src", "dst", "distance"])
-        q = np.array(probes["q_v"].tolist(), dtype=np.float64)
-        qn = q / np.maximum(probes["q_nrm"].to_numpy()[:, None], 1e-300)
-        m = np.array(members["m_v"].tolist(), dtype=np.float64)
-        mn = m / np.maximum(members["m_nrm"].to_numpy()[:, None], 1e-300)
-        dst = members["m_vid"].to_numpy()
-        # members sorted by id: stable argsort over distances then ties
-        # break ascending-dst — the vectorized np.lexsort((dst, dist))
-        m_order = np.argsort(dst, kind="stable")
-        dst, mn = dst[m_order], mn[m_order]
-        dist = 1.0 - qn @ mn.T
-        src = probes["q_vid"].to_numpy()
-        nrow, ncol = dist.shape
-        kk = min(k + 1, ncol)
-        if ncol > kk:
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            pd_d = np.take_along_axis(dist, part, axis=1)
-        else:
-            part = np.broadcast_to(np.arange(ncol), (nrow, ncol))
-            pd_d = dist
-        # order the kk candidates per row by (distance, dst) — one
-        # vectorized lexsort over the transposed candidate block
-        cand_dst = dst[part]
-        ordr = np.lexsort((cand_dst, pd_d), axis=-1)  # per-row (dist, dst) order
-        sel = np.take_along_axis(part, ordr, axis=1)
-        sel_dst = np.take_along_axis(cand_dst, ordr, axis=1)
-        sel_dist = np.take_along_axis(pd_d, ordr, axis=1)
-        keep = sel_dst != src[:, None]
-        # first k valid per row
-        rank_valid = np.cumsum(keep, axis=1)
-        take = keep & (rank_valid <= k)
-        rows = np.repeat(np.arange(nrow), take.sum(axis=1))
-        return pd.DataFrame(
-            {
-                "src": src[rows],
-                "dst": sel_dst[take],
-                "distance": sel_dist[take],
-            }
-        )
-
     per_list = probe.groupBy("q_cid").cogroup(assign.groupBy("cid")).applyInPandas(
-        search, "src long, dst long, distance double"
+        _ivf_list_searcher(k), "src long, dst long, distance double"
     )
     w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
     return (
         per_list.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
+    )
+
+
+def ivf_index_tables(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF index as two MATERIALIZABLE relational tables — the
+    Spark form of the reference's serialized ANN index stored next to
+    the graph (``scarf/ann.py:14-28``, ``graph_datastore.py:855-956``):
+
+    * centroids: (cid, cv array<double>, cnrm) — the deterministic
+      md5-sampled coarse quantizer of :func:`cosine_knn_ivf`;
+    * lists: (cid, m_vid, m_v, m_nrm) — every vector assigned to its
+      nearest centroid (the inverted lists; cid is the partitioning).
+
+    Both roundtrip parquet losslessly (doubles end-to-end), so a probe
+    over the persisted tables is bit-identical to the inline build."""
+    import numpy as np
+
+    e = _as_double_vec(emb, id_col, vec_col)
+    seeds = (
+        e.select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+            F.md5(F.col("vid").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_cells)
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    srows = seeds.collect()
+    c_ids = np.array([r["cid"] for r in srows], dtype=np.int64)
+    c_mat = np.array([r["cv"] for r in srows], dtype=np.float64)
+    c_mat = c_mat / np.maximum(
+        np.array([r["cnrm"] for r in srows])[:, None], 1e-300
+    )
+    c_order = np.argsort(c_ids)
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (c_ids[c_order], c_mat[c_order])
+    )
+    lists = e.mapInPandas(
+        _centroid_ranker(bc, 1),
+        "vid long, v array<double>, nrm double, cid long, crank int",
+    ).select(
+        "cid", F.col("vid").alias("m_vid"), F.col("v").alias("m_v"),
+        F.col("nrm").alias("m_nrm"),
+    )
+    return seeds, lists
+
+
+def cosine_knn_ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    lists: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED IVF index: rank the (tiny, collected)
+    centroid table per query, then cogroup probes against the stored
+    inverted lists BY CENTROID ID — the index is scanned from parquet,
+    never rebuilt (the plan shows the lists' file scan). Same (src,
+    rank, dst, distance) contract and bit-identical results to
+    :func:`cosine_knn_ivf` at equal params."""
+    import numpy as np
+
+    srows = centroids.collect()
+    c_ids = np.array([r["cid"] for r in srows], dtype=np.int64)
+    c_mat = np.array([r["cv"] for r in srows], dtype=np.float64)
+    c_mat = c_mat / np.maximum(
+        np.array([r["cnrm"] for r in srows])[:, None], 1e-300
+    )
+    c_order = np.argsort(c_ids)
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (c_ids[c_order], c_mat[c_order])
+    )
+    q = _as_double_vec(queries, id_col, vec_col)
+    npb = max(1, n_probe)
+    probe = q.mapInPandas(
+        _centroid_ranker(bc, npb),
+        "vid long, v array<double>, nrm double, cid long, crank int",
+    ).select(
+        F.col("vid").alias("q_vid"), F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"), F.col("cid").alias("q_cid"),
+    )
+    per_list = probe.groupBy("q_cid").cogroup(lists.groupBy("cid")).applyInPandas(
+        _ivf_list_searcher(k), "src long, dst long, distance double"
+    )
+    w = Window.partitionBy("src").orderBy(F.col("distance"), F.col("dst"))
+    return (
+        per_list.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", F.round("distance", 6).alias("distance"))
+    )
+
+
+def cosine_knn_ivf_persisted(
+    emb: DataFrame,
+    registry,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search through a params-hash-keyed PERSISTED index (the ANN
+    sibling of dedup_incremental): the centroid + inverted-list tables
+    go through :class:`scarf_spark.plans.registry.RunRegistry` —
+    first call builds and materializes, every later call at the same
+    (params, input content hash) probes the stored parquet without
+    rebuilding. Mirrors the reference persisting the hnswlib index in
+    the Zarr tree keyed by its build params and reloading it per query
+    session (``graph_datastore.py:855-956``)."""
+    from scarf_spark.plans.registry import selection_hash
+
+    ih = selection_hash(emb.select(id_col, vec_col))
+    params = {"op": "ivf_flat", "n_cells": n_cells}
+    lists = registry.get_or_compute(
+        "ivf_lists", params, ih,
+        lambda: ivf_index_tables(emb, n_cells, id_col, vec_col)[1],
+    )
+    cents = registry.get_or_compute(
+        "ivf_centroids", params, ih,
+        lambda: ivf_index_tables(emb, n_cells, id_col, vec_col)[0],
+    )
+    return cosine_knn_ivf_probe(
+        emb, cents, lists, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
 
 

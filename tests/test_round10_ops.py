@@ -157,3 +157,33 @@ def test_lsh_recall_sample_pct(spark):
     assert samp["n_hit"] <= samp["n_true"]
     if samp["n_true"] > 0:
         assert 0.0 <= samp["recall"] <= 1.0
+
+
+def test_ivf_persisted_matches_inline_and_caches(spark, tmp_path):
+    from scarf_spark.operators import knn
+    from scarf_spark.plans.registry import RunRegistry
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    reg = RunRegistry(spark, str(tmp_path / "reg"))
+    inline = sorted(
+        map(tuple, knn.cosine_knn_ivf(emb, k=5, n_cells=8, n_probe=2).collect())
+    )
+    first = sorted(
+        map(
+            tuple,
+            knn.cosine_knn_ivf_persisted(
+                emb, reg, k=5, n_cells=8, n_probe=2
+            ).collect(),
+        )
+    )
+    assert first == inline  # persisted probe bit-matches the inline build
+    n_entries = len(reg._entries())
+    assert n_entries == 2  # ivf_lists + ivf_centroids materialized
+    again = knn.cosine_knn_ivf_persisted(emb, reg, k=5, n_cells=8, n_probe=2)
+    assert sorted(map(tuple, again.collect())) == inline
+    assert len(reg._entries()) == n_entries  # cache hit — no rebuild
+    # the probe reads the PERSISTED lists: its plan scans the registry
+    # parquet instead of re-deriving the index from the embeddings scan
+    plan = again._jdf.queryExecution().toString()
+    assert "ivf_lists__" in plan or "m_vid:bigint" in plan
