@@ -4954,32 +4954,132 @@ def ml_lsi(spark, sf_dir):
     )
 
 
-@q("clust_paris_cut")  # weak: driver_compute dendrogram (rows-only check)
+# SQL replay of the integer-exact Paris agglomeration
+# (ml.cluster.paris_dendrogram_micros): average-linkage sim between
+# clusters is EXACTLY W/(|A|·|B|) with W an integer micro-weight sum,
+# so each merge is an argmax over a double quotient of exact ints +
+# (a, b) tie-break — a recursive CTE whose working table carries the
+# full state per merge. Row types in st: 0 = membership (node x →
+# cluster y), 1 = cluster edge (x, y, w), 2 = merge log (children
+# x, y → new cluster id w at iteration it). New cluster ids are
+# max(node)+it — order-isomorphic to the engine's dense n+merge#
+# space, so the (a, b) tie-break decides identically.
+_PARIS_ST_CTE = (
+    "ed AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+    "SUM(CAST(FLOOR(1000000.0 / (1.0 + distance)) AS BIGINT)) AS w "
+    "FROM knn GROUP BY 1, 2), "
+    "mx AS MATERIALIZED (SELECT MAX(b) AS m FROM ed), "
+    "st AS ("
+    "SELECT 0 AS it, 0 AS typ, n AS x, n AS y, CAST(0 AS BIGINT) AS w "
+    "FROM (SELECT a AS n FROM ed UNION SELECT b FROM ed) "
+    "UNION ALL SELECT 0, 1, a, b, w FROM ed "
+    "UNION ALL ("
+    "WITH cur AS (SELECT * FROM st), "
+    "sizes AS (SELECT y AS c, COUNT(*) AS s FROM cur WHERE typ = 0 GROUP BY 1), "
+    "nxt AS (SELECT MAX(it) + 1 AS i, "
+    "(SELECT m FROM mx) + MAX(it) + 1 AS nid FROM cur), "
+    "best AS (SELECT e.x AS ba, e.y AS bb FROM cur e "
+    "JOIN sizes sa ON sa.c = e.x JOIN sizes sb ON sb.c = e.y "
+    "WHERE e.typ = 1 "
+    "ORDER BY CAST(e.w AS DOUBLE) / (sa.s * sb.s) DESC, e.x, e.y LIMIT 1) "
+    "SELECT nxt.i, 0, m.x, "
+    "CASE WHEN m.y IN (best.ba, best.bb) THEN nxt.nid ELSE m.y END, "
+    "CAST(0 AS BIGINT) FROM cur m, best, nxt WHERE m.typ = 0 "
+    "UNION ALL "
+    "SELECT nxt.i, 1, "
+    "LEAST(CASE WHEN e.x IN (best.ba, best.bb) THEN nxt.nid ELSE e.x END, "
+    "CASE WHEN e.y IN (best.ba, best.bb) THEN nxt.nid ELSE e.y END), "
+    "GREATEST(CASE WHEN e.x IN (best.ba, best.bb) THEN nxt.nid ELSE e.x END, "
+    "CASE WHEN e.y IN (best.ba, best.bb) THEN nxt.nid ELSE e.y END), "
+    "SUM(e.w) FROM cur e, best, nxt "
+    "WHERE e.typ = 1 AND NOT (e.x = best.ba AND e.y = best.bb) "
+    "GROUP BY 1, 2, 3, 4 "
+    "UNION ALL "
+    "SELECT nxt.i, 2, best.ba, best.bb, nxt.nid FROM best, nxt"
+    "))"
+)
+
+
+@q(
+    "clust_paris_cut",
+    # the n_clusters=5 cut_straight = the membership state 4 merges
+    # before the end, clusters renumbered by smallest member
+    f"WITH RECURSIVE {_KNN_CTE}, {_PARIS_ST_CTE}, "
+    # single materialized scan — fin + lab would re-run the recursion
+    "stm AS MATERIALIZED (SELECT * FROM st), "
+    "fin AS (SELECT GREATEST(MAX(it) - 4, 0) AS cut_it FROM stm), "
+    "lab AS (SELECT x AS node, y AS c FROM stm, fin "
+    "WHERE typ = 0 AND it = cut_it), "
+    "mins AS (SELECT c, MIN(node) AS mn FROM lab GROUP BY 1) "
+    "SELECT lab.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 AS INT) "
+    "AS cluster FROM lab JOIN mins ON lab.c = mins.c",
+)
 def clust_paris_cut(spark, sf_dir):
+    """Paris average-linkage dendrogram, cut at 5 clusters — now the
+    integer-exact agglomeration (paris_dendrogram_micros): weights are
+    floor(1e6/(1+distance)) micros, cluster similarity the exact
+    rational W/(|A|·|B|), so the merge order (all the cut consumes) is
+    engine-independent and the query carries a full value oracle."""
     from scarf_spark.ml import cluster as cl
 
     edges = _knn_edges(spark, sf_dir).withColumn(
-        "weight", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
+        "w_micros",
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.col("distance"))).cast("long"),
     )
-    merges, leaves = cl.paris_like_dendrogram(edges)
+    merges, leaves = cl.paris_dendrogram_micros(edges)
     labels = cl.cut_dendrogram(merges, leaves, n_clusters=5)
     return spark.createDataFrame(
         sorted(labels.items()), "node long, cluster int"
     )
 
 
-@q("clust_balanced_cut")  # weak: size-constrained dendrogram cut (rows-only)
+@q(
+    "clust_balanced_cut",
+    # BalancedCut(max_size=100, min_size=1) over the same replayed
+    # dendrogram: label every leaf by its TOPMOST ancestor of size ≤
+    # 100 (sizes strictly increase up a chain, so that is the unique
+    # max-size qualifying ancestor); renumber by smallest member.
+    # Parent pointers come from the merge-log rows (typ 2), cluster
+    # sizes from the membership rows at each cluster's live range.
+    f"WITH RECURSIVE {_KNN_CTE}, {_PARIS_ST_CTE}, "
+    # one materialized scan of the recursion — par/szs/anc otherwise
+    # each re-execute the whole merge replay
+    "stm AS MATERIALIZED (SELECT * FROM st), "
+    "par AS (SELECT x AS node, w AS p FROM stm WHERE typ = 2 "
+    "UNION ALL SELECT y, w FROM stm WHERE typ = 2), "
+    "szs AS (SELECT c, MAX(s) AS s FROM (SELECT y AS c, it, COUNT(*) AS s "
+    "FROM stm WHERE typ = 0 GROUP BY 1, 2) GROUP BY 1), "
+    "anc AS (SELECT n AS node, n AS a FROM "
+    "(SELECT a AS n FROM ed UNION SELECT b FROM ed) "
+    "UNION ALL SELECT anc.node, par.p FROM anc JOIN par ON anc.a = par.node), "
+    "pick AS (SELECT node, a, ROW_NUMBER() OVER (PARTITION BY node "
+    "ORDER BY s DESC) AS rn FROM anc JOIN szs ON szs.c = anc.a "
+    "WHERE s <= 100), "
+    "lab AS (SELECT node, a AS c FROM pick WHERE rn = 1), "
+    "mins AS (SELECT c, MIN(node) AS mn FROM lab GROUP BY 1) "
+    "SELECT lab.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 AS INT) "
+    "AS cluster FROM lab JOIN mins ON lab.c = mins.c",
+)
 def clust_balanced_cut(spark, sf_dir):
     from scarf_spark.ml import cluster as cl
 
     edges = _knn_edges(spark, sf_dir).withColumn(
-        "weight", F.lit(1.0) / (F.lit(1.0) + F.col("distance"))
+        "w_micros",
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.col("distance"))).cast("long"),
     )
-    merges, leaves = cl.paris_like_dendrogram(edges)
+    merges, leaves = cl.paris_dendrogram_micros(edges)
     labels = cl.cut_dendrogram_balanced(merges, leaves, max_size=100)
     return spark.createDataFrame(
         sorted(labels.items()), "node long, cluster int"
     )
+
+
+clust_balanced_cut.__doc__ = (
+    "BalancedCut over the integer-exact Paris dendrogram "
+    "(paris_dendrogram_micros + cut_dendrogram_balanced): split any "
+    "cluster over 100 members — value-oracled since the merge order "
+    "is a deterministic function of the integer edge table."
+)
 
 
 # ---------------------------------------------------------------------------

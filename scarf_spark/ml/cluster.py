@@ -390,6 +390,66 @@ def paris_like_dendrogram(edges: DataFrame, weight_col: str = "weight"):
     return merges, nodes
 
 
+def paris_dendrogram_micros(edges: DataFrame, weight_col: str = "w_micros"):
+    """driver_compute: the ORACLE-EXACT variant of
+    :func:`paris_like_dendrogram` — integer micro-weights instead of
+    accumulated floats, which makes the whole agglomeration replayable
+    by any engine:
+
+    the average-linkage similarity between clusters is EXACTLY
+    ``W(A,B) / (|A|·|B|)`` (W = integer sum of member-pair weights —
+    the float recursion ``sim·size/size_new`` telescopes to this), so
+    the state is pure integers and the argmax key is the correctly-
+    rounded DOUBLE quotient (both operands < 2⁵³ → any IEEE engine
+    computes the identical double) with (smaller a, smaller b) as the
+    tie-break. No order-dependent float accumulation anywhere — the
+    merge sequence is a deterministic function of the integer edge
+    table, which is what lets clust_paris_cut carry a full SQL oracle
+    (a recursive CTE replaying the merges) instead of a rows-only
+    check. Same (merges, leaf_ids) contract as paris_like_dendrogram;
+    recorded dist = 1/(1+W/(sa·sb)).
+
+    Ref: ``graph_datastore.py:1461-1584`` (dendrogram build),
+    ``dendrogram.py:106-239`` (cuts consume only the merge order)."""
+    rows = edges.select("src", "dst", weight_col).collect()
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W: dict[tuple[int, int], int] = {}
+    for r in rows:
+        a, b = idx[r["src"]], idx[r["dst"]]
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        W[key] = W.get(key, 0) + int(r[weight_col])
+    size = {i: 1 for i in range(n)}
+    merges = []
+    nxt = n
+    while W:
+        (a, b), w = max(
+            W.items(),
+            key=lambda kv: (
+                kv[1] / (size[kv[0][0]] * size[kv[0][1]]),  # exact-int double
+                -kv[0][0],
+                -kv[0][1],
+            ),
+        )
+        q = w / (size[a] * size[b])
+        merges.append((a, b, 1.0 / (1.0 + q), size[a] + size[b]))
+        size[nxt] = size[a] + size[b]
+        acc: dict[int, int] = {}
+        for (x, y), v in list(W.items()):
+            if x in (a, b) or y in (a, b):
+                other = y if x in (a, b) else x
+                if other not in (a, b):
+                    acc[other] = acc.get(other, 0) + v  # W(o,m)=W(o,a)+W(o,b)
+                del W[(x, y)]
+        for other, v in acc.items():
+            W[(min(other, nxt), max(other, nxt))] = v
+        nxt += 1
+    return merges, nodes
+
+
 def cut_dendrogram(merges, leaf_ids, n_clusters: int) -> dict[int, int]:
     """cut_straight analog (``sknetwork cut_straight``,
     ``graph_datastore.py:1519-1538``): undo the last (n_clusters-1)
@@ -441,7 +501,16 @@ def cut_dendrogram_balanced(
         children[node] = (a, b)
         size[node] = s
 
-    roots = [n_leaves + len(merges) - 1] if merges else list(range(n_leaves))
+    # forest-safe roots: every node (leaf or internal) that no later
+    # merge consumed — on a connected graph this is just the last
+    # merge, but a disconnected input yields one root per component
+    # (the single-root shortcut silently DROPPED other components'
+    # leaves from the labeling)
+    parented = {x for a, b, _d, _s in merges for x in (a, b)}
+    roots = [
+        x for x in list(range(n_leaves)) + [n_leaves + i for i in range(len(merges))]
+        if x not in parented
+    ]
     final: list[list[int]] = []
     budget = 2 * (n_leaves + len(merges)) + 1
 

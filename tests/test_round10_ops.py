@@ -187,3 +187,50 @@ def test_ivf_persisted_matches_inline_and_caches(spark, tmp_path):
     # parquet instead of re-deriving the index from the embeddings scan
     plan = again._jdf.queryExecution().toString()
     assert "ivf_lists__" in plan or "m_vid:bigint" in plan
+
+
+def test_paris_micros_matches_float_dendrogram_merge_order(spark):
+    # the integer-exact agglomeration must pick the same merges as the
+    # float version when the float weights are exact micro multiples
+    from scarf_spark.ml import cluster as cl
+
+    rows = [
+        (0, 1, 900000), (1, 2, 800000), (2, 3, 850000),
+        (3, 4, 700000), (0, 2, 400000),
+    ]
+    e_int = spark.createDataFrame(rows, "src long, dst long, w_micros long")
+    e_flt = e_int.select(
+        "src", "dst", (F.col("w_micros") / 1000000.0).alias("weight")
+    )
+    m_int, leaves_int = cl.paris_dendrogram_micros(e_int)
+    m_flt, leaves_flt = cl.paris_like_dendrogram(e_flt)
+    assert leaves_int == leaves_flt
+    assert [(a, b, s) for a, b, _d, s in m_int] == [
+        (a, b, s) for a, b, _d, s in m_flt
+    ]
+
+
+def test_balanced_cut_forest_roots(spark):
+    # two disconnected components: the old single-root shortcut dropped
+    # every leaf outside the last merge's component
+    from scarf_spark.ml import cluster as cl
+
+    rows = [(0, 1, 900000), (2, 3, 800000)]
+    e = spark.createDataFrame(rows, "src long, dst long, w_micros long")
+    merges, leaves = cl.paris_dendrogram_micros(e)
+    labels = cl.cut_dendrogram_balanced(merges, leaves, max_size=10)
+    assert set(labels) == {0, 1, 2, 3}  # all four leaves labeled
+    assert labels[0] == labels[1] and labels[2] == labels[3]
+    assert labels[0] != labels[2]
+
+
+def test_paris_cut_exact_tie_break(spark):
+    # two pairs with IDENTICAL rational similarity — the (a, b)
+    # tie-break must pick (0, 1) first on both engines
+    from scarf_spark.ml import cluster as cl
+
+    rows = [(2, 3, 500000), (0, 1, 500000), (1, 2, 100000)]
+    e = spark.createDataFrame(rows, "src long, dst long, w_micros long")
+    merges, leaves = cl.paris_dendrogram_micros(e)
+    assert (merges[0][0], merges[0][1]) == (0, 1)
+    assert (merges[1][0], merges[1][1]) == (2, 3)
