@@ -24,10 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+_ONLY = [s for s in os.environ.get("SMOKE_ONLY", "").split(",") if s]
+
+
 def timed(name, df, results):
     """df: a DataFrame, or a zero-arg callable returning one (use the
     callable form when the operator does eager work — persists,
-    counts — at construction time, so that work is inside the timer)."""
+    counts — at construction time, so that work is inside the timer).
+
+    SMOKE_ONLY=substr1,substr2 runs only kernels whose name matches a
+    substring — inputs are lazy spark.range expressions, so skipped
+    kernels cost nothing."""
+    if _ONLY and not any(s in name for s in _ONLY):
+        return
     t0 = time.time()
     if callable(df):
         df = df()
@@ -268,7 +277,8 @@ def main() -> None:
         lambda: connected_components_star(path_edges, rounds_out=star_rounds),
         results,
     )
-    results["components_star_path_1m_rounds"] = star_rounds[0]
+    if star_rounds:
+        results["components_star_path_1m_rounds"] = star_rounds[0]
 
     # 17b. head-to-head round count on a 64-node path (diameter 63):
     # the min-label fixpoint needs O(diameter) rounds — measured here
@@ -288,7 +298,8 @@ def main() -> None:
         ),
         results,
     )
-    results["components_fixpoint_path_64_rounds"] = fix_rounds[0]
+    if fix_rounds:
+        results["components_fixpoint_path_64_rounds"] = fix_rounds[0]
     timed(
         "components_star_path_64",
         lambda: connected_components_star(
@@ -296,7 +307,8 @@ def main() -> None:
         ),
         results,
     )
-    results["components_star_path_64_rounds"] = star_rounds_64[0]
+    if star_rounds_64:
+        results["components_star_path_64_rounds"] = star_rounds_64[0]
 
     # 18. semdedup shard grid (round 8): one deliberately skewed
     # mega-cluster (all vectors) forced through the shard-pair grid —
@@ -371,6 +383,57 @@ def main() -> None:
         ((F.col("id") * 97) % 500_000).alias("dst"),
     )
     timed("adamic_adar_2m_edges", lambda: adamic_adar(e_aa), results)
+
+    # 23. weighted-median / p90 grid (round 9): the threshold-crossing
+    # exact quantile over integer weights — grid bucketing keeps every
+    # task bounded by one (group, cell); skewed weights included
+    from scarf_spark.operators.windows import grouped_weighted_median
+
+    wm = spark.range(n).select(
+        (F.col("id") % 97).cast("string").alias("grp"),
+        ((F.col("id") * 2654435761) % 1_000_003).alias("x"),
+        ((F.col("id") % 19) + 1).alias("w"),
+    )
+    timed(
+        "weighted_median_grid",
+        lambda: grouped_weighted_median(wm, ["grp"], "x", "w"),
+        results,
+    )
+
+    # 24. session-concurrency sweep line (round 9): sessionize + ±1
+    # deltas + day-partitioned running sum — windows bounded by one
+    # day's churn, never the full history
+    from scarf_spark.operators.windows import session_concurrency
+
+    ev_sc = spark.range(min(n, 20_000_000)).select(
+        (F.col("id") % 200_000).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            (F.col("id") * 37) % (30 * 86400)
+        ).alias("ts"),
+    )
+    timed(
+        "session_concurrency_sweep",
+        lambda: session_concurrency(ev_sc),
+        results,
+    )
+
+    # 25. greedy k-center (round 9): k BLAS-broadcast rounds; state is
+    # the selected-center set (k vectors), never the corpus
+    from scarf_spark.operators.filters import kcenter_sample
+
+    emb_kc = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda dd: ((F.col("id") * dd * 16807) % 1000) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+    timed(
+        "kcenter_200k_k16",
+        lambda: kcenter_sample(emb_kc, k=16),
+        results,
+    )
 
     total = round(sum(results.values()), 2)
     print(
