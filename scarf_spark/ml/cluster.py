@@ -362,30 +362,46 @@ def paris_like_dendrogram(edges: DataFrame, weight_col: str = "weight"):
             continue
         key = (min(a, b), max(a, b))
         sim[key] = sim.get(key, 0.0) + float(r[weight_col])
-    size = {i: 1 for i in range(n)}
-    active = set(range(n))
+    # lazy-invalidation heap (same argument as paris_dendrogram_micros:
+    # a pair's stored sim never changes after creation, so staleness ==
+    # a dead endpoint); the float average-linkage recursion
+    # sim(m,o) = sim(a,o)·|a|/|m| + sim(b,o)·|b|/|m| is preserved
+    # bit-for-bit — the two contributions commute, so per-pair values
+    # match the old full-scan loop exactly.
+    import heapq
+
+    size = [1] * n
+    alive = [True] * n
+    nbr: list[dict[int, float] | None] = [dict() for _ in range(n)]
+    heap: list[tuple[float, int, int]] = []
+    for (a, b), s0 in sim.items():
+        nbr[a][b] = s0
+        nbr[b][a] = s0
+        heapq.heappush(heap, (-s0, a, b))
     merges = []
     nxt = n
-    while len(active) > 1 and sim:
+    while heap:
         # deterministic argmax: highest avg-linkage similarity, tie → ids
-        (a, b), s = max(sim.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
-        merges.append((a, b, 1.0 / (1.0 + s), size[a] + size[b]))
-        size[nxt] = size[a] + size[b]
-        active.discard(a)
-        active.discard(b)
+        negs, a, b = heapq.heappop(heap)
+        if not (alive[a] and alive[b]):
+            continue
+        merges.append((a, b, 1.0 / (1.0 - negs), size[a] + size[b]))
+        alive[a] = alive[b] = False
+        new_size = size[a] + size[b]
+        size.append(new_size)
+        alive.append(True)
         # merge similarity lists (average linkage over member pairs)
         acc: dict[int, float] = {}
-        for (x, y), v in list(sim.items()):
-            if x in (a, b) or y in (a, b):
-                other = y if x in (a, b) else x
-                if other not in (a, b):
-                    acc[other] = acc.get(other, 0.0) + v * (
-                        size[x if x in (a, b) else y] / size[nxt]
-                    )
-                del sim[(x, y)]
+        for src in (a, b):
+            frac = size[src] / new_size
+            for other, v in nbr[src].items():  # type: ignore[union-attr]
+                if other != a and other != b and alive[other]:
+                    acc[other] = acc.get(other, 0.0) + v * frac
+            nbr[src] = None
+        nbr.append(acc)
         for other, v in acc.items():
-            sim[(min(other, nxt), max(other, nxt))] = v
-        active.add(nxt)
+            nbr[other][nxt] = v  # type: ignore[index]
+            heapq.heappush(heap, (-v, other, nxt))
         nxt += 1
     return merges, nodes
 
@@ -422,30 +438,47 @@ def paris_dendrogram_micros(edges: DataFrame, weight_col: str = "w_micros"):
             continue
         key = (min(a, b), max(a, b))
         W[key] = W.get(key, 0) + int(r[weight_col])
-    size = {i: 1 for i in range(n)}
+
+    # O(E log E) agglomeration via a lazy-invalidation heap. The merge
+    # sequence is IDENTICAL to a full argmax scan per round: a pair's
+    # key (quotient, -a, -b) is immutable once the pair exists — its
+    # integer weight never changes and both endpoint sizes are fixed at
+    # pair-creation time (merges mint a NEW node id; they never resize
+    # a live one) — so a popped entry is stale iff an endpoint has died,
+    # and the first entry with both endpoints alive IS the argmax.
+    import heapq
+
+    size = [1] * n
+    alive = [True] * n
+    nbr: list[dict[int, int] | None] = [dict() for _ in range(n)]
+    heap: list[tuple[float, int, int, int]] = []
+    for (a, b), w in W.items():
+        nbr[a][b] = w
+        nbr[b][a] = w
+        # min-heap on (-quotient, a, b) == max on (quotient, -a, -b)
+        heapq.heappush(heap, (-(w / (size[a] * size[b])), a, b, w))
     merges = []
     nxt = n
-    while W:
-        (a, b), w = max(
-            W.items(),
-            key=lambda kv: (
-                kv[1] / (size[kv[0][0]] * size[kv[0][1]]),  # exact-int double
-                -kv[0][0],
-                -kv[0][1],
-            ),
-        )
-        q = w / (size[a] * size[b])
-        merges.append((a, b, 1.0 / (1.0 + q), size[a] + size[b]))
-        size[nxt] = size[a] + size[b]
+    while heap:
+        negq, a, b, w = heapq.heappop(heap)
+        if not (alive[a] and alive[b]):
+            continue
+        merges.append((a, b, 1.0 / (1.0 - negq), size[a] + size[b]))
+        alive[a] = alive[b] = False
+        size.append(size[a] + size[b])
+        alive.append(True)
         acc: dict[int, int] = {}
-        for (x, y), v in list(W.items()):
-            if x in (a, b) or y in (a, b):
-                other = y if x in (a, b) else x
-                if other not in (a, b):
+        for src in (a, b):
+            for other, v in nbr[src].items():  # type: ignore[union-attr]
+                if other != a and other != b and alive[other]:
                     acc[other] = acc.get(other, 0) + v  # W(o,m)=W(o,a)+W(o,b)
-                del W[(x, y)]
+            nbr[src] = None  # free dead adjacency
+        nbr.append(acc)
         for other, v in acc.items():
-            W[(min(other, nxt), max(other, nxt))] = v
+            nbr[other][nxt] = v  # type: ignore[index]
+            heapq.heappush(
+                heap, (-(v / (size[other] * size[nxt])), other, nxt, v)
+            )
         nxt += 1
     return merges, nodes
 

@@ -102,6 +102,27 @@ def test_pseudotime_range_and_source(edges):
     assert len(pt) == edges.select("src").distinct().count()
 
 
+def test_pseudotime_solve_matches_pinv():
+    """The rank-one-corrected LU solve in pba_pseudotime is exactly
+    L⁺b: (L + 1·dᵀ/1ᵀd)x = b with 1ᵀb = 0 forces dᵀx = 0, the
+    pinv-defining side condition."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 120
+    a = rng.random((n, n)) * (rng.random((n, n)) < 0.1)
+    a = a + a.T
+    deg = a.sum(axis=1)
+    deg[deg == 0] = 1.0
+    lap = np.eye(n) - a / deg[None, :]
+    b = np.full(n, -1.0 / (n - 1))
+    b[0] = 1.0
+    want = np.linalg.pinv(lap) @ b
+    got = np.linalg.solve(lap + np.outer(np.ones(n), deg) / deg.sum(), b)
+    assert np.abs(want - got).max() < 1e-10
+    assert abs(deg @ got) < 1e-9
+
+
 def test_lisi_bounds(edges, emb):
     labels = emb.select(F.col("vec_id").alias("cell_id"), "label")
     n_labels = emb.select("label").distinct().count()
