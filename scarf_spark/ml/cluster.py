@@ -48,9 +48,13 @@ def label_propagation(
     # iteration. Checkpoint blocks are GC-reclaimed when the returned
     # plan drops — a bare persist here had no paired unpersist and
     # leaked executor storage across calls (the ivf/dedup lesson).
+    # checkpoint the directed edge list BEFORE the symmetrizing
+    # self-union: both union branches reference the same upstream plan
+    # (typically a full KNN build), and without the cut Spark executes
+    # that upstream twice — once per branch
+    base = edges.select("src", "dst").localCheckpoint(eager=False)
     und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst"), F.col("src")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -58,23 +62,28 @@ def label_propagation(
         nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("cluster"))
     for _ in range(n_iter):
-        lab_d = labels.select(F.col("node").alias("_lnode"), "cluster")
+        # broadcast the node-sized label table explicitly: it comes out
+        # of a localCheckpoint, whose RDD-backed plan has no size stats,
+        # so Catalyst would otherwise pick a sort-merge join every round
+        lab_d = F.broadcast(labels.select(F.col("node").alias("_lnode"), "cluster"))
         nb = (
             und.join(lab_d, und.dst == lab_d._lnode)
             .select(F.col("src").alias("node"), "cluster")
             .groupBy("node", "cluster")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("cluster"))
+        # modal label, tie → smallest: one hash agg (max of the
+        # lexicographic (n, -cluster) struct) instead of a sort window —
+        # same exact integer semantics, no per-round sort
         # lazy localCheckpoint on each round's (node-sized) label table
         # so the next round joins a materialized input instead of
         # re-deriving the whole lineage (constant plan depth) — and the
         # blocks free themselves when the final labels drop, unlike the
         # previous unpaired per-round persist chain
         labels = (
-            nb.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("node", "cluster")
+            nb.groupBy("node")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("cluster")).alias("_nc"))).alias("_b"))
+            .select("node", (-F.col("_b._nc")).alias("cluster"))
             .localCheckpoint(eager=False)
         )
     return labels
