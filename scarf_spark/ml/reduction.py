@@ -34,7 +34,11 @@ def assemble_vectors(
     vec = F.array(*[
         F.coalesce(F.col("_m").getItem(int(f)), F.lit(0.0)) for f in feat_ids
     ])
-    return m.select("cell_id", vec.alias("v"))
+    # lazy checkpoint: every consumer (dim probe, z-score stats, Gram
+    # aggregate, projection) re-executes the COO scan + groupBy
+    # otherwise — the assembled table is cell-count-sized, far smaller
+    # than its lineage
+    return m.select("cell_id", vec.alias("v")).localCheckpoint(eager=False)
 
 
 def zscore_vectors(cells_vec: DataFrame) -> DataFrame:
@@ -59,7 +63,9 @@ def zscore_vectors(cells_vec: DataFrame) -> DataFrame:
         math.sqrt(max(r[f"q{i}"] / n - mu[i] * mu[i], 1e-12)) for i in range(d)
     ]
     z = F.array(*[(F.col("v")[i] - F.lit(mu[i])) / F.lit(sd[i]) for i in range(d)])
-    return cells_vec.select("cell_id", z.alias("v"))
+    # lazy checkpoint for the same reason as assemble_vectors: callers
+    # consume z once per Gram/probe/projection pass
+    return cells_vec.select("cell_id", z.alias("v")).localCheckpoint(eager=False)
 
 
 JACOBI_SWEEPS = 8
