@@ -298,10 +298,13 @@ def kmeans_lloyd(
     Ties go to the smallest centroid id (array_position finds the
     first minimum; centroid literals are ordered by id).
     """
+    # eager localCheckpoint, not persist: consumed k+n_iter+1 times and
+    # returned inside the output plan — checkpoint blocks free when the
+    # caller's plan drops, an unpaired persist would leak storage
     pts = vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     d = len(pts.select("_v").first()["_v"])
     seeds = (
         pts.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(k).collect()

@@ -90,7 +90,7 @@ def hto_demux(
         "cell_id",
         "feat_id",
         F.log(F.lit(1.0) + F.col("value") / F.col("gm")).alias("value"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by assemble/labeled/pos
     hto_ids = [
         int(r["feat_id"])
         for r in counts_hto.select("feat_id").distinct().orderBy("feat_id").limit(n_htos).collect()
@@ -100,7 +100,9 @@ def hto_demux(
     # compatibility but unused; the clustering is seedless-reproducible
     # and replayed exactly by the SQL oracle's recursive CTE
     km = kmeans_lloyd(vec, k=n_htos + 1, n_iter=5)
-    labeled = clr.join(km, "cell_id")
+    labeled = clr.join(km, "cell_id").localCheckpoint(
+        eager=False
+    )  # consumed twice: background pick + cutoffs
     # background cluster = lowest mean CLR signal
     bg = (
         labeled.groupBy("cluster")

@@ -163,7 +163,7 @@ def _grid_scorer(m_keep: int, sub: int = 1024):
 def cosine_knn_sharded(
     emb: DataFrame,
     k: int = 5,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     n_query_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -188,9 +188,19 @@ def cosine_knn_sharded(
     ROUND(6))."""
     import numpy as np
 
+    # lazy checkpoint: idx and qrep below are two explode branches of
+    # this same plan — without the cut the (often expensive) upstream
+    # profile/normalize pipeline executes twice
+    e = emb.select(id_col, vec_col).localCheckpoint(eager=False)
+    if n_shards is None:
+        # adaptive grid: ~5k index rows per shard balances per-task
+        # BLAS block size against grid-cell scheduling overhead (the
+        # count is one pass over the checkpoint). Output is EXACT for
+        # any grid shape — the global re-rank below — so this changes
+        # timing only.
+        n_shards = min(64, max(2, -(-e.count() // 5000)))
     if n_query_blocks is None:
         n_query_blocks = n_shards
-    e = emb.select(id_col, vec_col)
     blocks = F.array(*[F.lit(b) for b in range(n_query_blocks)])
     shards = F.array(*[F.lit(s) for s in range(n_shards)])
     idx = e.select(
