@@ -2822,6 +2822,75 @@ def ml_pseudotime(spark, sf_dir):
     return pseudotime.pba_pseudotime(edges, source_node=0)
 
 
+# Distributed pseudotime oracle: the deflated Richardson recursion is
+# SMOOTH (sums + one multiply-divide shape per step), so a recursive
+# CTE carrying the whole potential vector as one DOUBLE[] row replays
+# it exactly — the same list-state pattern as the Jacobi eigensolver.
+# The deflation term d·(1ᵀu)/(1ᵀd) is mathematically zero (1ᵀM = 1ᵀ
+# preserves the zero-sum gauge) and only scrubs float drift, so its
+# cross-engine sum-order difference is sub-ulp by construction.
+_HPOT_ITERS = 16
+_HPOT_CTE = (
+    "hew AS (SELECT i, j, SUM(w) AS w FROM ("
+    "SELECT src AS i, dst AS j, 1.0 / (1.0 + distance) AS w FROM knn "
+    "UNION ALL SELECT dst, src, 1.0 / (1.0 + distance) FROM knn) "
+    "GROUP BY i, j), "
+    "hdeg AS (SELECT j, SUM(w) AS d FROM hew GROUP BY j), "
+    "hidx AS (SELECT i AS node, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) "
+    "AS ix FROM (SELECT DISTINCT i FROM hew)), "
+    "hn AS (SELECT COUNT(*) AS c FROM hidx), "
+    "hsd AS (SELECT SUM(d) AS sd FROM hdeg), "
+    "hbl AS (SELECT list(CASE WHEN node = 0 THEN CAST(1.0 AS DOUBLE) "
+    "ELSE -1.0 / ((SELECT c FROM hn) - 1) END ORDER BY ix) AS bl FROM hidx), "
+    "hdl AS (SELECT list(d ORDER BY ix) AS dl FROM "
+    "(SELECT hidx.ix, hdeg.d FROM hidx JOIN hdeg ON hidx.node = hdeg.j)), "
+    "hadj AS (SELECT list(sub ORDER BY ix) AS adj FROM ("
+    "SELECT i2.ix AS ix, list(struct_pack(jx := j2.ix, "
+    "wn := e.w / dg.d) ORDER BY j2.ix) AS sub "
+    "FROM hew e JOIN hidx i2 ON e.i = i2.node "
+    "JOIN hidx j2 ON e.j = j2.node JOIN hdeg dg ON e.j = dg.j "
+    "GROUP BY i2.ix)), "
+    "hrec(t, v) AS ("
+    "SELECT 0, (SELECT bl FROM hbl) "
+    "UNION ALL "
+    "SELECT s2.t + 1, list_transform(range(1, s2.c + 1), "
+    "k2 -> s2.u[k2] - s2.dl[k2] * list_aggregate(s2.u, 'sum') / s2.sd) "
+    "FROM (SELECT r.t, hn.c, hsd.sd, hdl.dl, "
+    "list_transform(range(1, hn.c + 1), k -> hbl.bl[k] + "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(hadj.adj[k], p -> p.wn * r.v[p.jx])), "
+    "(acc, x) -> acc + x)) AS u "
+    "FROM hrec r, hn, hsd, hdl, hbl, hadj "
+    f"WHERE r.t < {_HPOT_ITERS}) s2), "
+    f"hfin AS (SELECT v FROM hrec WHERE t = {_HPOT_ITERS}), "
+    "hex AS (SELECT list_aggregate(v, 'min') AS mn, "
+    "list_aggregate(v, 'max') AS mx FROM hfin)"
+)
+
+
+@q(
+    "ml_pseudotime_power",
+    f"WITH RECURSIVE {_KNN_CTE}, {_HPOT_CTE} "
+    "SELECT hidx.node, CASE WHEN hex.mx > hex.mn THEN "
+    "ROUND((hfin.v[hidx.ix] - hex.mn) / (hex.mx - hex.mn), 6) "
+    "ELSE 0.0 END AS pseudotime FROM hidx, hfin, hex",
+)
+def ml_pseudotime_power(spark, sf_dir):
+    """Fully distributed PBA potential (ml.pseudotime.
+    harmonic_potential): fixed-16-round deflated Richardson solve of
+    the random-walk Laplacian system — one edge⋈vector join + hash agg
+    per round, NO graph collect, the scale path past the driver-svds
+    boundary that ml_pseudotime documents."""
+    from scarf_spark.ml import pseudotime
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    return pseudotime.harmonic_potential(
+        edges, source_node=0, n_iter=_HPOT_ITERS
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 mapping: cross-set KNN, UMAP kernel smoothing, unified graph
 # ---------------------------------------------------------------------------

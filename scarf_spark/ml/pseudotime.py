@@ -57,6 +57,97 @@ def pba_pseudotime(
     )
 
 
+def harmonic_potential(
+    edges: DataFrame,
+    source_node: int,
+    n_iter: int = 16,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Fully DISTRIBUTED twin of :func:`pba_pseudotime` — the scale
+    path that never collects the graph: a fixed-``n_iter`` deflated
+    Richardson iteration on the same random-walk Laplacian system
+    L·v = b (L = I − A·D⁻¹, b = +1 at the source and −1/(n−1)
+    elsewhere).  Each round is one edge⋈vector join + hash agg
+    (v ← b + A·D⁻¹·v) followed by removal of the span(d) component in
+    the 1ᵀ gauge (v ← v − d·(1ᵀv)/(1ᵀd), the spectral projector along
+    the unit left-eigenvector, which keeps the contraction rate at
+    |λ₂| < 1).  The fixed iteration count keeps every step SMOOTH
+    (sums, one multiply-divide shape), so a recursive SQL CTE replays
+    it exactly — same doctrine as ``graph.pagerank``.
+
+    Gauge note: the exact pinv solution satisfies dᵀv = 0 where this
+    iteration's limit satisfies 1ᵀv = 0; the two differ by a multiple
+    of d, i.e. the same harmonic potential in a different gauge — the
+    min-max-normalized ordering is what PBA consumes
+    (``graph_datastore.py:1818-2003``), and both gauges rank the
+    source at the extremum (test_harmonic_potential_orders_path).
+
+    Returns (node, pseudotime) min-max normalized to [0, 1],
+    ROUND(6)."""
+    und = (
+        edges.select(F.col("src").alias("i"), F.col("dst").alias("j"), F.col(weight_col).alias("w"))
+        .unionAll(
+            edges.select(F.col("dst").alias("i"), F.col("src").alias("j"), F.col(weight_col).alias("w"))
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = und.groupBy("j").agg(F.sum("w").alias("d"))
+    # fold D⁻¹ into the edge table once; every iteration reuses this
+    # materialization (the pagerank shape)
+    ew = (
+        und.join(deg, "j")
+        .select("i", "j", (F.col("w") / F.col("d")).alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = ew.select(F.col("i").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    dvec = deg.select(F.col("j").alias("node"), "d")
+    base = nodes.select(
+        "node",
+        F.when(F.col("node") == source_node, F.lit(1.0))
+        .otherwise(F.lit(-1.0 / max(n - 1, 1)))
+        .alias("b"),
+    ).join(F.broadcast(dvec), "node").localCheckpoint(eager=True)
+    sumd = float(deg.agg(F.sum("d")).collect()[0][0])
+    v = base.select("node", F.col("b").alias("v"))
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(F.broadcast(v.select(F.col("node").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("wn") * F.col("v")).alias("c"))
+        )
+        u = base.join(
+            F.broadcast(contrib.select(F.col("i").alias("node"), "c")),
+            "node",
+            "left_outer",
+        ).select("node", "b", "d", (F.col("b") + F.coalesce("c", F.lit(0.0))).alias("u"))
+        s = u.agg(F.sum("u").alias("_s"))
+        # deflation shape u - d * s / sumd (multiply before divide) is
+        # replicated verbatim in the SQL oracle
+        v = (
+            u.crossJoin(F.broadcast(s))
+            .select(
+                "node",
+                (F.col("u") - F.col("d") * F.col("_s") / F.lit(sumd)).alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ext = v.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
+    return (
+        v.crossJoin(F.broadcast(ext))
+        .select(
+            "node",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                F.round((F.col("v") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pseudotime"),
+        )
+    )
+
+
 def initial_embedding(
     reduced: DataFrame, clusters: DataFrame, dims: int = 2
 ) -> DataFrame:

@@ -102,6 +102,56 @@ def test_pseudotime_range_and_source(edges):
     assert len(pt) == edges.select("src").distinct().count()
 
 
+def test_harmonic_potential_orders_path(spark):
+    """On a path graph the potential decreases monotonically along the
+    interior chain away from the source — the same ordering the exact
+    pinv potential produces (endpoints deviate under the random-walk
+    Laplacian because their degree differs; pinv shows the identical
+    endpoint behavior)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(9)], ["src", "dst", "weight"]
+    )
+    pt = (
+        pseudotime.harmonic_potential(edges, source_node=0, n_iter=40)
+        .toPandas()
+        .sort_values("node")["pseudotime"]
+        .to_numpy()
+    )
+    assert pt[1] == 1.0  # chain max adjacent to the source
+    assert all(pt[i] > pt[i + 1] for i in range(1, 8))
+    assert pt[0] > pt[2]  # source ranks above its 2-hop neighbor
+
+
+def test_harmonic_potential_matches_numpy_replay(spark):
+    """The distributed fixed-iteration loop computes exactly the same
+    deflated Richardson recursion as a dense numpy replay."""
+    import numpy as np
+
+    raw = [(0, 1, 0.5), (1, 2, 2.0), (2, 3, 1.0), (3, 0, 0.25), (1, 3, 1.5)]
+    n = 4
+    a = np.zeros((n, n))
+    for i, j, w in raw:
+        a[i, j] += w
+        a[j, i] += w
+    d = a.sum(axis=0)
+    m = a / d[None, :]
+    b = np.full(n, -1.0 / (n - 1))
+    b[0] = 1.0
+    v = b.copy()
+    for _ in range(16):
+        u = b + m @ v
+        v = u - d * u.sum() / d.sum()
+    want = np.round((v - v.min()) / (v.max() - v.min()), 6)
+    edges = spark.createDataFrame(raw, ["src", "dst", "weight"])
+    got = (
+        pseudotime.harmonic_potential(edges, source_node=0, n_iter=16)
+        .toPandas()
+        .sort_values("node")["pseudotime"]
+        .to_numpy()
+    )
+    assert np.abs(got - want).max() < 1e-9
+
+
 def test_pseudotime_solve_matches_pinv():
     """The rank-one-corrected LU solve in pba_pseudotime is exactly
     L⁺b: (L + 1·dᵀ/1ᵀd)x = b with 1ᵀb = 0 forces dᵀx = 0, the
