@@ -466,3 +466,26 @@ def test_session_concurrency_partitioning_invariant(spark, parts):
     a = sorted(map(tuple, session_concurrency(ev).collect()))
     b = sorted(map(tuple, session_concurrency(ev.repartition(parts)).collect()))
     assert a == b
+
+
+@SET
+@given(parts=st.integers(min_value=1, max_value=9))
+def test_harmonic_potential_partitioning_invariant(spark, parts):
+    """The distributed pseudotime's ROUND(6) output is invariant to the
+    input partitioning — the per-round sums are order-insensitive at
+    the rounded resolution, which is the contract its oracle relies
+    on."""
+    from scarf_spark.ml.pseudotime import harmonic_potential
+
+    rows = [(i, (i * 7 + 1) % 23, 1.0 + (i % 5)) for i in range(40) if i != (i * 7 + 1) % 23]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    a = sorted(map(tuple, harmonic_potential(e, source_node=0, n_iter=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            harmonic_potential(
+                e.repartition(parts), source_node=0, n_iter=8
+            ).collect(),
+        )
+    )
+    assert a == b

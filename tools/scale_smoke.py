@@ -435,6 +435,23 @@ def main() -> None:
         results,
     )
 
+    # 26. distributed pseudotime round (round 10): the deflated
+    # Richardson matvec — same shape as the pagerank kernel but with
+    # the deflation scalar broadcast back; state is one node-sized
+    # vector per round regardless of edge count
+    from scarf_spark.ml.pseudotime import harmonic_potential
+
+    e_hp = spark.range(min(n, 5_000_000)).select(
+        (F.col("id") % 1_000_000).alias("src"),
+        ((F.col("id") * 31 + 1) % 1_000_000).alias("dst"),
+        ((F.col("id") % 7) + 1.0).alias("weight"),
+    ).where(F.col("src") != F.col("dst"))
+    timed(
+        "harmonic_potential_5m_edges_4rounds",
+        lambda: harmonic_potential(e_hp, source_node=0, n_iter=4),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
