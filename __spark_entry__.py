@@ -3471,6 +3471,118 @@ def ml_densmap_embed(spark, sf_dir):
     )
 
 
+# Distributed spectral layout oracle: deflated power iteration on the
+# lazy walk (M + I)/2 — self-loop-folded adjacency so the matvec is one
+# fold per node; per-round scalars (deflation dots, Pythagoras norm)
+# replayed with the same left-associated formula. List-state recursive
+# CTE per dimension (the ml_pseudotime_power pattern); dim 2 deflates
+# against dim 1's SIGNED vector (sign cancels in u·(uᵀv), so the
+# convention is shape-only).
+_SPEC_ITERS = 8
+_SPEC_SEED = (
+    "('0x' || substr(md5(CAST(sidx.node AS VARCHAR) || '_{tag}'), 1, 15))::BIGINT "
+    "/ 1152921504606846976.0 - 0.5"
+)
+_SPEC_REC = (
+    "srec{c}(t, v) AS ("
+    "SELECT 0, (SELECT list({seed} ORDER BY sidx.ix) FROM sidx) "
+    "UNION ALL "
+    "SELECT s3.t + 1, CASE WHEN s3.nrm > 0 THEN "
+    "list_transform(range(1, s3.n + 1), k -> ({resid}) / s3.nrm) "
+    "ELSE list_transform(range(1, s3.n + 1), k -> CAST(0.0 AS DOUBLE)) END "
+    "FROM (SELECT s2.*, sqrt(GREATEST({n2}, 0.0)) AS nrm FROM ("
+    "SELECT s1.*, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip(s1.u0l, s1.u), p -> p[1] * p[2])), "
+    "(a, x) -> a + x) AS t0, "
+    "{tpsel}"
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(s1.u, x -> x * x)), (a, x) -> a + x) AS s2v "
+    "FROM (SELECT r.t, sn.n, su0.u0l, {tpin}"
+    "list_transform(range(1, sn.n + 1), k -> "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(sadj.adj[k], p -> p.wn * r.v[p.jx])), "
+    "(a, x) -> a + x)) AS u "
+    "FROM srec{c} r, sn, su0, sadj{tpfrom} "
+    "WHERE r.t < {iters}) s1) s2) s3), "
+    "sfin{c} AS (SELECT v FROM srec{c} WHERE t = {iters}), "
+    "sfl{c} AS (SELECT sidx.node, sidx.ix, f.v[sidx.ix] AS val "
+    "FROM sidx, sfin{c} f), "
+    "ssg{c} AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+    "FROM sfl{c} ORDER BY abs(val) DESC, node LIMIT 1), "
+    "se{c} AS (SELECT node, ix, val * (SELECT sgn FROM ssg{c}) AS e "
+    "FROM sfl{c})"
+)
+_SPEC_CTE = (
+    "sew0 AS (SELECT i, j, SUM(w) AS w FROM ("
+    "SELECT src AS i, dst AS j, 1.0 / (1.0 + distance) AS w FROM knn "
+    "UNION ALL SELECT dst, src, 1.0 / (1.0 + distance) FROM knn) "
+    "GROUP BY i, j), "
+    "sdeg AS (SELECT i, SUM(w) AS d FROM sew0 GROUP BY i), "
+    "sidx AS (SELECT i AS node, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) "
+    "AS ix FROM sdeg), "
+    "sn AS (SELECT COUNT(*) AS n FROM sidx), "
+    "ssd AS (SELECT SUM(d) AS sd FROM sdeg), "
+    "su0 AS (SELECT list(sqrt(d) / sqrt((SELECT sd FROM ssd)) ORDER BY ix) "
+    "AS u0l FROM sdeg JOIN sidx ON sdeg.i = sidx.node), "
+    "sewl AS (SELECT e.i, e.j, e.w / sqrt(di.d * dj.d) / 2.0 AS wn "
+    "FROM sew0 e JOIN sdeg di ON e.i = di.i JOIN sdeg dj ON e.j = dj.i "
+    "UNION ALL SELECT i, i, 0.5 FROM sdeg), "
+    "sadj AS (SELECT list(sub ORDER BY ix) AS adj FROM ("
+    "SELECT i2.ix AS ix, list(struct_pack(jx := j2.ix, wn := e.wn) "
+    "ORDER BY j2.ix, e.wn) AS sub FROM sewl e "
+    "JOIN sidx i2 ON e.i = i2.node JOIN sidx j2 ON e.j = j2.node "
+    "GROUP BY i2.ix)), "
+    + _SPEC_REC.format(
+        c=1,
+        seed=_SPEC_SEED.format(tag="e1"),
+        resid="s3.u[k] - s3.u0l[k] * s3.t0",
+        n2="s2.s2v - s2.t0 * s2.t0",
+        tpsel="",
+        tpin="",
+        tpfrom="",
+        iters=_SPEC_ITERS,
+    )
+    + ", e1l AS (SELECT list(e ORDER BY ix) AS el FROM se1), "
+    + _SPEC_REC.format(
+        c=2,
+        seed=_SPEC_SEED.format(tag="e2"),
+        resid="s3.u[k] - s3.u0l[k] * s3.t0 - s3.e1v[k] * s3.t1",
+        n2="s2.s2v - s2.t0 * s2.t0 - s2.t1 * s2.t1",
+        tpsel=(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(list_zip(s1.e1v, s1.u), p -> p[1] * p[2])), "
+            "(a, x) -> a + x) AS t1, "
+        ),
+        tpin="e1l.el AS e1v, ",
+        tpfrom=", e1l",
+        iters=_SPEC_ITERS,
+    )
+)
+
+
+@q(
+    "ml_spectral_embed",
+    f"WITH RECURSIVE {_KNN_CTE}, {_SPEC_CTE} "
+    "SELECT se1.node, ROUND(se1.e, 6) AS e1, ROUND(se2.e, 6) AS e2 "
+    "FROM se1 JOIN se2 ON se1.node = se2.node",
+)
+def ml_spectral_embed(spark, sf_dir):
+    """Fully distributed 2-D spectral layout of the KNN graph
+    (ml.embed.spectral_embedding): fixed-8-round deflated power
+    iteration per dimension on the lazy walk (M + I)/2 — one
+    edge⋈vector join + hash agg per round, no graph collect — the
+    oracle-able scale twin of the driver-side SGD layouts
+    (umap-learn's own layouts are seeded from this spectral
+    initialization)."""
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    return embed.spectral_embedding(edges, dims=2, n_iter=_SPEC_ITERS)
+
+
 @q("ml_umap_embed")  # weak: sequential SGD layout (driver_compute, seeded)
 def ml_umap_embed(spark, sf_dir):
     from scarf_spark.ml import embed

@@ -282,3 +282,149 @@ def umap_layout_driver(
          for nid, i in idx.items()],
         ["cell_id", "umap1", "umap2"],
     )
+
+
+def spectral_embedding(
+    edges: DataFrame,
+    dims: int = 2,
+    n_iter: int = 8,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Fully DISTRIBUTED spectral layout — the oracle-able twin of the
+    driver-side SGD layouts (umap-learn seeds its layout from exactly
+    this: the leading non-trivial eigenvectors of the normalized graph
+    adjacency, ``umap/spectral.py`` in the public package; the
+    reference collects the graph instead, ``graph_datastore.py
+    :1218-1377``).
+
+    Deterministic deflated power iteration on the LAZY walk operator
+    (M + I)/2 with M = D^(-1/2)·A·D^(-1/2): the shift maps M's
+    spectrum [−1, 1] to [0, 1] so the algebraically-largest
+    eigenvectors dominate (plain power iteration on a near-bipartite
+    graph locks onto the λ ≈ −1 alternating mode instead). The top
+    eigenpair is known in closed form (u0 ∝ √d, eigenvalue 1), so
+    dimension c is a FIXED-``n_iter`` loop of
+    v ← normalize(((M·v + v)/2) − Σ_p u_p·(u_pᵀ·…)) deflated against
+    u0 and the previously computed dimensions. Every step is smooth (sums,
+    one divide-by-norm), the start vector is a seedless md5 hash of
+    the node id (engine-portable), and the iteration count is fixed —
+    so a recursive list-state SQL CTE replays it exactly (the
+    ml_pseudotime_power / Jacobi doctrine). Per round: one edge⋈vector
+    join + hash agg, one dot-product aggregate pass; state is the
+    node-sized vector — no graph collect at any n.
+
+    Sign convention: the component with the largest |value| (node-id
+    tie-break) is made positive, the pca_fit convention. Returns
+    (node, e1..e<dims>) ROUND(6)."""
+    und = (
+        edges.select(
+            F.col("src").alias("i"), F.col("dst").alias("j"), F.col(weight_col).alias("w")
+        )
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("i"), F.col("src").alias("j"), F.col(weight_col).alias("w")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = und.groupBy("i").agg(F.sum("w").alias("d"))
+    # the lazy-walk shift (M + I)/2 is folded into the edge table as
+    # halved weights plus 0.5 self-loops — the per-round matvec is then
+    # ONE join + hash agg with no separate shift pass
+    ew = (
+        und.join(deg, "i")
+        .join(deg.select(F.col("i").alias("j"), F.col("d").alias("dj")), "j")
+        .select(
+            "i", "j", (F.col("w") / F.sqrt(F.col("d") * F.col("dj")) / F.lit(2.0)).alias("wn")
+        )
+        .unionAll(
+            deg.select(F.col("i"), F.col("i").alias("j"), F.lit(0.5).alias("wn"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    import math
+
+    sumd = float(deg.agg(F.sum("d")).collect()[0][0])
+    # u0 = sqrt(d)/sqrt(sum d): the known unit top eigenvector of M
+    base = deg.select(
+        F.col("i").alias("node"),
+        (F.sqrt(F.col("d")) / F.lit(math.sqrt(sumd))).alias("u0"),
+    ).localCheckpoint(eager=True)
+    done: list[str] = []
+    for c in range(dims):
+        tag = f"e{c + 1}"
+        # seedless portable start: md5(node || '_ec') top-60-bit / 2^60 - 0.5
+        v = base.select(
+            "node",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("node").cast("string"), F.lit(f"_{tag}"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .cast("double")
+                / F.lit(1152921504606846976.0)
+                - F.lit(0.5)
+            ).alias("v"),
+        ).localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            mv = (
+                ew.join(F.broadcast(v.select(F.col("node").alias("j"), "v")), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("wn") * F.col("v")).alias("mv"))
+                .select(F.col("i").alias("node"), "mv")
+            )
+            u = base.join(F.broadcast(mv), "node")
+            # one aggregate pass collects every scalar the round needs:
+            # the deflation dots and ||mv||²; the residual norm follows
+            # by Pythagoras (u0/e_p are orthonormal), ||r||² =
+            # ||mv||² − t0² − Σ tp² — the SQL oracle replays the same
+            # left-associated formula with the engine's own scalars
+            row = u.agg(
+                F.sum(F.col("u0") * F.col("mv")).alias("_t0"),
+                *[
+                    F.sum(F.col(tagp) * F.col("mv")).alias(f"_t_{tagp}")
+                    for tagp in done
+                ],
+                F.sum(F.col("mv") * F.col("mv")).alias("_s2"),
+            ).collect()[0]
+            t0 = float(row["_t0"])
+            tps = [float(row[f"_t_{tagp}"]) for tagp in done]
+            n2 = float(row["_s2"]) - t0 * t0
+            for tp in tps:
+                n2 = n2 - tp * tp
+            nrm = math.sqrt(max(n2, 0.0))
+            resid = F.col("mv") - F.col("u0") * F.lit(t0)
+            for tagp, tp in zip(done, tps):
+                resid = resid - F.col(tagp) * F.lit(tp)
+            vexpr = (
+                (resid / F.lit(nrm)).alias("v")
+                if nrm > 0
+                else F.lit(0.0).alias("v")
+            )
+            v = u.select("node", vexpr).localCheckpoint(eager=True)
+        # sign convention: component with max (|v|, -node) positive
+        srow = v.agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("v")).alias("_a"),
+                    (-F.col("node")).alias("_n"),
+                    F.col("v").alias("_v"),
+                )
+            ).alias("_b")
+        ).collect()[0]["_b"]
+        sgn = -1.0 if srow["_v"] < 0 else 1.0
+        vc = v.select("node", (F.col("v") * F.lit(sgn)).alias(tag))
+        # fold the finished dimension into base ONCE — later dims then
+        # deflate against a plain column instead of a per-round join
+        base = base.join(F.broadcast(vc), "node").localCheckpoint(eager=True)
+        done.append(tag)
+    return base.select(
+        "node", *[F.round(F.col(tag), 6).alias(tag) for tag in done]
+    )

@@ -147,3 +147,35 @@ def test_densmap_improves_density_preservation(spark, edges):
     # the density force must increase input/embedding radius correlation
     assert c1 > c0
     assert c1 > 0.2
+
+
+def test_spectral_embedding_separates_clusters(spark):
+    """e1 of the lazy-walk spectral layout splits two cliques joined by
+    a weak bridge — the classic Fiedler-style structure recovery."""
+    from scarf_spark.ml.embed import spectral_embedding
+
+    raw = []
+    for start in (0, 6):
+        for a in range(6):
+            for b in range(a + 1, 6):
+                raw.append((start + a, start + b, 1.0))
+    raw.append((0, 6, 0.2))
+    edges = spark.createDataFrame(raw, ["src", "dst", "weight"])
+    df = spectral_embedding(edges, dims=2, n_iter=10).toPandas()
+    ga = df[df.node < 6]["e1"]
+    gb = df[df.node >= 6]["e1"]
+    # all of one clique on one side, all of the other on the other
+    assert (ga > 0).all() != (gb > 0).all()
+    assert abs(ga.mean() - gb.mean()) > 0.3
+
+
+def test_spectral_embedding_partitioning_invariant(spark):
+    from scarf_spark.ml.embed import spectral_embedding
+
+    raw = [(i, (i * 5 + 2) % 17, 1.0 + (i % 3)) for i in range(30) if i != (i * 5 + 2) % 17]
+    e = spark.createDataFrame(raw, ["src", "dst", "weight"])
+    a = sorted(map(tuple, spectral_embedding(e, dims=2, n_iter=5).collect()))
+    b = sorted(
+        map(tuple, spectral_embedding(e.repartition(7), dims=2, n_iter=5).collect())
+    )
+    assert a == b
