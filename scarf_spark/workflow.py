@@ -378,6 +378,46 @@ class ScarfDataStore:
         self._set_cell_cols(out)
         return self
 
+    def run_pseudotime_distributed(
+        self, source_node: int | None = None, n_iter: int = 16
+    ) -> "ScarfDataStore":
+        """The scale path of :meth:`run_pseudotime` — fixed-iteration
+        deflated Richardson on the same Laplacian system, NO graph
+        collect (ml.pseudotime.harmonic_potential); lands as
+        ``{assay}_pseudotime``."""
+        from scarf_spark.ml.pseudotime import harmonic_potential
+
+        edges = self._require_graph()
+        if source_node is None:
+            source_node = edges.agg(F.min("src")).collect()[0][0]
+        out = harmonic_potential(
+            edges, source_node=int(source_node), n_iter=n_iter
+        ).select(
+            F.col("node").alias("cell_id"),
+            F.col("pseudotime").alias(f"{self.assay}_pseudotime"),
+        )
+        self._set_cell_cols(out)
+        return self
+
+    def run_spectral_embedding(
+        self, dims: int = 2, n_iter: int = 8
+    ) -> "ScarfDataStore":
+        """Distributed spectral layout of the KNN graph
+        (ml.embed.spectral_embedding) — the no-collect twin of
+        :meth:`run_umap`; lands as ``{assay}_spectral1..N``."""
+        from scarf_spark.ml.embed import spectral_embedding
+
+        emb = spectral_embedding(self._require_graph(), dims=dims, n_iter=n_iter)
+        out = emb.select(
+            F.col("node").alias("cell_id"),
+            *[
+                F.col(f"e{i + 1}").alias(f"{self.assay}_spectral{i + 1}")
+                for i in range(dims)
+            ],
+        )
+        self._set_cell_cols(out)
+        return self
+
     def run_topacedo_sampler(self, label_key: str, cap_per_cluster: int = 50) -> "ScarfDataStore":
         """``graph_datastore.py:1586-1727``: TopACeDo-style sketch —
         the kept flag lands as ``{assay}_sketched``."""

@@ -92,6 +92,17 @@ def test_round9_reference_surface(wf, tmp_path):
     ms = wf.calc_membership_strength("RNA_cluster").collect()
     assert len(ms) > 0 and all(0.0 <= r["strength"] <= 1.0 for r in ms)
 
+    # round-10 distributed twins share the store state and contracts
+    wf.run_pseudotime_distributed(n_iter=4)
+    pt2 = wf.cells.where("RNA_pseudotime IS NOT NULL")
+    lo2, hi2 = pt2.agg(
+        F.min("RNA_pseudotime"), F.max("RNA_pseudotime")
+    ).first()
+    assert pt2.count() > 0 and 0.0 <= lo2 and hi2 <= 1.0
+    wf.run_spectral_embedding(dims=2, n_iter=3)
+    assert {"RNA_spectral1", "RNA_spectral2"} <= set(wf.cells.columns)
+    assert wf.cells.where("RNA_spectral1 IS NOT NULL").count() > 0
+
     sl = wf.smart_label("RNA_cluster", "RNA_leiden_cluster").collect()
     assert len(sl) > 0
 
