@@ -345,6 +345,13 @@ def spectral_embedding(
     )
     import math
 
+    n_nodes = deg.count()
+    if n_nodes <= dims:
+        raise ValueError(
+            f"spectral_embedding: need more nodes ({n_nodes}) than "
+            f"dimensions ({dims}) — the lazy walk has only "
+            f"{max(n_nodes - 1, 0)} non-trivial eigenvectors"
+        )
     sumd = float(deg.agg(F.sum("d")).collect()[0][0])
     # u0 = sqrt(d)/sqrt(sum d): the known unit top eigenvector of M
     base = deg.select(

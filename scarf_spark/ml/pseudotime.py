@@ -102,6 +102,15 @@ def harmonic_potential(
     )
     nodes = ew.select(F.col("i").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
+    # fail loud on degenerate inputs instead of emitting a constant/NULL
+    # potential (the welch_t/drift_terms doctrine): a <2-node graph has
+    # no potential and a missing source makes b a constant vector
+    if n < 2:
+        raise ValueError(f"harmonic_potential: need >= 2 nodes, got {n}")
+    if nodes.where(F.col("node") == source_node).count() == 0:
+        raise ValueError(
+            f"harmonic_potential: source node {source_node} not in the graph"
+        )
     dvec = deg.select(F.col("j").alias("node"), "d")
     base = nodes.select(
         "node",

@@ -297,3 +297,20 @@ def test_leiden_communities_are_connected(spark):
                     seen.add(u)
                     dq.append(u)
         assert seen == members, f"community {c} is disconnected"
+
+
+def test_harmonic_potential_fails_loud_on_degenerate_input(spark):
+    import pytest as _pt
+
+    e1 = spark.createDataFrame([(0, 1, 1.0)], ["src", "dst", "weight"])
+    with _pt.raises(ValueError, match="source node 7"):
+        pseudotime.harmonic_potential(e1, source_node=7, n_iter=2)
+
+
+def test_spectral_embedding_fails_loud_when_dims_too_large(spark):
+    import pytest as _pt
+    from scarf_spark.ml.embed import spectral_embedding
+
+    e1 = spark.createDataFrame([(0, 1, 1.0)], ["src", "dst", "weight"])
+    with _pt.raises(ValueError, match="more nodes"):
+        spectral_embedding(e1, dims=2, n_iter=2)
