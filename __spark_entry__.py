@@ -2831,20 +2831,20 @@ def ml_pseudotime(spark, sf_dir):
 # cross-engine sum-order difference is sub-ulp by construction.
 _HPOT_ITERS = 16
 _HPOT_CTE = (
-    "hew AS (SELECT i, j, SUM(w) AS w FROM ("
+    "hew AS MATERIALIZED (SELECT i, j, SUM(w) AS w FROM ("
     "SELECT src AS i, dst AS j, 1.0 / (1.0 + distance) AS w FROM knn "
     "UNION ALL SELECT dst, src, 1.0 / (1.0 + distance) FROM knn) "
     "GROUP BY i, j), "
-    "hdeg AS (SELECT j, SUM(w) AS d FROM hew GROUP BY j), "
-    "hidx AS (SELECT i AS node, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) "
+    "hdeg AS MATERIALIZED (SELECT j, SUM(w) AS d FROM hew GROUP BY j), "
+    "hidx AS MATERIALIZED (SELECT i AS node, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) "
     "AS ix FROM (SELECT DISTINCT i FROM hew)), "
-    "hn AS (SELECT COUNT(*) AS c FROM hidx), "
-    "hsd AS (SELECT SUM(d) AS sd FROM hdeg), "
-    "hbl AS (SELECT list(CASE WHEN node = 0 THEN CAST(1.0 AS DOUBLE) "
+    "hn AS MATERIALIZED (SELECT COUNT(*) AS c FROM hidx), "
+    "hsd AS MATERIALIZED (SELECT SUM(d) AS sd FROM hdeg), "
+    "hbl AS MATERIALIZED (SELECT list(CASE WHEN node = 0 THEN CAST(1.0 AS DOUBLE) "
     "ELSE -1.0 / ((SELECT c FROM hn) - 1) END ORDER BY ix) AS bl FROM hidx), "
-    "hdl AS (SELECT list(d ORDER BY ix) AS dl FROM "
+    "hdl AS MATERIALIZED (SELECT list(d ORDER BY ix) AS dl FROM "
     "(SELECT hidx.ix, hdeg.d FROM hidx JOIN hdeg ON hidx.node = hdeg.j)), "
-    "hadj AS (SELECT list(sub ORDER BY ix) AS adj FROM ("
+    "hadj AS MATERIALIZED (SELECT list(sub ORDER BY ix) AS adj FROM ("
     "SELECT i2.ix AS ix, list(struct_pack(jx := j2.ix, "
     "wn := e.w / dg.d) ORDER BY j2.ix) AS sub "
     "FROM hew e JOIN hidx i2 ON e.i = i2.node "
@@ -2862,7 +2862,7 @@ _HPOT_CTE = (
     "(acc, x) -> acc + x)) AS u "
     "FROM hrec r, hn, hsd, hdl, hbl, hadj "
     f"WHERE r.t < {_HPOT_ITERS}) s2), "
-    f"hfin AS (SELECT v FROM hrec WHERE t = {_HPOT_ITERS}), "
+    f"hfin AS MATERIALIZED (SELECT v FROM hrec WHERE t = {_HPOT_ITERS}), "
     "hex AS (SELECT list_aggregate(v, 'min') AS mn, "
     "list_aggregate(v, 'max') AS mx FROM hfin)"
 )
@@ -3505,30 +3505,30 @@ _SPEC_REC = (
     "(a, x) -> a + x)) AS u "
     "FROM srec{c} r, sn, su0, sadj{tpfrom} "
     "WHERE r.t < {iters}) s1) s2) s3), "
-    "sfin{c} AS (SELECT v FROM srec{c} WHERE t = {iters}), "
-    "sfl{c} AS (SELECT sidx.node, sidx.ix, f.v[sidx.ix] AS val "
+    "sfin{c} AS MATERIALIZED (SELECT v FROM srec{c} WHERE t = {iters}), "
+    "sfl{c} AS MATERIALIZED (SELECT sidx.node, sidx.ix, f.v[sidx.ix] AS val "
     "FROM sidx, sfin{c} f), "
     "ssg{c} AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn "
     "FROM sfl{c} ORDER BY abs(val) DESC, node LIMIT 1), "
-    "se{c} AS (SELECT node, ix, val * (SELECT sgn FROM ssg{c}) AS e "
+    "se{c} AS MATERIALIZED (SELECT node, ix, val * (SELECT sgn FROM ssg{c}) AS e "
     "FROM sfl{c})"
 )
 _SPEC_CTE = (
-    "sew0 AS (SELECT i, j, SUM(w) AS w FROM ("
+    "sew0 AS MATERIALIZED (SELECT i, j, SUM(w) AS w FROM ("
     "SELECT src AS i, dst AS j, 1.0 / (1.0 + distance) AS w FROM knn "
     "UNION ALL SELECT dst, src, 1.0 / (1.0 + distance) FROM knn) "
     "GROUP BY i, j), "
-    "sdeg AS (SELECT i, SUM(w) AS d FROM sew0 GROUP BY i), "
-    "sidx AS (SELECT i AS node, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) "
+    "sdeg AS MATERIALIZED (SELECT i, SUM(w) AS d FROM sew0 GROUP BY i), "
+    "sidx AS MATERIALIZED (SELECT i AS node, CAST(ROW_NUMBER() OVER (ORDER BY i) AS INT) "
     "AS ix FROM sdeg), "
-    "sn AS (SELECT COUNT(*) AS n FROM sidx), "
-    "ssd AS (SELECT SUM(d) AS sd FROM sdeg), "
-    "su0 AS (SELECT list(sqrt(d) / sqrt((SELECT sd FROM ssd)) ORDER BY ix) "
+    "sn AS MATERIALIZED (SELECT COUNT(*) AS n FROM sidx), "
+    "ssd AS MATERIALIZED (SELECT SUM(d) AS sd FROM sdeg), "
+    "su0 AS MATERIALIZED (SELECT list(sqrt(d) / sqrt((SELECT sd FROM ssd)) ORDER BY ix) "
     "AS u0l FROM sdeg JOIN sidx ON sdeg.i = sidx.node), "
-    "sewl AS (SELECT e.i, e.j, e.w / sqrt(di.d * dj.d) / 2.0 AS wn "
+    "sewl AS MATERIALIZED (SELECT e.i, e.j, e.w / sqrt(di.d * dj.d) / 2.0 AS wn "
     "FROM sew0 e JOIN sdeg di ON e.i = di.i JOIN sdeg dj ON e.j = dj.i "
     "UNION ALL SELECT i, i, 0.5 FROM sdeg), "
-    "sadj AS (SELECT list(sub ORDER BY ix) AS adj FROM ("
+    "sadj AS MATERIALIZED (SELECT list(sub ORDER BY ix) AS adj FROM ("
     "SELECT i2.ix AS ix, list(struct_pack(jx := j2.ix, wn := e.wn) "
     "ORDER BY j2.ix, e.wn) AS sub FROM sewl e "
     "JOIN sidx i2 ON e.i = i2.node JOIN sidx j2 ON e.j = j2.node "
@@ -3543,7 +3543,7 @@ _SPEC_CTE = (
         tpfrom="",
         iters=_SPEC_ITERS,
     )
-    + ", e1l AS (SELECT list(e ORDER BY ix) AS el FROM se1), "
+    + ", e1l AS MATERIALIZED (SELECT list(e ORDER BY ix) AS el FROM se1), "
     + _SPEC_REC.format(
         c=2,
         seed=_SPEC_SEED.format(tag="e2"),
