@@ -2269,6 +2269,76 @@ def ml_pca_project(spark, sf_dir):
     )
 
 
+# The reference's CORE workflow (normalize → feature-select → reduce →
+# KNN → cluster, ``scarf`` README quick-start / datastore.py pipeline)
+# composed END-TO-END as one graded query. The oracle is the verbatim
+# composition of the stage oracles: the PCA tail becomes a nested-WITH
+# CTE (its ROUND(6) pivot makes the KNN inputs cross-engine exact),
+# then the knn + modal-label-prop CTE shapes from knn_exact_* /
+# mark_feat_modules run over the COMPUTED coordinates instead of a
+# stored table.
+_ATLAS_TAIL = (
+    "apcs AS MATERIALIZED (WITH " + _pca_tail_sql(10, 3, 0, "pc") + "), "
+    "aemb AS (SELECT cell_id, CAST([pc1, pc2, pc3] AS DOUBLE[]) AS v "
+    "FROM apcs), "
+    "anv AS (SELECT cell_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+    "FROM aemb), "
+    "apairs AS (SELECT a.cell_id AS src, b.cell_id AS dst, "
+    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
+    "FROM anv a JOIN anv b ON a.cell_id != b.cell_id), "
+    "aknn AS MATERIALIZED (SELECT src, dst FROM (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
+    "FROM apairs) WHERE rn <= 5), "
+    "aund AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM aknn UNION ALL SELECT dst, src FROM aknn)), "
+    "al0 AS (SELECT DISTINCT src AS node, src AS cluster FROM aund), "
+    + ", ".join(
+        (
+            "ar{t} AS (SELECT u.src AS node, l.cluster, COUNT(*) AS n "
+            "FROM aund u JOIN al{p} l ON u.dst = l.node GROUP BY 1, 2), "
+            "al{t} AS (SELECT node, cluster FROM (SELECT node, cluster, "
+            "ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, cluster) "
+            "AS rn FROM ar{t}) WHERE rn = 1)"
+        ).format(t=t, p=t - 1)
+        for t in (1, 2, 3)
+    )
+)
+
+
+@q(
+    "pipe_atlas_prep",
+    f"WITH RECURSIVE {COUNTS_CTE}, {_PCA_PREP_CTE}, {_jacobi_cte(10)}, "
+    + _ATLAS_TAIL
+    + " SELECT p.cell_id, p.pc1, p.pc2, p.pc3, l.cluster "
+    "FROM apcs p JOIN al3 l ON p.cell_id = l.node",
+)
+def pipe_atlas_prep(spark, sf_dir):
+    """End-to-end single-cell core pipeline as ONE query: top-feature
+    selection → z-score → Gram/Jacobi PCA(3) → exact KNN (k=5) over
+    the ROUND(6) coordinates → 3-round modal label propagation —
+    the reference's README quick-start workflow, every stage the
+    already-graded operator, composed. Returns
+    (cell_id, pc1..pc3, cluster)."""
+    from scarf_spark.ml import cluster as cl
+    from scarf_spark.ml import reduction
+    from scarf_spark.operators import knn as knn_mod
+
+    ds = _ds(spark, sf_dir)
+    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
+    z = reduction.zscore_vectors(vec)
+    loadings, _ev = reduction.pca_fit(z, k=3)
+    pcs = reduction.pca_transform(z, loadings).select(
+        "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
+    ).localCheckpoint(eager=False)
+    emb = pcs.select("cell_id", F.array("pc1", "pc2", "pc3").alias("embedding"))
+    edges = knn_mod.cosine_knn_sharded(emb, k=5, id_col="cell_id", vec_col="embedding")
+    labels = cl.label_propagation(edges.select("src", "dst"), n_iter=3)
+    return pcs.join(
+        labels.withColumnRenamed("node", "cell_id"), "cell_id"
+    ).select("cell_id", "pc1", "pc2", "pc3", "cluster")
+
+
 # Deterministic Lloyd: seedless md5-order init + 5 iterations, replayed
 # exactly by a recursive CTE (assignment = MIN([dist, cid]) lexicographic,
 # update = per-dim AVG). list_distance is sqrt'd but argmin-equivalent to

@@ -140,7 +140,14 @@ def _grid_scorer(m_keep: int, sub: int = 1024):
             dist = 1.0 - qn @ im
             nrow = dist.shape[0]
             if ncol > m:
-                part = np.argpartition(dist, m - 1, axis=1)[:, :m]
+                # STABLE argsort, not argpartition: columns are sorted
+                # by dst ascending, so stability makes the per-shard
+                # top-m the exact lexicographic (distance, dst) top-m.
+                # argpartition kept an ARBITRARY subset of boundary
+                # ties, which could drop the smaller-dst candidate the
+                # global re-rank is contractually required to return
+                # (surfaced by duplicate points in pipe_atlas_prep).
+                part = np.argsort(dist, axis=1, kind="stable")[:, :m]
                 pd_d = np.take_along_axis(dist, part, axis=1)
             else:
                 part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()

@@ -113,3 +113,23 @@ def test_semantic_decontaminate_flags_paraphrases(spark):
     out = {r["vec_id"]: r["bench_id"]
            for r in semantic_decontaminate(corpus, bench, radius=0.05).collect()}
     assert out == {100: 0, 101: 1, 102: 2}  # each near-copy hits its source
+
+
+def test_sharded_knn_tie_break_on_duplicate_points(spark):
+    """Duplicate vectors produce EXACT distance ties; the per-shard
+    scorer must keep the smaller dst (stable argsort over id-sorted
+    columns), or the global (distance, dst) re-rank can never see the
+    contractually-correct neighbor (the pipe_atlas_prep bug)."""
+    from scarf_spark.operators.knn import cosine_knn_exact_hof, cosine_knn_sharded
+
+    # 30 points, 10 distinct directions repeated 3x -> heavy exact ties
+    rows = [
+        (i, [float(1 + i % 10), float(2 + (i % 10) ** 2), 1.0])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(
+        map(tuple, cosine_knn_sharded(emb, k=4, n_shards=3).collect())
+    )
+    b = sorted(map(tuple, cosine_knn_exact_hof(emb, k=4).collect()))
+    assert a == b
