@@ -140,15 +140,27 @@ def _grid_scorer(m_keep: int, sub: int = 1024):
             dist = 1.0 - qn @ im
             nrow = dist.shape[0]
             if ncol > m:
-                # STABLE argsort, not argpartition: columns are sorted
-                # by dst ascending, so stability makes the per-shard
-                # top-m the exact lexicographic (distance, dst) top-m.
-                # argpartition kept an ARBITRARY subset of boundary
-                # ties, which could drop the smaller-dst candidate the
-                # global re-rank is contractually required to return
-                # (surfaced by duplicate points in pipe_atlas_prep).
-                part = np.argsort(dist, axis=1, kind="stable")[:, :m]
+                # O(n) argpartition keeps an ARBITRARY subset of ties
+                # at the m-th distance, which can drop the smaller-dst
+                # candidate the global (distance, dst) re-rank is
+                # contractually required to return (surfaced by
+                # duplicate points in pipe_atlas_prep). Repair exactly
+                # and only the rows where ties straddle the boundary:
+                # columns are dst-ascending, so np.nonzero order IS the
+                # tie-break. (A full stable argsort would also be exact
+                # but costs 2x wall on 5k-wide shards.)
+                part = np.argpartition(dist, m - 1, axis=1)[:, :m]
                 pd_d = np.take_along_axis(dist, part, axis=1)
+                thr = pd_d.max(axis=1)
+                n_tie = (dist == thr[:, None]).sum(axis=1)
+                n_strict = (dist < thr[:, None]).sum(axis=1)
+                for r in np.nonzero(n_tie > m - n_strict)[0]:
+                    row = dist[r]
+                    keep = np.nonzero(row < thr[r])[0]
+                    ties = np.nonzero(row == thr[r])[0][: m - len(keep)]
+                    cols = np.concatenate([keep, ties])
+                    part[r, :] = cols
+                    pd_d[r, :] = row[cols]
             else:
                 part = np.broadcast_to(np.arange(ncol), (nrow, ncol)).copy()
                 pd_d = dist
