@@ -8675,8 +8675,11 @@ _PRIORITY = [
     "dedup_components",            # engine now star contraction
     "knn_exact_topk",              # edge cache now sharded build
     "knn_exact_dist",
-    # verified sentinels (r1-green since round 1)
-    "qc_ncounts", "norm_tf_idf",
+    # round-10 boundary-displacing flagships (both selfcheck-exact at
+    # sf0.01 AND sf0.001): the distributed pseudotime and spectral
+    # layout — took the slots of two r1-green sentinels so no
+    # never-graded query is evicted
+    "ml_pseudotime_power", "ml_spectral_embed",
 ]
 
 
