@@ -3554,34 +3554,63 @@ _SPEC_SEED = (
     "/ 1152921504606846976.0 - 0.5"
 )
 _SPEC_REC = (
-    "srec{c}(t, v) AS ("
-    "SELECT 0, (SELECT list({seed} ORDER BY sidx.ix) FROM sidx) "
+    # BLOCK recursion: both dimensions walk together; the round's
+    # orthonormalization scalars replay the engine's Cholesky-CGS
+    # shapes exactly — n1 = sqrt(g11 − t01²), c21 = (g12 − t01·t02)/n1,
+    # n2 = sqrt(g22 − t02² − c21²) — from folds of the walked lists
+    "srec(t, v1, v2) AS ("
+    "SELECT 0, "
+    "(SELECT list({seed1} ORDER BY sidx.ix) FROM sidx), "
+    "(SELECT list({seed2} ORDER BY sidx.ix) FROM sidx) "
     "UNION ALL "
-    "SELECT s3.t + 1, CASE WHEN s3.nrm > 0 THEN "
-    "list_transform(range(1, s3.n + 1), k -> ({resid}) / s3.nrm) "
-    "ELSE list_transform(range(1, s3.n + 1), k -> CAST(0.0 AS DOUBLE)) END "
-    "FROM (SELECT s2.*, sqrt(GREATEST({n2}, 0.0)) AS nrm FROM ("
-    "SELECT s1.*, "
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(list_zip(s1.u0l, s1.u), p -> p[1] * p[2])), "
-    "(a, x) -> a + x) AS t0, "
-    "{tpsel}"
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(s1.u, x -> x * x)), (a, x) -> a + x) AS s2v "
-    "FROM (SELECT r.t, sn.n, su0.u0l, {tpin}"
+    "SELECT s4.t + 1, s4.nv1, "
+    "CASE WHEN s4.n2 > 0 THEN list_transform(range(1, s4.n + 1), "
+    "k2 -> (s4.u2[k2] - s4.t02 * s4.u0l[k2] - s4.c21 * s4.nv1[k2]) / s4.n2) "
+    "ELSE list_transform(range(1, s4.n + 1), k2 -> CAST(0.0 AS DOUBLE)) END "
+    "FROM (SELECT s3.*, "
+    "CASE WHEN s3.n1 > 0 THEN list_transform(range(1, s3.n + 1), "
+    "k1 -> (s3.u1[k1] - s3.t01 * s3.u0l[k1]) / s3.n1) "
+    "ELSE list_transform(range(1, s3.n + 1), k1 -> CAST(0.0 AS DOUBLE)) END AS nv1, "
+    "sqrt(GREATEST(s3.g22 - s3.t02 * s3.t02 - s3.c21 * s3.c21, 0.0)) AS n2 "
+    "FROM (SELECT s2.*, "
+    "CASE WHEN s2.n1 > 0 THEN (s2.g12 - s2.t01 * s2.t02) / s2.n1 "
+    "ELSE 0.0 END AS c21 "
+    "FROM (SELECT s1.*, "
+    "sqrt(GREATEST(s1.g11 - s1.t01 * s1.t01, 0.0)) AS n1 "
+    "FROM (SELECT s0.*, "
+    "{dot}(s0.u0l, s0.u1) AS t01, "
+    "{dot}(s0.u0l, s0.u2) AS t02, "
+    "{dot}(s0.u1, s0.u1) AS g11, "
+    "{dot}(s0.u1, s0.u2) AS g12, "
+    "{dot}(s0.u2, s0.u2) AS g22 "
+    "FROM (SELECT r.t, sn.n, su0.u0l, "
     "list_transform(range(1, sn.n + 1), k -> "
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(sadj.adj[k], p -> p.wn * r.v[p.jx])), "
-    "(a, x) -> a + x)) AS u "
-    "FROM srec{c} r, sn, su0, sadj{tpfrom} "
-    "WHERE r.t < {iters}) s1) s2) s3), "
-    "sfin{c} AS MATERIALIZED (SELECT v FROM srec{c} WHERE t = {iters}), "
-    "sfl{c} AS MATERIALIZED (SELECT sidx.node, sidx.ix, f.v[sidx.ix] AS val "
-    "FROM sidx, sfin{c} f), "
-    "ssg{c} AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn "
-    "FROM sfl{c} ORDER BY abs(val) DESC, node LIMIT 1), "
-    "se{c} AS MATERIALIZED (SELECT node, ix, val * (SELECT sgn FROM ssg{c}) AS e "
-    "FROM sfl{c})"
+    "list_transform(sadj.adj[k], p -> p.wn * r.v1[p.jx])), "
+    "(a, x) -> a + x)) AS u1, "
+    "list_transform(range(1, sn.n + 1), k -> "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(sadj.adj[k], p -> p.wn * r.v2[p.jx])), "
+    "(a, x) -> a + x)) AS u2 "
+    "FROM srec r, sn, su0, sadj "
+    "WHERE r.t < {iters}) s0) s1) s2) s3) s4), "
+    "sfin AS MATERIALIZED (SELECT v1, v2 FROM srec WHERE t = {iters}), "
+    "sfl1 AS MATERIALIZED (SELECT sidx.node, sidx.ix, f.v1[sidx.ix] AS val "
+    "FROM sidx, sfin f), "
+    "sfl2 AS MATERIALIZED (SELECT sidx.node, sidx.ix, f.v2[sidx.ix] AS val "
+    "FROM sidx, sfin f), "
+    "ssg1 AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+    "FROM sfl1 ORDER BY abs(val) DESC, node LIMIT 1), "
+    "ssg2 AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+    "FROM sfl2 ORDER BY abs(val) DESC, node LIMIT 1), "
+    "se1 AS MATERIALIZED (SELECT node, ix, "
+    "val * (SELECT sgn FROM ssg1) AS e FROM sfl1), "
+    "se2 AS MATERIALIZED (SELECT node, ix, "
+    "val * (SELECT sgn FROM ssg2) AS e FROM sfl2)"
+)
+_SPEC_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({0}, {1}), p -> p[1] * p[2])), (a, x) -> a + x)"
 )
 _SPEC_CTE = (
     "sew0 AS MATERIALIZED (SELECT i, j, SUM(w) AS w FROM ("
@@ -3603,31 +3632,14 @@ _SPEC_CTE = (
     "ORDER BY j2.ix, e.wn) AS sub FROM sewl e "
     "JOIN sidx i2 ON e.i = i2.node JOIN sidx j2 ON e.j = j2.node "
     "GROUP BY i2.ix)), "
-    + _SPEC_REC.format(
-        c=1,
-        seed=_SPEC_SEED.format(tag="e1"),
-        resid="s3.u[k] - s3.u0l[k] * s3.t0",
-        n2="s2.s2v - s2.t0 * s2.t0",
-        tpsel="",
-        tpin="",
-        tpfrom="",
-        iters=_SPEC_ITERS,
-    )
-    + ", e1l AS MATERIALIZED (SELECT list(e ORDER BY ix) AS el FROM se1), "
-    + _SPEC_REC.format(
-        c=2,
-        seed=_SPEC_SEED.format(tag="e2"),
-        resid="s3.u[k] - s3.u0l[k] * s3.t0 - s3.e1v[k] * s3.t1",
-        n2="s2.s2v - s2.t0 * s2.t0 - s2.t1 * s2.t1",
-        tpsel=(
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            "list_transform(list_zip(s1.e1v, s1.u), p -> p[1] * p[2])), "
-            "(a, x) -> a + x) AS t1, "
-        ),
-        tpin="e1l.el AS e1v, ",
-        tpfrom=", e1l",
-        iters=_SPEC_ITERS,
-    )
+    + _SPEC_REC.replace("{dot}(s0.u0l, s0.u1)", _SPEC_DOT.format("s0.u0l", "s0.u1"))
+    .replace("{dot}(s0.u0l, s0.u2)", _SPEC_DOT.format("s0.u0l", "s0.u2"))
+    .replace("{dot}(s0.u1, s0.u1)", _SPEC_DOT.format("s0.u1", "s0.u1"))
+    .replace("{dot}(s0.u1, s0.u2)", _SPEC_DOT.format("s0.u1", "s0.u2"))
+    .replace("{dot}(s0.u2, s0.u2)", _SPEC_DOT.format("s0.u2", "s0.u2"))
+    .replace("{seed1}", _SPEC_SEED.format(tag="e1"))
+    .replace("{seed2}", _SPEC_SEED.format(tag="e2"))
+    .replace("{iters}", str(_SPEC_ITERS))
 )
 
 
@@ -3639,9 +3651,10 @@ _SPEC_CTE = (
 )
 def ml_spectral_embed(spark, sf_dir):
     """Fully distributed 2-D spectral layout of the KNN graph
-    (ml.embed.spectral_embedding): fixed-8-round deflated power
-    iteration per dimension on the lazy walk (M + I)/2 — one
-    edge⋈vector join + hash agg per round, no graph collect — the
+    (ml.embed.spectral_embedding): fixed-8-round BLOCK subspace
+    iteration on the lazy walk (M + I)/2 — both dimensions walk in ONE
+    edge⋈vector join + hash agg per round, re-orthonormalized via
+    closed-form Gram-Schmidt scalars, no graph collect — the
     oracle-able scale twin of the driver-side SGD layouts
     (umap-learn's own layouts are seeded from this spectral
     initialization)."""

@@ -297,21 +297,24 @@ def spectral_embedding(
     reference collects the graph instead, ``graph_datastore.py
     :1218-1377``).
 
-    Deterministic deflated power iteration on the LAZY walk operator
-    (M + I)/2 with M = D^(-1/2)·A·D^(-1/2): the shift maps M's
-    spectrum [−1, 1] to [0, 1] so the algebraically-largest
+    Deterministic BLOCK (subspace) power iteration on the LAZY walk
+    operator (M + I)/2 with M = D^(-1/2)·A·D^(-1/2): the shift maps
+    M's spectrum [−1, 1] to [0, 1] so the algebraically-largest
     eigenvectors dominate (plain power iteration on a near-bipartite
     graph locks onto the λ ≈ −1 alternating mode instead). The top
-    eigenpair is known in closed form (u0 ∝ √d, eigenvalue 1), so
-    dimension c is a FIXED-``n_iter`` loop of
-    v ← normalize(((M·v + v)/2) − Σ_p u_p·(u_pᵀ·…)) deflated against
-    u0 and the previously computed dimensions. Every step is smooth (sums,
-    one divide-by-norm), the start vector is a seedless md5 hash of
-    the node id (engine-portable), and the iteration count is fixed —
-    so a recursive list-state SQL CTE replays it exactly (the
-    ml_pseudotime_power / Jacobi doctrine). Per round: one edge⋈vector
-    join + hash agg, one dot-product aggregate pass; state is the
-    node-sized vector — no graph collect at any n.
+    eigenpair is known in closed form (u0 ∝ √d, eigenvalue 1); each of
+    the FIXED ``n_iter`` rounds applies the walk to ALL ``dims``
+    columns in ONE edge⋈vector join + hash agg, then re-orthonormalizes
+    against u0 and each other via classical Gram-Schmidt whose
+    coefficients come in closed form from a single Gram aggregate
+    (Cholesky recursion: coef_cp = (g_pc − t0p·t0c − Σ_q coef_pq·
+    coef_cq)/n_p and n_c² = g_cc − t0c² − Σ coef_cq²) — two jobs per
+    round TOTAL regardless of dims, vs two per round per dim for
+    sequential deflation. Every step is smooth, the start vectors are
+    seedless md5 hashes of the node id, and the iteration count is
+    fixed — so a recursive list-state SQL CTE replays it exactly (the
+    ml_pseudotime_power / Jacobi doctrine). State is the node-sized
+    coordinate table — no graph collect at any n.
 
     Sign convention: the component with the largest |value| (node-id
     tie-break) is made positive, the pca_fit convention. Returns
@@ -358,16 +361,19 @@ def spectral_embedding(
         F.col("i").alias("node"),
         (F.sqrt(F.col("d")) / F.lit(math.sqrt(sumd))).alias("u0"),
     ).localCheckpoint(eager=True)
-    done: list[str] = []
-    for c in range(dims):
-        tag = f"e{c + 1}"
-        # seedless portable start: md5(node || '_ec') top-60-bit / 2^60 - 0.5
-        v = base.select(
-            "node",
+    k = dims
+    # seedless portable starts: md5(node || '_ec') top-60-bit / 2^60 - 0.5
+    v = base.select(
+        "node",
+        *[
             (
                 F.conv(
                     F.substring(
-                        F.md5(F.concat(F.col("node").cast("string"), F.lit(f"_{tag}"))),
+                        F.md5(
+                            F.concat(
+                                F.col("node").cast("string"), F.lit(f"_e{c + 1}")
+                            )
+                        ),
                         1,
                         15,
                     ),
@@ -378,60 +384,96 @@ def spectral_embedding(
                 .cast("double")
                 / F.lit(1152921504606846976.0)
                 - F.lit(0.5)
-            ).alias("v"),
-        ).localCheckpoint(eager=True)
-        for _ in range(n_iter):
-            mv = (
-                ew.join(F.broadcast(v.select(F.col("node").alias("j"), "v")), "j")
-                .groupBy("i")
-                .agg(F.sum(F.col("wn") * F.col("v")).alias("mv"))
-                .select(F.col("i").alias("node"), "mv")
-            )
-            u = base.join(F.broadcast(mv), "node")
-            # one aggregate pass collects every scalar the round needs:
-            # the deflation dots and ||mv||²; the residual norm follows
-            # by Pythagoras (u0/e_p are orthonormal), ||r||² =
-            # ||mv||² − t0² − Σ tp² — the SQL oracle replays the same
-            # left-associated formula with the engine's own scalars
-            row = u.agg(
-                F.sum(F.col("u0") * F.col("mv")).alias("_t0"),
+            ).alias(f"v{c + 1}")
+            for c in range(k)
+        ],
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        # NO broadcast hints in the round loop: an explicit broadcast
+        # of an unmaterialized node-sized plan costs a separate
+        # build-job + driver collect + torrent push EVERY round (~1.5s
+        # of fixed latency at local[32]); the plain shuffle join is 4x
+        # faster here and AQE still picks a broadcast when stats say so
+        mv = (
+            ew.join(v.withColumnRenamed("node", "j"), "j")
+            .groupBy("i")
+            .agg(
                 *[
-                    F.sum(F.col(tagp) * F.col("mv")).alias(f"_t_{tagp}")
-                    for tagp in done
-                ],
-                F.sum(F.col("mv") * F.col("mv")).alias("_s2"),
-            ).collect()[0]
-            t0 = float(row["_t0"])
-            tps = [float(row[f"_t_{tagp}"]) for tagp in done]
-            n2 = float(row["_s2"]) - t0 * t0
-            for tp in tps:
-                n2 = n2 - tp * tp
-            nrm = math.sqrt(max(n2, 0.0))
-            resid = F.col("mv") - F.col("u0") * F.lit(t0)
-            for tagp, tp in zip(done, tps):
-                resid = resid - F.col(tagp) * F.lit(tp)
-            vexpr = (
-                (resid / F.lit(nrm)).alias("v")
-                if nrm > 0
-                else F.lit(0.0).alias("v")
+                    F.sum(F.col("wn") * F.col(f"v{c + 1}")).alias(f"mv{c + 1}")
+                    for c in range(k)
+                ]
             )
-            v = u.select("node", vexpr).localCheckpoint(eager=True)
-        # sign convention: component with max (|v|, -node) positive
-        srow = v.agg(
+            .withColumnRenamed("i", "node")
+        )
+        u = base.join(mv, "node")
+        # ONE aggregate collects every scalar of the round: the u0
+        # deflation dots and the k×k Gram of the walked columns
+        row = u.agg(
+            *[
+                F.sum(F.col("u0") * F.col(f"mv{c + 1}")).alias(f"_t{c}")
+                for c in range(k)
+            ],
+            *[
+                F.sum(F.col(f"mv{c + 1}") * F.col(f"mv{d + 1}")).alias(f"_g{c}_{d}")
+                for c in range(k)
+                for d in range(c, k)
+            ],
+        ).collect()[0]
+        t0s = [float(row[f"_t{c}"]) for c in range(k)]
+
+        def g(c: int, d: int):
+            return float(row[f"_g{min(c, d)}_{max(c, d)}"])
+
+        # classical Gram-Schmidt via the Cholesky recursion — for k=2
+        # these are exactly n1 = sqrt(g11 − t01²),
+        # c21 = (g12 − t01·t02)/n1, n2 = sqrt(g22 − t02² − c21²),
+        # which the SQL oracle replays shape-for-shape
+        coef: list[list[float]] = []
+        norms: list[float] = []
+        for c in range(k):
+            cc = []
+            for p in range(c):
+                if norms[p] > 0:
+                    num = g(p, c) - t0s[p] * t0s[c]
+                    for q in range(p):
+                        num = num - coef[p][q] * cc[q]
+                    cc.append(num / norms[p])
+                else:
+                    cc.append(0.0)
+            w2 = g(c, c) - t0s[c] * t0s[c]
+            for val in cc:
+                w2 = w2 - val * val
+            coef.append(cc)
+            norms.append(math.sqrt(max(w2, 0.0)))
+        exprs = []
+        for c in range(k):
+            e = F.col(f"mv{c + 1}") - F.lit(t0s[c]) * F.col("u0")
+            for p, val in enumerate(coef[c]):
+                e = e - F.lit(val) * exprs[p]
+            exprs.append(
+                (e / F.lit(norms[c])) if norms[c] > 0 else F.lit(0.0)
+            )
+        v = u.select(
+            "node", *[exprs[c].alias(f"v{c + 1}") for c in range(k)]
+        ).localCheckpoint(eager=True)
+    # sign convention per dim: component with max (|v|, -node) positive
+    srow = v.agg(
+        *[
             F.max(
                 F.struct(
-                    F.abs(F.col("v")).alias("_a"),
+                    F.abs(F.col(f"v{c + 1}")).alias("_a"),
                     (-F.col("node")).alias("_n"),
-                    F.col("v").alias("_v"),
+                    F.col(f"v{c + 1}").alias("_v"),
                 )
-            ).alias("_b")
-        ).collect()[0]["_b"]
-        sgn = -1.0 if srow["_v"] < 0 else 1.0
-        vc = v.select("node", (F.col("v") * F.lit(sgn)).alias(tag))
-        # fold the finished dimension into base ONCE — later dims then
-        # deflate against a plain column instead of a per-round join
-        base = base.join(F.broadcast(vc), "node").localCheckpoint(eager=True)
-        done.append(tag)
-    return base.select(
-        "node", *[F.round(F.col(tag), 6).alias(tag) for tag in done]
+            ).alias(f"_b{c}")
+            for c in range(k)
+        ]
+    ).collect()[0]
+    sgns = [(-1.0 if srow[f"_b{c}"]["_v"] < 0 else 1.0) for c in range(k)]
+    return v.select(
+        "node",
+        *[
+            F.round(F.col(f"v{c + 1}") * F.lit(sgns[c]), 6).alias(f"e{c + 1}")
+            for c in range(k)
+        ],
     )

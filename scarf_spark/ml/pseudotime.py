@@ -121,13 +121,18 @@ def harmonic_potential(
     sumd = float(deg.agg(F.sum("d")).collect()[0][0])
     v = base.select("node", F.col("b").alias("v"))
     for _ in range(n_iter):
+        # no broadcast hints in the loop: the explicit broadcast of an
+        # unmaterialized node-sized plan costs a build-job + collect +
+        # torrent push per round; the shuffle join is far cheaper (the
+        # spectral_embedding lesson). The single-row crossJoin below
+        # keeps its hint (a plain crossJoin would plan a cartesian).
         contrib = (
-            ew.join(F.broadcast(v.select(F.col("node").alias("j"), "v")), "j")
+            ew.join(v.select(F.col("node").alias("j"), "v"), "j")
             .groupBy("i")
             .agg(F.sum(F.col("wn") * F.col("v")).alias("c"))
         )
         u = base.join(
-            F.broadcast(contrib.select(F.col("i").alias("node"), "c")),
+            contrib.select(F.col("i").alias("node"), "c"),
             "node",
             "left_outer",
         ).select("node", "b", "d", (F.col("b") + F.coalesce("c", F.lit(0.0))).alias("u"))
