@@ -452,6 +452,22 @@ def main() -> None:
         results,
     )
 
+    # 27. block spectral round (round 10): both embedding columns walk
+    # in one join+agg; the Gram aggregate is 5 scalar sums regardless
+    # of n — state per round is the 2-column node table
+    from scarf_spark.ml.embed import spectral_embedding
+
+    e_sp = spark.range(min(n, 2_000_000)).select(
+        (F.col("id") % 400_000).alias("src"),
+        ((F.col("id") * 29 + 3) % 400_000).alias("dst"),
+        ((F.col("id") % 5) + 1.0).alias("weight"),
+    ).where(F.col("src") != F.col("dst"))
+    timed(
+        "spectral_embed_400k_nodes_3rounds",
+        lambda: spectral_embedding(e_sp, dims=2, n_iter=3),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
