@@ -3643,6 +3643,34 @@ _SPEC_CTE = (
 )
 
 
+def _kmeans_cte_over(src: str, k: int, n_iter: int, dim: int, pfx: str) -> str:
+    """The seedless-Lloyd recursion of ``_KMEANS_CTE`` parameterized
+    over an arbitrary ``src(vec_id, v DOUBLE[])`` CTE — identical
+    shapes (md5 init order, [distance, cid] MIN argmin, AVG update)."""
+    return (
+        f"{pfx}dims AS MATERIALIZED (SELECT vec_id, i AS dim, v[i] AS val "
+        f"FROM {src}, UNNEST(range(1, {dim + 1})) AS t(i)), "
+        f"{pfx}km(it, cid, c) AS ("
+        "SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        "vec_id) AS BIGINT), v "
+        f"FROM (SELECT vec_id, v FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        f"vec_id LIMIT {k}) "
+        "UNION ALL "
+        "SELECT a.it + 1, a.cid, list(a.m ORDER BY a.dim) FROM ("
+        "SELECT asg.it AS it, asg.cid AS cid, d.dim AS dim, AVG(d.val) AS m FROM ("
+        f"SELECT {pfx}km.it AS it, p.vec_id AS pid, "
+        f"CAST(MIN([list_distance(p.v, {pfx}km.c), CAST({pfx}km.cid AS DOUBLE)])[2] AS BIGINT) AS cid "
+        f"FROM {pfx}km, {src} p GROUP BY {pfx}km.it, p.vec_id) asg "
+        f"JOIN {pfx}dims d ON d.vec_id = asg.pid "
+        "GROUP BY asg.it, asg.cid, d.dim) a "
+        f"WHERE a.it < {n_iter} GROUP BY a.it, a.cid), "
+        f"{pfx}final AS (SELECT cid, c FROM {pfx}km WHERE it = {n_iter}), "
+        f"{pfx}assign AS (SELECT p.vec_id, "
+        f"CAST(MIN([list_distance(p.v, f.c), CAST(f.cid AS DOUBLE)])[2] AS BIGINT) AS cluster "
+        f"FROM {src} p, {pfx}final f GROUP BY p.vec_id)"
+    )
+
+
 @q(
     "ml_spectral_embed",
     f"WITH RECURSIVE {_KNN_CTE}, {_SPEC_CTE} "
@@ -3664,6 +3692,42 @@ def ml_spectral_embed(spark, sf_dir):
         "weight", 1.0 / (1.0 + F.col("distance"))
     )
     return embed.spectral_embedding(edges, dims=2, n_iter=_SPEC_ITERS)
+
+
+@q(
+    "ml_spectral_cluster",
+    # spectral CLUSTERING end-to-end: the 2-D embedding's ROUND(6)
+    # coordinates make the Lloyd inputs cross-engine exact, and dim-2
+    # squared distances are two-term commutative sums — bit-identical
+    # on any engine, making this composition SAFER than raw-vector
+    # kmeans
+    f"WITH RECURSIVE {_KNN_CTE}, {_SPEC_CTE}, "
+    "spts AS MATERIALIZED (SELECT se1.node AS vec_id, "
+    "CAST([ROUND(se1.e, 6), ROUND(se2.e, 6)] AS DOUBLE[]) AS v "
+    "FROM se1 JOIN se2 ON se1.node = se2.node), "
+    + _kmeans_cte_over("spts", k=4, n_iter=5, dim=2, pfx="sk")
+    + " SELECT p.vec_id AS node, ROUND(p.v[1], 6) AS e1, "
+    "ROUND(p.v[2], 6) AS e2, a.cluster "
+    "FROM spts p JOIN skassign a ON p.vec_id = a.vec_id",
+)
+def ml_spectral_cluster(spark, sf_dir):
+    """Spectral clustering (Ng/Jordan/Weiss 2001, lazy-walk variant)
+    END-TO-END: the distributed spectral embedding feeds seedless
+    deterministic Lloyd KMeans (k=4, 5 iterations) — graph in,
+    (node, e1, e2, cluster) out, no collect at any stage beyond the
+    k×2 centroid scalars."""
+    from scarf_spark.ml import cluster as cl
+    from scarf_spark.ml import embed
+
+    edges = _knn_edges(spark, sf_dir).withColumn(
+        "weight", 1.0 / (1.0 + F.col("distance"))
+    )
+    emb2 = embed.spectral_embedding(edges, dims=2, n_iter=_SPEC_ITERS)
+    vec = emb2.select("node", F.array("e1", "e2").alias("v"))
+    km = cl.kmeans_lloyd(vec, k=4, n_iter=5, id_col="node", vec_col="v")
+    return emb2.join(km, "node").select(
+        "node", "e1", "e2", F.col("cluster").cast("long").alias("cluster")
+    )
 
 
 @q("ml_umap_embed")  # weak: sequential SGD layout (driver_compute, seeded)

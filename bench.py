@@ -63,7 +63,7 @@ def main() -> None:
     # longest job). The list is from serial sf0.1 measurements; a
     # mis-listed query only costs schedule quality, never correctness.
     heavy = [
-        "ml_spectral_embed", "mark_feat_modules", "mark_feat_knn",
+        "ml_spectral_cluster", "ml_spectral_embed", "mark_feat_modules", "mark_feat_knn",
         "pipe_atlas_prep",
         "ml_pseudotime_power", "ml_pseudotime",
         "demux_hto", "clust_balanced_cut", "clust_paris_cut", "ml_lsi",
