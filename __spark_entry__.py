@@ -3671,6 +3671,27 @@ def _kmeans_cte_over(src: str, k: int, n_iter: int, dim: int, pfx: str) -> str:
     )
 
 
+_SPECTRAL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _spectral_emb(spark, sf_dir):
+    """Memoized 2-D spectral embedding fixture (same convention as
+    _knn_edges): ml_spectral_embed and ml_spectral_cluster consume the
+    identical fixed-iteration layout, so it is built once per
+    (session, sf_dir)."""
+    from scarf_spark.ml import embed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPECTRAL_CACHE:
+        edges = _knn_edges(spark, sf_dir).withColumn(
+            "weight", 1.0 / (1.0 + F.col("distance"))
+        )
+        _SPECTRAL_CACHE[key] = embed.spectral_embedding(
+            edges, dims=2, n_iter=_SPEC_ITERS
+        ).persist()
+    return _SPECTRAL_CACHE[key]
+
+
 @q(
     "ml_spectral_embed",
     f"WITH RECURSIVE {_KNN_CTE}, {_SPEC_CTE} "
@@ -3686,12 +3707,7 @@ def ml_spectral_embed(spark, sf_dir):
     oracle-able scale twin of the driver-side SGD layouts
     (umap-learn's own layouts are seeded from this spectral
     initialization)."""
-    from scarf_spark.ml import embed
-
-    edges = _knn_edges(spark, sf_dir).withColumn(
-        "weight", 1.0 / (1.0 + F.col("distance"))
-    )
-    return embed.spectral_embedding(edges, dims=2, n_iter=_SPEC_ITERS)
+    return _spectral_emb(spark, sf_dir)
 
 
 @q(
@@ -3717,12 +3733,8 @@ def ml_spectral_cluster(spark, sf_dir):
     (node, e1, e2, cluster) out, no collect at any stage beyond the
     k×2 centroid scalars."""
     from scarf_spark.ml import cluster as cl
-    from scarf_spark.ml import embed
 
-    edges = _knn_edges(spark, sf_dir).withColumn(
-        "weight", 1.0 / (1.0 + F.col("distance"))
-    )
-    emb2 = embed.spectral_embedding(edges, dims=2, n_iter=_SPEC_ITERS)
+    emb2 = _spectral_emb(spark, sf_dir)
     vec = emb2.select("node", F.array("e1", "e2").alias("v"))
     km = cl.kmeans_lloyd(vec, k=4, n_iter=5, id_col="node", vec_col="v")
     return emb2.join(km, "node").select(
