@@ -135,6 +135,8 @@ def main() -> None:
         # build the memoized KNN edge table once, before concurrent
         # graph/knn queries race to construct it in parallel
         em._knn_edges(spark, sf_dir).count()
+        # same for the spectral-embedding fixture (two consumers)
+        em._spectral_emb(spark, sf_dir).count()
     except Exception as exc:  # noqa: BLE001
         print(f"warmup knn failed: {exc}", file=sys.stderr)
 
