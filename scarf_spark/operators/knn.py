@@ -221,14 +221,19 @@ def cosine_knn_sharded(
         n_rows = e.count()
         n_shards = min(64, max(2, -(-n_rows // 5000)))
     if n_query_blocks is None:
-        # the index side is replicated once PER QUERY BLOCK, so blocks
-        # are sized by a ~50k-queries-per-task budget, not mirrored
-        # from n_shards: mid-size inputs then run a (n_shards × 1)
-        # grid (2.7x faster at 20k vectors) while huge query sides
-        # still split to bound per-task memory
+        # the index side is replicated once PER QUERY BLOCK, so don't
+        # mirror n_shards blindly: size blocks by estimated WORK
+        # (rows × dim). Light inputs (20k × dim 10) run an
+        # (n_shards × 1) grid — 2.7x faster, overhead-bound — while
+        # heavy inputs (50k × dim 32) keep n_shards × n_shards cells
+        # so all cores stay busy (an 8 × 1 grid there was 7x slower).
         if n_rows is None:
             n_rows = e.count()
-        n_query_blocks = min(n_shards, max(1, -(-n_rows // 50000)))
+        head = e.limit(1).collect()
+        dim = len(head[0][1]) if head else 1
+        n_query_blocks = min(
+            n_shards, max(1, -(-(n_rows * max(dim, 1)) // 200_000))
+        )
     blocks = F.array(*[F.lit(b) for b in range(n_query_blocks)])
     shards = F.array(*[F.lit(s) for s in range(n_shards)])
     idx = e.select(
