@@ -4734,6 +4734,50 @@ def ann_ivf_persisted(spark, sf_dir):
     )
 
 
+_NRM_FOLD = "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))"
+
+
+@q(
+    "ann_ivf_append",
+    # incremental index maintenance: centroids are the md5-seed rule
+    # over the BASE (even-id) split; the odd-id batch is assigned by
+    # the same (distance, cid) argmin — integer-only output
+    "WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id % 2 = 0), "
+    f"nvb AS (SELECT vec_id, v, {_NRM_FOLD} AS nrm FROM eb), "
+    "sdb AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nvb "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
+    "qb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id % 2 = 1), "
+    f"nq AS (SELECT vec_id, v, {_NRM_FOLD} AS nrm FROM qb), "
+    "sc AS (SELECT q.vec_id, s.cid, ROW_NUMBER() OVER ("
+    "PARTITION BY q.vec_id ORDER BY "
+    "1.0 - list_inner_product(q.v, s.cv) / (q.nrm * s.cnrm), s.cid) AS crank "
+    "FROM nq q CROSS JOIN sdb s) "
+    "SELECT vec_id, cid FROM sc WHERE crank = 1",
+)
+def ann_ivf_append(spark, sf_dir):
+    """Incremental ANN maintenance (knn.ivf_append_persisted): a new
+    batch (odd vec_ids) is assigned to the PERSISTED even-id index's
+    centroids — O(batch) work, no rebuild, no list scan; the append
+    sibling of ann_ivf_persisted's probe and the ANN mirror of
+    dedup_incremental."""
+    from scarf_spark.plans.registry import RunRegistry
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse", "ann_registry",
+    )
+    reg = RunRegistry(spark, root)
+    emb = _ds(spark, sf_dir).embeddings
+    return knn.ivf_append_persisted(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        reg,
+        n_cells=8,
+    )
+
+
 _GFF_CTE = (
     # synthetic GFF3-like projection of events: one gene per event
     "gff AS (SELECT 'chr' || CAST(user_id % 3 AS VARCHAR) AS seqid, "

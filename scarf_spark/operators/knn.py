@@ -739,6 +739,47 @@ def cosine_knn_ivf_persisted(
     )
 
 
+def ivf_append_persisted(
+    base: DataFrame,
+    batch: DataFrame,
+    registry,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """O(batch) IVF index MAINTENANCE: assign a NEW batch of vectors to
+    the PERSISTED index's centroids — no rebuild, no scan of the stored
+    inverted lists; the append half of the incremental-index story
+    whose probe half is :func:`cosine_knn_ivf_probe` (and the ANN
+    mirror of dedup_incremental's O(batch) bucket-table probe).
+    Returns (id_col, cid) rows ready to append to the stored lists,
+    assigned with the exact build-time rule ((distance, cid) argmin via
+    the shared :func:`_centroid_ranker` kernel)."""
+    import numpy as np
+
+    from scarf_spark.plans.registry import selection_hash
+
+    ih = selection_hash(base.select(id_col, vec_col))
+    params = {"op": "ivf_flat", "n_cells": n_cells}
+    cents = registry.get_or_compute(
+        "ivf_centroids", params, ih,
+        lambda: ivf_index_tables(base, n_cells, id_col, vec_col)[0],
+    )
+    srows = cents.collect()
+    c_ids = np.array([r["cid"] for r in srows], dtype=np.int64)
+    c_mat = np.array([r["cv"] for r in srows], dtype=np.float64)
+    c_mat = c_mat / np.maximum(
+        np.array([r["cnrm"] for r in srows])[:, None], 1e-300
+    )
+    o = np.argsort(c_ids)
+    bc = batch.sparkSession.sparkContext.broadcast((c_ids[o], c_mat[o]))
+    q = _as_double_vec(batch, id_col, vec_col)
+    return q.mapInPandas(
+        _centroid_ranker(bc, 1),
+        "vid long, v array<double>, nrm double, cid long, crank int",
+    ).select(F.col("vid").alias(id_col), "cid")
+
+
 def cosine_knn_ivfpq(
     emb: DataFrame,
     k: int = 5,
