@@ -133,3 +133,29 @@ def test_sharded_knn_tie_break_on_duplicate_points(spark):
     )
     b = sorted(map(tuple, cosine_knn_exact_hof(emb, k=4).collect()))
     assert a == b
+
+
+def test_ivf_append_matches_build_assignment(spark, tmp_path):
+    """Appending the index's own base vectors reproduces exactly the
+    stored inverted-list assignment — the append kernel IS the
+    build-time assignment rule."""
+    from pyspark.sql import functions as F
+
+    from scarf_spark.operators.knn import ivf_append_persisted, ivf_index_tables
+    from scarf_spark.plans.registry import RunRegistry
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda d: ((F.col("id") * d * 97) % 41) / 20.0 - 1.0,
+        ).alias("embedding"),
+    )
+    _, lists = ivf_index_tables(emb, n_cells=4)
+    want = sorted((r["m_vid"], r["cid"]) for r in lists.collect())
+    reg = RunRegistry(spark, str(tmp_path / "reg"))
+    got = sorted(
+        (r["vec_id"], r["cid"])
+        for r in ivf_append_persisted(emb, emb, reg, n_cells=4).collect()
+    )
+    assert got == want
