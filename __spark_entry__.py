@@ -8562,6 +8562,37 @@ def win_ohlc(spark, sf_dir):
 
 
 @q(
+    "evt_holt",
+    # Holt's linear trend as a [level, trend]-LIST left fold:
+    # list_reduce's first element is the seed ([y0, 0]), matching the
+    # engine's aggregate() over slice(2..) with the same zero; l' is
+    # recomputed inside the trend slot with the identical expression
+    # text. NB: a STRUCT accumulator mis-threads state across chained
+    # lambda applications in this DuckDB build (single step correct,
+    # 3-element fold wrong) — the list encoding replays exactly.
+    "WITH d AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day, "
+    "CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2), "
+    "ser AS (SELECT event_type, list(y ORDER BY day) AS ys FROM d "
+    "GROUP BY event_type), "
+    "st AS (SELECT event_type, len(ys) AS n_days, list_reduce("
+    "list_transform(ys, y -> [y, CAST(0.0 AS DOUBLE)]), "
+    "(acc, x) -> ["
+    "0.5 * x[1] + 0.5 * (acc[1] + acc[2]), "
+    "0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) "
+    "+ 0.7 * acc[2]]) AS s FROM ser) "
+    "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, "
+    "ROUND(s[1], 6) AS level, ROUND(s[2], 6) AS trend, "
+    "ROUND(s[1] + 7.0 * s[2], 6) AS forecast_7d FROM st",
+)
+def evt_holt(spark, sf_dir):
+    """Holt linear-trend smoothing of daily event volumes
+    (windows.holt_linear) — level + trend + 7-day forecast per type;
+    the struct-state fold replays exactly in DuckDB's list_reduce."""
+    return windows.holt_linear(_ds(spark, sf_dir).events)
+
+
+@q(
     "evt_markov",
     "WITH p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id) AS prev_type, event_type AS next_type FROM events), "

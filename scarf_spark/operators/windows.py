@@ -1677,3 +1677,59 @@ def bollinger_outliers(
         F.col("_n").cast("long").alias("window_n"),
         (lhs * lhs > rhs).alias("is_outlier"),
     )
+
+
+def holt_linear(
+    events: DataFrame, alpha: float = 0.5, beta: float = 0.3
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over each event
+    type's daily volume — the two-state big sibling of
+    :func:`ewma_final` (level + trend instead of level alone), the
+    classic short-horizon capacity forecast.
+
+    The recursion l' = α·y + (1−α)(l+b), b' = β(l'−l) + (1−β)b is a
+    left fold with a STRUCT accumulator seeded by the first
+    observation (l₀ = y₀, b₀ = 0) — every step smooth, the fold order
+    is the sorted day sequence, and DuckDB's list_reduce replays the
+    identical IEEE op sequence on a struct state, so the final
+    level/trend and the h-step forecast l + h·b oracle exactly.
+    Observed days fold as consecutive observations (gap days carry no
+    row — documented, matching the per-day aggregates elsewhere).
+    Returns (event_type, n_days, level, trend, forecast_7d)."""
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    ys = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("y")))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    a, b1 = F.lit(float(alpha)), F.lit(float(beta))
+    zero = F.struct(
+        F.col("ys")[0].alias("l"), F.lit(0.0).alias("b")
+    )
+    merge = lambda acc, x: F.struct(  # noqa: E731
+        (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])).alias("l"),
+        (
+            b1 * (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"]) - acc["l"])
+            + (F.lit(1.0) - b1) * acc["b"]
+        ).alias("b"),
+    )
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        zero,
+        merge,
+    )
+    return ys.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(7.0) * st["b"], 6).alias("forecast_7d"),
+    )

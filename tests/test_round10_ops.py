@@ -234,3 +234,35 @@ def test_paris_cut_exact_tie_break(spark):
     merges, leaves = cl.paris_dendrogram_micros(e)
     assert (merges[0][0], merges[0][1]) == (0, 1)
     assert (merges[1][0], merges[1][1]) == (2, 3)
+
+
+def test_holt_linear_matches_pandas_replay(spark, sf_dir):
+    """The struct-free fold computes exactly the textbook Holt
+    recursion (l0 = y0, b0 = 0, alpha 0.5, beta 0.3)."""
+    from pyspark.sql import functions as F
+
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.windows import holt_linear
+
+    ev = DataStore(spark, sf_dir).events
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("double").alias("y"))
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    got = {r["event_type"]: r for r in holt_linear(ev).collect()}
+    for et, grp in daily.groupby("event_type"):
+        ys = grp["y"].tolist()
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            ln = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (0.5 * y + 0.5 * (l + b) - l) + 0.7 * b
+            l = ln
+        assert got[et]["n_days"] == len(ys)
+        assert abs(got[et]["level"] - round(l, 6)) < 1e-9
+        assert abs(got[et]["trend"] - round(b, 6)) < 1e-9
