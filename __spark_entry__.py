@@ -8593,6 +8593,40 @@ def evt_holt(spark, sf_dir):
 
 
 @q(
+    "evt_holt_winters",
+    # additive Holt-Winters, period 7: state [t, l, b, s1..s7] as a
+    # DOUBLE[] fold (struct accumulators mis-thread in DuckDB);
+    # l' recomputed textually inside b' and the seasonal slot, the
+    # same shapes the engine aggregates
+    "WITH d AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day, "
+    "CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2), "
+    "ser AS (SELECT event_type, list(y ORDER BY day) AS ys FROM d "
+    "GROUP BY event_type), "
+    "st AS (SELECT event_type, len(ys) AS n_days, list_reduce("
+    "list_prepend(CAST([1.0, ys[1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, "
+    "0.0] AS DOUBLE[]), list_transform(ys[2:], y -> [y])), "
+    "(acc, x) -> [acc[1] + 1.0, "
+    "0.3 * (x[1] - acc[CAST(acc[1] AS INT) % 7 + 4]) + 0.7 * (acc[2] + acc[3]), "
+    "0.2 * ((0.3 * (x[1] - acc[CAST(acc[1] AS INT) % 7 + 4]) + 0.7 * (acc[2] + acc[3])) - acc[2]) + 0.8 * acc[3]] "
+    "|| list_transform(list_slice(acc, 4, 10), (s, j) -> "
+    "CASE WHEN j - 1 = CAST(acc[1] AS INT) % 7 "
+    "THEN 0.3 * (x[1] - (0.3 * (x[1] - acc[CAST(acc[1] AS INT) % 7 + 4]) + 0.7 * (acc[2] + acc[3]))) + 0.7 * s ELSE s END)) AS s FROM ser) "
+    "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, "
+    "ROUND(s[2], 6) AS level, ROUND(s[3], 6) AS trend, "
+    "ROUND(s[2] + s[3] + s[CAST(n_days AS INT) % 7 + 4], 6) AS forecast_1d, "
+    "ROUND(list_max(list_slice(s, 4, 10)) - list_min(list_slice(s, 4, 10)), 6) "
+    "AS seasonal_range FROM st",
+)
+def evt_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (weekly seasonality) over daily event
+    volumes (windows.holt_winters) — level/trend/1-step forecast/
+    seasonal amplitude per type; the (3+7)-slot list-state fold
+    replays exactly in DuckDB's list_reduce."""
+    return windows.holt_winters(_ds(spark, sf_dir).events)
+
+
+@q(
     "evt_markov",
     "WITH p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id) AS prev_type, event_type AS next_type FROM events), "

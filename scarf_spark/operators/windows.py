@@ -1733,3 +1733,88 @@ def holt_linear(
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + F.lit(7.0) * st["b"], 6).alias("forecast_7d"),
     )
+
+
+def holt_winters(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality) over
+    each event type's daily volume — the seasonal completion of
+    :func:`holt_linear`. State is a (3 + period)-slot DOUBLE array
+    [t, l, b, s_1..s_p] folded left over the sorted day sequence:
+
+        i  = t mod p                  (0-based season of the obs)
+        l' = α(y − s_i) + (1−α)(l+b)
+        b' = β(l' − l)  + (1−β)b
+        s_i' = γ(y − l') + (1−γ)s_i   (other slots carried)
+
+    seeded deterministically (l₀ = y₀, b₀ = 0, s ≡ 0 — the seasonals
+    learn over the series). Every step is smooth and the state is a
+    plain DOUBLE[] list, so DuckDB's list_reduce replays the identical
+    IEEE sequence (struct accumulators mis-thread there; lists are the
+    portable encoding). Returns (event_type, n_days, level, trend,
+    forecast_1d, seasonal_range) — forecast_1d = l + b + s_next."""
+    p = int(period)
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("y")))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    a = F.lit(float(alpha))
+    bb = F.lit(float(beta))
+    g = F.lit(float(gamma))
+    one = F.lit(1.0)
+
+    def lp_of(acc, y):
+        i0 = acc[0].cast("int") % p
+        s_i = F.element_at(acc, i0 + 4)
+        return a * (y - s_i) + (one - a) * (acc[1] + acc[2])
+
+    def merge(acc, y):
+        i0 = acc[0].cast("int") % p
+        s_i = F.element_at(acc, i0 + 4)
+        lp = lp_of(acc, y)
+        bp = bb * (lp_of(acc, y) - acc[1]) + (one - bb) * acc[2]
+        seas = F.transform(
+            F.slice(acc, 4, p),
+            lambda s, j: F.when(
+                j == i0, g * (y - lp_of(acc, y)) + (one - g) * s
+            ).otherwise(s),
+        )
+        return F.concat(F.array(acc[0] + one, lp, bp), seas)
+
+    zero = F.concat(
+        F.array(one, F.col("ys")[0], F.lit(0.0)),
+        F.array_repeat(F.lit(0.0), p),
+    )
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        zero,
+        merge,
+    )
+    n = F.size("ys")
+    s_next = F.element_at(st, (n % p) + 4)
+    seas_final = F.slice(st, 4, p)
+    return ser.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(st[1], 6).alias("level"),
+        F.round(st[2], 6).alias("trend"),
+        F.round(st[1] + st[2] + s_next, 6).alias("forecast_1d"),
+        F.round(F.array_max(seas_final) - F.array_min(seas_final), 6).alias(
+            "seasonal_range"
+        ),
+    )

@@ -266,3 +266,41 @@ def test_holt_linear_matches_pandas_replay(spark, sf_dir):
         assert got[et]["n_days"] == len(ys)
         assert abs(got[et]["level"] - round(l, 6)) < 1e-9
         assert abs(got[et]["trend"] - round(b, 6)) < 1e-9
+
+
+def test_holt_winters_matches_pandas_replay(spark, sf_dir):
+    """The list-state fold computes the textbook additive Holt-Winters
+    recursion (alpha .3, beta .2, gamma .3, period 7, zero-seeded
+    seasonals)."""
+    from pyspark.sql import functions as F
+
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.windows import holt_winters
+
+    ev = DataStore(spark, sf_dir).events
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("double").alias("y"))
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    got = {r["event_type"]: r for r in holt_winters(ev).collect()}
+    for et, grp in daily.groupby("event_type"):
+        ys = grp["y"].tolist()
+        l, b, s = ys[0], 0.0, [0.0] * 7
+        t = 1
+        for y in ys[1:]:
+            i = t % 7
+            lp = 0.3 * (y - s[i]) + 0.7 * (l + b)
+            bp = 0.2 * ((0.3 * (y - s[i]) + 0.7 * (l + b)) - l) + 0.8 * b
+            s[i] = 0.3 * (y - (0.3 * (y - s[i]) + 0.7 * (l + b)))+ 0.7 * s[i]
+            l, b, t = lp, bp, t + 1
+        assert got[et]["n_days"] == len(ys)
+        assert abs(got[et]["level"] - round(l, 6)) < 1e-9
+        assert abs(got[et]["trend"] - round(b, 6)) < 1e-9
+        f1 = l + b + s[len(ys) % 7]
+        assert abs(got[et]["forecast_1d"] - round(f1, 6)) < 1e-9
