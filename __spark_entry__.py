@@ -8627,6 +8627,41 @@ def evt_holt_winters(spark, sf_dir):
 
 
 @q(
+    "evt_acf",
+    # integer-exact autocorrelation: centered products scaled by n²
+    # ((n·y − S) pairs), DECIMAL sums, truncating integer ppm — NB
+    # DuckDB integer division on DECIMAL truncates like Spark's
+    # cast-to-long after DECIMAL divide (both verified on negatives
+    # by the hash)
+    "WITH dd AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y "
+    "FROM events GROUP BY 1, 2), "
+    "tt AS (SELECT event_type, COUNT(*) AS n, SUM(y) AS s FROM dd "
+    "GROUP BY event_type), "
+    "cc AS (SELECT dd.event_type, dd.day, "
+    "CAST(tt.n * dd.y - tt.s AS DECIMAL(38,0)) AS c, "
+    "ROW_NUMBER() OVER (PARTITION BY dd.event_type ORDER BY dd.day) AS rk "
+    "FROM dd JOIN tt ON dd.event_type = tt.event_type), "
+    "num AS (SELECT a.event_type, l.lag, COUNT(*) AS n_pairs, "
+    "SUM(a.c * b.c) AS num FROM cc a "
+    "CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l "
+    "JOIN cc b ON b.event_type = a.event_type AND b.rk = a.rk + l.lag "
+    "GROUP BY 1, 2), "
+    "den AS (SELECT event_type, SUM(c * c) AS den FROM cc GROUP BY 1) "
+    "SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag, "
+    "CAST(n_pairs AS BIGINT) AS n_pairs, "
+    "CASE WHEN den.den != 0 THEN CAST(TRUNC(num.num * 1000000 / den.den) AS BIGINT) "
+    "ELSE 0 END AS acf_ppm "
+    "FROM num JOIN den ON num.event_type = den.event_type",
+)
+def evt_acf(spark, sf_dir):
+    """Daily-volume autocorrelation at lags 1..7 (windows.volume_acf)
+    — integer-exact ppm, the seasonality gauge behind the
+    Holt-Winters period choice."""
+    return windows.volume_acf(_ds(spark, sf_dir).events)
+
+
+@q(
     "evt_markov",
     "WITH p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id) AS prev_type, event_type AS next_type FROM events), "

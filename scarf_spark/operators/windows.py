@@ -1818,3 +1818,83 @@ def holt_winters(
             "seasonal_range"
         ),
     )
+
+
+def volume_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation profile of each event type's daily volume at
+    lags 1..max_lag — the seasonality-detection companion of
+    :func:`holt_winters` (a weekly cycle shows as a lag-7 peak).
+
+    Integer-exact: with S = Σy and n observations, the mean-centered
+    products scale by n² to (n·y_t − S)(n·y_{t−k} − S) — pure integers
+    summed as DECIMAL(38,0) (day counts can be 1e9+ at corpus scale,
+    so the squares outgrow int64), and the ACF is a truncating integer
+    ppm ratio — no float accumulation anywhere. The lag-k partner
+    comes from ONE equi-join on the shifted day rank (keys
+    (type, rank+lag) = (type, rank)), so pair volume is n·max_lag,
+    never n². Lags run over the OBSERVED day sequence (gaps fold as
+    consecutive, matching holt_linear). Returns (event_type, lag,
+    n_pairs, acf_ppm)."""
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("y"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (
+        daily.join(tot, "event_type")
+        .select(
+            "event_type",
+            "day",
+            (F.col("n") * F.col("y") - F.col("s")).alias("c"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .localCheckpoint(eager=False)  # consumed by both join sides + den
+    )
+    a = d.select(
+        "event_type",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+        "rk",
+    ).withColumn("tgt", F.col("rk") + F.col("lag"))
+    b = d.select(
+        "event_type", F.col("rk").alias("tgt"), F.col("c").alias("cb")
+    )
+    num = (
+        a.join(b, ["event_type", "tgt"])
+        .select(
+            "event_type",
+            "lag",
+            (
+                F.col("ca").cast("decimal(38,0)")
+                * F.col("cb").cast("decimal(38,0)")
+            ).alias("p"),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum("p").alias("num"), F.count("*").alias("n_pairs"))
+    )
+    den = d.groupBy("event_type").agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("den")
+    )
+    return (
+        num.join(den, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.when(
+                F.col("den") != 0,
+                (F.col("num") * 1000000 / F.col("den")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("acf_ppm"),
+        )
+    )

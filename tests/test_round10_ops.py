@@ -304,3 +304,41 @@ def test_holt_winters_matches_pandas_replay(spark, sf_dir):
         assert abs(got[et]["trend"] - round(b, 6)) < 1e-9
         f1 = l + b + s[len(ys) % 7]
         assert abs(got[et]["forecast_1d"] - round(f1, 6)) < 1e-9
+
+
+def test_volume_acf_matches_numpy(spark, sf_dir):
+    """Integer-ppm ACF equals the numpy autocorrelation (same scaled
+    integer formula)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scarf_spark.catalog import DataStore
+    from scarf_spark.operators.windows import volume_acf
+
+    ev = DataStore(spark, sf_dir).events
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("y"))
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    got = {(r["event_type"], r["lag"]): r for r in volume_acf(ev).collect()}
+    for et, grp in daily.groupby("event_type"):
+        ys = grp["y"].to_numpy(dtype=np.int64)
+        n, s = len(ys), int(ys.sum())
+        c = n * ys - s
+        den = int((c.astype(object) ** 2).sum())
+        for lag in range(1, 8):
+            if lag >= n:
+                assert (et, lag) not in got
+                continue
+            num = int((c[:-lag].astype(object) * c[lag:].astype(object)).sum())
+            r = got[(et, lag)]
+            assert r["n_pairs"] == n - lag
+            # exact integer truncation toward zero
+            exact = (num * 1000000) // den if (num >= 0) == (den > 0) else -((-num * 1000000) // den)
+            assert r["acf_ppm"] == exact
