@@ -1244,33 +1244,33 @@ def dedup_minhash_bands(spark, sf_dir):
 
 @q(
     "dedup_components",
-    # near-duplicate clusters + canonical keep-list: 3 rounds of
-    # synchronous min-label propagation over the LSH candidate pairs
-    f"WITH {_MINHASH_CTE}, "
+    # near-duplicate clusters + canonical keep-list. The engine runs
+    # EXACT components (O(log n) star contraction), so the oracle is a
+    # fixpoint too: a recursive reachability CTE whose UNION-distinct
+    # terminates at the closure — exact at ANY component depth, unlike
+    # the former fixed-3-round min-label unroll, which silently
+    # presumed every LSH component's min-label radius <= 3 (true at
+    # tested SFs, unproven at new ones). Closure row count is
+    # sum(component_size^2) — LSH near-dup components are band-bucket
+    # near-cliques, so this stays tiny.
+    f"WITH RECURSIVE {_MINHASH_CTE}, "
     "prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
     "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
-    # MATERIALIZED: each round references the previous twice; inlined,
-    # the whole minhash pipeline re-executes 2^rounds times
     "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs "
     "UNION ALL SELECT b, a FROM prs), "
-    "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents), "
-    + " ".join(
-        (
-            "l{t} AS MATERIALIZED (SELECT n.node, "
-            "LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl "
-            "FROM l{p} n LEFT JOIN und u ON u.src = n.node "
-            "LEFT JOIN l{p} l ON l.node = u.dst GROUP BY n.node, n.lbl),"
-        ).format(t=t, p=t - 1)
-        for t in (1, 2, 3)
-    ).rstrip(",")
-    + " SELECT node AS doc_id, lbl AS cluster, node = lbl AS keep FROM l3",
+    "reach(node, lbl) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT u.src, r.lbl FROM reach r JOIN und u ON u.dst = r.node) "
+    "SELECT node AS doc_id, MIN(lbl) AS cluster, "
+    "node = MIN(lbl) AS keep FROM reach GROUP BY node",
 )
 def dedup_components(spark, sf_dir):
     docs = _ds(spark, sf_dir).documents
     pairs = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
-    # engine runs the O(log n) star contraction; the 3-round min-label
-    # CTE stays the oracle — identical fixpoint on the band-bucket
-    # near-clique LSH graph (equality asserted in test_round10_ops)
+    # engine: O(log n) star contraction — exact components; oracle:
+    # recursive-closure fixpoint — also exact, so engine/oracle
+    # equivalence no longer depends on a component-radius assumption
     return dedup.star_components(pairs, docs)
 
 
@@ -8629,10 +8629,11 @@ def evt_holt_winters(spark, sf_dir):
 @q(
     "evt_acf",
     # integer-exact autocorrelation: centered products scaled by n²
-    # ((n·y − S) pairs), DECIMAL sums, truncating integer ppm — NB
-    # DuckDB integer division on DECIMAL truncates like Spark's
-    # cast-to-long after DECIMAL divide (both verified on negatives
-    # by the hash)
+    # ((n·y − S) pairs), DECIMAL sums, and a TRUE integer quotient on
+    # both engines — HUGEINT `//` here, DECIMAL `div` Spark-side, both
+    # truncate toward zero with no intermediate rounding (DuckDB
+    # DECIMAL `/` would detour through DOUBLE and lose exactness past
+    # 2^53)
     "WITH dd AS (SELECT event_type, "
     "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y "
     "FROM events GROUP BY 1, 2), "
@@ -8650,7 +8651,8 @@ def evt_holt_winters(spark, sf_dir):
     "den AS (SELECT event_type, SUM(c * c) AS den FROM cc GROUP BY 1) "
     "SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag, "
     "CAST(n_pairs AS BIGINT) AS n_pairs, "
-    "CASE WHEN den.den != 0 THEN CAST(TRUNC(num.num * 1000000 / den.den) AS BIGINT) "
+    "CASE WHEN den.den != 0 THEN CAST((CAST(num.num AS HUGEINT) * 1000000) "
+    "// CAST(den.den AS HUGEINT) AS BIGINT) "
     "ELSE 0 END AS acf_ppm "
     "FROM num JOIN den ON num.event_type = den.event_type",
 )

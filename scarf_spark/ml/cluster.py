@@ -62,10 +62,14 @@ def label_propagation(
         nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("cluster"))
     for _ in range(n_iter):
-        # broadcast the node-sized label table explicitly: it comes out
-        # of a localCheckpoint, whose RDD-backed plan has no size stats,
-        # so Catalyst would otherwise pick a sort-merge join every round
-        lab_d = F.broadcast(labels.select(F.col("node").alias("_lnode"), "cluster"))
+        # no F.broadcast hint here: forcing it on the checkpointed
+        # label table costs a driver collect + torrent push EVERY
+        # round and caps the graph at driver memory. Left as a shuffle
+        # join, AQE sees the actual per-round shuffle stats and
+        # converts to broadcast at runtime exactly when the label
+        # table is genuinely small (the spectral_embedding /
+        # harmonic_potential lesson).
+        lab_d = labels.select(F.col("node").alias("_lnode"), "cluster")
         nb = (
             und.join(lab_d, und.dst == lab_d._lnode)
             .select(F.col("src").alias("node"), "cluster")

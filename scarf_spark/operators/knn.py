@@ -726,13 +726,22 @@ def cosine_knn_ivf_persisted(
 
     ih = selection_hash(emb.select(id_col, vec_col))
     params = {"op": "ivf_flat", "n_cells": n_cells}
+    # one shared build for the pair: on a cold registry both tables
+    # miss, and two independent lambdas would each run the full index
+    # build (seed collect + broadcast + mapInPandas assignment). The
+    # memo runs it once; warm calls never touch it.
+    built: list = []
+
+    def _tables():
+        if not built:
+            built.append(ivf_index_tables(emb, n_cells, id_col, vec_col))
+        return built[0]
+
     lists = registry.get_or_compute(
-        "ivf_lists", params, ih,
-        lambda: ivf_index_tables(emb, n_cells, id_col, vec_col)[1],
+        "ivf_lists", params, ih, lambda: _tables()[1]
     )
     cents = registry.get_or_compute(
-        "ivf_centroids", params, ih,
-        lambda: ivf_index_tables(emb, n_cells, id_col, vec_col)[0],
+        "ivf_centroids", params, ih, lambda: _tables()[0]
     )
     return cosine_knn_ivf_probe(
         emb, cents, lists, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col

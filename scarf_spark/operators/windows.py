@@ -1890,9 +1890,15 @@ def volume_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
             "event_type",
             F.col("lag").cast("long").alias("lag"),
             F.col("n_pairs").cast("long").alias("n_pairs"),
+            # exact integer quotient: `div` on DECIMAL truncates toward
+            # zero (matching DuckDB HUGEINT `//`) with no intermediate
+            # rounding — a plain `/`+cast rounds HALF_UP at result
+            # scale first, which can flip a quotient within ~5e-7 of an
+            # integer boundary. |num| <= den (Cauchy-Schwarz) so the
+            # ppm always fits in long.
             F.when(
                 F.col("den") != 0,
-                (F.col("num") * 1000000 / F.col("den")).cast("long"),
+                F.expr("(num * 1000000) div den"),
             )
             .otherwise(F.lit(0))
             .alias("acf_ppm"),
