@@ -137,6 +137,8 @@ def main() -> None:
         em._knn_edges(spark, sf_dir).count()
         # same for the spectral-embedding fixture (two consumers)
         em._spectral_emb(spark, sf_dir).count()
+        # and the feature-KNN table (mark_feat_knn + mark_feat_modules)
+        em._feat_knn_edges(spark, sf_dir).count()
     except Exception as exc:  # noqa: BLE001
         print(f"warmup knn failed: {exc}", file=sys.stderr)
 
@@ -178,6 +180,25 @@ def main() -> None:
             list(pool.map(_run, names))
     wall = round(time.time() - t_wall, 3)
     serial_sum = round(sum(times.values()), 3)
+    # Serial confirm (round 11): stream per-query times charge
+    # scheduler QUEUEING to whichever query was co-scheduled late —
+    # r10's apparent norm_size_factors "regression" was 10.4s stream /
+    # 1.5s serial, pure queueing. Re-time the 10 most expensive stream
+    # entries one-at-a-time and record BOTH numbers, so
+    # round-over-round reads chase real regressions only. Costs ~the
+    # top-10 serial sum once per recorded run; skipped when the run is
+    # already serial.
+    serial_confirm: dict[str, float] = {}
+    if n_threads > 1 and os.environ.get(
+        "SPARK_GRAFT_BENCH_SERIAL_CONFIRM", "1"
+    ) != "0":
+        for name in sorted(times, key=times.get, reverse=True)[:10]:
+            try:
+                serial_confirm[name] = round(
+                    run_one(spark, qs[name], sf_dir), 3
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors[f"confirm:{name}"] = str(exc).split("\n")[0][:200]
     # KEY ORDER MATTERS: the driver records only the last ~2 KB of
     # stdout ("tail" in BENCH_r{N}.json), so the per-query map goes
     # FIRST and the summary metrics go LAST — any suffix window then
@@ -187,6 +208,8 @@ def main() -> None:
     out = {"queries": times}
     if errors:
         out["errors"] = errors
+    if serial_confirm:
+        out["serial_confirm"] = serial_confirm
     out.update(
         {
             # renamed from headline_queries_total in r6: the value is
