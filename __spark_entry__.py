@@ -3858,11 +3858,16 @@ def demux_hto(spark, sf_dir):
 # CORAL: whiten source with Cs^(-1/2), re-color with Ct^(1/2). Two
 # Jacobi replays (prefixes s/t); the fractional powers are spectral
 # functions V·f(Λ)·Vᵀ — basis-invariant, so no sign/order conventions.
-def _coral_cov_cte(pfx: str, parity: int) -> str:
-    return (
-        f"{pfx}vecs AS MATERIALIZED (SELECT vec_id, i AS dim, "
+def _coral_cov_cte(pfx: str, parity: int, vecs_sql: str | None = None) -> str:
+    # vecs_sql overrides the (vec_id, dim, val) long-table source —
+    # pipe_mapping feeds the feature-ALIGNED target matrix in here
+    body = vecs_sql or (
+        "SELECT vec_id, i AS dim, "
         "CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, "
-        f"UNNEST(range(1, 9)) t(i) WHERE vec_id % 2 = {parity}), "
+        f"UNNEST(range(1, 9)) t(i) WHERE vec_id % 2 = {parity}"
+    )
+    return (
+        f"{pfx}vecs AS MATERIALIZED ({body}), "
         f"{pfx}mu AS (SELECT dim, AVG(val) AS mu FROM {pfx}vecs GROUP BY dim), "
         f"{pfx}cv0 AS (SELECT a.dim - 1 AS i, b.dim - 1 AS j, "
         "AVG(a.val * b.val) - ma.mu * mb.mu AS val "
@@ -3931,6 +3936,203 @@ def ml_coral(spark, sf_dir):
     out = integrate.coral_align(src, tgt)
     return out.select(
         "cell_id", *[F.round(F.col("v")[i], 6).alias(f"c{i}") for i in range(8)]
+    )
+
+
+# The reference's CROSS-DATASET MAPPING workflow
+# (``mapping_datastore.py:31-364`` run_mapping: align features → CORAL
+# → cross-KNN target→reference → mapping score → target classification)
+# composed END-TO-END as one graded query, exactly like pipe_atlas_prep
+# covers make_graph. Fixture: reference atlas = even vec_ids (all 8
+# dims + label); incoming dataset = odd vec_ids observing only dims
+# 1..6, so the feature alignment genuinely pads (dims 7-8 fill with
+# 1.0, the align_features contract). Every stage is the
+# already-oracled operator; the oracle is the verbatim composition of
+# the stage oracles (_CORAL_SQL cov/jacobi/pow CTEs over the ALIGNED
+# long table, the _CROSS_KNN_CTE shape over the corrected coords, the
+# graph_mapping_score and graph_target_class tails).
+_PIPE_MAPPING_SQL = (
+    "WITH RECURSIVE "
+    + _coral_cov_cte(
+        "s",
+        1,
+        vecs_sql=(
+            "SELECT vec_id, i AS dim, CASE WHEN i <= 6 THEN "
+            "CAST(embedding[i] AS DOUBLE) ELSE 1.0 END AS val "
+            "FROM embeddings, UNNEST(range(1, 9)) t(i) WHERE vec_id % 2 = 1"
+        ),
+    )
+    + ", "
+    + _coral_cov_cte("t", 0)
+    + ", "
+    + _jacobi_cte(8, pfx="s")
+    + ", "
+    + _jacobi_cte(8, pfx="t")
+    + ", "
+    + _coral_pow_cte("s", "-0.5", "ps")
+    + ", "
+    + _coral_pow_cte("t", "0.5", "pt")
+    + ", "
+    "amat AS (SELECT ps.i AS i, pt.j AS j, SUM(ps.val * pt.val) AS val "
+    "FROM ps JOIN pt ON ps.j = pt.i GROUP BY ps.i, pt.j), "
+    "proj AS (SELECT sv.vec_id AS cell_id, am.j AS comp, "
+    "SUM((sv.val - mu.mu) * am.val) AS c FROM svecs sv "
+    "JOIN smu mu ON mu.dim = sv.dim "
+    "JOIN amat am ON am.i = sv.dim - 1 GROUP BY sv.vec_id, am.j), "
+    "mcorr AS MATERIALIZED (SELECT cell_id AS vec_id, CAST(["
+    + ", ".join(
+        f"ROUND(MAX(CASE WHEN comp = {j} THEN c END), 6)" for j in range(8)
+    )
+    + "] AS DOUBLE[]) AS v FROM proj GROUP BY cell_id), "
+    "rmu AS (SELECT i AS dim, AVG(CAST(embedding[i] AS DOUBLE)) AS mu "
+    "FROM embeddings, UNNEST(range(1, 9)) t(i) WHERE vec_id % 2 = 0 "
+    "GROUP BY i), "
+    "refc AS MATERIALIZED (SELECT e.vec_id, "
+    "list(ROUND(CAST(e.embedding[r.dim] AS DOUBLE) - r.mu, 6) "
+    "ORDER BY r.dim) AS v "
+    "FROM embeddings e, rmu r WHERE e.vec_id % 2 = 0 GROUP BY e.vec_id), "
+    "qn AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+    "FROM mcorr), "
+    "rn2 AS (SELECT vec_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+    "FROM refc), "
+    "xp AS (SELECT q.vec_id AS src, r.vec_id AS dst, "
+    "1.0 - list_inner_product(q.v, r.v) / (q.nrm * r.nrm) AS distance "
+    "FROM qn q JOIN rn2 r ON TRUE), "
+    "xk AS MATERIALIZED (SELECT src, rn AS rank, dst, "
+    "ROUND(distance, 6) AS distance FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src "
+    "ORDER BY distance, dst) AS rn FROM xp) WHERE rn <= 3), "
+    "np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM xk), "
+    "msc AS (SELECT dst AS ref_cell_id, "
+    "ROUND(LN(1 + SUM(1.0 / (LN(1 + distance) + 1.0)) * 1000.0 "
+    "/ ANY_VALUE(np.n)), 6) AS nn_score FROM xk, np GROUP BY dst), "
+    "lbl2 AS (SELECT vec_id AS dst, label FROM embeddings "
+    "WHERE vec_id % 2 = 0), "
+    "wts AS (SELECT k.src AS target_cell_id, l.label, "
+    "1.0 / (1.0 + k.distance) AS w FROM xk k JOIN lbl2 l ON k.dst = l.dst), "
+    "pl AS (SELECT target_cell_id, label, SUM(w) AS lw FROM wts "
+    "GROUP BY 1, 2), "
+    "tt AS (SELECT target_cell_id, SUM(w) AS tw FROM wts GROUP BY 1), "
+    "cls AS (SELECT target_cell_id, CASE WHEN share > 0.5 THEN "
+    "CAST(label AS VARCHAR) ELSE 'NA' END AS pred_label, "
+    "ROUND(share, 6) AS share FROM "
+    "(SELECT pl.target_cell_id, pl.label, pl.lw / tt.tw AS share, "
+    "ROW_NUMBER() OVER (PARTITION BY pl.target_cell_id "
+    "ORDER BY pl.lw / tt.tw DESC, pl.label) AS rn FROM pl "
+    "JOIN tt ON pl.target_cell_id = tt.target_cell_id) WHERE rn = 1), "
+    "top1 AS (SELECT src AS target_cell_id, dst AS nn_ref, "
+    "distance AS nn_distance FROM xk WHERE rank = 1) "
+    "SELECT c.target_cell_id, c.pred_label, c.share, t1.nn_ref, "
+    "t1.nn_distance, m.nn_score "
+    "FROM cls c JOIN top1 t1 ON c.target_cell_id = t1.target_cell_id "
+    "JOIN msc m ON t1.nn_ref = m.ref_cell_id"
+)
+
+
+@q("pipe_mapping", _PIPE_MAPPING_SQL)
+def pipe_mapping(spark, sf_dir):
+    """Cross-dataset mapping end-to-end
+    (``mapping_datastore.py:31-364`` run_mapping) as ONE query:
+    align_features pads the target's missing dims 7-8 with fill 1.0 →
+    CORAL recolors the aligned target into the reference covariance →
+    sharded cross-KNN (k=3) of the ROUND(6) corrected coords against
+    the mean-centered reference → mapping score per reference cell →
+    weighted-vote target classification. Returns one row per target
+    cell: (target_cell_id, pred_label, share, nn_ref, nn_distance,
+    nn_score)."""
+    from scarf_spark.ml import integrate
+
+    ds = _ds(spark, sf_dir)
+    emb = ds.embeddings
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    # stage 1 — feature alignment (joins.align_features,
+    # mapping_utils.py:98-214): reference feature index = dims 1..8,
+    # target observes 1..6; the left-outer fill marks dims 7-8 missing
+    ref_dims = spark.range(1, 9).select(
+        F.col("id").alias("ids"), F.lit(0.0).alias("value")
+    )
+    tgt_dims = spark.range(1, 7).select(
+        F.col("id").alias("ids"), F.lit(0.0).alias("value")
+    )
+    dim_tab = joins.align_features(ref_dims, tgt_dims, fill_value=1.0).select(
+        F.col("ids").cast("int").alias("dim"),
+        (F.col("t_value") == 1.0).alias("_fill"),
+    )
+    # assemble the aligned target matrix: observed dims read the
+    # vector, alignment-filled dims take the fill value — the 8-row
+    # decision table broadcasts (crossJoin of a dimension-sized dim
+    # list, never data x data)
+    tl = (
+        tgt.select(F.col("vec_id").alias("cell_id"), "embedding")
+        .crossJoin(F.broadcast(dim_tab))
+        .select(
+            "cell_id",
+            "dim",
+            F.when(F.col("_fill"), F.lit(1.0))
+            .otherwise(F.col("embedding")[F.col("dim") - 1].cast("double"))
+            .alias("val"),
+        )
+    )
+    src_vec = tl.groupBy("cell_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("val")))
+        ).alias("_m")
+    ).select(
+        "cell_id",
+        F.array(*[F.col("_m").getItem(d) for d in range(1, 9)]).alias("v"),
+    )
+    ref_vec = ref.select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
+    )
+    # stage 2 — CORAL (integrate.coral_align): recolor the aligned
+    # target into the reference covariance; ROUND(6) pivots the
+    # cross-engine boundary exactly like ml_coral
+    corr = integrate.coral_align(src_vec, ref_vec).select(
+        F.col("cell_id").alias("vec_id"),
+        F.array(
+            *[F.round(F.col("v")[i], 6) for i in range(8)]
+        ).alias("embedding"),
+    ).localCheckpoint(eager=False)
+    # mean-center the reference side (one single-row agg broadcast —
+    # the corrected target is zero-mean by construction)
+    mu = ref_vec.agg(
+        *[F.avg(F.col("v")[i]).alias(f"_mu{i}") for i in range(8)]
+    )
+    ref_c = ref_vec.crossJoin(F.broadcast(mu)).select(
+        F.col("cell_id").alias("vec_id"),
+        F.array(
+            *[
+                F.round(F.col("v")[i] - F.col(f"_mu{i}"), 6)
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    # stage 3 — sharded cross-KNN target→reference (knn_cross_topk's
+    # engine); stage 4 — mapping score; stage 5 — classification
+    edges = knn.cosine_knn_cross_sharded(corr, ref_c, k=3, n_shards=4)
+    proj = edges.select(
+        F.col("src").alias("target_cell_id"), "rank",
+        F.col("dst").alias("ref_cell_id"), "distance",
+    ).localCheckpoint(eager=False)
+    score = graph.mapping_score(proj).withColumnRenamed("score", "nn_score")
+    labels = ref.select(F.col("vec_id").alias("cell_id"), "label")
+    cls = graph.target_classification(proj, labels, threshold=0.5)
+    top1 = proj.where(F.col("rank") == 1).select(
+        "target_cell_id",
+        F.col("ref_cell_id").alias("nn_ref"),
+        F.col("distance").alias("nn_distance"),
+    )
+    return (
+        cls.join(top1, "target_cell_id")
+        .join(score, top1.nn_ref == score.ref_cell_id)
+        .select(
+            "target_cell_id", "pred_label", "share",
+            "nn_ref", "nn_distance", "nn_score",
+        )
     )
 
 
