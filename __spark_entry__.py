@@ -2814,17 +2814,124 @@ def ml_nb_scores(spark, sf_dir):
 # unit test in tests/test_ml.py.
 
 
-@q("ml_leiden")  # weak: discrete greedy argmax (driver_compute, seedless)
+# SQL replay of the integer-exact Leiden (ml.cluster.leiden_micros) —
+# the same promotion playbook as _PARIS_ST_CTE: integer-micro edge
+# weights make every modularity-gain argmax an exact-integer compare
+# (HUGEINT products guard overflow), the local-move order is pinned
+# (ascending group id, 2 sweeps x 3 levels), and refinement merges
+# only true singletons. The recursion carries the full per-level state
+# as rows — typ 0 node->group, 1 group edge (x=y rows are self-loops),
+# 2 group->comm, 3 group->ref (visited groups only; unvisited default
+# to identity via COALESCE), 9 the control row (pos, lvl, code) with
+# code 0..1 = local-move sweep, 2 = refinement, 3 = level aggregation.
+# One recursion step = one group's decision, so the whole trace
+# replays verbatim. Inner CTEs are MATERIALIZED (DuckDB re-executes
+# plain CTEs per reference); the 20000-step cap is a pure safety net
+# (3 levels x 3 passes x 500 groups = 4503 worst-case steps here).
+_LEIDEN_ST_CTE = (
+    "tm AS MATERIALIZED (SELECT 2*SUM(w) AS m2 FROM ed), nd AS "
+    "MATERIALIZED (SELECT DISTINCT n FROM (SELECT a AS n FROM ed UNION "
+    "ALL SELECT b FROM ed)), st AS (SELECT 0 AS it, 0 AS typ, n AS x, n "
+    "AS y, CAST(0 AS BIGINT) AS w FROM nd UNION ALL SELECT 0, 1, a, b, w "
+    "FROM ed UNION ALL SELECT 0, 2, n, n, 0 FROM nd UNION ALL SELECT 0, "
+    "9, 1, 0, 0 UNION ALL (WITH cur AS MATERIALIZED (SELECT * FROM st), "
+    "ctl AS MATERIALIZED (SELECT x AS pos, y AS lvl, w AS code FROM cur "
+    "WHERE typ = 9), nxt AS MATERIALIZED (SELECT MAX(it) + 1 AS i FROM "
+    "cur HAVING MAX(it) < 20000), grps AS MATERIALIZED (SELECT x AS g, "
+    "ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS ng FROM "
+    "cur WHERE typ = 2), comm AS MATERIALIZED (SELECT x AS g, y AS c FROM "
+    "cur WHERE typ = 2), sdeg AS MATERIALIZED (SELECT g, SUM(w) AS s FROM "
+    "(SELECT x AS g, CASE WHEN x = y THEN 2*w ELSE w END AS w FROM cur "
+    "WHERE typ = 1 UNION ALL SELECT y, w FROM cur WHERE typ = 1 AND x <> "
+    "y) GROUP BY 1), gi AS MATERIALIZED (SELECT gr.g, gr.ng, c.c AS cv, "
+    "s.s AS kv FROM grps gr, ctl JOIN comm c ON c.g = gr.g JOIN sdeg s ON "
+    "s.g = gr.g WHERE gr.rn = ctl.pos), nbr AS MATERIALIZED (SELECT CASE "
+    "WHEN e.x = gi.g THEN e.y ELSE e.x END AS h, e.w FROM cur e, gi WHERE "
+    "e.typ = 1 AND e.x <> e.y AND (e.x = gi.g OR e.y = gi.g)), kin AS "
+    "MATERIALIZED (SELECT c.c, SUM(n.w) AS kin FROM nbr n JOIN comm c ON "
+    "c.g = n.h GROUP BY 1), ctot AS MATERIALIZED (SELECT c.c, SUM(s.s) AS "
+    "tot FROM comm c JOIN sdeg s ON s.g = c.g GROUP BY 1), cand AS "
+    "MATERIALIZED (SELECT DISTINCT c FROM (SELECT c FROM kin UNION ALL "
+    "SELECT cv FROM gi)), best AS (SELECT cand.c AS bc FROM cand CROSS "
+    "JOIN gi CROSS JOIN tm LEFT JOIN kin ON kin.c = cand.c JOIN ctot ON "
+    "ctot.c = cand.c ORDER BY CAST(COALESCE(kin.kin, 0) AS HUGEINT) * "
+    "tm.m2 - CAST(gi.kv AS HUGEINT) * (ctot.tot - CASE WHEN cand.c = "
+    "gi.cv THEN gi.kv ELSE 0 END) DESC, cand.c LIMIT 1), refl AS "
+    "MATERIALIZED (SELECT x AS g, y AS r FROM cur WHERE typ = 3), hasm AS "
+    "(SELECT EXISTS (SELECT 1 FROM refl, gi WHERE refl.r = gi.g AND "
+    "refl.g <> gi.g) AS h), rtot AS MATERIALIZED (SELECT c, SUM(s) AS tot "
+    "FROM (SELECT COALESCE(r.r, s.g) AS c, s.s AS s FROM sdeg s LEFT JOIN "
+    "refl r ON r.g = s.g) GROUP BY 1), kin2 AS MATERIALIZED (SELECT "
+    "COALESCE(r.r, n.h) AS rc, SUM(n.w) AS kin FROM nbr n JOIN comm ch ON "
+    "ch.g = n.h CROSS JOIN gi LEFT JOIN refl r ON r.g = n.h WHERE ch.c = "
+    "gi.cv AND COALESCE(r.r, n.h) <> gi.g GROUP BY 1), best2 AS (SELECT "
+    "k.rc FROM kin2 k JOIN rtot ON rtot.c = k.rc CROSS JOIN gi CROSS JOIN "
+    "tm WHERE CAST(k.kin AS HUGEINT) * tm.m2 - CAST(gi.kv AS HUGEINT) * "
+    "rtot.tot > 0 ORDER BY CAST(k.kin AS HUGEINT) * tm.m2 - CAST(gi.kv AS "
+    "HUGEINT) * rtot.tot DESC, k.rc LIMIT 1), rpick AS (SELECT CASE WHEN "
+    "(SELECT h FROM hasm) THEN gi.g ELSE COALESCE((SELECT rc FROM best2), "
+    "gi.g) END AS tgt FROM gi) SELECT nxt.i, m.typ, m.x, m.y, m.w FROM "
+    "cur m, ctl, nxt WHERE ctl.code < 2 AND (m.typ IN (0, 1) OR (m.typ = "
+    "2 AND m.x <> (SELECT g FROM gi))) UNION ALL SELECT nxt.i, 2, gi.g, "
+    "best.bc, 0 FROM gi, best, ctl, nxt WHERE ctl.code < 2 UNION ALL "
+    "SELECT nxt.i, 9, CASE WHEN ctl.pos < gi.ng THEN ctl.pos + 1 ELSE 1 "
+    "END, ctl.lvl, CASE WHEN ctl.pos < gi.ng THEN ctl.code ELSE ctl.code "
+    "+ 1 END FROM ctl, gi, nxt WHERE ctl.code < 2 AND NOT (ctl.pos = "
+    "gi.ng AND ctl.code = 1 AND ctl.lvl = 2) UNION ALL SELECT nxt.i, "
+    "m.typ, m.x, m.y, m.w FROM cur m, ctl, nxt WHERE ctl.code = 2 AND "
+    "m.typ IN (0, 1, 2, 3) UNION ALL SELECT nxt.i, 3, gi.g, rpick.tgt, 0 "
+    "FROM gi, rpick, ctl, nxt WHERE ctl.code = 2 UNION ALL SELECT nxt.i, "
+    "9, CASE WHEN ctl.pos < gi.ng THEN ctl.pos + 1 ELSE 0 END, ctl.lvl, "
+    "CASE WHEN ctl.pos < gi.ng THEN 2 ELSE 3 END FROM ctl, gi, nxt WHERE "
+    "ctl.code = 2 UNION ALL SELECT nxt.i, 0, m.x, COALESCE(r.r, m.y), 0 "
+    "FROM cur m LEFT JOIN refl r ON r.g = m.y, ctl, nxt WHERE ctl.code = "
+    "3 AND m.typ = 0 UNION ALL SELECT nxt.i, 1, LEAST(ea, eb), "
+    "GREATEST(ea, eb), SUM(w) FROM (SELECT COALESCE(ra.r, e.x) AS ea, "
+    "COALESCE(rb.r, e.y) AS eb, e.w FROM cur e LEFT JOIN refl ra ON ra.g "
+    "= e.x LEFT JOIN refl rb ON rb.g = e.y WHERE e.typ = 1), ctl, nxt "
+    "WHERE ctl.code = 3 GROUP BY 1, 2, 3, 4 UNION ALL SELECT nxt.i, 2, "
+    "g2, g2, 0 FROM (SELECT DISTINCT COALESCE(r.r, c.x) AS g2 FROM cur c "
+    "LEFT JOIN refl r ON r.g = c.x WHERE c.typ = 2), ctl, nxt WHERE "
+    "ctl.code = 3 UNION ALL SELECT nxt.i, 9, 1, ctl.lvl + 1, 0 FROM ctl, "
+    "nxt WHERE ctl.code = 3))"
+)
+
+
+@q(
+    "ml_leiden",
+    f"WITH RECURSIVE {_KNN_CTE}, "
+    "ed AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+    "SUM(CAST(FLOOR(1000000.0 / (1.0 + distance)) AS BIGINT)) AS w "
+    "FROM knn GROUP BY 1, 2), "
+    f"{_LEIDEN_ST_CTE}, "
+    "stm AS MATERIALIZED (SELECT * FROM st), "
+    "fin AS (SELECT MAX(it) AS mi FROM stm), "
+    "lab AS (SELECT m.x AS node, c.y AS lbl FROM stm m JOIN fin ON m.it = fin.mi "
+    "AND m.typ = 0 JOIN stm c ON c.it = fin.mi AND c.typ = 2 AND c.x = m.y), "
+    "mins AS (SELECT lbl, MIN(node) AS mn FROM lab GROUP BY 1) "
+    "SELECT lab.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 AS INT) "
+    "AS cluster FROM lab JOIN mins ON lab.lbl = mins.lbl",
+)
 def ml_leiden(spark, sf_dir):
     """Deterministic Leiden (local move → refinement → aggregate) on
     the collected KNN graph — the reference's leidenalg boundary
-    (``graph_datastore.py:1379-1459``), from-scratch per Traag 2019
-    with Leiden's connected-communities guarantee (ml/cluster.py)."""
+    (``graph_datastore.py:1379-1459``), from-scratch per Traag 2019.
+    PROMOTED weak → full value oracle (r11): integer-micro weights +
+    pinned move order (ml.cluster.leiden_micros) make the whole trace
+    an exact-integer state machine that _LEIDEN_ST_CTE replays
+    verbatim, exactly how clust_paris_cut was promoted in r10. The
+    float-argmax leiden_driver stays as the work-queue variant
+    (seeded unit tests, tests/test_ml.py)."""
     from scarf_spark.ml import cluster
 
-    edges = _knn_edges(spark, sf_dir)
-    out = cluster.leiden_driver(edges, resolution=1.0)
-    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+    edges = _knn_edges(spark, sf_dir).select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.col("distance")))
+        .cast("long")
+        .alias("w_micros"),
+    )
+    return cluster.leiden_micros(edges, sweeps=2, levels=3)
 
 
 # LISI bandwidth bisection mirrored as a DuckDB recursive CTE: per-src

@@ -259,6 +259,129 @@ def leiden_driver(
     )
 
 
+def leiden_micros(
+    edges: DataFrame,
+    sweeps: int = 2,
+    levels: int = 3,
+    weight_col: str = "w_micros",
+) -> DataFrame:
+    """driver_compute: INTEGER-EXACT deterministic Leiden — the same
+    promotion playbook that took the Paris cuts from weak to full
+    oracle (paris_dendrogram_micros). Three differences from
+    :func:`leiden_driver` (the reference's leidenalg boundary,
+    ``graph_datastore.py:1379-1459``), each one removing an
+    engine-private degree of freedom:
+
+    * edge weights are integer micros and every modularity-gain
+      comparison is the exact integer ``k_in·2m − k_v·Σ_tot``
+      (resolution 1) — no float argmax anywhere;
+    * the local-move order is pinned (ascending group id, a FIXED
+      number of sweeps per level, fixed level count) instead of the
+      work-queue, whose pop order is engine-private;
+    * refinement merges only TRUE singletons (Traag 2019's actual
+      rule), so the refined partition is one direct ref lookup with
+      no anchor chains.
+
+    The full trace — every move, every refinement merge, every
+    aggregation — therefore replays verbatim in a recursive SQL CTE,
+    and the query carries a full value oracle. Input edges need
+    (a, b, weight_col) rows; direction and duplicates are normalized
+    here. Returns (node, cluster), clusters renumbered by smallest
+    member. Driver state is the n·k edge dict — the same
+    driver_compute boundary as leiden_driver."""
+    rows = edges.collect()
+    ew: dict[tuple[int, int], int] = {}
+    for r in rows:
+        a, b = int(r["a"]), int(r["b"])
+        if a == b:
+            continue
+        key = (a, b) if a < b else (b, a)
+        ew[key] = ew.get(key, 0) + int(r[weight_col])
+    labels = _leiden_micros_core(ew, sweeps=sweeps, levels=levels)
+    mins: dict[int, int] = {}
+    for n, c in labels.items():
+        mins[c] = min(mins.get(c, n), n)
+    spark = edges.sparkSession
+    order = {c: i for i, c in enumerate(sorted(set(mins.values())))}
+    return spark.createDataFrame(
+        sorted((int(n), int(order[mins[labels[n]]])) for n in labels),
+        "node long, cluster int",
+    )
+
+
+def _leiden_micros_core(
+    ew: dict[tuple[int, int], int], sweeps: int = 2, levels: int = 3
+) -> dict[int, int]:
+    """Pure-python integer-exact Leiden over a normalized undirected
+    edge dict {(a<b): w_micros} — the Spark-free kernel of
+    :func:`leiden_micros`, kept separate so the SQL-replay oracle can
+    be validated against it directly. Returns raw {node: comm label}
+    (un-renumbered)."""
+    nodes = sorted({n for e in ew for n in e})
+    two_m = 2 * sum(ew.values())
+    grp = {n: n for n in nodes}
+    comm: dict[int, int] = {}
+    for lvl in range(levels):
+        groups = sorted(set(grp.values()))
+        S = {g: 0 for g in groups}
+        adjg: dict[int, dict[int, int]] = {g: {} for g in groups}
+        for (a, b), w in ew.items():
+            ga, gb = grp[a], grp[b]
+            S[ga] += w
+            S[gb] += w
+            if ga != gb:
+                adjg[ga][gb] = adjg[ga].get(gb, 0) + w
+                adjg[gb][ga] = adjg[gb].get(ga, 0) + w
+        # phase 1: fixed sweeps of greedy moves in ascending group order
+        comm = {g: g for g in groups}
+        c_tot = dict(S)
+        for _ in range(sweeps):
+            for g in groups:
+                cv, kv = comm[g], S[g]
+                k_in: dict[int, int] = {}
+                for h, w in adjg[g].items():
+                    k_in[comm[h]] = k_in.get(comm[h], 0) + w
+                cand = sorted(set(k_in) | {cv})
+                best, best_gain = cv, None
+                for c in cand:
+                    tot = c_tot[c] - (kv if c == cv else 0)
+                    gain = k_in.get(c, 0) * two_m - kv * tot
+                    if best_gain is None or gain > best_gain or (
+                        gain == best_gain and c < best
+                    ):
+                        best, best_gain = c, gain
+                if best != cv:
+                    c_tot[cv] -= kv
+                    c_tot[best] += kv
+                    comm[g] = best
+        # phase 2: refinement — singleton groups merge along internal
+        # edges only (positive exact-integer gain, smallest-id ties)
+        ref = {g: g for g in groups}
+        r_tot = dict(S)
+        has_members: set[int] = set()
+        for g in groups:
+            if g in has_members:
+                continue
+            cv, kv = comm[g], S[g]
+            k_in = {}
+            for h, w in adjg[g].items():
+                if comm[h] == cv and ref[h] != g:
+                    k_in[ref[h]] = k_in.get(ref[h], 0) + w
+            best, best_gain = g, 0
+            for rc in sorted(k_in):
+                gain = k_in[rc] * two_m - kv * r_tot[rc]
+                if gain > best_gain or (gain == best_gain and gain > 0 and rc < best):
+                    best, best_gain = rc, gain
+            if best != g:
+                r_tot[best] += kv
+                r_tot[g] -= kv
+                ref[g] = best
+                has_members.add(best)
+        if lvl < levels - 1:
+            grp = {n: ref[grp[n]] for n in nodes}
+    return {n: comm[grp[n]] for n in nodes}
+
+
 def kmeans_mllib(
     vectors: DataFrame, k: int = 4, seed: int = 4466, feature_cols: list[str] | None = None
 ) -> DataFrame:

@@ -82,3 +82,63 @@ def test_feat_knn_memo_shared(spark, sf_dir):
     e1 = entry._feat_knn_edges(spark, sf_dir)
     e2 = entry._feat_knn_edges(spark, sf_dir)
     assert e1 is e2  # mark_feat_knn and mark_feat_modules share one build
+
+
+def test_leiden_micros_matches_core(spark):
+    # integer-exact Leiden: the Spark wrapper must reproduce the pure
+    # core on a planted two-blob graph, with cluster ids renumbered by
+    # smallest member in first-member order
+    from scarf_spark.ml.cluster import _leiden_micros_core, leiden_micros
+
+    ew = {}
+    import random
+
+    rng = random.Random(11)
+    for blob in range(3):
+        base = blob * 10
+        for i in range(10):
+            for _ in range(4):
+                j = rng.randrange(10)
+                if i == j:
+                    continue
+                a, b = sorted((base + i, base + j))
+                ew[(a, b)] = ew.get((a, b), 0) + rng.randrange(
+                    500_000, 1_500_000
+                )
+    # sparse cross-blob noise
+    ew[(3, 14)] = 120_000
+    ew[(7, 25)] = 90_000
+    edges = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in ew.items()], "a long, b long, w_micros long"
+    )
+    got = {
+        (r["node"], r["cluster"])
+        for r in leiden_micros(edges, sweeps=2, levels=3).collect()
+    }
+    labels = _leiden_micros_core(ew, sweeps=2, levels=3)
+    mins = {}
+    for n, c in labels.items():
+        mins[c] = min(mins.get(c, n), n)
+    order = {c: i for i, c in enumerate(sorted(set(mins.values())))}
+    expect = {(n, order[mins[labels[n]]]) for n in labels}
+    assert got == expect
+    # the planted blobs must come out as the three communities
+    by_cluster = {}
+    for n, c in got:
+        by_cluster.setdefault(c, set()).add(n)
+    assert sorted(map(len, by_cluster.values())) == [10, 10, 10]
+
+
+def test_leiden_micros_core_is_pure_integer(spark):
+    # weights far past 2^53: python ints never round, so the argmax
+    # ordering is exact where float modularity would tie incorrectly
+    from scarf_spark.ml.cluster import _leiden_micros_core
+
+    big = 2**60
+    ew = {(1, 2): big, (2, 3): big + 1, (4, 5): big, (1, 4): 1}
+    labels = _leiden_micros_core(ew, sweeps=2, levels=2)
+    assert set(labels) == {1, 2, 3, 4, 5}
+    # the heavy triangle side groups together, the (4,5) pair separately
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[4] == labels[5]
+    assert labels[1] != labels[4]
