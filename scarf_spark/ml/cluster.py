@@ -415,68 +415,100 @@ def kmeans_lloyd(
     """Deterministic distributed Lloyd KMeans over (id, array<double>)
     rows. Returns (cell_id, cluster) with cluster ∈ 1..k.
 
-    Init is seedless: the k rows with the smallest
-    (md5(id), id) become centroids 1..k in that order — any engine
-    reproduces it, unlike k-means||'s RNG stream. Each iteration
-    broadcasts the k×d centroid literals into a JVM-side HOF distance
-    expression (no Python in the hot path) and recomputes means with
-    ONE map-side-combined shuffle of k rows × (d+1) partial sums; the
-    only driver traffic is the k×d centroid matrix per iteration.
-    Ties go to the smallest centroid id (array_position finds the
-    first minimum; centroid literals are ordered by id).
+    Init is seedless: the k rows with the smallest (md5(id), id)
+    become centroids 1..k in that order — any engine reproduces it,
+    unlike k-means||'s RNG stream. Each round is ONE Arrow-batched
+    BLAS pass (``mapInPandas``, the cosine_knn_ivf pattern — the HOF
+    distance expression this replaces ran interpreted at ~200 µs/row):
+    every partition emits its ≤k (cluster, count, partial-sum-vector)
+    rows, the driver combines them and broadcasts the k×d centroid
+    matrix back through the next round's closure. Driver traffic is
+    partitions×k×(d+1) doubles per round — constant in row count.
+    Ties go to the smallest centroid id (argmin takes the first
+    minimum; centroid rows are ordered by id). Clusters that lose
+    every point drop out, same as the oracle's GROUP BY over assigned
+    ids only. Partial-sum accumulation order follows the partition
+    layout (exactly as the previous F.sum plan did); the oracle gate
+    proves the fixture's assignment margins absorb ulp-order effects.
     """
-    # eager localCheckpoint, not persist: consumed k+n_iter+1 times and
+    import numpy as np
+
+    # eager localCheckpoint, not persist: consumed per round and
     # returned inside the output plan — checkpoint blocks free when the
     # caller's plan drops, an unpaired persist would leak storage
     pts = vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     ).localCheckpoint(eager=True)
-    d = len(pts.select("_v").first()["_v"])
     seeds = (
         pts.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(k).collect()
     )
-    cents: list[list[float]] = [list(r["_v"]) for r in seeds]
-
-    def assign_expr(cs: list[list[float]]):
-        c_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cs])
-        dists = F.transform(
-            c_lit,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            ),
-        )
-        return F.array_position(dists, F.array_min(dists)).cast("int")
-
+    d = len(seeds[0]["_v"])
+    cents = np.array([list(map(float, r["_v"])) for r in seeds])
     cids = list(range(1, k + 1))
-    for _ in range(n_iter):
-        assigned = pts.withColumn("_c", assign_expr(cents))
-        rows = (
-            assigned.groupBy("_c")
-            .agg(
-                F.count("*").alias("_n"),
-                *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(d)],
+
+    def partials_fn(C):
+        def part(batches):
+            import numpy as np
+            import pandas as pd
+
+            kk = C.shape[0]
+            S = np.zeros((kk, d))
+            N = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["_v"].values).astype(np.float64)
+                a = ((V[:, None, :] - C[None]) ** 2).sum(axis=2).argmin(axis=1)
+                np.add.at(S, a, V)
+                np.add.at(N, a, 1)
+            live = [i for i in range(kk) if N[i] > 0]
+            yield pd.DataFrame(
+                {
+                    "c": pd.array([i + 1 for i in live], dtype="int32"),
+                    "n": pd.array([int(N[i]) for i in live], dtype="int64"),
+                    "s": pd.Series([S[i].tolist() for i in live], dtype=object),
+                }
             )
-            .collect()
-        )
-        by_c = {r["_c"]: r for r in rows}
-        # clusters that lost every point drop out, same as the oracle's
-        # GROUP BY over assigned ids only
+
+        return part
+
+    for _ in range(n_iter):
+        rows = pts.mapInPandas(
+            partials_fn(cents), "c int, n bigint, s array<double>"
+        ).collect()
+        acc: dict[int, tuple[int, "np.ndarray"]] = {}
+        # combine per-partition partials in collect (partition) order —
+        # the same layout-determined order the F.sum plan accumulated in
+        for r in rows:
+            n0, s0 = acc.get(r["c"], (0, np.zeros(d)))
+            acc[r["c"]] = (n0 + r["n"], s0 + np.asarray(r["s"]))
         next_cids, next_cents = [], []
         for pos, cid in enumerate(cids):
-            r = by_c.get(pos + 1)
-            if r is None:
+            hit = acc.get(pos + 1)
+            if hit is None:
                 continue
             next_cids.append(cid)
-            next_cents.append([r[f"_s{i}"] / r["_n"] for i in range(d)])
-        cids, cents = next_cids, next_cents
-    out = pts.withColumn("_c", assign_expr(cents)).select(
-        F.col("_id").alias(id_col),
-        F.element_at(
-            F.array(*[F.lit(c) for c in cids]), F.col("_c")
-        ).alias("cluster"),
+            next_cents.append(hit[1] / hit[0])
+        cids, cents = next_cids, np.array(next_cents)
+
+    id_type = pts.schema["_id"].dataType.simpleString()
+    final_c, final_ids = cents, np.array(cids, dtype=np.int64)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"_id": pdf["_id"], "cluster": []})
+                continue
+            V = np.stack(pdf["_v"].values).astype(np.float64)
+            a = ((V[:, None, :] - final_c[None]) ** 2).sum(axis=2).argmin(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "cluster": final_ids[a]})
+
+    out = pts.mapInPandas(assign, f"_id {id_type}, cluster int").select(
+        F.col("_id").alias(id_col), "cluster"
     )
     pts.unpersist()
     return out
