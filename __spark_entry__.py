@@ -9215,35 +9215,40 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 # regardless of window position is still verified by
 # tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # the final 42 never-driver-graded queries (round-9 verdict list) —
-    # after this window every registered query has been inside a
-    # driver CORRECTNESS gate at least once
-    # r8 leftovers: multimodal / sources / stream / qc / text / windows
-    "mm_video_keyframes", "mm_audio_segments", "mm_image_tiles",
-    "src_jsonl_docs", "src_csv_docs", "stream_decon",
-    "qc_benford", "qc_table_diff", "qc_emb_drift", "mark_chi2",
-    "agg_boxplot", "text_ttr", "text_readability",
-    "win_rolling_median", "win_cusum", "evt_seasonality", "evt_streaks",
-    # r9 additions: pipelines / dedup / events / stats / sketches
-    "pipe_mm_prep", "graph_jaccard_sim", "agg_weighted_median",
-    "evt_churn", "evt_interarrival", "evt_pareto", "evt_wow",
-    "samp_kcenter", "dedup_cross_source", "dedup_lsh_recall",
-    "ml_ndcg", "src_orc_docs", "win_hampel", "evt_trend",
-    "agg_log_hist", "stream_cms", "text_novelty", "text_jsd_drift",
-    "evt_concurrency", "dedup_normalized", "sketch_hll_merge",
-    "evt_drawdown", "evt_welch_t", "win_bollinger", "agg_grouped_p90",
-    # round-10 additions / engine swaps needing (re-)grades:
-    "ann_ivf_persisted",           # new: persisted IVF index probe
-    "clust_paris_cut",             # weak → full oracle this round
-    "clust_balanced_cut",          # weak → full oracle this round
-    "dedup_components",            # engine now star contraction
-    "knn_exact_topk",              # edge cache now sharded build
-    "knn_exact_dist",
-    # round-10 boundary-displacing flagships (both selfcheck-exact at
-    # sf0.01 AND sf0.001): the distributed pseudotime and spectral
-    # layout — took the slots of two r1-green sentinels so no
-    # never-graded query is evicted
-    "ml_pseudotime_power", "ml_spectral_embed",
+    # round-11 window. First the 6 round-10 queries that have never
+    # been inside a driver CORRECTNESS gate (all selfcheck-exact at
+    # sf0.001 AND sf0.01) - grading them closes the cumulative
+    # ledger at 316/316:
+    "ml_spectral_cluster", "evt_acf", "ann_ivf_append", "evt_holt_winters",
+    "evt_holt", "pipe_atlas_prep",
+    # round-11 additions: the cross-dataset mapping pipeline and the
+    # Leiden weak -> full-oracle promotion (leiden_micros replay):
+    "pipe_mapping", "ml_leiden",
+    # engine/oracle changed this round, re-grade: kmeans_lloyd is now
+    # Arrow-batched BLAS rounds (ml_kmeans/dedup_semdedup/demux_hto),
+    # dedup_components' oracle is the recursive-closure form,
+    # label_propagation dropped its in-loop broadcast hint
+    # (ml_label_prop/mark_feat_modules), the feature-KNN subplan is
+    # memoized (mark_feat_knn/mark_feat_modules), and the persisted
+    # IVF index builds once on a cold registry (ann_ivf_persisted):
+    "ml_kmeans", "dedup_semdedup", "demux_hto", "dedup_components",
+    "ml_label_prop", "mark_feat_knn", "mark_feat_modules",
+    "ann_ivf_persisted",
+    # stable sentinels (r1-green, re-verified every selfcheck sweep):
+    "qc_ncounts", "filt_sift", "sql_q1", "agg_make_bulk",
+    "join_align_features",
+    # freshness rotation: the queries whose latest driver grade is
+    # oldest (the r4 cohort) - every row here has been green at every
+    # grade since:
+    "filt_auto_filter", "filt_clip_fraction", "filt_filter_cells",
+    "filt_get_index_by", "filt_grep", "filt_index_to_bool",
+    "filt_multi_sift", "filt_sift_bounds", "graph_membership",
+    "knn_lsh_recall", "knn_lsh_topk", "mark_regression", "norm_clr",
+    "norm_lib_size", "norm_lib_size_log", "norm_renorm_subset",
+    "norm_zscale", "qc_clr_geo_mean", "qc_feat_ncells", "qc_feature_stats",
+    "qc_nfeatures", "qc_percent_feature", "set_disambiguate",
+    "set_merge_cells", "set_merge_feats_dedup", "set_subtract",
+    "win_avg_rank", "win_dense_rank", "win_top_n",
 ]
 
 
