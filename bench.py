@@ -64,7 +64,7 @@ def main() -> None:
     # mis-listed query only costs schedule quality, never correctness.
     heavy = [
         "ml_spectral_cluster", "ml_spectral_embed", "mark_feat_modules", "mark_feat_knn",
-        "pipe_atlas_prep",
+        "pipe_atlas_prep", "pipe_mapping", "ml_leiden",
         "ml_pseudotime_power", "ml_pseudotime",
         "demux_hto", "clust_balanced_cut", "clust_paris_cut", "ml_lsi",
         "dedup_keep_best",
