@@ -2826,8 +2826,13 @@ def ml_nb_scores(spark, sf_dir):
 # code 0..1 = local-move sweep, 2 = refinement, 3 = level aggregation.
 # One recursion step = one group's decision, so the whole trace
 # replays verbatim. Inner CTEs are MATERIALIZED (DuckDB re-executes
-# plain CTEs per reference); the 20000-step cap is a pure safety net
-# (3 levels x 3 passes x 500 groups = 4503 worst-case steps here).
+# plain CTEs per reference); the 50000-step cap is a pure
+# anti-infinite-loop net (3 levels x 3 passes x 500 groups = 4503
+# worst-case steps here), and a capped-out run is made LOUD: natural
+# termination ends on an iteration with no control row, so a typ-9
+# row surviving at MAX(it) means truncation — the final SELECT then
+# emits an impossible (-1, -1) row that hash-mismatches instead of
+# silently grading a half-finished state.
 _LEIDEN_ST_CTE = (
     "tm AS MATERIALIZED (SELECT 2*SUM(w) AS m2 FROM ed), nd AS "
     "MATERIALIZED (SELECT DISTINCT n FROM (SELECT a AS n FROM ed UNION "
@@ -2837,7 +2842,7 @@ _LEIDEN_ST_CTE = (
     "9, 1, 0, 0 UNION ALL (WITH cur AS MATERIALIZED (SELECT * FROM st), "
     "ctl AS MATERIALIZED (SELECT x AS pos, y AS lvl, w AS code FROM cur "
     "WHERE typ = 9), nxt AS MATERIALIZED (SELECT MAX(it) + 1 AS i FROM "
-    "cur HAVING MAX(it) < 20000), grps AS MATERIALIZED (SELECT x AS g, "
+    "cur HAVING MAX(it) < 50000), grps AS MATERIALIZED (SELECT x AS g, "
     "ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS ng FROM "
     "cur WHERE typ = 2), comm AS MATERIALIZED (SELECT x AS g, y AS c FROM "
     "cur WHERE typ = 2), sdeg AS MATERIALIZED (SELECT g, SUM(w) AS s FROM "
@@ -2910,7 +2915,9 @@ _LEIDEN_ST_CTE = (
     "AND m.typ = 0 JOIN stm c ON c.it = fin.mi AND c.typ = 2 AND c.x = m.y), "
     "mins AS (SELECT lbl, MIN(node) AS mn FROM lab GROUP BY 1) "
     "SELECT lab.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 AS INT) "
-    "AS cluster FROM lab JOIN mins ON lab.lbl = mins.lbl",
+    "AS cluster FROM lab JOIN mins ON lab.lbl = mins.lbl "
+    "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS INT) WHERE EXISTS "
+    "(SELECT 1 FROM stm JOIN fin ON stm.it = fin.mi WHERE stm.typ = 9)",
 )
 def ml_leiden(spark, sf_dir):
     """Deterministic Leiden (local move → refinement → aggregate) on
