@@ -2818,88 +2818,157 @@ def ml_nb_scores(spark, sf_dir):
 # the same promotion playbook as _PARIS_ST_CTE: integer-micro edge
 # weights make every modularity-gain argmax an exact-integer compare
 # (HUGEINT products guard overflow), the local-move order is pinned
-# (ascending group id, 2 sweeps x 3 levels), and refinement merges
-# only true singletons. The recursion carries the full per-level state
-# as rows — typ 0 node->group, 1 group edge (x=y rows are self-loops),
-# 2 group->comm, 3 group->ref (visited groups only; unvisited default
-# to identity via COALESCE), 9 the control row (pos, lvl, code) with
-# code 0..1 = local-move sweep, 2 = refinement, 3 = level aggregation.
-# One recursion step = one group's decision, so the whole trace
-# replays verbatim. Inner CTEs are MATERIALIZED (DuckDB re-executes
-# plain CTEs per reference); the 50000-step cap is a pure
-# anti-infinite-loop net (3 levels x 3 passes x 500 groups = 4503
-# worst-case steps here), and a capped-out run is made LOUD: natural
-# termination ends on an iteration with no control row, so a typ-9
-# row surviving at MAX(it) means truncation — the final SELECT then
-# emits an impossible (-1, -1) row that hash-mismatches instead of
-# silently grading a half-finished state.
-_LEIDEN_ST_CTE = (
-    "tm AS MATERIALIZED (SELECT 2*SUM(w) AS m2 FROM ed), nd AS "
-    "MATERIALIZED (SELECT DISTINCT n FROM (SELECT a AS n FROM ed UNION "
-    "ALL SELECT b FROM ed)), st AS (SELECT 0 AS it, 0 AS typ, n AS x, n "
-    "AS y, CAST(0 AS BIGINT) AS w FROM nd UNION ALL SELECT 0, 1, a, b, w "
-    "FROM ed UNION ALL SELECT 0, 2, n, n, 0 FROM nd UNION ALL SELECT 0, "
-    "9, 1, 0, 0 UNION ALL (WITH cur AS MATERIALIZED (SELECT * FROM st), "
-    "ctl AS MATERIALIZED (SELECT x AS pos, y AS lvl, w AS code FROM cur "
-    "WHERE typ = 9), nxt AS MATERIALIZED (SELECT MAX(it) + 1 AS i FROM "
-    "cur HAVING MAX(it) < 50000), grps AS MATERIALIZED (SELECT x AS g, "
-    "ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS ng FROM "
-    "cur WHERE typ = 2), comm AS MATERIALIZED (SELECT x AS g, y AS c FROM "
-    "cur WHERE typ = 2), sdeg AS MATERIALIZED (SELECT g, SUM(w) AS s FROM "
-    "(SELECT x AS g, CASE WHEN x = y THEN 2*w ELSE w END AS w FROM cur "
-    "WHERE typ = 1 UNION ALL SELECT y, w FROM cur WHERE typ = 1 AND x <> "
-    "y) GROUP BY 1), gi AS MATERIALIZED (SELECT gr.g, gr.ng, c.c AS cv, "
-    "s.s AS kv FROM grps gr, ctl JOIN comm c ON c.g = gr.g JOIN sdeg s ON "
-    "s.g = gr.g WHERE gr.rn = ctl.pos), nbr AS MATERIALIZED (SELECT CASE "
-    "WHEN e.x = gi.g THEN e.y ELSE e.x END AS h, e.w FROM cur e, gi WHERE "
-    "e.typ = 1 AND e.x <> e.y AND (e.x = gi.g OR e.y = gi.g)), kin AS "
-    "MATERIALIZED (SELECT c.c, SUM(n.w) AS kin FROM nbr n JOIN comm c ON "
-    "c.g = n.h GROUP BY 1), ctot AS MATERIALIZED (SELECT c.c, SUM(s.s) AS "
-    "tot FROM comm c JOIN sdeg s ON s.g = c.g GROUP BY 1), cand AS "
-    "MATERIALIZED (SELECT DISTINCT c FROM (SELECT c FROM kin UNION ALL "
-    "SELECT cv FROM gi)), best AS (SELECT cand.c AS bc FROM cand CROSS "
-    "JOIN gi CROSS JOIN tm LEFT JOIN kin ON kin.c = cand.c JOIN ctot ON "
-    "ctot.c = cand.c ORDER BY CAST(COALESCE(kin.kin, 0) AS HUGEINT) * "
-    "tm.m2 - CAST(gi.kv AS HUGEINT) * (ctot.tot - CASE WHEN cand.c = "
-    "gi.cv THEN gi.kv ELSE 0 END) DESC, cand.c LIMIT 1), refl AS "
-    "MATERIALIZED (SELECT x AS g, y AS r FROM cur WHERE typ = 3), hasm AS "
-    "(SELECT EXISTS (SELECT 1 FROM refl, gi WHERE refl.r = gi.g AND "
-    "refl.g <> gi.g) AS h), rtot AS MATERIALIZED (SELECT c, SUM(s) AS tot "
-    "FROM (SELECT COALESCE(r.r, s.g) AS c, s.s AS s FROM sdeg s LEFT JOIN "
-    "refl r ON r.g = s.g) GROUP BY 1), kin2 AS MATERIALIZED (SELECT "
-    "COALESCE(r.r, n.h) AS rc, SUM(n.w) AS kin FROM nbr n JOIN comm ch ON "
-    "ch.g = n.h CROSS JOIN gi LEFT JOIN refl r ON r.g = n.h WHERE ch.c = "
-    "gi.cv AND COALESCE(r.r, n.h) <> gi.g GROUP BY 1), best2 AS (SELECT "
-    "k.rc FROM kin2 k JOIN rtot ON rtot.c = k.rc CROSS JOIN gi CROSS JOIN "
-    "tm WHERE CAST(k.kin AS HUGEINT) * tm.m2 - CAST(gi.kv AS HUGEINT) * "
-    "rtot.tot > 0 ORDER BY CAST(k.kin AS HUGEINT) * tm.m2 - CAST(gi.kv AS "
-    "HUGEINT) * rtot.tot DESC, k.rc LIMIT 1), rpick AS (SELECT CASE WHEN "
-    "(SELECT h FROM hasm) THEN gi.g ELSE COALESCE((SELECT rc FROM best2), "
-    "gi.g) END AS tgt FROM gi) SELECT nxt.i, m.typ, m.x, m.y, m.w FROM "
-    "cur m, ctl, nxt WHERE ctl.code < 2 AND (m.typ IN (0, 1) OR (m.typ = "
-    "2 AND m.x <> (SELECT g FROM gi))) UNION ALL SELECT nxt.i, 2, gi.g, "
-    "best.bc, 0 FROM gi, best, ctl, nxt WHERE ctl.code < 2 UNION ALL "
-    "SELECT nxt.i, 9, CASE WHEN ctl.pos < gi.ng THEN ctl.pos + 1 ELSE 1 "
-    "END, ctl.lvl, CASE WHEN ctl.pos < gi.ng THEN ctl.code ELSE ctl.code "
-    "+ 1 END FROM ctl, gi, nxt WHERE ctl.code < 2 AND NOT (ctl.pos = "
-    "gi.ng AND ctl.code = 1 AND ctl.lvl = 2) UNION ALL SELECT nxt.i, "
-    "m.typ, m.x, m.y, m.w FROM cur m, ctl, nxt WHERE ctl.code = 2 AND "
-    "m.typ IN (0, 1, 2, 3) UNION ALL SELECT nxt.i, 3, gi.g, rpick.tgt, 0 "
-    "FROM gi, rpick, ctl, nxt WHERE ctl.code = 2 UNION ALL SELECT nxt.i, "
-    "9, CASE WHEN ctl.pos < gi.ng THEN ctl.pos + 1 ELSE 0 END, ctl.lvl, "
-    "CASE WHEN ctl.pos < gi.ng THEN 2 ELSE 3 END FROM ctl, gi, nxt WHERE "
-    "ctl.code = 2 UNION ALL SELECT nxt.i, 0, m.x, COALESCE(r.r, m.y), 0 "
-    "FROM cur m LEFT JOIN refl r ON r.g = m.y, ctl, nxt WHERE ctl.code = "
-    "3 AND m.typ = 0 UNION ALL SELECT nxt.i, 1, LEAST(ea, eb), "
-    "GREATEST(ea, eb), SUM(w) FROM (SELECT COALESCE(ra.r, e.x) AS ea, "
-    "COALESCE(rb.r, e.y) AS eb, e.w FROM cur e LEFT JOIN refl ra ON ra.g "
-    "= e.x LEFT JOIN refl rb ON rb.g = e.y WHERE e.typ = 1), ctl, nxt "
-    "WHERE ctl.code = 3 GROUP BY 1, 2, 3, 4 UNION ALL SELECT nxt.i, 2, "
-    "g2, g2, 0 FROM (SELECT DISTINCT COALESCE(r.r, c.x) AS g2 FROM cur c "
-    "LEFT JOIN refl r ON r.g = c.x WHERE c.typ = 2), ctl, nxt WHERE "
-    "ctl.code = 3 UNION ALL SELECT nxt.i, 9, 1, ctl.lvl + 1, 0 FROM ctl, "
-    "nxt WHERE ctl.code = 3))"
-)
+# (ascending position, 2 sweeps x 3 levels), and refinement merges
+# only true singletons. Encoding (round-11 rewrite, 3x faster than the
+# row-state recursion it replaced): per level, TWO one-row list-state
+# recursions — phase 1 carries (comm[], ctot[]) and phase 2 carries
+# (ref[], rtot[]) as position-indexed lists, one group-decision per
+# step, each step touching only that group's adjacency row (the
+# Jacobi list-state pattern of ml_pseudotime_power) — joined by plain
+# aggregation CTEs for the level builds and transitions. Step counts
+# are intrinsically bounded (WHERE step < passes x n), so a logic bug
+# under-produces and the `WHERE step = 2n` state picks go EMPTY — a
+# loud 0-row mismatch, never a silent half-run grade. The chain is
+# GENERATED (not a literal) because three levels of mechanical
+# suffixed CTEs hand-typed is exactly how replay drift happens; it
+# expects an `ed` CTE of (a, b, w) normalized undirected integer
+# edges and ends at `leiden_lab` (node, lbl).
+_LEIDEN_SWEEPS = 2
+_LEIDEN_LEVELS = 3
+
+
+def _leiden_level_build(L, src_edges):
+    """Plain CTEs: gl{L} (g,p), ep{L} (pa,pb,w), s-list sl{L} (sl, n),
+    adj{L} (p, hs, ws)."""
+    return (
+        f"gl{L} AS MATERIALIZED (SELECT g, ROW_NUMBER() OVER (ORDER BY g) AS p "
+        f"FROM (SELECT DISTINCT g FROM (SELECT a AS g FROM {src_edges} "
+        f"UNION ALL SELECT b FROM {src_edges}))), "
+        f"ep{L} AS MATERIALIZED (SELECT ga.p AS pa, gb.p AS pb, e.w "
+        f"FROM {src_edges} e JOIN gl{L} ga ON ga.g = e.a "
+        f"JOIN gl{L} gb ON gb.g = e.b), "
+        f"sv{L} AS MATERIALIZED (SELECT p, SUM(w) AS s FROM ("
+        f"SELECT pa AS p, CASE WHEN pa = pb THEN 2 * w ELSE w END AS w FROM ep{L} "
+        f"UNION ALL SELECT pb, w FROM ep{L} WHERE pa <> pb) GROUP BY 1), "
+        f"sl{L} AS MATERIALIZED (SELECT list(COALESCE(s.s, 0) ORDER BY g.p) AS sl, "
+        f"COUNT(*) AS n, list(g.p ORDER BY g.p) AS pl "
+        f"FROM gl{L} g LEFT JOIN sv{L} s ON s.p = g.p), "
+        f"adj{L} AS MATERIALIZED (SELECT p, list(h ORDER BY h) AS hs, "
+        f"list(w ORDER BY h) AS ws FROM ("
+        f"SELECT pa AS p, pb AS h, w FROM ep{L} WHERE pa <> pb "
+        f"UNION ALL SELECT pb, pa, w FROM ep{L} WHERE pa <> pb) GROUP BY 1)"
+    )
+
+
+def _leiden_phase1(L):
+    """Recursive r1{L}: (step, comm LIST, ctot LIST); _LEIDEN_SWEEPS passes in
+    ascending position order. p1{L} = the final comm list."""
+    return (
+        f"r1{L} AS (SELECT 0 AS step, (SELECT pl FROM sl{L}) AS comm, "
+        f"(SELECT sl FROM sl{L}) AS ctot "
+        "UNION ALL ("
+        f"WITH c AS (SELECT * FROM r1{L}), "
+        f"st AS (SELECT c.step + 1 AS stp, (c.step % (SELECT n FROM sl{L})) + 1 AS pos, "
+        f"c.comm AS comm, c.ctot AS ctot FROM c "
+        f"WHERE c.step < {_LEIDEN_SWEEPS} * (SELECT n FROM sl{L})), "
+        f"j AS (SELECT st.*, COALESCE(a.hs, []) AS hs, COALESCE(a.ws, []) AS ws, "
+        f"(SELECT sl FROM sl{L})[st.pos] AS kv, st.comm[st.pos] AS cv, tm.m2 "
+        f"FROM st LEFT JOIN adj{L} a ON a.p = st.pos, tm), "
+        "dec AS (SELECT *, list_sort(list_distinct(list_append("
+        "list_transform(hs, h -> comm[h]), cv))) AS cands FROM j), "
+        "g AS (SELECT *, list_transform(cands, cc -> "
+        "CAST(COALESCE(list_sum(list_transform(ws, (w, i) -> "
+        "CASE WHEN comm[hs[i]] = cc THEN w ELSE 0 END)), 0) AS HUGEINT) * m2 "
+        "- CAST(kv AS HUGEINT) * (ctot[cc] - CASE WHEN cc = cv THEN kv ELSE 0 END)"
+        ") AS gains FROM dec), "
+        "b AS (SELECT *, cands[list_position(gains, list_max(gains))] AS best FROM g) "
+        "SELECT stp, "
+        "list_transform(comm, (x, i) -> CASE WHEN i = pos THEN best ELSE x END), "
+        "list_transform(ctot, (x, i) -> CASE WHEN best = cv THEN x "
+        "WHEN i = cv THEN x - kv WHEN i = best THEN x + kv ELSE x END) "
+        "FROM b)), "
+        f"p1{L} AS MATERIALIZED (SELECT comm FROM r1{L} "
+        f"WHERE step = {_LEIDEN_SWEEPS} * (SELECT n FROM sl{L}))"
+    )
+
+
+def _leiden_phase2(L):
+    """Recursive r2{L}: (step, ref LIST, rtot LIST) — singleton-only
+    refinement in ascending position order against the frozen p1{L}
+    communities. fr{L} = the final ref list."""
+    return (
+        f"r2{L} AS (SELECT 0 AS step, (SELECT pl FROM sl{L}) AS ref, "
+        f"(SELECT sl FROM sl{L}) AS rtot "
+        "UNION ALL ("
+        f"WITH c AS (SELECT * FROM r2{L}), "
+        f"st AS (SELECT c.step + 1 AS stp, c.step + 1 AS pos, c.ref AS ref, "
+        f"c.rtot AS rtot FROM c WHERE c.step < (SELECT n FROM sl{L})), "
+        f"j AS (SELECT st.*, COALESCE(a.hs, []) AS hs, COALESCE(a.ws, []) AS ws, "
+        f"(SELECT sl FROM sl{L})[st.pos] AS kv, "
+        f"(SELECT comm FROM p1{L}) AS comm, tm.m2 "
+        f"FROM st LEFT JOIN adj{L} a ON a.p = st.pos, tm), "
+        "hm AS (SELECT *, comm[pos] AS cv, "
+        "len(list_filter(ref, (r, i) -> r = pos AND i <> pos)) > 0 AS hasm FROM j), "
+        "dec AS (SELECT *, list_sort(list_distinct(list_filter("
+        "list_transform(hs, h -> CASE WHEN comm[h] = cv AND ref[h] <> pos "
+        "THEN ref[h] ELSE NULL END), x -> x IS NOT NULL))) AS cands FROM hm), "
+        "g AS (SELECT *, list_transform(cands, rc -> "
+        "CAST(COALESCE(list_sum(list_transform(ws, (w, i) -> "
+        "CASE WHEN comm[hs[i]] = cv AND ref[hs[i]] = rc THEN w ELSE 0 END)), 0) "
+        "AS HUGEINT) * m2 "
+        "- CAST(kv AS HUGEINT) * rtot[rc]) AS gains FROM dec), "
+        "b AS (SELECT *, CASE WHEN hasm THEN pos WHEN len(cands) = 0 THEN pos "
+        "WHEN list_max(gains) <= 0 THEN pos "
+        "ELSE cands[list_position(gains, list_max(gains))] END AS best FROM g) "
+        "SELECT stp, "
+        "list_transform(ref, (x, i) -> CASE WHEN i = pos THEN best ELSE x END), "
+        "list_transform(rtot, (x, i) -> CASE WHEN best = pos THEN x "
+        "WHEN i = pos THEN x - kv WHEN i = best THEN x + kv ELSE x END) "
+        "FROM b)), "
+        f"fr{L} AS MATERIALIZED (SELECT ref FROM r2{L} "
+        f"WHERE step = (SELECT n FROM sl{L}))"
+    )
+
+
+def _leiden_transition(L):
+    """Plain CTEs: ed{L+1} — re-aggregate level-L position edges by the
+    refined partition, mapped back to group-id space; nm{L+1} — node →
+    new group id."""
+    return (
+        f"ed{L + 1} AS MATERIALIZED (SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, "
+        f"SUM(w) AS w FROM (SELECT gA.g AS x, gB.g AS y, e.w "
+        f"FROM ep{L} e, fr{L} rf "
+        f"JOIN gl{L} gA ON TRUE JOIN gl{L} gB ON TRUE "
+        f"WHERE gA.p = rf.ref[e.pa] AND gB.p = rf.ref[e.pb]) GROUP BY 1, 2), "
+        f"nm{L + 1} AS MATERIALIZED (SELECT nm.node, gn.g "
+        f"FROM nm{L} nm JOIN gl{L} gp ON gp.g = nm.g, fr{L} rf "
+        f"JOIN gl{L} gn ON TRUE WHERE gn.p = rf.ref[gp.p])"
+    )
+
+
+def _leiden_chain():
+    parts = [
+        "tm AS MATERIALIZED (SELECT 2 * SUM(w) AS m2 FROM ed)",
+        "ed0 AS MATERIALIZED (SELECT a, b, w FROM ed)",
+        "nm0 AS MATERIALIZED (SELECT DISTINCT g AS node, g "
+        "FROM (SELECT a AS g FROM ed UNION ALL SELECT b FROM ed))",
+    ]
+    for L in range(_LEIDEN_LEVELS):
+        parts.append(_leiden_level_build(L, f"ed{L}"))
+        parts.append(_leiden_phase1(L))
+        if L < _LEIDEN_LEVELS - 1:
+            parts.append(_leiden_phase2(L))
+            parts.append(_leiden_transition(L))
+    last = _LEIDEN_LEVELS - 1
+    parts.append(
+        f"leiden_lab AS (SELECT nm.node, gc.g AS lbl "
+        f"FROM nm{last} nm JOIN gl{last} gp ON gp.g = nm.g, p1{last} pc "
+        f"JOIN gl{last} gc ON TRUE WHERE gc.p = pc.comm[gp.p])"
+    )
+    return ", ".join(parts)
+
+
+_LEIDEN_ST_CTE = _leiden_chain()
 
 
 @q(
@@ -2909,15 +2978,9 @@ _LEIDEN_ST_CTE = (
     "SUM(CAST(FLOOR(1000000.0 / (1.0 + distance)) AS BIGINT)) AS w "
     "FROM knn GROUP BY 1, 2), "
     f"{_LEIDEN_ST_CTE}, "
-    "stm AS MATERIALIZED (SELECT * FROM st), "
-    "fin AS (SELECT MAX(it) AS mi FROM stm), "
-    "lab AS (SELECT m.x AS node, c.y AS lbl FROM stm m JOIN fin ON m.it = fin.mi "
-    "AND m.typ = 0 JOIN stm c ON c.it = fin.mi AND c.typ = 2 AND c.x = m.y), "
-    "mins AS (SELECT lbl, MIN(node) AS mn FROM lab GROUP BY 1) "
-    "SELECT lab.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 AS INT) "
-    "AS cluster FROM lab JOIN mins ON lab.lbl = mins.lbl "
-    "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS INT) WHERE EXISTS "
-    "(SELECT 1 FROM stm JOIN fin ON stm.it = fin.mi WHERE stm.typ = 9)",
+    "mins AS (SELECT lbl, MIN(node) AS mn FROM leiden_lab GROUP BY 1) "
+    "SELECT l.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 AS INT) "
+    "AS cluster FROM leiden_lab l JOIN mins ON l.lbl = mins.lbl",
 )
 def ml_leiden(spark, sf_dir):
     """Deterministic Leiden (local move → refinement → aggregate) on
@@ -2926,7 +2989,8 @@ def ml_leiden(spark, sf_dir):
     PROMOTED weak → full value oracle (r11): integer-micro weights +
     pinned move order (ml.cluster.leiden_micros) make the whole trace
     an exact-integer state machine that _LEIDEN_ST_CTE replays
-    verbatim, exactly how clust_paris_cut was promoted in r10. The
+    verbatim (two one-row list-state recursions per level — see
+    _leiden_chain), exactly how clust_paris_cut was promoted in r10. The
     float-argmax leiden_driver stays as the work-queue variant
     (seeded unit tests, tests/test_ml.py)."""
     from scarf_spark.ml import cluster

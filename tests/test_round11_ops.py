@@ -144,32 +144,48 @@ def test_leiden_micros_core_is_pure_integer(spark):
     assert labels[1] != labels[4]
 
 
-def _leiden_replay_sql(st_cte, final_extra=""):
+def _leiden_replay_sql():
+    from __spark_entry__ import _LEIDEN_ST_CTE
+
     return (
-        "WITH RECURSIVE ed AS MATERIALIZED (SELECT * FROM ed0), "
-        + st_cte
-        + ", stm AS MATERIALIZED (SELECT * FROM st), "
-        "fin AS (SELECT MAX(it) AS mi FROM stm), "
-        "lab AS (SELECT m.x AS node, c.y AS lbl FROM stm m JOIN fin "
-        "ON m.it = fin.mi AND m.typ = 0 "
-        "JOIN stm c ON c.it = fin.mi AND c.typ = 2 AND c.x = m.y), "
-        "mins AS (SELECT lbl, MIN(node) AS mn FROM lab GROUP BY 1) "
-        "SELECT lab.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 "
-        "AS INT) AS cluster FROM lab JOIN mins ON lab.lbl = mins.lbl"
-        + final_extra
+        "WITH RECURSIVE ed AS MATERIALIZED (SELECT * FROM edt), "
+        + _LEIDEN_ST_CTE
+        + ", mins AS (SELECT lbl, MIN(node) AS mn FROM leiden_lab GROUP BY 1) "
+        "SELECT l.node, CAST(DENSE_RANK() OVER (ORDER BY mins.mn) - 1 "
+        "AS INT) AS cluster FROM leiden_lab l JOIN mins ON l.lbl = mins.lbl"
     )
 
 
-def test_leiden_oracle_replay_matches_core_no_spark():
-    # the _LEIDEN_ST_CTE recursion must replay the pure core verbatim
-    # on a graph that exercises moves, refinement merges, and both
-    # level transitions — checked straight in DuckDB, no Spark
-    import random
+def _leiden_expect(ew):
+    from scarf_spark.ml.cluster import _leiden_micros_core
 
+    labels = _leiden_micros_core(ew, sweeps=2, levels=3)
+    mins = {}
+    for n, c in labels.items():
+        mins[c] = min(mins.get(c, n), n)
+    order = {c: i for i, c in enumerate(sorted(set(mins.values())))}
+    return sorted((n, order[mins[labels[n]]]) for n in labels)
+
+
+def _leiden_replay_check(ew):
     import duckdb
 
-    from __spark_entry__ import _LEIDEN_ST_CTE
-    from scarf_spark.ml.cluster import _leiden_micros_core
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edt (a BIGINT, b BIGINT, w BIGINT)")
+    con.executemany(
+        "INSERT INTO edt VALUES (?,?,?)", [(a, b, w) for (a, b), w in ew.items()]
+    )
+    got = sorted(
+        (int(a), int(b)) for a, b in con.execute(_leiden_replay_sql()).fetchall()
+    )
+    assert got == _leiden_expect(ew)
+
+
+def test_leiden_oracle_replay_matches_core_no_spark():
+    # the generated _LEIDEN_ST_CTE list-state recursion must replay the
+    # pure core verbatim on a graph that exercises moves, refinement
+    # merges, and both level transitions — checked straight in DuckDB
+    import random
 
     rng = random.Random(23)
     ew = {}
@@ -183,45 +199,23 @@ def test_leiden_oracle_replay_matches_core_no_spark():
             ew[(a, b)] = ew.get((a, b), 0) + rng.randrange(400_000, 1_600_000)
     ew[(5, 17)] = 150_000
     ew[(12, 28)] = 110_000
-    labels = _leiden_micros_core(ew, sweeps=2, levels=3)
-    mins = {}
-    for n, c in labels.items():
-        mins[c] = min(mins.get(c, n), n)
-    order = {c: i for i, c in enumerate(sorted(set(mins.values())))}
-    expect = sorted((n, order[mins[labels[n]]]) for n in labels)
+    _leiden_replay_check(ew)
 
-    con = duckdb.connect()
-    con.execute("CREATE TABLE ed0 (a BIGINT, b BIGINT, w BIGINT)")
-    con.executemany(
-        "INSERT INTO ed0 VALUES (?,?,?)", [(a, b, w) for (a, b), w in ew.items()]
+
+def test_leiden_oracle_replay_edge_shapes():
+    # the shapes most likely to expose replay drift: all-equal weights
+    # (every argmax is a tie-break), disconnected components, and
+    # non-contiguous billion-scale node ids
+    _leiden_replay_check(
+        {(a, b): 777_777 for a in range(8) for b in range(a + 1, 8)}
     )
-    got = sorted(
-        (int(a), int(b))
-        for a, b in con.execute(_leiden_replay_sql(_LEIDEN_ST_CTE)).fetchall()
+    _leiden_replay_check(
+        {(1, 2): 100, (2, 3): 120, (10, 11): 90, (20, 21): 80, (21, 22): 70}
     )
-    assert got == expect
-
-
-def test_leiden_oracle_truncation_is_loud():
-    # a capped-out recursion leaves its control row at MAX(it); the
-    # sentinel arm must turn that into an impossible (-1, -1) row
-    # (hash mismatch) instead of silently grading half-finished state
-    import duckdb
-
-    from __spark_entry__ import _LEIDEN_ST_CTE
-
-    con = duckdb.connect()
-    con.execute("CREATE TABLE ed0 (a BIGINT, b BIGINT, w BIGINT)")
-    con.execute("INSERT INTO ed0 VALUES (1,2,100),(2,3,200),(1,3,150),(4,5,300)")
-    st_small_cap = _LEIDEN_ST_CTE.replace(
-        "HAVING MAX(it) < 50000", "HAVING MAX(it) < 3"
+    _leiden_replay_check(
+        {
+            (10**9, 2 * 10**9): 700_000,
+            (2 * 10**9, 3 * 10**9): 500_000,
+            (10**9 + 5, 10**9): 900_000,
+        }
     )
-    sentinel = (
-        " UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS INT) WHERE EXISTS "
-        "(SELECT 1 FROM stm JOIN fin ON stm.it = fin.mi WHERE stm.typ = 9)"
-    )
-    rows = con.execute(_leiden_replay_sql(st_small_cap, sentinel)).fetchall()
-    assert (-1, -1) in {(int(a), int(b)) for a, b in rows}
-    # and the sentinel stays silent on a naturally-terminating run
-    rows_ok = con.execute(_leiden_replay_sql(_LEIDEN_ST_CTE, sentinel)).fetchall()
-    assert (-1, -1) not in {(int(a), int(b)) for a, b in rows_ok}
