@@ -532,6 +532,36 @@ def main() -> None:
     timed("holt_fold_daily_preagg", lambda: holt_linear(ev_sm), results)
     timed("acf_lag7_daily_preagg", lambda: volume_acf(ev_sm), results)
 
+    # 30. sharded cross-set KNN (round 11): the pipe_mapping hot stage
+    # at scale — 20k target vectors scored EXACTLY against a 100k
+    # reference index through the shard grid (no driver-side index
+    # collect); per-task memory is one index shard + a 1024 x shard
+    # distance block. Exact cross-KNN is inherently quadratic in pair
+    # count (2e9 pairs here) — the grid bounds MEMORY, and past ~1e10
+    # pairs the documented route is the IVF probe (kernel 28 / 8),
+    # which bounds WORK as well.
+    from scarf_spark.operators.knn import cosine_knn_cross_sharded
+
+    ref_x = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda dd: ((F.col("id") * dd * 48271) % 1000) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+    tgt_x = spark.range(20_000).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda dd: ((F.col("id") * dd * 69621) % 1000) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+    timed(
+        "cross_knn_20k_vs_100k",
+        lambda: cosine_knn_cross_sharded(tgt_x, ref_x, k=3, n_shards=8),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
