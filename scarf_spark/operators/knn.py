@@ -137,7 +137,13 @@ def _grid_scorer(m_keep: int, sub: int = 1024):
             qp = qpdf.iloc[lo : lo + sub]
             q = np.array(qp["qvec"].tolist(), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            dist = 1.0 - qn @ im
+            # the stage is memory-bandwidth bound (each full-matrix
+            # pass over a sub×shard float64 block is ~200 MB at a 25k
+            # shard), so sweeps are budgeted: reuse the matmul output
+            # buffer for the 1-x subtraction instead of allocating a
+            # second block
+            dist = qn @ im
+            np.subtract(1.0, dist, out=dist)
             nrow = dist.shape[0]
             if ncol > m:
                 # O(n) argpartition keeps an ARBITRARY subset of ties
@@ -148,13 +154,14 @@ def _grid_scorer(m_keep: int, sub: int = 1024):
                 # and only the rows where ties straddle the boundary:
                 # columns are dst-ascending, so np.nonzero order IS the
                 # tie-break. (A full stable argsort would also be exact
-                # but costs 2x wall on 5k-wide shards.)
+                # but costs 2x wall on 5k-wide shards.) A row needs
+                # repair iff values <= the boundary outnumber m — ONE
+                # detection sweep, not separate ==/< passes.
                 part = np.argpartition(dist, m - 1, axis=1)[:, :m]
                 pd_d = np.take_along_axis(dist, part, axis=1)
                 thr = pd_d.max(axis=1)
-                n_tie = (dist == thr[:, None]).sum(axis=1)
-                n_strict = (dist < thr[:, None]).sum(axis=1)
-                for r in np.nonzero(n_tie > m - n_strict)[0]:
+                n_le = (dist <= thr[:, None]).sum(axis=1)
+                for r in np.nonzero(n_le > m)[0]:
                     row = dist[r]
                     keep = np.nonzero(row < thr[r])[0]
                     ties = np.nonzero(row == thr[r])[0][: m - len(keep)]

@@ -35,6 +35,13 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SCARF_SHUFFLE_PARTITIONS", str(max(int(cpus), 8)))
     )
+    # pin BLAS to one thread per task BEFORE the JVM spawns (local-mode
+    # python workers inherit this env): N concurrent Arrow tasks each
+    # spawning an N-thread OpenBLAS pool oversubscribes the box N-fold —
+    # measured 2x wall on the cross-KNN grid. Spark's task slots are
+    # already the parallelism; respect an explicit user override.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
