@@ -173,6 +173,18 @@ HEADLINE = [
     "evt_welch_t",
     "win_bollinger",
     "agg_grouped_p90",
+    # round-10/11 additions
+    "ann_ivf_persisted",
+    "ann_ivf_append",
+    "evt_holt",
+    "evt_holt_winters",
+    "evt_acf",
+    "ml_spectral_cluster",
+    "pipe_atlas_prep",
+    "pipe_mapping",
+    "ml_kmeans",
+    "ml_leiden",
+    "clust_paris_cut",
 ]
 
 
