@@ -219,3 +219,36 @@ def test_leiden_oracle_replay_edge_shapes():
             (10**9 + 5, 10**9): 900_000,
         }
     )
+
+
+def test_leiden_replay_property_random_graphs():
+    # property check over random multigraph shapes (hypothesis):
+    # the generated SQL replay equals the pure core on EVERY input,
+    # and the core itself is edge-insertion-order invariant
+    from hypothesis import given, settings, strategies as st
+
+    from scarf_spark.ml.cluster import _leiden_micros_core
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=17),
+        st.integers(min_value=0, max_value=17),
+        st.integers(min_value=1, max_value=3_000_000),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def run(raw):
+        ew = {}
+        for a, b, w in raw:
+            if a == b:
+                continue
+            key = (min(a, b), max(a, b))
+            ew[key] = ew.get(key, 0) + w
+        if not ew:
+            return
+        # order invariance: reversed insertion gives identical labels
+        rev = dict(reversed(list(ew.items())))
+        assert _leiden_micros_core(ew) == _leiden_micros_core(rev)
+        _leiden_replay_check(ew)
+
+    run()
