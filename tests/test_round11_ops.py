@@ -252,3 +252,24 @@ def test_leiden_replay_property_random_graphs():
         _leiden_replay_check(ew)
 
     run()
+
+
+def test_kmeans_lloyd_partition_invariant(spark, sf_dir):
+    # the Arrow-BLAS rounds accumulate partial sums in partition order;
+    # the assignment margins must absorb that (the same claim the
+    # cross-engine oracle green rests on) — identical clusters from a
+    # 1-partition and a 17-partition layout of the same input
+    from scarf_spark.ml.cluster import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("v")
+    )
+    a = {
+        (r["cell_id"], r["cluster"])
+        for r in kmeans_lloyd(emb.repartition(1), k=4, n_iter=5).collect()
+    }
+    b = {
+        (r["cell_id"], r["cluster"])
+        for r in kmeans_lloyd(emb.repartition(17), k=4, n_iter=5).collect()
+    }
+    assert a == b
