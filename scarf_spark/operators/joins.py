@@ -145,7 +145,7 @@ def overlap_sum_sweep(
 
 
 def interval_overlap_join_binned(
-    queries: DataFrame, refs: DataFrame, bin_size: int = 100
+    queries: DataFrame, refs: DataFrame, bin_size: int = 100, salt: int = 8
 ) -> DataFrame:
     """Scale path: decompose each interval into covering fixed-width
     bins and equi-join on (chrom, bin), so Spark plans a shuffle-hash /
@@ -156,6 +156,17 @@ def interval_overlap_join_binned(
     meets in every shared covering bin, so it is emitted only from the
     bin containing the overlap start max(q_start, r_start) — exactly
     one bin per pair, hence no ``distinct``.
+
+    Output salting: the join's OUTPUT can be quadratically larger than
+    its input (dense bins emit |q|×|r| pairs), which AQE cannot see —
+    it sizes reduce partitions by shuffle INPUT bytes and will happily
+    coalesce a tiny-input/huge-output join onto one task. Each query
+    row therefore carries a deterministic salt in the join key and refs
+    are replicated across all ``salt`` values, splitting every bin's
+    pair generation across ``salt`` tasks; the explicit
+    ``repartition(P, keys)`` pins the partitioning so AQE keeps it.
+    A (q, r) pair still meets exactly once per shared bin (q has one
+    salt value), so the report-bin dedup is unchanged.
 
     Returns the same rows as :func:`interval_overlap_join`."""
     def binned(df: DataFrame, prefix: str) -> DataFrame:
@@ -169,7 +180,7 @@ def interval_overlap_join_binned(
             F.col("start").alias("q_start"), F.col("end").alias("q_end"),
         ),
         "q",
-    )
+    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("q_id")), F.lit(salt)))
     r = binned(
         refs.select(
             F.col("id").alias("r_id"), F.col("chrom").alias("r_chrom"),
@@ -177,10 +188,23 @@ def interval_overlap_join_binned(
             F.col("value").alias("r_value"),
         ),
         "r",
-    )
+    ).withColumn("_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))))
+    # P scales with the cluster (local[32] → 32; a 1000-executor
+    # cluster → its core count); huge inputs never reach the AQE
+    # 1-task collapse this guards against, so P only has to beat it
+    # on small inputs.
+    p = queries.sparkSession.sparkContext.defaultParallelism
+    q = q.repartition(p, "q_chrom", "bin", "_salt")
+    r = r.repartition(p, "r_chrom", "bin", "_salt")
     report_bin = F.floor(F.greatest("q_start", "r_start") / bin_size).cast("long")
     joined = (
-        q.join(r, (F.col("q_chrom") == F.col("r_chrom")) & (q["bin"] == r["bin"]), "inner")
+        q.join(
+            r,
+            (F.col("q_chrom") == F.col("r_chrom"))
+            & (q["bin"] == r["bin"])
+            & (q["_salt"] == r["_salt"]),
+            "inner",
+        )
         .where((F.col("q_start") < F.col("r_end")) & (F.col("q_end") > F.col("r_start")))
         .where(q["bin"] == report_bin)
     )
