@@ -562,6 +562,37 @@ def main() -> None:
         results,
     )
 
+    # 31. salted binned interval join (round 11): n/2 query vs n/2 ref
+    # intervals over a value domain sized so output ≈ 4 pairs/query —
+    # realistic overlap density. The salt splits each (chrom, bin)
+    # key's pair generation across tasks, which AQE cannot do itself
+    # (it sizes reduce partitions by shuffle INPUT bytes and a
+    # pair-exploding join's input is tiny relative to its output).
+    from scarf_spark.operators.joins import interval_overlap_join_binned
+
+    half = n // 2
+    dom = float(half) * 25.0  # ~1 ref interval per 25-unit span
+    qi_iv = spark.range(half).select(
+        F.col("id"),
+        F.concat(F.lit("chr"), (F.col("id") % 3).cast("string")).alias("chrom"),
+        (((F.col("id") * 48271) % F.lit(int(dom))).cast("double")).alias("start"),
+    ).select("id", "chrom", "start", (F.col("start") + 50.0).alias("end"))
+    ri_iv = spark.range(half).select(
+        (F.col("id") + n).alias("id"),
+        F.concat(F.lit("chr"), (F.col("id") % 3).cast("string")).alias("chrom"),
+        (((F.col("id") * 69621) % F.lit(int(dom))).cast("double")).alias("start"),
+    ).select(
+        "id", "chrom", "start", (F.col("start") + 25.0).alias("end"),
+        F.lit(1.0).alias("value"),
+    )
+    timed(
+        "interval_join_salted",
+        lambda: interval_overlap_join_binned(qi_iv, ri_iv, bin_size=100).select(
+            "q_id", "r_id"
+        ),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
