@@ -1237,9 +1237,7 @@ _MINHASH_CTE = (
     "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id",
 )
 def dedup_minhash_bands(spark, sf_dir):
-    return dedup.minhash_candidate_pairs(
-        _ds(spark, sf_dir).documents, n=3, n_hashes=8, n_bands=4
-    )
+    return _dedup_candidates(spark, sf_dir)
 
 
 @q(
@@ -1267,41 +1265,66 @@ def dedup_minhash_bands(spark, sf_dir):
 )
 def dedup_components(spark, sf_dir):
     docs = _ds(spark, sf_dir).documents
-    pairs = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
+    pairs = _dedup_candidates(spark, sf_dir)
     # engine: O(log n) star contraction — exact components; oracle:
     # recursive-closure fixpoint — also exact, so engine/oracle
     # equivalence no longer depends on a component-radius assumption
     return dedup.star_components(pairs, docs)
 
 
-_VERIFIED_COMP_CACHE: dict[tuple, DataFrame] = {}
+_DEDUP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dedup_candidates(spark, sf_dir):
+    """LSH candidate pairs (a, b) at the corpus-standard parameters
+    (3-word shingles, 8 hashes × 4 bands) — the shared detect prefix of
+    ``dedup_minhash_bands``, ``dedup_components``,
+    ``dedup_ngram_jaccard``, ``text_minhash_cluster`` and
+    ``dedup_keep_best``, built once per (session, sf_dir) and
+    persisted, the ``_knn_edges`` convention. The corpus tokenizes
+    ONCE: the persisted raw shingle table feeds the minhash signatures
+    directly (MIN is duplicate-insensitive, no distinct shuffle in its
+    path) and is distinct-ed only for the set-semantics Jaccard
+    verify in :func:`_dedup_jac`."""
+    key = (spark.sparkContext.applicationId, sf_dir, "cand")
+    if key not in _DEDUP_CACHE:
+        docs = _ds(spark, sf_dir).documents
+        sh = dedup.word_shingles(docs, 3, distinct=False).persist()
+        _DEDUP_CACHE[(key[0], sf_dir, "sh")] = sh
+        _DEDUP_CACHE[key] = dedup.minhash_candidate_pairs(
+            docs, n=3, n_hashes=8, n_bands=4, shingles=sh
+        ).persist()
+    return _DEDUP_CACHE[key]
+
+
+def _dedup_jac(spark, sf_dir):
+    """Exact df-capped Jaccard over the LSH candidates (a, b, jaccard
+    ROUND(6)) — the shared verify stage downstream of
+    :func:`_dedup_candidates`, memoized the same way."""
+    key = (spark.sparkContext.applicationId, sf_dir, "jac")
+    if key not in _DEDUP_CACHE:
+        cand = _dedup_candidates(spark, sf_dir)
+        sh = _DEDUP_CACHE[(key[0], sf_dir, "sh")]
+        _DEDUP_CACHE[key] = dedup.ngram_jaccard(
+            _ds(spark, sf_dir).documents,
+            pairs=cand, n=3, df_cap=100, shingles=sh.distinct(),
+        ).persist()
+    return _DEDUP_CACHE[key]
 
 
 def _verified_dedup_comp(spark, sf_dir):
     """Jaccard-VERIFIED near-dup components (doc_id, cluster, keep) —
     the shared detect → verify → cluster prefix of
     ``text_minhash_cluster`` and ``dedup_keep_best`` (identical
-    parameters end to end), built once per (session, sf_dir) and
-    persisted, the ``_knn_edges`` convention. The corpus tokenizes
-    ONCE: the persisted raw shingle table feeds the minhash signatures
-    directly (MIN is duplicate-insensitive, no distinct shuffle in its
-    path) and is distinct-ed only for the set-semantics Jaccard
-    verify."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _VERIFIED_COMP_CACHE:
-        docs = _ds(spark, sf_dir).documents
-        sh = dedup.word_shingles(docs, 3, distinct=False).persist()
-        cand = dedup.minhash_candidate_pairs(
-            docs, n=3, n_hashes=8, n_bands=4, shingles=sh
-        )
-        jac = dedup.ngram_jaccard(
-            docs, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
-        )
+    parameters end to end)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "comp")
+    if key not in _DEDUP_CACHE:
+        jac = _dedup_jac(spark, sf_dir)
         edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
-        _VERIFIED_COMP_CACHE[key] = dedup.min_label_components(
-            edges, docs, n_iter=3
+        _DEDUP_CACHE[key] = dedup.min_label_components(
+            edges, _ds(spark, sf_dir).documents, n_iter=3
         ).persist()
-    return _VERIFIED_COMP_CACHE[key]
+    return _DEDUP_CACHE[key]
 
 
 @q(
@@ -1513,9 +1536,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ngram_jaccard(pairs, df_cap) — the pair semi-join lands below the
     pair aggregate and hyper-frequent shingles never enter the
     self-join (``dedup.py`` ngram_jaccard)."""
-    docs = _ds(spark, sf_dir).documents
-    cand = dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
-    return dedup.ngram_jaccard(docs, pairs=cand, n=3, df_cap=100)
+    return _dedup_jac(spark, sf_dir)
 
 
 @q(
