@@ -273,3 +273,83 @@ def test_kmeans_lloyd_partition_invariant(spark, sf_dir):
         for r in kmeans_lloyd(emb.repartition(17), k=4, n_iter=5).collect()
     }
     assert a == b
+
+
+def test_interval_join_salt_invariant(spark):
+    # the output salting (AQE can't see a pair-exploding join's output,
+    # so the salt splits each bin's pair generation) must never change
+    # the pair SET — any salt domain yields the naive join's pairs,
+    # each exactly once
+    from scarf_spark.operators import joins
+
+    rows = [
+        (i, "chr%d" % (i % 2), float((i * 37) % 200), float((i * 37) % 200 + 30))
+        for i in range(60)
+    ]
+    qi = spark.createDataFrame(rows, "id long, chrom string, start double, end double")
+    ri = spark.createDataFrame(
+        [(i + 1000, c, s + 5.0, e + 5.0, 1.0) for i, c, s, e in rows],
+        "id long, chrom string, start double, end double, value double",
+    )
+    naive = {
+        (r["q_id"], r["r_id"])
+        for r in joins.interval_overlap_join(qi, ri).collect()
+    }
+    for salt in (1, 3, 8):
+        got = [
+            (r["q_id"], r["r_id"])
+            for r in joins.interval_overlap_join_binned(
+                qi, ri, bin_size=64, salt=salt
+            ).collect()
+        ]
+        assert len(got) == len(set(got))  # report-bin dedup holds per salt
+        assert set(got) == naive
+
+
+def test_dedup_prefix_memo_coherent(spark, sf_dir):
+    # the memoized LSH-candidate / verified-Jaccard / components tables
+    # must equal a fresh unmemoized build — the cache can only save
+    # work, never change rows
+    import __spark_entry__ as entry
+    from scarf_spark.operators import dedup
+
+    docs = entry._ds(spark, sf_dir).documents
+    cand_fresh = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_candidate_pairs(
+            docs, n=3, n_hashes=8, n_bands=4
+        ).collect()
+    }
+    cand_memo = {
+        (r["a"], r["b"])
+        for r in entry._dedup_candidates(spark, sf_dir).collect()
+    }
+    assert cand_memo == cand_fresh
+    jac_fresh = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.ngram_jaccard(
+            docs,
+            pairs=dedup.minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4),
+            n=3,
+            df_cap=100,
+        ).collect()
+    }
+    jac_memo = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in entry._dedup_jac(spark, sf_dir).collect()
+    }
+    assert jac_memo == jac_fresh
+    comp_memo = entry._verified_dedup_comp(spark, sf_dir)
+    edges = [
+        (a, b) for a, b, j in jac_fresh if j >= 0.5
+    ]
+    comp_fresh = dedup.min_label_components(
+        spark.createDataFrame(edges or [(0, 0)], "a long, b long").where(
+            F.lit(bool(edges))
+        ),
+        docs,
+        n_iter=3,
+    )
+    assert {
+        (r["doc_id"], r["cluster"], r["keep"]) for r in comp_memo.collect()
+    } == {(r["doc_id"], r["cluster"], r["keep"]) for r in comp_fresh.collect()}
