@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -637,20 +638,31 @@ def _intervals(ds: DataStore):
     return qi, ri
 
 
-@q(
-    "join_interval_overlap",
-    # oracle = the naive range join; the engine answers it with the
-    # prefix-sum sweep (no pair materialization). Values quantized to
-    # integer cents on BOTH sides so the sweep's cumulative-sum
-    # subtraction is bit-equal to the direct sum.
+# One oracle (the naive range join + quantized sum), TWO graded engine
+# plans: join_interval_overlap answers it with the salted binned
+# equi-join + hash agg (the pair-materializing path), and
+# join_interval_sweep with the pair-free inclusion-exclusion prefix
+# sweep (joins.py overlap_sum_sweep — the dense-interval 100 TB plan).
+# Values quantized to integer cents on ALL sides so the sweep's
+# cumulative-sum subtraction is bit-equal to the direct sums.
+_INTERVAL_SUM_SQL = (
     f"WITH {_QREF_CTE} "
     "SELECT q.id AS q_id, "
     "ROUND(CAST(SUM(CAST(ROUND(r.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 6) "
     "AS sum_value, COUNT(*) AS n_overlaps "
     "FROM qi q JOIN ri r ON q.chrom = r.chrom AND q.start < r.\"end\" "
-    "AND q.\"end\" > r.start GROUP BY q.id",
+    "AND q.\"end\" > r.start GROUP BY q.id"
 )
+
+
+@q("join_interval_overlap", _INTERVAL_SUM_SQL)
 def join_interval_overlap(spark, sf_dir):
+    qi, ri = _intervals(_ds(spark, sf_dir))
+    return joins.overlap_sum(qi, ri, bin_size=100, value_scale=100)
+
+
+@q("join_interval_sweep", _INTERVAL_SUM_SQL)
+def join_interval_sweep(spark, sf_dir):
     qi, ri = _intervals(_ds(spark, sf_dir))
     return joins.overlap_sum_sweep(qi, ri, value_scale=100)
 
@@ -1273,6 +1285,27 @@ def dedup_components(spark, sf_dir):
 
 
 _DEDUP_CACHE: dict[tuple, DataFrame] = {}
+# The bench stream runs 4 query threads; an unlocked check-then-set
+# would let two consumers miss concurrently and build + persist the
+# same candidate pipeline twice (wasted work + a leaked persisted
+# table). Double-checked under one lock, shared by all three memo
+# levels so the whole prefix builds exactly once.
+_DEDUP_LOCK = threading.Lock()
+
+
+def _dedup_shingles(spark, sf_dir):
+    """Raw (duplicate-preserving) shingle table, lazily built —
+    consumers fetch it through this accessor, never by assuming
+    :func:`_dedup_candidates` stored it first."""
+    key = (spark.sparkContext.applicationId, sf_dir, "sh")
+    if key not in _DEDUP_CACHE:
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_CACHE:
+                docs = _ds(spark, sf_dir).documents
+                _DEDUP_CACHE[key] = dedup.word_shingles(
+                    docs, 3, distinct=False
+                ).persist()
+    return _DEDUP_CACHE[key]
 
 
 def _dedup_candidates(spark, sf_dir):
@@ -1288,12 +1321,13 @@ def _dedup_candidates(spark, sf_dir):
     verify in :func:`_dedup_jac`."""
     key = (spark.sparkContext.applicationId, sf_dir, "cand")
     if key not in _DEDUP_CACHE:
-        docs = _ds(spark, sf_dir).documents
-        sh = dedup.word_shingles(docs, 3, distinct=False).persist()
-        _DEDUP_CACHE[(key[0], sf_dir, "sh")] = sh
-        _DEDUP_CACHE[key] = dedup.minhash_candidate_pairs(
-            docs, n=3, n_hashes=8, n_bands=4, shingles=sh
-        ).persist()
+        sh = _dedup_shingles(spark, sf_dir)
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_CACHE:
+                docs = _ds(spark, sf_dir).documents
+                _DEDUP_CACHE[key] = dedup.minhash_candidate_pairs(
+                    docs, n=3, n_hashes=8, n_bands=4, shingles=sh
+                ).persist()
     return _DEDUP_CACHE[key]
 
 
@@ -1304,11 +1338,13 @@ def _dedup_jac(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "jac")
     if key not in _DEDUP_CACHE:
         cand = _dedup_candidates(spark, sf_dir)
-        sh = _DEDUP_CACHE[(key[0], sf_dir, "sh")]
-        _DEDUP_CACHE[key] = dedup.ngram_jaccard(
-            _ds(spark, sf_dir).documents,
-            pairs=cand, n=3, df_cap=100, shingles=sh.distinct(),
-        ).persist()
+        sh = _dedup_shingles(spark, sf_dir)
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_CACHE:
+                _DEDUP_CACHE[key] = dedup.ngram_jaccard(
+                    _ds(spark, sf_dir).documents,
+                    pairs=cand, n=3, df_cap=100, shingles=sh.distinct(),
+                ).persist()
     return _DEDUP_CACHE[key]
 
 
@@ -1320,10 +1356,12 @@ def _verified_dedup_comp(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "comp")
     if key not in _DEDUP_CACHE:
         jac = _dedup_jac(spark, sf_dir)
-        edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
-        _DEDUP_CACHE[key] = dedup.min_label_components(
-            edges, _ds(spark, sf_dir).documents, n_iter=3
-        ).persist()
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_CACHE:
+                edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+                _DEDUP_CACHE[key] = dedup.min_label_components(
+                    edges, _ds(spark, sf_dir).documents, n_iter=3
+                ).persist()
     return _DEDUP_CACHE[key]
 
 
@@ -9320,40 +9358,36 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 # regardless of window position is still verified by
 # tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # round-11 window. First the 6 round-10 queries that have never
-    # been inside a driver CORRECTNESS gate (all selfcheck-exact at
-    # sf0.001 AND sf0.01) - grading them closes the cumulative
-    # ledger at 316/316:
-    "ml_spectral_cluster", "evt_acf", "ann_ivf_append", "evt_holt_winters",
-    "evt_holt", "pipe_atlas_prep",
-    # round-11 additions: the cross-dataset mapping pipeline and the
-    # Leiden weak -> full-oracle promotion (leiden_micros replay):
-    "pipe_mapping", "ml_leiden",
-    # engine/oracle changed this round, re-grade: kmeans_lloyd is now
-    # Arrow-batched BLAS rounds (ml_kmeans/dedup_semdedup/demux_hto),
-    # dedup_components' oracle is the recursive-closure form,
-    # label_propagation dropped its in-loop broadcast hint
-    # (ml_label_prop/mark_feat_modules), the feature-KNN subplan is
-    # memoized (mark_feat_knn/mark_feat_modules), and the persisted
-    # IVF index builds once on a cold registry (ann_ivf_persisted):
-    "ml_kmeans", "dedup_semdedup", "demux_hto", "dedup_components",
-    "ml_label_prop", "mark_feat_knn", "mark_feat_modules",
-    "ann_ivf_persisted",
+    # round-12 window. First the queries whose ENGINE changed (or are
+    # new) this round, so the driver grades the code that will run:
+    # join_interval_sweep is new (the pair-free prefix-sum plan);
+    # join_interval_overlap now answers its oracle with the binned
+    # pair join + quantized agg (both plans share ONE oracle);
+    # join_interval_binned's salted engine landed r11 after its last
+    # grade; ml_harmony's per-iteration scans are fused (one
+    # localCheckpoint + derived per-batch sums):
+    "join_interval_sweep", "join_interval_overlap", "join_interval_binned",
+    "ml_harmony",
+    # freshness rotation: the staleness tail - win_topk_per_group
+    # (last graded r4, the single oldest ledger row) plus the entire
+    # r5-latest cohort. Every row has been selfcheck-exact at every
+    # sweep since its last grade:
+    "win_topk_per_group",
+    "agg_cc_phase", "agg_corr", "agg_cube", "agg_distinct_stats",
+    "agg_entropy", "agg_exact_median", "agg_moments", "agg_pivot",
+    "agg_salted_distinct", "ann_ivf", "ann_ivf_recall", "ann_pq",
+    "ann_quantize", "dedup_containment", "dedup_decontaminate",
+    "dedup_embedding", "dedup_exact", "dedup_simhash", "evt_funnel",
+    "evt_json_extract", "evt_retention", "graph_magic_t1",
+    "graph_mapping_score", "graph_pagerank", "graph_snn",
+    "graph_target_class", "graph_triangles", "join_anti_orphans",
+    "knn_cross_topk", "knn_smooth_weights", "ml_centroid_classify",
+    "ml_coral", "ml_hvg_binned", "ml_lisi", "ml_logreg_gd", "ml_lsi",
+    "ml_wnn", "sketch_kmv", "sql_q6",
     # stable sentinels (r1-green, re-verified every selfcheck sweep):
-    "qc_ncounts", "filt_sift", "sql_q1", "agg_make_bulk",
-    "join_align_features",
-    # freshness rotation: the queries whose latest driver grade is
-    # oldest (the r4 cohort) - every row here has been green at every
-    # grade since:
-    "filt_auto_filter", "filt_clip_fraction", "filt_filter_cells",
-    "filt_get_index_by", "filt_grep", "filt_index_to_bool",
-    "filt_multi_sift", "filt_sift_bounds", "graph_membership",
-    "knn_lsh_recall", "knn_lsh_topk", "mark_regression", "norm_clr",
-    "norm_lib_size", "norm_lib_size_log", "norm_renorm_subset",
-    "norm_zscale", "qc_clr_geo_mean", "qc_feat_ncells", "qc_feature_stats",
-    "qc_nfeatures", "qc_percent_feature", "set_disambiguate",
-    "set_merge_cells", "set_merge_feats_dedup", "set_subtract",
-    "win_avg_rank", "win_dense_rank", "win_top_n",
+    "qc_ncounts", "sql_q1", "filt_sift",
+    # next-oldest cohort (r6), fill to the 50-query window:
+    "agg_gini", "agg_rollup", "dedup_dup_spans",
 ]
 
 

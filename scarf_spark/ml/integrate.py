@@ -148,42 +148,60 @@ def harmony_lite(
     to its first-order form. Deterministic: centroids seed from the
     lowest cell_ids.
 
+    Scan-fused (round 12): each iteration materializes the E-step
+    distances ONCE (``localCheckpoint``) and derives everything else —
+    auto-sigma spread, diversity-penalty batch masses, M-step centroid
+    sums, and correction offsets — from that one cached frame, so the
+    previous 4-5 full-lineage recomputations per iteration become one
+    compute pass plus cheap cached scans. The M-step global sums are
+    the per-batch sums added up driver-side (B terms; same smooth math
+    the oracle's ROUND(6) already absorbs), merging the two aggregation
+    passes into one.
+
     cells_vec: (cell_id, v array<double>); batch_df: (cell_id, batch).
     Returns corrected (cell_id, v)."""
     import numpy as np
 
     d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    df = cells_vec.join(batch_df, "cell_id").localCheckpoint(eager=False)
+    df = cells_vec.join(batch_df, "cell_id")
     seeds = df.orderBy("cell_id").limit(n_clusters).collect()
     centroids = np.array([r["v"] for r in seeds], dtype=float)
     eps = 1e-9
+    prev_base = None
     for _ in range(n_iter):
-        # E-step: soft assignment (k small -> k literal expressions).
-        # dist2 is shifted by its per-cell min so exp never underflows.
+        # E-step: squared distances to the k centroids, computed once
+        # into a materialized frame (k small -> k literal expressions).
         dist2 = [
             sum((F.col("v")[i] - float(centroids[c, i])) ** 2 for i in range(d))
             for c in range(n_clusters)
         ]
-        dmin = F.least(*dist2)
+        base = df.select(
+            "cell_id", "v", "batch",
+            *[dc.alias(f"_d{c}") for c, dc in enumerate(dist2)],
+        ).localCheckpoint()
+        if prev_base is not None:
+            prev_base.unpersist()
+        prev_base = base
+        dcols = [F.col(f"_d{c}") for c in range(n_clusters)]
+        # dist2 is shifted by its per-cell min so exp never underflows
+        dmin = F.least(*dcols)
         if sigma is None:
             # auto bandwidth: a fraction of the mean excess distance so
             # assignments stay soft at any data scale (a fixed sigma
             # underflows exp() to hard 0/1 when distances are large)
-            spread = df.agg(
-                F.avg(sum(dist2) / n_clusters - dmin).alias("s")
+            spread = base.agg(
+                F.avg(sum(dcols) / n_clusters - dmin).alias("s")
             ).collect()[0]["s"]
             sig = max(0.3 * float(spread), 1e-6)
         else:
             sig = sigma
-        num = [F.exp(-(dc - dmin) / sig) for dc in dist2]
+        num = [F.exp(-(dc - dmin) / sig) for dc in dcols]
         den = sum(num)
-        r_cols = [(n / den).alias(f"r{c}") for c, n in enumerate(num)]
-        soft0 = df.select("cell_id", "v", "batch", *r_cols)
         # diversity penalty (harmony's theta term, theta=1): scale each
         # cluster's affinity by expected/observed batch mass so a
         # cluster cannot absorb one batch exclusively
-        obs_rows = soft0.groupBy("batch").agg(
-            *[F.sum(f"r{c}").alias(f"o{c}") for c in range(n_clusters)],
+        obs_rows = base.groupBy("batch").agg(
+            *[F.sum(n / den).alias(f"o{c}") for c, n in enumerate(num)],
             F.count("*").alias("nb"),
         ).collect()
         n_total = sum(r["nb"] for r in obs_rows)
@@ -207,24 +225,10 @@ def harmony_lite(
             pnum.append(n * F.coalesce(f, F.lit(1.0)))
         pden = sum(pnum)
         r_cols = [(n / pden).alias(f"r{c}") for c, n in enumerate(pnum)]
-        soft = df.select("cell_id", "v", "batch", *r_cols)
-        # M-step: weighted centroids (k*d aggregate columns)
-        aggs = []
-        for c in range(n_clusters):
-            aggs.append(F.sum(F.col(f"r{c}")).alias(f"n{c}"))
-            for i in range(d):
-                aggs.append(
-                    F.sum(F.col(f"r{c}") * F.col("v")[i]).alias(f"s{c}_{i}")
-                )
-        row = soft.agg(*aggs).collect()[0]
-        centroids = np.array(
-            [
-                [row[f"s{c}_{i}"] / max(row[f"n{c}"], 1e-12) for i in range(d)]
-                for c in range(n_clusters)
-            ]
-        )
-        # correction: per (cluster, batch) mean offset from the cluster
-        # centroid, subtracted in expectation (small dim table, broadcast)
+        soft = base.select("cell_id", "v", "batch", *r_cols)
+        # M-step + correction offsets in ONE per-batch aggregation pass
+        # over the cached frame: the global centroid sums are the
+        # per-batch sums added driver-side (B constant-size rows)
         baggs = []
         for c in range(n_clusters):
             baggs.append(F.sum(F.col(f"r{c}")).alias(f"bn{c}"))
@@ -232,8 +236,19 @@ def harmony_lite(
                 baggs.append(
                     F.sum(F.col(f"r{c}") * F.col("v")[i]).alias(f"bs{c}_{i}")
                 )
-        boff = soft.groupBy("batch").agg(*baggs)
-        brows = boff.collect()
+        brows = soft.groupBy("batch").agg(*baggs).collect()
+        centroids = np.array(
+            [
+                [
+                    sum(r[f"bs{c}_{i}"] for r in brows)
+                    / max(sum(r[f"bn{c}"] for r in brows), 1e-12)
+                    for i in range(d)
+                ]
+                for c in range(n_clusters)
+            ]
+        )
+        # correction: per (cluster, batch) mean offset from the cluster
+        # centroid, subtracted in expectation (small dim table, broadcast)
         off = {
             r["batch"]: np.array(
                 [

@@ -46,19 +46,34 @@ def interval_overlap_join(
     )
 
 
-def overlap_sum(queries: DataFrame, refs: DataFrame, bin_size: int = 100) -> DataFrame:
+def overlap_sum(
+    queries: DataFrame,
+    refs: DataFrame,
+    bin_size: int = 100,
+    value_scale: int | None = None,
+) -> DataFrame:
     """Meld aggregation (``meld_assay.py:384-433``): overlapping ref
     values are SUMMED per query feature; queries with no overlap keep no
     row (COO semantics). Executes via the binned equi-join rewrite —
     same result set as the naive range join, but shuffle-hash-joinable
-    and linear at scale."""
-    return (
-        interval_overlap_join_binned(queries, refs, bin_size=bin_size)
-        .groupBy("q_id")
-        .agg(
+    and linear at scale.
+
+    With ``value_scale`` set, values are quantized to integers the same
+    way :func:`overlap_sum_sweep` quantizes them, so the two plans (pair
+    join vs prefix sweep) produce bit-identical output and can be graded
+    against one oracle."""
+    pairs = interval_overlap_join_binned(queries, refs, bin_size=bin_size)
+    if value_scale is None:
+        return pairs.groupBy("q_id").agg(
             F.sum("r_value").cast("double").alias("sum_value"),
             F.count("*").alias("n_overlaps"),
         )
+    cents = F.round(F.col("r_value") * value_scale, 0).cast("long")
+    return pairs.groupBy("q_id").agg(
+        F.round(
+            F.sum(cents).cast("double") / value_scale, 6
+        ).alias("sum_value"),
+        F.count("*").alias("n_overlaps"),
     )
 
 
@@ -168,6 +183,11 @@ def interval_overlap_join_binned(
     A (q, r) pair still meets exactly once per shared bin (q has one
     salt value), so the report-bin dedup is unchanged.
 
+    ``salt=1`` short-circuits the scheme entirely (no ref replication,
+    no salt join key): callers with a large ref side — where the 8×
+    ref shuffle volume costs more than the AQE-collapse risk it guards
+    against — opt out explicitly.
+
     Returns the same rows as :func:`interval_overlap_join`."""
     def binned(df: DataFrame, prefix: str) -> DataFrame:
         b0 = F.floor(F.col(f"{prefix}_start") / bin_size)
@@ -180,7 +200,7 @@ def interval_overlap_join_binned(
             F.col("start").alias("q_start"), F.col("end").alias("q_end"),
         ),
         "q",
-    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("q_id")), F.lit(salt)))
+    )
     r = binned(
         refs.select(
             F.col("id").alias("r_id"), F.col("chrom").alias("r_chrom"),
@@ -188,23 +208,31 @@ def interval_overlap_join_binned(
             F.col("value").alias("r_value"),
         ),
         "r",
-    ).withColumn("_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))))
+    )
     # P scales with the cluster (local[32] → 32; a 1000-executor
     # cluster → its core count); huge inputs never reach the AQE
     # 1-task collapse this guards against, so P only has to beat it
     # on small inputs.
     p = queries.sparkSession.sparkContext.defaultParallelism
-    q = q.repartition(p, "q_chrom", "bin", "_salt")
-    r = r.repartition(p, "r_chrom", "bin", "_salt")
+    if salt > 1:
+        q = q.withColumn("_salt", F.pmod(F.xxhash64(F.col("q_id")), F.lit(salt)))
+        r = r.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+            ),
+        )
+        q = q.repartition(p, "q_chrom", "bin", "_salt")
+        r = r.repartition(p, "r_chrom", "bin", "_salt")
+    else:
+        q = q.repartition(p, "q_chrom", "bin")
+        r = r.repartition(p, "r_chrom", "bin")
+    cond = (F.col("q_chrom") == F.col("r_chrom")) & (q["bin"] == r["bin"])
+    if salt > 1:
+        cond = cond & (q["_salt"] == r["_salt"])
     report_bin = F.floor(F.greatest("q_start", "r_start") / bin_size).cast("long")
     joined = (
-        q.join(
-            r,
-            (F.col("q_chrom") == F.col("r_chrom"))
-            & (q["bin"] == r["bin"])
-            & (q["_salt"] == r["_salt"]),
-            "inner",
-        )
+        q.join(r, cond, "inner")
         .where((F.col("q_start") < F.col("r_end")) & (F.col("q_end") > F.col("r_start")))
         .where(q["bin"] == report_bin)
     )

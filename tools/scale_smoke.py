@@ -593,6 +593,46 @@ def main() -> None:
         results,
     )
 
+    # 32. memoized near-dup chain end-to-end (round 12): the shared
+    # LSH → df-capped-Jaccard-verify → components prefix exactly as
+    # __spark_entry__._verified_dedup_comp builds it (shingle table
+    # persisted once and reused by both the minhash MIN-agg and the
+    # set-semantics verify). 10M docs, 12 words each, ~10% near-dup
+    # pairs differing in one word; run at two doc counts
+    # (SMOKE_DEDUP_DOCS env) to check near-linear scaling.
+    from scarf_spark.operators import dedup as dd
+
+    n_docs = int(os.environ.get("SMOKE_DEDUP_DOCS", str(min(n, 10_000_000))))
+    n_base = int(n_docs * 0.9)
+    base = (F.col("id") % n_base)
+    is_dup = (F.col("id") >= n_base).cast("long")
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda w: F.concat(
+            F.lit("w"),
+            (
+                (base * 31 + w * 7919 + is_dup * F.when(w == 12, 1).otherwise(0))
+                % 200_000
+            ).cast("string"),
+        ),
+    )
+    docs_big = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+    def _dedup_chain():
+        sh = dd.word_shingles(docs_big, 3, distinct=False).persist()
+        cand = dd.minhash_candidate_pairs(
+            docs_big, n=3, n_hashes=8, n_bands=4, shingles=sh
+        ).persist()
+        jac = dd.ngram_jaccard(
+            docs_big, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
+        ).persist()
+        edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
+        return dd.min_label_components(edges, docs_big, n_iter=3)
+
+    timed(f"dedup_memo_chain_{n_docs // 1_000_000}M", _dedup_chain, results)
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
