@@ -113,19 +113,65 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    # Per-side time-box for larger-SF sweeps (SELFCHECK_TIMEOUT_S,
+    # default off): oracles that are exact-but-slow in DuckDB at
+    # sf0.1 (unrolled trace replays, pair-explosive range joins) are
+    # recorded as SKIP with the reason, never silently dropped — the
+    # point of the sweep is an explicit ledger of what was and wasn't
+    # value-checked at this SF.
+    timeout_s = float(os.environ.get("SELFCHECK_TIMEOUT_S", "0") or 0)
     spark = get_spark("selfcheck")
     con = duck_con(sf_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    skips: list[str] = []
+
+    def spark_collect(name, fn):
+        """fn() under a cancellable job group when time-boxed."""
+        import threading
+
+        if not timeout_s:
+            return fn()
+        sc = spark.sparkContext
+        gid = f"selfcheck-{name}"
+        sc.setJobGroup(gid, "selfcheck timebox", interruptOnCancel=True)
+        timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(gid))
+        timer.start()
+        try:
+            return fn()
+        finally:
+            timer.cancel()
+
+    def duck_fetch(sql):
+        import threading
+
+        if not timeout_s:
+            return con.execute(sql).fetchdf()
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+
+        def _build(fn=fn):
+            # plan construction included: driver-loop queries (harmony,
+            # kmeans) do eager work before toPandas
+            df = fn(spark, sf_dir)
+            return dict(df.dtypes), df.toPandas()
+
         try:
-            _df = fn(spark, sf_dir)
-            spark_types = dict(_df.dtypes)
-            sdf = _df.toPandas()
+            spark_types, sdf = spark_collect(name, _build)
         except Exception as e:
+            if timeout_s and time.time() - t0 >= timeout_s - 1:
+                print(f"SKIP {name}: spark timebox {timeout_s:.0f}s")
+                skips.append(f"{name} (spark > {timeout_s:.0f}s)")
+                continue
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
@@ -133,9 +179,18 @@ def main() -> int:
             print(f"WEAK {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             n_weak += 1
             continue
+        t1 = time.time()
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            ddf = duck_fetch(oracles[name])
         except Exception as e:
+            if timeout_s and (
+                time.time() - t1 >= timeout_s - 1
+                or "INTERRUPT" in str(e).upper()
+            ):
+                print(f"SKIP {name}: oracle timebox {timeout_s:.0f}s "
+                      f"(spark rows={len(sdf)})")
+                skips.append(f"{name} (duckdb oracle > {timeout_s:.0f}s)")
+                continue
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
@@ -148,7 +203,10 @@ def main() -> int:
         print(f"{status} {name}: rows={len(sdf)} {note} [{time.time()-t0:.1f}s]")
         n_pass += ok
         n_fail += not ok
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    tail = f", {len(skips)} skipped (time-boxed)" if skips else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only){tail}")
+    for s in skips:
+        print(f"  SKIPPED: {s}")
     return 1 if n_fail else 0
 
 
