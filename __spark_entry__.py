@@ -1710,20 +1710,35 @@ def text_token_stats(spark, sf_dir):
 _EN_SW = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']"
 
 
+# Exact-integer quality CTE (round 12): every ratio here is a
+# small-denominator rational, so ROUND(float, 6) outputs routinely sat
+# exactly on a half-boundary and engine float noise flipped the last
+# digit (caught by the sf0.1 sweep: 1 row in 5000). Integer
+# cross-multiplication + integer division is bit-equal in any engine.
+# Expects the `w` CTE (doc_id, text, ws) in scope.
+_QINT_CTE = (
+    "qf AS (SELECT doc_id, len(ws) AS nt, greatest(len(ws), 1) AS ntp, "
+    "COALESCE(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
+    "AS BIGINT), 0) AS sl, "
+    f"CAST(len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
+    "AS BIGINT) AS sw, "
+    "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS al, "
+    "greatest(CAST(length(text) AS BIGINT), 1) AS ltp FROM w), "
+    "q AS (SELECT doc_id, nt, "
+    "(1000000 * sl) // ntp AS mean_token_len_ppm, "
+    "(1000000 * sw) // ntp AS stopword_ratio_ppm, "
+    "(1000000 * al) // ltp AS alpha_ratio_ppm, "
+    "(400000 * least(5 * sw, ntp) * ltp + 300000 * al * ntp "
+    "+ 30000 * least(sl, 10 * ntp) * ltp) // (ntp * ltp) AS quality_ppm "
+    "FROM qf)"
+)
+
+
 @q(
     "text_quality_score",
-    f"WITH {_WORDS_CTE}, "
-    "f AS (SELECT doc_id, len(ws) AS n_tokens, "
-    "list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
-    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS mtl, "
-    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
-    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS sr, "
-    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
-    "/ CAST(greatest(length(text), 1) AS DOUBLE) AS ar FROM w) "
-    "SELECT doc_id, n_tokens, ROUND(mtl, 6) AS mean_token_len, "
-    "ROUND(sr, 6) AS stopword_ratio, ROUND(ar, 6) AS alpha_ratio, "
-    "ROUND(0.4 * LEAST(sr * 5.0, 1.0) + 0.3 * ar + 0.3 * LEAST(mtl / 10.0, 1.0), 6) "
-    "AS quality FROM f",
+    f"WITH {_WORDS_CTE}, {_QINT_CTE} "
+    "SELECT doc_id, nt AS n_tokens, mean_token_len_ppm, "
+    "stopword_ratio_ppm, alpha_ratio_ppm, quality_ppm FROM q",
 )
 def text_quality_score(spark, sf_dir):
     return text.quality_score(_ds(spark, sf_dir).documents)
@@ -6626,33 +6641,46 @@ def graph_degree_hist(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
-# PageRank: 3 damped iterations unrolled as CTEs. The (1-0.85)/n and
-# 1.0/n literals are spelled as the same float expressions Python
-# computes driver-side (1.0-0.85 != 0.15 in IEEE — the SQL must
-# replicate the subtraction, not the shorthand constant).
-_PR_ITER = (
-    "c{i} AS (SELECT ed.dst, SUM(r.r / d.deg) AS c FROM ed "
-    "JOIN r{p} r ON ed.src = r.v JOIN deg d ON ed.src = d.src GROUP BY ed.dst), "
-    "r{i} AS (SELECT nodes.v, (1.0 - 0.85) / (SELECT n FROM nn) "
-    "+ 0.85 * COALESCE(c{i}.c, 0.0) AS r FROM nodes "
+# PageRank: 3 damped iterations unrolled as CTEs, in the scaled-
+# integer form (see graph.pagerank exact=True): rank sums are BIGINT
+# throughout, the teleport term is the per-iteration integer constant
+# {const}, and floats appear only in the final single division.
+_PR_EXACT_ITER = (
+    "c{i} AS (SELECT ed.dst, CAST(SUM(r.R) AS BIGINT) AS c FROM ed "
+    "JOIN r{p} r ON ed.src = r.v GROUP BY ed.dst), "
+    "r{i} AS (SELECT nodes.v, {const} + 17 * COALESCE(c{i}.c, "
+    "CAST(0 AS BIGINT)) AS R FROM nodes "
     "LEFT JOIN c{i} ON nodes.v = c{i}.dst)"
 )
 
 
 @q(
     "graph_pagerank",
+    # Exact-integer replay (round 12): out-degree is uniformly k=5 on
+    # the KNN edge table, so with damping 17/20 the recurrence stays
+    # in scaled BIGINTs (R_t = r_t * n * 100^t; teleport constants
+    # 3k*(20k)^(t-1) = 15, 1500, 150000) and the output is ONE exact-
+    # operand IEEE division — no ROUND at all. The former float form
+    # ROUND(r, 9) flipped 18% of rows by one quantum at sf0.1: the
+    # true ranks are terminating decimals (n and deg are all 2s and
+    # 5s) sitting exactly on round-half boundaries.
     f"WITH {_KNN_CTE}, "
     "ed AS (SELECT src, dst FROM knn), "
     "nodes AS (SELECT DISTINCT v FROM "
     "(SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)), "
     "nn AS (SELECT COUNT(*) AS n FROM nodes), "
-    "deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src), "
-    "r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes), "
-    + ", ".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
-    + " SELECT v, ROUND(r, 9) AS pagerank FROM r3",
+    "r0 AS (SELECT v, CAST(1 AS BIGINT) AS R FROM nodes), "
+    + ", ".join(
+        _PR_EXACT_ITER.format(i=i, p=i - 1, const=3 * 5 * (20 * 5) ** (i - 1))
+        for i in (1, 2, 3)
+    )
+    + " SELECT v, CAST(R AS DOUBLE) / (1000000.0 * (SELECT n FROM nn)) "
+    "AS pagerank FROM r3",
 )
 def graph_pagerank(spark, sf_dir):
-    return graph.pagerank(_knn_edges(spark, sf_dir), n_iter=3, damping=0.85)
+    return graph.pagerank(
+        _knn_edges(spark, sf_dir), n_iter=3, damping=0.85, exact=True
+    )
 
 
 @q(
@@ -7731,30 +7759,21 @@ def text_tfidf_top(spark, sf_dir):
 
 @q(
     "text_quality_filter",
-    f"WITH {_WORDS_CTE}, "
-    "f AS (SELECT doc_id, "
-    "list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
-    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS mtl, "
-    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
-    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS sr, "
-    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
-    "/ CAST(greatest(length(text), 1) AS DOUBLE) AS ar FROM w), "
-    "q AS (SELECT doc_id, "
-    "ROUND(0.4 * LEAST(sr * 5.0, 1.0) + 0.3 * ar + 0.3 * LEAST(mtl / 10.0, 1.0), 6) "
-    "AS quality FROM f), "
+    f"WITH {_WORDS_CTE}, {_QINT_CTE}, "
     "h AS (SELECT doc_id, "
     f"len(list_filter(ws, x -> list_contains({_DE_SW}, lower(x)))) AS h_de, "
     f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) AS h_en, "
     f"len(list_filter(ws, x -> list_contains({_FR_SW}, lower(x)))) AS h_fr FROM w), "
     "l AS (SELECT doc_id, CASE WHEN h_de >= h_en AND h_de >= h_fr THEN 'de' "
     "WHEN h_en >= h_fr THEN 'en' ELSE 'fr' END AS pred_lang FROM h), "
-    "j AS (SELECT d.doc_id, length(d.text) AS n_chars, l.pred_lang, q.quality, "
+    "j AS (SELECT d.doc_id, length(d.text) AS n_chars, l.pred_lang, "
+    "q.quality_ppm, "
     "(CASE WHEN length(d.text) < 200 THEN 1 ELSE 0 END "
     "+ CASE WHEN l.pred_lang NOT IN ('en', 'de') THEN 2 ELSE 0 END "
-    "+ CASE WHEN q.quality < 0.5 THEN 4 ELSE 0 END) AS reasons "
+    "+ CASE WHEN q.quality_ppm < 500000 THEN 4 ELSE 0 END) AS reasons "
     "FROM documents d JOIN q ON d.doc_id = q.doc_id "
     "JOIN l ON d.doc_id = l.doc_id) "
-    "SELECT doc_id, n_chars, pred_lang, quality, reasons, "
+    "SELECT doc_id, n_chars, pred_lang, quality_ppm, reasons, "
     "reasons = 0 AS keep FROM j",
 )
 def text_quality_filter(spark, sf_dir):
@@ -7963,17 +7982,7 @@ def text_unigram_logprob(spark, sf_dir):
 # composed from the individually-green stages (the text_minhash_cluster
 # precedent). Every sub-CTE is the verbatim oracle of its stage.
 _PIPE_SQL = (
-    f"WITH {_WORDS_CTE}, "
-    "f AS (SELECT doc_id, "
-    "list_aggregate(list_transform(ws, x -> length(x)), 'sum') "
-    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS mtl, "
-    f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) "
-    "/ CAST(greatest(len(ws), 1) AS DOUBLE) AS sr, "
-    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
-    "/ CAST(greatest(length(text), 1) AS DOUBLE) AS ar FROM w), "
-    "q AS (SELECT doc_id, "
-    "ROUND(0.4 * LEAST(sr * 5.0, 1.0) + 0.3 * ar + 0.3 * LEAST(mtl / 10.0, 1.0), 6) "
-    "AS quality FROM f), "
+    f"WITH {_WORDS_CTE}, {_QINT_CTE}, "
     "h AS (SELECT doc_id, "
     f"len(list_filter(ws, x -> list_contains({_DE_SW}, lower(x)))) AS h_de, "
     f"len(list_filter(ws, x -> list_contains({_EN_SW}, lower(x)))) AS h_en, "
@@ -7983,7 +7992,7 @@ _PIPE_SQL = (
     "keepq AS (SELECT d.doc_id FROM documents d "
     "JOIN q ON d.doc_id = q.doc_id JOIN l ON d.doc_id = l.doc_id "
     "WHERE length(d.text) >= 200 AND l.pred_lang IN ('en', 'de') "
-    "AND q.quality >= 0.5), "
+    "AND q.quality_ppm >= 500000), "
     "dd AS (SELECT doc_id FROM (SELECT doc_id, "
     "doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS k FROM documents) "
     "WHERE k), "
@@ -9384,10 +9393,12 @@ _PRIORITY = [
     "knn_cross_topk", "knn_smooth_weights", "ml_centroid_classify",
     "ml_coral", "ml_hvg_binned", "ml_lisi", "ml_logreg_gd", "ml_lsi",
     "ml_wnn", "sketch_kmv", "sql_q6",
+    # engine/oracle changed mid-round after the sf0.1 sweep caught
+    # rounding-boundary instability (ppm-integer quality, exact-integer
+    # pagerank — graph_pagerank itself is already in the tail above):
+    "text_quality_score", "text_quality_filter", "pipe_pretrain_prep",
     # stable sentinels (r1-green, re-verified every selfcheck sweep):
     "qc_ncounts", "sql_q1", "filt_sift",
-    # next-oldest cohort (r6), fill to the 50-query window:
-    "agg_gini", "agg_rollup", "dedup_dup_spans",
 ]
 
 

@@ -198,6 +198,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     weight_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the directed KNN edge table (every
     node has out-degree k, in-degree varies — the hub structure of the
@@ -233,6 +234,50 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
     ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+    if exact:
+        # Exact-integer mode (round 12): on a uniform-out-degree graph
+        # (every KNN edge table) with damping 17/20, the recurrence
+        # stays in scaled integers — R_t = r_t * n * (20k)^t — so the
+        # final value is ONE exact-operand IEEE division, identical in
+        # any engine. The float path's ROUND(r, 9) was boundary-
+        # unstable at sf0.1: with n and deg made only of 2s and 5s the
+        # TRUE ranks are terminating decimals that sit exactly on
+        # rounding half-boundaries, and accumulated sum noise flipped
+        # 18% of rows by one quantum between Spark and DuckDB.
+        if abs(damping - 0.85) > 1e-12 or weight_col is not None:
+            raise ValueError("exact pagerank supports damping=0.85, unweighted")
+        lo_hi = outdeg.agg(
+            F.min("deg").alias("lo"), F.max("deg").alias("hi")
+        ).collect()[0]
+        if lo_hi["lo"] != lo_hi["hi"]:
+            raise ValueError("exact pagerank needs uniform out-degree")
+        k = int(lo_hi["lo"])
+        if n * (20 * k) ** n_iter >= 2**53:
+            raise ValueError("exact pagerank scale overflows: lower n_iter")
+        ranks = nodes.select("v", F.lit(1).cast("long").alias("R"))
+        add_const = 3 * k  # 3k * (20k)^(it), the teleport term scaled
+        for it in range(n_iter):
+            contrib = (
+                ed.join(ranks.withColumnRenamed("v", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("R").alias("c"))
+            )
+            ranks = nodes.join(
+                contrib.withColumnRenamed("dst", "v"), "v", "left_outer"
+            ).select(
+                "v",
+                (
+                    F.lit(add_const)
+                    + F.lit(17) * F.coalesce(F.col("c"), F.lit(0).cast("long"))
+                ).alias("R"),
+            )
+            add_const *= 20 * k
+            if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+        denom = float(n) * float((20 * k) ** n_iter)
+        return ranks.select(
+            "v", (F.col("R").cast("double") / F.lit(denom)).alias("pagerank")
+        )
     for it in range(n_iter):
         contrib = (
             ed.join(ranks.withColumnRenamed("v", "src"), "src")

@@ -39,36 +39,48 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + blended score: mean token length,
-    stopword ratio, alpha-char ratio, plus a deterministic blend. The
-    kind of cheap per-doc signal a corpus filter runs before expensive
-    model scoring."""
+    stopword ratio, alpha-char ratio, plus a deterministic blend
+    (0.4·min(5·stopword_ratio, 1) + 0.3·alpha_ratio +
+    0.3·min(mean_token_len/10, 1)). The kind of cheap per-doc signal
+    a corpus filter runs before expensive model scoring.
+
+    All outputs are EXACT parts-per-million integers (integer
+    cross-multiplication over the common denominator, then one
+    integer division). The former ROUND(float, 6) form was
+    boundary-unstable: every ratio here is a small-denominator
+    rational, so true values routinely land exactly on a rounding
+    half-boundary and engine-level float noise flips the last digit
+    either way (first seen as a 1-row divergence in the round-12
+    sf0.1 sweep). Integer div is bit-equal in any engine."""
     tok = docs.select(
         F.col(id_col), F.col(text_col), _words(text_col).alias("_w")
     )
     w = F.col("_w")
-    n_tokens = F.size(w)
-    mean_tok_len = F.aggregate(
-        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
-    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
     sw = STOPWORDS["en"]
-    n_stop = F.size(F.filter(w, lambda x: F.lower(x).isin(sw)))
-    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1)).cast("double")
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
-        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
-    )
-    score = (
-        F.lit(0.4) * F.least(stop_ratio * 5.0, F.lit(1.0))
-        + F.lit(0.3) * alpha_ratio
-        + F.lit(0.3) * F.least(mean_tok_len / 10.0, F.lit(1.0))
-    )
-    return tok.select(
+    ints = tok.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.size(w).alias("_nt"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("_sl"),
+        F.size(F.filter(w, lambda x: F.lower(x).isin(sw)))
+        .cast("long")
+        .alias("_sw"),
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+        .cast("long")
+        .alias("_al"),
+        F.greatest(F.length(F.col(text_col)).cast("long"), F.lit(1).cast("long"))
+        .alias("_ltp"),
+    ).withColumn("_ntp", F.greatest(F.col("_nt").cast("long"), F.lit(1).cast("long")))
+    return ints.selectExpr(
+        id_col,
+        "_nt AS n_tokens",
+        "(1000000 * _sl) div _ntp AS mean_token_len_ppm",
+        "(1000000 * _sw) div _ntp AS stopword_ratio_ppm",
+        "(1000000 * _al) div _ltp AS alpha_ratio_ppm",
+        "(400000 * least(5 * _sw, _ntp) * _ltp + 300000 * _al * _ntp"
+        " + 30000 * least(_sl, 10 * _ntp) * _ltp) div (_ntp * _ltp)"
+        " AS quality_ppm",
     )
 
 
@@ -400,21 +412,23 @@ def quality_filter(
 
     Pure composition of :func:`quality_score` and :func:`lang_id` —
     two codegen passes over the corpus joined on the doc key; the
-    thresholds compare ROUNDED scores, so the keep decision is as
-    engine-portable as the scores themselves."""
-    qs = quality_score(docs, id_col=id_col).select(id_col, "quality")
+    quality threshold compares the EXACT integer ppm score
+    (``min_quality`` is converted to ppm), so the keep decision is
+    boundary-stable in any engine."""
+    qs = quality_score(docs, id_col=id_col).select(id_col, "quality_ppm")
     li = lang_id(docs, id_col=id_col).select(id_col, "pred_lang")
     base = docs.select(id_col, F.length("text").alias("_len"))
     j = base.join(qs, id_col).join(li, id_col)
+    min_q_ppm = int(round(min_quality * 1_000_000))
     r_short = F.when(F.col("_len") < min_chars, 1).otherwise(0)
     r_lang = F.when(~F.col("pred_lang").isin(*langs), 2).otherwise(0)
-    r_qual = F.when(F.col("quality") < min_quality, 4).otherwise(0)
+    r_qual = F.when(F.col("quality_ppm") < min_q_ppm, 4).otherwise(0)
     reasons = r_short + r_lang + r_qual
     return j.select(
         id_col,
         F.col("_len").alias("n_chars"),
         "pred_lang",
-        "quality",
+        "quality_ppm",
         reasons.alias("reasons"),
         (reasons == 0).alias("keep"),
     )

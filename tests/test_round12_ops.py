@@ -95,6 +95,51 @@ def test_dedup_memo_builds_once_under_concurrency(spark, sf_dir):
     assert entry._DEDUP_CACHE[(app, sf_dir, "sh")] is sh1
 
 
+def test_pagerank_exact_matches_float_path(spark):
+    # uniform out-degree 2-regular ring: the scaled-integer recurrence
+    # must agree with the float path to well under the old 1e-9
+    # rounding quantum, and mass must stay exactly 1 in integer form
+    from scarf_spark.operators.graph import pagerank
+
+    n = 40
+    edges = spark.range(n).selectExpr(
+        "id AS src", "(id + 1) % 40 AS dst"
+    ).unionAll(spark.range(n).selectExpr("id AS src", "(id + 7) % 40 AS dst"))
+    ex = {r["v"]: r["pagerank"] for r in
+          pagerank(edges, n_iter=3, exact=True).collect()}
+    fl = {r["v"]: r["pagerank"] for r in
+          pagerank(edges, n_iter=3, exact=False).collect()}
+    assert len(ex) == n
+    assert all(abs(ex[v] - fl[v]) < 1e-9 for v in ex)
+    # total rank mass is exactly 1: the scaled integers sum to n*(40)^3
+    assert abs(sum(ex.values()) - 1.0) < 1e-12
+    # non-uniform degree refuses exact mode instead of silently lying
+    bad = edges.unionAll(spark.range(1).selectExpr("0 AS src", "5 AS dst"))
+    try:
+        pagerank(bad, n_iter=1, exact=True).collect()
+        raise AssertionError("expected ValueError on non-uniform degree")
+    except ValueError:
+        pass
+
+
+def test_quality_score_ppm_exact_integers(spark):
+    # hand-computed doc: "the cat sat" -> nt=3, sl=9, sw=1 ('the'),
+    # text len 11, alpha 9. mean_token_len_ppm = 9e6 div 3 = 3_000_000;
+    # stopword 1e6 div 3 = 333_333; alpha 9e6 div 11 = 818_181;
+    # quality = .4*min(5/3,1) + .3*9/11 + .3*min(.3,1)
+    #         = .4 + 27/110 + .09 -> ppm floor = 735454
+    from scarf_spark.operators.text import quality_score
+
+    docs = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    r = quality_score(docs).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["mean_token_len_ppm"] == 3_000_000
+    assert r["stopword_ratio_ppm"] == 333_333
+    assert r["alpha_ratio_ppm"] == 818_181
+    num = 400_000 * 3 * 11 + 300_000 * 9 * 3 + 30_000 * 9 * 11
+    assert r["quality_ppm"] == num // (3 * 11) == 735_454
+
+
 def test_harmony_fused_iterations_converge(spark):
     # the scan-fused loop must still be deterministic and batch-aware:
     # two disjoint batches offset by a constant vector move toward each
