@@ -6922,9 +6922,9 @@ def text_bpe_encode(spark, sf_dir):
     "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
     "FROM vec), "
     "pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
-    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
-    "FROM nv a JOIN nv b ON a.doc_id != b.doc_id) "
-    "SELECT src, rn AS rank, dst, ROUND(distance, 6) AS distance FROM "
+    "ROUND(1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) "
+    "AS distance FROM nv a JOIN nv b ON a.doc_id != b.doc_id) "
+    "SELECT src, rn AS rank, dst, distance FROM "
     "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src "
     "ORDER BY distance, dst) AS rn FROM pairs) WHERE rn <= 3",
 )
@@ -6935,11 +6935,19 @@ def pipe_text_ann(spark, sf_dir):
     text_minhash_cluster. Routed through the SHARDED exact scorer (a
     query-block × index-shard grid, bit-identical output to
     cosine_knn_exact) so nothing collects the hash-embedded corpus to
-    the driver — the 100 TB path, not the small-envelope baseline."""
+    the driver — the 100 TB path, not the small-envelope baseline.
+
+    Ranks on (ROUND(distance, 6), dst) on BOTH sides (round 12): hash
+    embeddings of near-duplicate docs produce distance near-ties
+    closer than BLAS-vs-SQL summation ulps, which reordered one sf0.1
+    row under raw-distance ranking; quantizing before the rank makes
+    the order engine-invariant (the IVFPQ oracle convention)."""
     from scarf_spark.operators import knn, text
 
     emb = text.hash_embed(_ds(spark, sf_dir).documents, dim=64)
-    return knn.cosine_knn_sharded(emb, k=3, id_col="doc_id")
+    return knn.cosine_knn_sharded(
+        emb, k=3, id_col="doc_id", rank_by_rounded=True
+    )
 
 
 @q(
@@ -9394,11 +9402,13 @@ _PRIORITY = [
     "ml_coral", "ml_hvg_binned", "ml_lisi", "ml_logreg_gd", "ml_lsi",
     "ml_wnn", "sketch_kmv", "sql_q6",
     # engine/oracle changed mid-round after the sf0.1 sweep caught
-    # rounding-boundary instability (ppm-integer quality, exact-integer
-    # pagerank — graph_pagerank itself is already in the tail above):
+    # rounding-boundary and ulp-tie instability (ppm-integer quality,
+    # exact-integer pagerank — graph_pagerank itself is already in the
+    # tail above — and the rounded-rank text ANN):
     "text_quality_score", "text_quality_filter", "pipe_pretrain_prep",
+    "pipe_text_ann",
     # stable sentinels (r1-green, re-verified every selfcheck sweep):
-    "qc_ncounts", "sql_q1", "filt_sift",
+    "qc_ncounts", "sql_q1",
 ]
 
 

@@ -111,12 +111,21 @@ def cosine_knn_exact(
     return emb.mapInPandas(score, "src long, rank int, dst long, distance double")
 
 
-def _grid_scorer(m_keep: int, sub: int = 1024):
+def _grid_scorer(m_keep: int, sub: int = 1024, round_dec: int | None = None):
     """Per-(query-block × index-shard) BLAS scorer for the sharded KNN
     grid: normalizes both sides, scores ``sub``-query sub-batches
     against the cell's index shard (bounded peak memory: one shard +
     a sub×shard distance block), keeps per-query top-``m_keep`` by raw
-    distance. Shared by the self- and cross-set grids."""
+    distance. Shared by the self- and cross-set grids.
+
+    ``round_dec`` quantizes distances BEFORE the per-cell prune (and in
+    the output), making the kept set + downstream (distance, dst)
+    ranking invariant to summation-ulp noise between BLAS and any
+    replaying engine — required when the input embedding family
+    produces near-ties closer than float-association error (hash
+    embeddings of near-duplicate text; surfaced by the round-12 sf0.1
+    sweep on pipe_text_ann). Raw-distance consumers are unaffected
+    (default None)."""
     import numpy as np
 
     def score(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
@@ -144,6 +153,8 @@ def _grid_scorer(m_keep: int, sub: int = 1024):
             # second block
             dist = qn @ im
             np.subtract(1.0, dist, out=dist)
+            if round_dec is not None:
+                np.round(dist, round_dec, out=dist)
             nrow = dist.shape[0]
             if ncol > m:
                 # O(n) argpartition keeps an ARBITRARY subset of ties
@@ -193,6 +204,7 @@ def cosine_knn_sharded(
     n_query_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_by_rounded: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k WITHOUT collecting the index to the driver —
     the scale path :func:`cosine_knn_exact`'s docstring promises.
@@ -255,7 +267,10 @@ def cosine_knn_sharded(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
     )
-    score = _grid_scorer(k + 1)  # self hit may occupy one slot
+    # self hit may occupy one slot; rank_by_rounded quantizes to the
+    # output precision BEFORE the per-cell prune so the kept set obeys
+    # the same (rounded distance, dst) order the global window uses
+    score = _grid_scorer(k + 1, round_dec=6 if rank_by_rounded else None)
 
     cand = (
         qrep.groupBy("qb", "shard")
