@@ -606,13 +606,19 @@ def main() -> None:
     n_base = int(n_docs * 0.9)
     base = (F.col("id") % n_base)
     is_dup = (F.col("id") >= n_base).cast("long")
+    # modulus >> 31 * n_base so word identity never wraps: two BASE
+    # docs share a whole text only if the linear codes collide, which
+    # the wide modulus prevents (a 200k modulus made every 200k-th doc
+    # bit-identical — 45 copies per class at 10M docs — and the LSH
+    # candidate set exploded quadratically with the class size instead
+    # of tracking the intended 10% near-dup rate)
     words = F.transform(
         F.sequence(F.lit(1), F.lit(12)),
         lambda w: F.concat(
             F.lit("w"),
             (
                 (base * 31 + w * 7919 + is_dup * F.when(w == 12, 1).otherwise(0))
-                % 200_000
+                % 1_000_000_000
             ).cast("string"),
         ),
     )
