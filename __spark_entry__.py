@@ -3353,19 +3353,30 @@ def graph_unified(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FEAT_KNN_CTE = (
+    # Dense-vector form (round 12): the former relational dot —
+    # prof ⋈ prof ON bin, grouped — materialized F² rows PER BIN
+    # (4×10⁹ join rows at sf0.1's 20k features), which no 180s-class
+    # budget survives. Folding each feature's 10 binned means into one
+    # dense list first makes the pair stage F² rows of a 10-term
+    # list_inner_product — same values (ROUND(6) profile entries, a
+    # 10-term dot re-associated at most), ~100x less join traffic.
     f"{COUNTS_CTE}, "
     "co AS (SELECT o_orderkey AS cell_id, o_totalprice AS x FROM orders), "
     "bc AS (SELECT cell_id, NTILE(10) OVER (ORDER BY x, cell_id) AS bin FROM co), "
     "prof AS (SELECT feat_id, bin, ROUND(AVG(value), 6) AS m "
     "FROM counts c JOIN bc ON c.cell_id = bc.cell_id GROUP BY 1, 2), "
-    "nrm AS (SELECT feat_id, sqrt(SUM(m * m)) AS nrm FROM prof GROUP BY 1), "
-    "dots AS (SELECT a.feat_id AS src, b.feat_id AS dst, SUM(a.m * b.m) AS dot "
-    "FROM prof a JOIN prof b ON a.bin = b.bin AND a.feat_id != b.feat_id "
-    "GROUP BY 1, 2), "
-    "fpairs AS (SELECT na.feat_id AS src, nb.feat_id AS dst, "
-    "1.0 - COALESCE(d.dot, 0) / (na.nrm * nb.nrm) AS distance "
-    "FROM nrm na JOIN nrm nb ON na.feat_id != nb.feat_id "
-    "LEFT JOIN dots d ON d.src = na.feat_id AND d.dst = nb.feat_id), "
+    "fv AS MATERIALIZED (SELECT f.feat_id, "
+    "list(COALESCE(p.m, 0.0) ORDER BY r.b) AS v "
+    "FROM (SELECT DISTINCT feat_id FROM prof) f "
+    "CROSS JOIN (SELECT UNNEST(range(1, 11)) AS b) r "
+    "LEFT JOIN prof p ON p.feat_id = f.feat_id AND p.bin = r.b "
+    "GROUP BY f.feat_id), "
+    "nv AS MATERIALIZED (SELECT feat_id, v, "
+    "sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+    "FROM fv), "
+    "fpairs AS (SELECT a.feat_id AS src, b.feat_id AS dst, "
+    "1.0 - list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS distance "
+    "FROM nv a JOIN nv b ON a.feat_id != b.feat_id), "
     "knn AS MATERIALIZED (SELECT src, rn AS rank, dst, distance FROM "
     "(SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY distance, dst) AS rn "
     "FROM fpairs) WHERE rn <= 5)"
