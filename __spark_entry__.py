@@ -9415,11 +9415,10 @@ _PRIORITY = [
     # engine/oracle changed mid-round after the sf0.1 sweep caught
     # rounding-boundary and ulp-tie instability (ppm-integer quality,
     # exact-integer pagerank — graph_pagerank itself is already in the
-    # tail above — and the rounded-rank text ANN):
+    # tail above — and the rounded-rank text ANN), plus the
+    # feature-KNN oracle's dense-vector rewrite:
     "text_quality_score", "text_quality_filter", "pipe_pretrain_prep",
-    "pipe_text_ann",
-    # stable sentinels (r1-green, re-verified every selfcheck sweep):
-    "qc_ncounts", "sql_q1",
+    "pipe_text_ann", "mark_feat_knn", "mark_feat_modules",
 ]
 
 
