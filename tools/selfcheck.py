@@ -126,16 +126,29 @@ def main() -> int:
     n_pass = n_fail = n_weak = 0
     skips: list[str] = []
 
+    # Cancellation is detected POSITIVELY: the Timer callback sets the
+    # flag BEFORE cancelling/interrupting, and the except paths check
+    # the flag — not elapsed time or an 'INTERRUPT' message substring,
+    # either of which would record a genuine engine/oracle failure that
+    # happens to surface near the deadline as SKIP instead of FAIL.
+    cancelled = {"spark": False, "duck": False}
+
     def spark_collect(name, fn):
         """fn() under a cancellable job group when time-boxed."""
         import threading
 
+        cancelled["spark"] = False
         if not timeout_s:
             return fn()
         sc = spark.sparkContext
         gid = f"selfcheck-{name}"
         sc.setJobGroup(gid, "selfcheck timebox", interruptOnCancel=True)
-        timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(gid))
+
+        def _cancel():
+            cancelled["spark"] = True
+            sc.cancelJobGroup(gid)
+
+        timer = threading.Timer(timeout_s, _cancel)
         timer.start()
         try:
             return fn()
@@ -145,9 +158,15 @@ def main() -> int:
     def duck_fetch(sql):
         import threading
 
+        cancelled["duck"] = False
         if not timeout_s:
             return con.execute(sql).fetchdf()
-        timer = threading.Timer(timeout_s, con.interrupt)
+
+        def _cancel():
+            cancelled["duck"] = True
+            con.interrupt()
+
+        timer = threading.Timer(timeout_s, _cancel)
         timer.start()
         try:
             return con.execute(sql).fetchdf()
@@ -168,7 +187,7 @@ def main() -> int:
         try:
             spark_types, sdf = spark_collect(name, _build)
         except Exception as e:
-            if timeout_s and time.time() - t0 >= timeout_s - 1:
+            if cancelled["spark"]:
                 print(f"SKIP {name}: spark timebox {timeout_s:.0f}s")
                 skips.append(f"{name} (spark > {timeout_s:.0f}s)")
                 continue
@@ -183,10 +202,7 @@ def main() -> int:
         try:
             ddf = duck_fetch(oracles[name])
         except Exception as e:
-            if timeout_s and (
-                time.time() - t1 >= timeout_s - 1
-                or "INTERRUPT" in str(e).upper()
-            ):
+            if cancelled["duck"]:
                 print(f"SKIP {name}: oracle timebox {timeout_s:.0f}s "
                       f"(spark rows={len(sdf)})")
                 skips.append(f"{name} (duckdb oracle > {timeout_s:.0f}s)")
