@@ -1277,11 +1277,16 @@ def dedup_minhash_bands(spark, sf_dir):
 )
 def dedup_components(spark, sf_dir):
     docs = _ds(spark, sf_dir).documents
-    pairs = _dedup_candidates(spark, sf_dir)
-    # engine: O(log n) star contraction — exact components; oracle:
-    # recursive-closure fixpoint — also exact, so engine/oracle
-    # equivalence no longer depends on a component-radius assumption
-    return dedup.star_components(pairs, docs)
+    ch = _dedup_chain(spark, sf_dir)
+    # engine: O(log n) star contraction over the STAR-expanded edge
+    # set (rep-level candidates + member→rep edges: same connectivity
+    # as the full member clique, O(class) rows) — exact components;
+    # oracle: recursive-closure fixpoint — also exact, so engine/
+    # oracle equivalence depends on no radius or expansion assumption
+    edges = dedup.star_expand_edges(
+        ch["rep_pairs"], ch["classes"], ch["sig_reps"]
+    )
+    return dedup.star_components(edges, docs)
 
 
 _DEDUP_CACHE: dict[tuple, DataFrame] = {}
@@ -1293,57 +1298,84 @@ _DEDUP_CACHE: dict[tuple, DataFrame] = {}
 _DEDUP_LOCK = threading.Lock()
 
 
-def _dedup_shingles(spark, sf_dir):
-    """Raw (duplicate-preserving) shingle table, lazily built —
-    consumers fetch it through this accessor, never by assuming
-    :func:`_dedup_candidates` stored it first."""
-    key = (spark.sparkContext.applicationId, sf_dir, "sh")
+def _dedup_chain(spark, sf_dir):
+    """The COLLAPSED LSH chain pieces (round 13) at the
+    corpus-standard parameters (3-word shingles, 8 hashes × 4 bands) —
+    the shared detect prefix of ``dedup_minhash_bands``,
+    ``dedup_components``, ``dedup_ngram_jaccard``,
+    ``text_minhash_cluster`` and ``dedup_keep_best``, built once per
+    (session, sf_dir), the ``_knn_edges`` convention. Identical docs
+    collapse to one representative per md5(text) class BEFORE
+    shingling (dedup.lsh_collapse_chain): the 10M scale smoke proved
+    LSH candidates grow with the SQUARE of identical-class size, and
+    boilerplate/templated docs make such classes at 100 TB. Only
+    representatives tokenize, minhash, bucket-join, and
+    Jaccard-verify; members re-expand afterwards (pair view for the
+    pair-set oracles, O(class) star edges for the component views).
+    Persisted pieces: the class map, the raw rep shingle table (feeds
+    the minhash MIN-agg directly — MIN is duplicate-insensitive — and
+    is distinct-ed only inside the set-semantics Jaccard verify), and
+    the rep-level candidate pairs."""
+    key = (spark.sparkContext.applicationId, sf_dir, "chain")
     if key not in _DEDUP_CACHE:
         with _DEDUP_LOCK:
             if key not in _DEDUP_CACHE:
                 docs = _ds(spark, sf_dir).documents
-                _DEDUP_CACHE[key] = dedup.word_shingles(
-                    docs, 3, distinct=False
-                ).persist()
+                classes = dedup.identical_classes(docs).persist()
+                ch = dedup.lsh_collapse_chain(
+                    docs, n=3, n_hashes=8, n_bands=4, classes=classes
+                )
+                ch["rep_shingles"] = ch["rep_shingles"].persist()
+                ch["rep_pairs"] = ch["rep_pairs"].persist()
+                _DEDUP_CACHE[key] = ch
     return _DEDUP_CACHE[key]
 
 
 def _dedup_candidates(spark, sf_dir):
-    """LSH candidate pairs (a, b) at the corpus-standard parameters
-    (3-word shingles, 8 hashes × 4 bands) — the shared detect prefix of
-    ``dedup_minhash_bands``, ``dedup_components``,
-    ``dedup_ngram_jaccard``, ``text_minhash_cluster`` and
-    ``dedup_keep_best``, built once per (session, sf_dir) and
-    persisted, the ``_knn_edges`` convention. The corpus tokenizes
-    ONCE: the persisted raw shingle table feeds the minhash signatures
-    directly (MIN is duplicate-insensitive, no distinct shuffle in its
-    path) and is distinct-ed only for the set-semantics Jaccard
-    verify in :func:`_dedup_jac`."""
+    """Member-level LSH candidate pairs (a, b) — the collapsed chain
+    re-expanded (dedup.expand_candidate_pairs), bit-identical to the
+    uncollapsed bucket self-join; feeds the pair-set oracles."""
     key = (spark.sparkContext.applicationId, sf_dir, "cand")
     if key not in _DEDUP_CACHE:
-        sh = _dedup_shingles(spark, sf_dir)
+        ch = _dedup_chain(spark, sf_dir)
         with _DEDUP_LOCK:
             if key not in _DEDUP_CACHE:
-                docs = _ds(spark, sf_dir).documents
-                _DEDUP_CACHE[key] = dedup.minhash_candidate_pairs(
-                    docs, n=3, n_hashes=8, n_bands=4, shingles=sh
+                _DEDUP_CACHE[key] = dedup.expand_candidate_pairs(
+                    ch["rep_pairs"], ch["classes"], ch["sig_reps"]
                 ).persist()
     return _DEDUP_CACHE[key]
 
 
-def _dedup_jac(spark, sf_dir):
-    """Exact df-capped Jaccard over the LSH candidates (a, b, jaccard
-    ROUND(6)) — the shared verify stage downstream of
-    :func:`_dedup_candidates`, memoized the same way."""
-    key = (spark.sparkContext.applicationId, sf_dir, "jac")
+def _dedup_rep_jac(spark, sf_dir):
+    """Rep-level df-capped Jaccard over the collapsed candidates —
+    returns the memoized (rep_jac, capped_sizes) pair from
+    dedup.collapsed_rep_jaccard (df weighted by class size, so capping
+    is member-exact). The shared verify stage of the scored and
+    clustered views below."""
+    key = (spark.sparkContext.applicationId, sf_dir, "repjac")
     if key not in _DEDUP_CACHE:
-        cand = _dedup_candidates(spark, sf_dir)
-        sh = _dedup_shingles(spark, sf_dir)
+        ch = _dedup_chain(spark, sf_dir)
         with _DEDUP_LOCK:
             if key not in _DEDUP_CACHE:
-                _DEDUP_CACHE[key] = dedup.ngram_jaccard(
-                    _ds(spark, sf_dir).documents,
-                    pairs=cand, n=3, df_cap=100, shingles=sh.distinct(),
+                rep_jac, capped = dedup.collapsed_rep_jaccard(ch, df_cap=100)
+                _DEDUP_CACHE[key] = (rep_jac.persist(), capped.persist())
+    return _DEDUP_CACHE[key]
+
+
+def _dedup_jac(spark, sf_dir):
+    """Member-level df-capped Jaccard over the LSH candidates (a, b,
+    jaccard ROUND(6)) — rep-level scores expanded
+    (dedup.expand_pair_scores): inter-class member pairs inherit the
+    class pair's score, intra-class pairs of capped-nonempty classes
+    score exactly 1.0."""
+    key = (spark.sparkContext.applicationId, sf_dir, "jac")
+    if key not in _DEDUP_CACHE:
+        rep_jac, capped = _dedup_rep_jac(spark, sf_dir)
+        ch = _dedup_chain(spark, sf_dir)
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_CACHE:
+                _DEDUP_CACHE[key] = dedup.expand_pair_scores(
+                    rep_jac, ch["classes"], capped
                 ).persist()
     return _DEDUP_CACHE[key]
 
@@ -1351,16 +1383,28 @@ def _dedup_jac(spark, sf_dir):
 def _verified_dedup_comp(spark, sf_dir):
     """Jaccard-VERIFIED near-dup components (doc_id, cluster, keep) —
     the shared detect → verify → cluster prefix of
-    ``text_minhash_cluster`` and ``dedup_keep_best`` (identical
-    parameters end to end)."""
+    ``text_minhash_cluster`` and ``dedup_keep_best``. Round 13: exact
+    components over the STAR-expanded verified edges (rep-level
+    verified pairs + one member→rep edge per exact-dup member —
+    identical connectivity to the full member-level clique, O(class)
+    edges instead of O(class²)), labeled by the O(log n) star
+    contraction. Exact at any component depth, so the oracle is the
+    recursive-closure fixpoint (the dedup_components convention) —
+    no min-label round-budget assumption on either side."""
     key = (spark.sparkContext.applicationId, sf_dir, "comp")
     if key not in _DEDUP_CACHE:
-        jac = _dedup_jac(spark, sf_dir)
+        rep_jac, capped = _dedup_rep_jac(spark, sf_dir)
+        ch = _dedup_chain(spark, sf_dir)
         with _DEDUP_LOCK:
             if key not in _DEDUP_CACHE:
-                edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
-                _DEDUP_CACHE[key] = dedup.min_label_components(
-                    edges, _ds(spark, sf_dir).documents, n_iter=3
+                ve_rep = rep_jac.where(F.col("jaccard") >= 0.5).select(
+                    F.col("ra").alias("a"), F.col("rb").alias("b")
+                )
+                edges = dedup.star_expand_edges(
+                    ve_rep, ch["classes"], capped.select("rep")
+                )
+                _DEDUP_CACHE[key] = dedup.star_components(
+                    edges, _ds(spark, sf_dir).documents
                 ).persist()
     return _DEDUP_CACHE[key]
 
@@ -1369,10 +1413,13 @@ def _verified_dedup_comp(spark, sf_dir):
     "text_minhash_cluster",
     # the full production near-dup clustering pipeline end-to-end:
     # LSH candidates → df-capped exact-Jaccard verify → threshold →
-    # min-label components → cluster sizes + canonical keep flag
+    # exact components → cluster sizes + canonical keep flag
     # (dedup_components clusters UNverified candidates; this clusters
-    # only pairs that survive jaccard >= 0.5)
-    f"WITH {_MINHASH_CTE}, "
+    # only pairs that survive jaccard >= 0.5). The component stage is
+    # the recursive-closure fixpoint (the dedup_components convention,
+    # round 13) — exact at any depth, matching the engine's exact star
+    # contraction with no min-label round-budget assumption
+    f"WITH RECURSIVE {_MINHASH_CTE}, "
     "prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
     "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
     "shc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100), "
@@ -1389,30 +1436,24 @@ def _verified_dedup_comp(spark, sf_dir):
     "WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5), "
     "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ve "
     "UNION ALL SELECT b, a FROM ve), "
-    "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents), "
-    + " ".join(
-        (
-            "l{t} AS MATERIALIZED (SELECT n.node, "
-            "LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl "
-            "FROM l{p} n LEFT JOIN und u ON u.src = n.node "
-            "LEFT JOIN l{p} l ON l.node = u.dst GROUP BY n.node, n.lbl),"
-        ).format(t=t, p=t - 1)
-        for t in (1, 2, 3)
-    )
-    + " lab AS (SELECT node AS doc_id, lbl AS cluster, node = lbl AS keep "
-    "FROM l3), "
+    "reach(node, lbl) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT u.src, r.lbl FROM reach r JOIN und u ON u.dst = r.node), "
+    "lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster, "
+    "node = MIN(lbl) AS keep FROM reach GROUP BY node), "
     "cs AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY 1) "
     "SELECT lab.doc_id, lab.cluster, cs.n_members, lab.keep "
     "FROM lab JOIN cs ON lab.cluster = cs.cluster",
 )
 def text_minhash_cluster(spark, sf_dir):
-    """Verified near-dup clustering: minhash_candidate_pairs →
-    ngram_jaccard(df_cap) → threshold 0.5 (on the ROUND(6) score, so
-    the cut replays across engines) → min_label_components → sizes.
-    The corpus tokenizes ONCE: the persisted raw shingle table feeds
-    the minhash signatures directly (MIN is duplicate-insensitive, no
-    distinct shuffle in its path) and is distinct-ed only for the
-    set-semantics Jaccard verify."""
+    """Verified near-dup clustering: identical-class collapse →
+    rep-level LSH candidates → rep-level df-capped Jaccard (threshold
+    0.5 on the ROUND(6) score, so the cut replays across engines) →
+    exact star-contraction components over the star-expanded verified
+    edges → member sizes. Only DISTINCT texts tokenize, minhash,
+    bucket-join and verify; exact-dup members re-join as O(class)
+    star edges (dedup.lsh_collapse_chain, round 13)."""
     comp = _verified_dedup_comp(spark, sf_dir)
     sizes = comp.groupBy("cluster").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, "cluster").select(
@@ -1423,10 +1464,10 @@ def text_minhash_cluster(spark, sf_dir):
 @q(
     "dedup_keep_best",
     # detect -> cluster -> SELECT: same verified near-dup clusters as
-    # text_minhash_cluster, but the survivor is the best-QUALITY
-    # member (longest doc, doc_id tie-break — integer argmax, exact)
-    # rather than the smallest id
-    f"WITH {_MINHASH_CTE}, "
+    # text_minhash_cluster (same exact recursive-closure components),
+    # but the survivor is the best-QUALITY member (longest doc, doc_id
+    # tie-break — integer argmax, exact) rather than the smallest id
+    f"WITH RECURSIVE {_MINHASH_CTE}, "
     "prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bk a JOIN bk b "
     "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
     "shc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100), "
@@ -1443,17 +1484,12 @@ def text_minhash_cluster(spark, sf_dir):
     "WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5), "
     "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ve "
     "UNION ALL SELECT b, a FROM ve), "
-    "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents), "
-    + " ".join(
-        (
-            "l{t} AS MATERIALIZED (SELECT n.node, "
-            "LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl "
-            "FROM l{p} n LEFT JOIN und u ON u.src = n.node "
-            "LEFT JOIN l{p} l ON l.node = u.dst GROUP BY n.node, n.lbl),"
-        ).format(t=t, p=t - 1)
-        for t in (1, 2, 3)
-    )
-    + " lab AS (SELECT node AS doc_id, lbl AS cluster FROM l3), "
+    "reach(node, lbl) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT u.src, r.lbl FROM reach r JOIN und u ON u.dst = r.node), "
+    "lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster "
+    "FROM reach GROUP BY node), "
     "qj AS (SELECT lab.cluster, lab.doc_id, d.n_chars, "
     "ROW_NUMBER() OVER (PARTITION BY lab.cluster "
     "ORDER BY d.n_chars DESC, lab.doc_id) AS rn, "
@@ -9386,39 +9422,39 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 # regardless of window position is still verified by
 # tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # round-12 window. First the queries whose ENGINE changed (or are
-    # new) this round, so the driver grades the code that will run:
-    # join_interval_sweep is new (the pair-free prefix-sum plan);
-    # join_interval_overlap now answers its oracle with the binned
-    # pair join + quantized agg (both plans share ONE oracle);
-    # join_interval_binned's salted engine landed r11 after its last
-    # grade; ml_harmony's per-iteration scans are fused (one
-    # localCheckpoint + derived per-batch sums):
-    "join_interval_sweep", "join_interval_overlap", "join_interval_binned",
-    "ml_harmony",
-    # freshness rotation: the staleness tail - win_topk_per_group
-    # (last graded r4, the single oldest ledger row) plus the entire
-    # r5-latest cohort. Every row has been selfcheck-exact at every
-    # sweep since its last grade:
-    "win_topk_per_group",
-    "agg_cc_phase", "agg_corr", "agg_cube", "agg_distinct_stats",
-    "agg_entropy", "agg_exact_median", "agg_moments", "agg_pivot",
-    "agg_salted_distinct", "ann_ivf", "ann_ivf_recall", "ann_pq",
-    "ann_quantize", "dedup_containment", "dedup_decontaminate",
-    "dedup_embedding", "dedup_exact", "dedup_simhash", "evt_funnel",
-    "evt_json_extract", "evt_retention", "graph_magic_t1",
-    "graph_mapping_score", "graph_pagerank", "graph_snn",
-    "graph_target_class", "graph_triangles", "join_anti_orphans",
-    "knn_cross_topk", "knn_smooth_weights", "ml_centroid_classify",
-    "ml_coral", "ml_hvg_binned", "ml_lisi", "ml_logreg_gd", "ml_lsi",
-    "ml_wnn", "sketch_kmv", "sql_q6",
-    # engine/oracle changed mid-round after the sf0.1 sweep caught
-    # rounding-boundary and ulp-tie instability (ppm-integer quality,
-    # exact-integer pagerank — graph_pagerank itself is already in the
-    # tail above — and the rounded-rank text ANN), plus the
-    # feature-KNN oracle's dense-vector rewrite:
-    "text_quality_score", "text_quality_filter", "pipe_pretrain_prep",
-    "pipe_text_ann", "mark_feat_knn", "mark_feat_modules",
+    # round-13 window. First the queries whose ENGINE (or oracle)
+    # changed this round, so the driver grades the code that will run:
+    # the whole verified-dedup family now runs the identical-class-
+    # collapsed LSH chain (rep-level candidates/Jaccard + star-expanded
+    # exact components; text_minhash_cluster and dedup_keep_best also
+    # swapped their oracle's fixed 3-round min-label unroll for the
+    # exact recursive closure); join_interval_sweep gained the
+    # two-phase distributed prefix sums; ml_harmony releases its final
+    # E-step checkpoint; pipe_text_ann + dedup_embedding sit on the
+    # half-away-from-zero distance rounding fix:
+    "dedup_components", "text_minhash_cluster", "dedup_keep_best",
+    "dedup_lsh_recall", "join_interval_sweep", "ml_harmony",
+    "pipe_text_ann", "dedup_embedding",
+    # freshness rotation: the entire r6-latest cohort (the oldest
+    # ledger rows; dedup_minhash_bands and dedup_ngram_jaccard are
+    # ALSO engine-changed this round). Every row has been
+    # selfcheck-exact at every sweep since its last grade:
+    "agg_gini", "agg_rollup", "dedup_dup_spans", "dedup_jaccard_all",
+    "dedup_minhash_bands", "dedup_ngram_jaccard", "join_asof",
+    "mm_payload_meta", "mm_phash_dedup", "mm_resize",
+    "norm_pearson_residual", "norm_quantile", "norm_robust_scale",
+    "norm_size_factors", "norm_tf_idf", "samp_downsample",
+    "samp_hash_split", "samp_stratified", "samp_temperature",
+    "sink_wide", "sql_q3", "sql_q5", "src_bed_bins",
+    "src_gff_promoters", "src_h5_counts", "src_zarr_pruned",
+    "stream_dedup", "stream_window_sliding", "stream_window_tumbling",
+    "text_bpe_tokens", "text_collocation_pmi", "text_fingerprint",
+    "text_lang_id", "text_ngram_top", "text_pii_redact",
+    "text_token_stats", "win_ewma", "win_lead_lag", "win_ohlc",
+    "win_range_frame",
+    # two r7-cohort rows that directly exercise the _grid_scorer
+    # rounding change; the remaining 37 r7 rows rotate in round 14:
+    "knn_cross_sharded", "knn_exact_sharded",
 ]
 
 

@@ -98,6 +98,96 @@ PINNED = [
 PINNED_REF_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_PINNED_REF.json"
 )
+# Ref-vector POLICY (round 13): runs never rewrite the committed
+# reference. Each run writes its tightening PROPOSAL (gitignored) and
+# the promotion is an explicit once-per-round step — after the
+# driver's graded run — via tools/promote_pinned_ref.py, so every run
+# within a round normalizes against the SAME committed vector.
+# Proposals are only emitted from runs measured at ~clean machine
+# (slowdown <= 1.05): a loaded run can't tighten anything by
+# construction, and an anomalously cache-warm outlier is bounded by
+# the 0.5x single-step tightening floor below.
+PINNED_PROPOSED_PATH = PINNED_REF_PATH.replace(".json", ".proposed.json")
+
+
+def normalize_pinned(
+    pinned_times: dict,
+    ref: dict,
+    expected: list,
+    load1_start: float,
+    ncpu: int,
+) -> dict:
+    """Pure normalization + regression triage for the pinned headline
+    (factored out so the triage rules are unit-testable without a
+    Spark run).
+
+    The median-ratio divisor mathematically CANNOT distinguish "every
+    query 1.3x slower because the machine is loaded" from "every query
+    1.3x slower because a session default regressed" — a uniform
+    engine regression raises the median and is divided out of the
+    headline. So alongside the normalized value this emits a verdict:
+
+    * ``SUSPECT-ENGINE`` — broad slowdown (median ratio > 1.15, or
+      >=1/4 of pinned queries individually >1.3x ref) while the
+      machine looked idle when the run STARTED (load1 < 0.2*ncpu;
+      start-of-run load, because the bench's own executors dominate
+      load1 by the end) — a uniform regression would look exactly
+      like this, investigate before trusting the normalized number.
+    * ``LOAD`` — same slowdown signature but the box was visibly busy
+      at start: normalization is doing its job.
+    * ``NO-PINNED`` — nothing measured; the normalized headline is
+      meaningless, value is None and callers fall back to stream wall.
+    * ``ok`` — otherwise.
+
+    Returns {value, pinned_wall_sec, slowdown, n_over_130, pinned_n,
+    pinned_missing, regression_flag, proposal}; ``proposal`` is the
+    tightened ref vector to write to PINNED_PROPOSED_PATH (None unless
+    this run qualifies to tighten). Tightening guards (ADVICE r12):
+    only near-clean runs propose (slowdown <= 1.05), sub-50ms ref
+    entries never tighten further (they'd inflate every future
+    slowdown estimate), and one run can tighten an entry by at most 2x
+    (t >= 0.5*ref) so a single cache-warm anomaly can't poison the
+    series."""
+    out = {
+        "pinned_wall_sec": round(sum(pinned_times.values()), 3),
+        "pinned_n": len(pinned_times),
+        "slowdown": 1.0,
+        "n_over_130": 0,
+        "pinned_missing": sorted(set(expected) - set(pinned_times)),
+        "proposal": None,
+    }
+    if not pinned_times:
+        out["value"] = None
+        out["regression_flag"] = "NO-PINNED"
+        return out
+    ratios = sorted(
+        pinned_times[n] / ref[n]
+        for n in pinned_times
+        if n in ref and ref[n] > 0.05
+    )
+    slowdown = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    out["slowdown"] = round(slowdown, 3)
+    out["value"] = round(out["pinned_wall_sec"] / slowdown, 3)
+    out["n_over_130"] = sum(r > 1.3 for r in ratios)
+    broad = slowdown > 1.15 or (
+        ratios and out["n_over_130"] >= max(3, len(ratios) // 4)
+    )
+    if broad:
+        out["regression_flag"] = (
+            "SUSPECT-ENGINE" if load1_start < 0.2 * ncpu else "LOAD"
+        )
+    else:
+        out["regression_flag"] = "ok"
+    if slowdown <= 1.05:
+        proposal = dict(ref)
+        for n, t in pinned_times.items():
+            if n not in proposal:
+                proposal[n] = t
+            elif proposal[n] > 0.05 and 0.5 * proposal[n] <= t < proposal[n]:
+                proposal[n] = t
+        if proposal != ref:
+            out["proposal"] = proposal
+    return out
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -110,6 +200,9 @@ def run_one(spark, fn, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # co-tenant load BEFORE any Spark work: by the end of a run our own
+    # executors dominate load1, so the regression triage keys off this
+    load1_start = round(os.getloadavg()[0], 1)
     spark = get_spark("scarf-bench")
     qs = entry_mod.queries()
     # Bench the ENTIRE registered query surface (round 9; previously a
@@ -260,9 +353,9 @@ def main() -> None:
     # runtime, bought back by dropping the old top-10 serial_confirm
     # re-runs.
     pinned_times: dict[str, float] = {}
+    names_p = [n for n in PINNED if n in qs]
     if os.environ.get("SPARK_GRAFT_BENCH_PINNED", "1") != "0":
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_PINNED_REPS", "3"))
-        names_p = [n for n in PINNED if n in qs]
         for _ in range(reps):
             for name in names_p:
                 if f"pinned:{name}" in errors:
@@ -274,32 +367,32 @@ def main() -> None:
                     continue
                 if name not in pinned_times or t < pinned_times[name]:
                     pinned_times[name] = round(t, 3)
-    pinned_wall_sum = round(sum(pinned_times.values()), 3)
-    # Common-mode load correction against the committed reference
-    # vector (see PINNED_REF_PATH comment); the reference tightens
-    # monotonically when a run beats an entry.
-    slowdown = 1.0
-    pinned_norm_sum = pinned_wall_sum
+    # Common-mode load correction against the COMMITTED reference
+    # vector (read-only here; see the ref-vector policy at
+    # PINNED_PROPOSED_PATH — tightening goes to the gitignored
+    # proposal file, promotion is an explicit once-per-round commit).
     try:
         with open(PINNED_REF_PATH) as fh:
             ref = json.load(fh)
-        ratios = sorted(
-            pinned_times[n] / ref[n]
-            for n in pinned_times
-            if n in ref and ref[n] > 0.05
-        )
-        if ratios:
-            slowdown = max(1.0, ratios[len(ratios) // 2])
-            pinned_norm_sum = round(pinned_wall_sum / slowdown, 3)
-        tightened = dict(ref)
-        for n, t in pinned_times.items():
-            if n not in tightened or t < tightened[n]:
-                tightened[n] = t
-        if tightened != ref:
-            with open(PINNED_REF_PATH, "w") as fh:
-                json.dump(tightened, fh, indent=1, sort_keys=True)
-    except (OSError, ValueError, KeyError) as exc:
+    except (OSError, ValueError) as exc:
         print(f"pinned ref unavailable: {exc}", file=sys.stderr)
+        ref = {}
+    norm = normalize_pinned(
+        pinned_times, ref, names_p, load1_start, os.cpu_count() or 1
+    )
+    if norm["pinned_missing"]:
+        print(
+            f"warning: {len(norm['pinned_missing'])} pinned queries "
+            f"missing ({norm['pinned_missing']}) — pinned_wall_sec is "
+            "not comparable to rounds with the full set",
+            file=sys.stderr,
+        )
+    if norm["proposal"] is not None:
+        try:
+            with open(PINNED_PROPOSED_PATH, "w") as fh:
+                json.dump(norm["proposal"], fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
     # Serial confirm (round 11, kept as a diagnostic): re-time the
     # most expensive stream entries NOT already covered by the pinned
     # set, so apparent stream regressions can still be deflated to
@@ -342,12 +435,27 @@ def main() -> None:
             # ref validation: 6-7% held-out spread. pinned_wall_sec
             # and the stream wall stay recorded as the uncorrected
             # latency / throughput views.
-            "metric": "pinned_norm_sec",
-            "value": pinned_norm_sum,
+            # When no pinned query ran (all errored, or the phase was
+            # disabled) the normalized headline is meaningless: fall
+            # back to the stream wall under a DISTINCT metric name so
+            # a degenerate 0.0 "best ever" can't enter the series.
+            "metric": (
+                "pinned_norm_sec" if norm["value"] is not None
+                else "stream_wall_sec_fallback"
+            ),
+            "value": norm["value"] if norm["value"] is not None else wall,
             "unit": "sec",
-            "pinned_n": len(pinned_times),
-            "slowdown": round(slowdown, 3),
-            "pinned_wall_sec": pinned_wall_sum,
+            "pinned_n": norm["pinned_n"],
+            "pinned_missing": norm["pinned_missing"],
+            "slowdown": norm["slowdown"],
+            # triage for the divisor's blind spot: a UNIFORM engine
+            # regression is indistinguishable from machine load by
+            # construction — this flag says which story the evidence
+            # supports (see normalize_pinned)
+            "regression_flag": norm["regression_flag"],
+            "n_over_130": norm["n_over_130"],
+            "load1_start": load1_start,
+            "pinned_wall_sec": norm["pinned_wall_sec"],
             "stream_wall_sec": wall,
             # the benched set GROWS as operators land (27 queries in
             # r3, 89 by r7): compare stream walls via sec_per_query

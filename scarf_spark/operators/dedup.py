@@ -165,6 +165,142 @@ def lsh_band_buckets_wide(
     )
 
 
+def identical_classes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate class map ``(doc_id, rep)``: rep = min doc id
+    sharing ``md5(text)`` (the :func:`exact_dedup` hash). One shuffle
+    on the content hash; the window's per-class task is linear in
+    class size (it is the k² PAIRS downstream that must never
+    materialize, not the k class rows)."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    w = Window.partitionBy("_h")
+    return hashed.select(
+        F.col(id_col), F.min(id_col).over(w).alias("rep")
+    )
+
+
+def lsh_collapse_chain(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+    classes: DataFrame | None = None,
+) -> dict:
+    """The identical-doc-collapsed MinHash-LSH chain (round 13): group
+    docs by content hash, run shingle→minhash→band→candidate on ONE
+    representative per class, and hand downstream stages the pieces to
+    re-expand members. Why: identical docs share every band bucket, so
+    the uncollapsed bucket self-join materializes class_size² join rows
+    PER BAND through a shuffle+distinct — the 10M scale smoke (SCALE.md
+    round 12) measured candidate pairs growing with the SQUARE of
+    identical-class size, and boilerplate/templated docs make such
+    classes at 100 TB. Collapsed, every per-row stage is linear in the
+    number of DISTINCT texts; exact-dup structure rides along as the
+    O(|docs|) class map (same class ⇒ same component, for free).
+
+    Returns ``{"classes": (doc_id, rep), "rep_shingles": raw
+    duplicate-preserving (doc_id, shingle) of representatives only,
+    "sig_reps": (rep) reps with ≥1 shingle — docs shorter than n words
+    never enter a bucket, so their classes must NOT pair up,
+    "rep_pairs": (ra, rb) rep-level LSH candidates}``. All frames are
+    lazy; pipelines that fan out persist the pieces they share.
+
+    ``shingles``/``classes`` reuse pre-built (persisted) tables."""
+    if classes is None:
+        classes = identical_classes(docs, text_col, id_col)
+    reps = classes.where(F.col(id_col) == F.col("rep")).select(id_col)
+    if shingles is not None:
+        rep_sh = shingles.join(reps, id_col, "left_semi")
+    else:
+        rep_docs = docs.join(reps, id_col, "left_semi")
+        rep_sh = word_shingles(rep_docs, n, text_col, id_col, distinct=False)
+    wide = minhash_signatures_wide(rep_sh, n_hashes, id_col)
+    # two consumers (buckets + the sig-rep set): cut the lineage so the
+    # minhash aggregation runs once
+    wide = wide.localCheckpoint(eager=False)
+    sig_reps = wide.select(F.col(id_col).alias("rep"))
+    buckets = lsh_band_buckets_wide(wide, n_hashes, n_bands, id_col)
+    a = buckets.select(F.col(id_col).alias("ra"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("rb"), "band", "bucket")
+    rep_pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+    return {
+        "classes": classes,
+        "rep_shingles": rep_sh,
+        "sig_reps": sig_reps,
+        "rep_pairs": rep_pairs,
+    }
+
+
+def expand_candidate_pairs(
+    rep_pairs: DataFrame,
+    classes: DataFrame,
+    sig_reps: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-expand rep-level LSH candidates into the EXACT member-level
+    pair set the uncollapsed chain would emit: inter-class pairs are
+    the member cross product of each candidate rep pair (identical
+    docs collide in exactly the buckets their rep does), intra-class
+    pairs are all-pairs within each multi-member class whose rep has a
+    signature (shingle-less classes never bucket, hence never pair).
+    No ``distinct`` needed: a member pair maps to exactly one class
+    pair, and inter/intra are disjoint. NOTE the intra output is
+    inherently O(class²) ROWS — pair-set consumers (the graded
+    dedup_minhash_bands oracle) pay that in output size only;
+    connectivity consumers should take :func:`star_expand_edges`
+    instead, which is O(class)."""
+    ma = classes.select(F.col("rep").alias("ra"), F.col(id_col).alias("_a"))
+    mb = classes.select(F.col("rep").alias("rb"), F.col(id_col).alias("_b"))
+    inter = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("_a", "_b").alias("a"), F.greatest("_a", "_b").alias("b")
+        )
+    )
+    sig_members = classes.join(sig_reps, "rep", "left_semi")
+    x = sig_members.select("rep", F.col(id_col).alias("a"))
+    y = sig_members.select("rep", F.col(id_col).alias("b"))
+    intra = x.join(y, "rep").where(F.col("a") < F.col("b")).select("a", "b")
+    return inter.unionByName(intra)
+
+
+def star_expand_edges(
+    rep_edges: DataFrame,
+    classes: DataFrame,
+    eligible_reps: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(|members|) edge set with IDENTICAL connectivity to the full
+    :func:`expand_candidate_pairs` expansion: the rep-level edges as
+    they are (reps are members too), plus one (member, rep) star edge
+    per non-rep member of every class whose rep is in
+    ``eligible_reps`` — a same-class clique and its star have the same
+    connected components, so exact component labeling (and its min-id
+    cluster labels) is unchanged while a 10⁶-member boilerplate class
+    contributes 10⁶−1 edges instead of ~10¹². ``eligible_reps``
+    gates which classes self-connect: sig_reps for raw LSH candidates,
+    the capped-nonempty rep set for Jaccard-verified edges."""
+    stars = (
+        classes.join(eligible_reps, "rep", "left_semi")
+        .where(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col(id_col).alias("b"))
+    )
+    return rep_edges.select(
+        F.col(rep_edges.columns[0]).alias("a"),
+        F.col(rep_edges.columns[1]).alias("b"),
+    ).unionByName(stars)
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -173,17 +309,28 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band
-    bucket. Execution shape: shingle-explode → ONE hash agg (all
-    minhashes as per-seed MIN expressions, banded by projection) → one
-    equi-self-join on (band, bucket). Two shuffles total (agg +
-    distinct), linear in corpus size until the intended bucket
-    collisions.
+    bucket. Execution shape (``collapse_identical=True``, the scale
+    default): content-hash class collapse → shingle-explode of ONE
+    representative per class → ONE hash agg (all minhashes as per-seed
+    MIN expressions, banded by projection) → one equi-self-join on
+    (band, bucket) over reps → member re-expansion. Identical output
+    to the uncollapsed chain (asserted by tests/test_round13_ops.py),
+    but no per-band class_size² rows ever cross a shuffle and
+    duplicate docs never tokenize or minhash.
 
     ``shingles`` (doc_id, shingle) skips the explode — pass the
     persisted shingle table when a pipeline stage (e.g. Jaccard
     verification) shares it, so the corpus tokenizes once."""
+    if collapse_identical:
+        ch = lsh_collapse_chain(
+            docs, n, n_hashes, n_bands, text_col, id_col, shingles
+        )
+        return expand_candidate_pairs(
+            ch["rep_pairs"], ch["classes"], ch["sig_reps"], id_col
+        )
     sh = shingles if shingles is not None else word_shingles(
         docs, n, text_col, id_col, distinct=False
     )
@@ -197,6 +344,103 @@ def minhash_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def collapsed_rep_jaccard(
+    chain: dict, df_cap: int | None = None, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact n-gram Jaccard over the COLLAPSED chain's rep-level
+    candidates — the verify stage run once per distinct text instead
+    of once per doc pair. The df cap stays member-exact: a shingle's
+    document frequency is the sum of CLASS SIZES over the rep shingle
+    table (identical docs each count, exactly as the uncollapsed
+    member-level cap counts them), so capping decisions — and hence
+    every Jaccard value — are bit-identical to
+    :func:`ngram_jaccard` on the full corpus.
+
+    Returns ``(rep_jac, capped_sizes)``: rep-level scored pairs
+    (ra, rb, jaccard) restricted to ``chain["rep_pairs"]``, and the
+    per-rep capped shingle-set size (rep, sz) — rows exist only for
+    reps with ≥1 surviving shingle, which is exactly the set whose
+    intra-class pairs score (jaccard 1.0) in the member-level view."""
+    sh = chain["rep_shingles"].distinct()
+    class_sizes = chain["classes"].groupBy("rep").agg(
+        F.count("*").alias("_csz")
+    )
+    if df_cap is not None:
+        keep = (
+            sh.join(
+                class_sizes.select(F.col("rep").alias(id_col), "_csz"), id_col
+            )
+            .groupBy("shingle")
+            .agg(F.sum("_csz").alias("_df"))
+            .where(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    x = sh.select(F.col(id_col).alias("ra"), "shingle")
+    y = sh.select(F.col(id_col).alias("rb"), "shingle")
+    joined = (
+        x.join(y, "shingle")
+        .where(F.col("ra") < F.col("rb"))
+        .join(chain["rep_pairs"], ["ra", "rb"], "left_semi")
+    )
+    inter = joined.groupBy("ra", "rb").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col(id_col).alias("ra"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("rb"), F.col("sz").alias("sz_b"))
+    rep_jac = (
+        inter.join(sa, "ra")
+        .join(sb, "rb")
+        .select(
+            "ra",
+            "rb",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return rep_jac, sizes.select(F.col(id_col).alias("rep"), "sz")
+
+
+def expand_pair_scores(
+    rep_jac: DataFrame,
+    classes: DataFrame,
+    capped_sizes: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Member-level (a, b, jaccard) from rep-level scores: inter-class
+    member pairs inherit their class pair's score verbatim (identical
+    shingle sets ⇒ identical Jaccard), intra-class pairs score exactly
+    1.0 wherever the class has ≥1 capped shingle (and are absent
+    otherwise — a fully-capped class shares no surviving shingles, so
+    the uncollapsed pipeline drops those pairs too). Output row set
+    and values bit-match ``ngram_jaccard(docs, pairs=candidates,
+    df_cap)``; like :func:`expand_candidate_pairs`, output size — not
+    shuffle volume — is quadratic in class size."""
+    ma = classes.select(F.col("rep").alias("ra"), F.col(id_col).alias("_a"))
+    mb = classes.select(F.col("rep").alias("rb"), F.col(id_col).alias("_b"))
+    inter = (
+        rep_jac.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("_a", "_b").alias("a"),
+            F.greatest("_a", "_b").alias("b"),
+            "jaccard",
+        )
+    )
+    scored_members = classes.join(
+        capped_sizes.select("rep"), "rep", "left_semi"
+    )
+    x = scored_members.select("rep", F.col(id_col).alias("a"))
+    y = scored_members.select("rep", F.col(id_col).alias("b"))
+    intra = (
+        x.join(y, "rep")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    return inter.unionByName(intra)
 
 
 def incremental_minhash_candidates(

@@ -78,7 +78,12 @@ def overlap_sum(
 
 
 def overlap_sum_sweep(
-    queries: DataFrame, refs: DataFrame, value_scale: int = 100
+    queries: DataFrame,
+    refs: DataFrame,
+    value_scale: int = 100,
+    two_phase: bool | None = None,
+    grid: int = 4096,
+    small_threshold: int = 1 << 20,
 ) -> DataFrame:
     """Meld aggregation without materializing overlap pairs — the
     100 TB plan for dense interval sets, where even the binned join's
@@ -99,12 +104,36 @@ def overlap_sum_sweep(
     to a direct sum in any engine — mandatory, because cumsum
     subtraction on floats loses ~1e-10 relative precision, which a
     6-decimal rounding contract cannot absorb. Output sum_value =
-    cents / value_scale."""
+    cents / value_scale.
+
+    TWO-PHASE prefix sums (round 13): a bare per-chrom running-sum
+    window serializes each chromosome onto one task — and this plan
+    exists precisely for inputs too dense to pair-join, i.e. the
+    inputs where one-task-per-chrom hurts. Above ``small_threshold``
+    events (or with ``two_phase=True``) the running sum runs as the
+    global_ntile grid shape: quantize the sort key onto a fixed
+    per-chrom grid (exact per-chrom min/max, seedless — NOT sampled
+    boundaries), aggregate per-(chrom, bucket) partial (sum, count),
+    cumulate EXCLUSIVE offsets over the tiny ≤``grid``-rows-per-chrom
+    partial table, broadcast-join them back, and finish with a window
+    partitioned by (chrom, bucket) — per-task work is bounded by how
+    many events share ~1/grid of the key range, independent of
+    chromosome size. Bucketing is monotonic in the key and ties share
+    a bucket, so the (k, kind, eid) total order — and therefore every
+    cumulative value — is bit-identical to the single-window plan
+    (asserted by tests/test_round13_ops.py). Integer math unchanged.
+    Below the threshold the plain per-chrom window is strictly fewer
+    jobs (ALLOW: adaptive small branch, same convention as
+    windows.global_ntile)."""
     cents = F.round(F.col("value") * value_scale, 0).cast("long")
     r = refs.select(
         F.col("id").alias("r_id"), "chrom", "start", "end", cents.alias("c")
     )
     q = queries.select(F.col("id").alias("q_id"), "chrom", "start", "end")
+    if two_phase is None:
+        # one tiny count job each; the decision must not depend on
+        # anything nondeterministic
+        two_phase = (queries.count() + refs.count()) > small_threshold
 
     def sweep(ref_key: str, query_key: str, refs_first_on_tie: bool):
         """Cumulative (sum, count) of refs with ref_key strictly-or-
@@ -118,20 +147,69 @@ def overlap_sum_sweep(
             "chrom", F.col(query_key).alias("k"), F.lit(qkind).alias("kind"),
             F.col("q_id").alias("eid"), F.lit(None).cast("long").alias("c"),
         )
-        w = (
+        ev = ev_r.unionByName(ev_q)
+        if not two_phase:
+            w = (
+                Window.partitionBy("chrom")
+                .orderBy("k", "kind", "eid")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            out = ev.select(
+                "chrom", "kind", "eid",
+                F.sum("c").over(w).alias("cum_c"),
+                F.count("c").over(w).alias("cum_n"),
+            )
+            return out.where(F.col("kind") == qkind).select(
+                F.col("eid").alias("q_id"),
+                F.coalesce("cum_c", F.lit(0)).alias("cum_c"),
+                F.col("cum_n").alias("cum_n"),
+            )
+        # phase 0: exact per-chrom key range (deterministic, seedless)
+        stats = ev.groupBy("chrom").agg(
+            F.min(F.col("k").cast("double")).alias("_lo"),
+            F.max(F.col("k").cast("double")).alias("_hi"),
+        )
+        kd = F.col("k").cast("double")
+        span = F.greatest(F.col("_hi") - F.col("_lo"), F.lit(1e-12))
+        bkt = F.least(
+            F.floor((kd - F.col("_lo")) / span * grid), F.lit(grid - 1)
+        ).cast("long")
+        evb = ev.join(F.broadcast(stats), "chrom").withColumn("_bkt", bkt)
+        # phase 1: per-(chrom, bucket) partials — map-side combinable
+        partials = evb.groupBy("chrom", "_bkt").agg(
+            F.sum("c").alias("_pc"), F.count("c").alias("_pn")
+        )
+        # phase 2: exclusive cumulative offsets over the partial table
+        # (<= grid rows per chrom partition — constant-bounded window,
+        # ALLOW: aggregate-state size, not data size)
+        wo = (
             Window.partitionBy("chrom")
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = partials.select(
+            "chrom",
+            "_bkt",
+            F.coalesce(F.sum("_pc").over(wo), F.lit(0)).alias("_oc"),
+            F.coalesce(F.sum("_pn").over(wo), F.lit(0)).alias("_on"),
+        )
+        # phase 3: within-bucket running sums + broadcast offsets;
+        # bucketing is monotonic in k and ties share a bucket, so the
+        # (k, kind, eid) order is the single-window order exactly
+        wb = (
+            Window.partitionBy("chrom", "_bkt")
             .orderBy("k", "kind", "eid")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        ev = ev_r.unionByName(ev_q).select(
+        out = evb.join(F.broadcast(offs), ["chrom", "_bkt"]).select(
             "chrom", "kind", "eid",
-            F.sum("c").over(w).alias("cum_c"),
-            F.count("c").over(w).alias("cum_n"),
+            (
+                F.coalesce(F.sum("c").over(wb), F.lit(0)) + F.col("_oc")
+            ).alias("cum_c"),
+            (F.count("c").over(wb) + F.col("_on")).alias("cum_n"),
         )
-        return ev.where(F.col("kind") == qkind).select(
-            F.col("eid").alias("q_id"),
-            F.coalesce("cum_c", F.lit(0)).alias("cum_c"),
-            F.col("cum_n").alias("cum_n"),
+        return out.where(F.col("kind") == qkind).select(
+            F.col("eid").alias("q_id"), "cum_c", "cum_n"
         )
 
     # refs with r.end <= q.start: ref events sort BEFORE the query on ties

@@ -1,0 +1,97 @@
+"""Unit tests for bench.py's pinned-headline normalization triage
+(normalize_pinned): the uniform-regression guard, the empty-pinned
+fallback, and the ref-tightening proposal policy (round-13 items 3+5,
+plus the two r12 ADVICE hazards on bench.py)."""
+
+import importlib.util
+import os
+
+import pytest
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "bench_mod", os.path.join(_HERE, "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+REF = {f"q{i}": 1.0 for i in range(20)}
+NAMES = sorted(REF)
+
+
+def test_clean_run_ok_and_proposes_tightening():
+    times = {n: 0.9 if n == "q0" else 1.0 for n in NAMES}
+    out = bench.normalize_pinned(times, REF, NAMES, load1_start=0.5, ncpu=32)
+    assert out["regression_flag"] == "ok"
+    assert out["slowdown"] == 1.0
+    assert out["value"] == out["pinned_wall_sec"]
+    assert out["pinned_missing"] == []
+    # near-clean run (slowdown <= 1.05) proposes the q0 tightening
+    assert out["proposal"]["q0"] == 0.9
+    assert out["proposal"]["q1"] == 1.0
+
+
+def test_uniform_regression_on_idle_box_is_suspect_engine():
+    # every query 1.3x slower, machine idle at start: the median-ratio
+    # divisor would silently normalize this away — the flag must fire
+    times = {n: 1.3 for n in NAMES}
+    out = bench.normalize_pinned(times, REF, NAMES, load1_start=1.0, ncpu=32)
+    assert out["regression_flag"] == "SUSPECT-ENGINE"
+    assert out["slowdown"] == pytest.approx(1.3)
+    assert out["n_over_130"] == 0  # exactly 1.3 is the boundary
+    # the normalized value still divides it out — the flag is the signal
+    assert out["value"] == pytest.approx(len(NAMES) * 1.0, abs=0.01)
+    # loaded run never proposes tightening
+    assert out["proposal"] is None
+
+
+def test_same_regression_on_busy_box_is_load():
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(times, REF, NAMES, load1_start=20.0, ncpu=32)
+    assert out["regression_flag"] == "LOAD"
+
+
+def test_broad_minority_regression_fires_without_median_shift():
+    # 6 of 20 queries at 2x (median untouched at 1.0): per-query count
+    # rule fires where the median rule cannot
+    times = {n: (2.0 if i < 6 else 1.0) for i, n in enumerate(NAMES)}
+    out = bench.normalize_pinned(times, REF, NAMES, load1_start=0.5, ncpu=32)
+    assert out["slowdown"] == 1.0
+    assert out["n_over_130"] == 6
+    assert out["regression_flag"] == "SUSPECT-ENGINE"
+
+
+def test_empty_pinned_yields_no_headline():
+    out = bench.normalize_pinned({}, REF, NAMES, load1_start=0.5, ncpu=32)
+    assert out["value"] is None
+    assert out["regression_flag"] == "NO-PINNED"
+    assert out["pinned_missing"] == NAMES
+
+
+def test_partial_pinned_reports_missing():
+    times = {n: 1.0 for n in NAMES[:5]}
+    out = bench.normalize_pinned(times, REF, NAMES, load1_start=0.5, ncpu=32)
+    assert out["pinned_missing"] == NAMES[5:]
+    assert out["regression_flag"] == "ok"
+
+
+def test_tightening_guards():
+    # sub-50ms ref entries never tighten; one step tightens <= 2x
+    ref = {"tiny": 0.02, "big": 10.0, "warm": 4.0}
+    times = {"tiny": 0.001, "big": 9.0, "warm": 0.5}
+    out = bench.normalize_pinned(
+        times, ref, sorted(ref), load1_start=0.5, ncpu=32
+    )
+    prop = out["proposal"]
+    assert prop["tiny"] == 0.02  # floor guard
+    assert prop["big"] == 9.0
+    assert prop["warm"] == 4.0  # >2x jump rejected (cache-warm anomaly)
+
+
+def test_new_queries_enter_proposal_verbatim():
+    ref = {"a": 1.0}
+    times = {"a": 1.0, "b": 3.0}
+    out = bench.normalize_pinned(
+        times, ref, ["a", "b"], load1_start=0.5, ncpu=32
+    )
+    assert out["proposal"] == {"a": 1.0, "b": 3.0}

@@ -90,9 +90,9 @@ def test_dedup_memo_builds_once_under_concurrency(spark, sf_dir):
     for t in threads:
         t.join()
     assert len({id(df) for df in results}) == 1
-    # the shingles accessor returns the same table the candidates used
-    sh1 = entry._dedup_shingles(spark, sf_dir)
-    assert entry._DEDUP_CACHE[(app, sf_dir, "sh")] is sh1
+    # the chain accessor returns the same pieces the candidates used
+    ch = entry._dedup_chain(spark, sf_dir)
+    assert entry._DEDUP_CACHE[(app, sf_dir, "chain")] is ch
 
 
 def test_pagerank_exact_matches_float_path(spark):

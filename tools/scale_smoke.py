@@ -593,6 +593,45 @@ def main() -> None:
         results,
     )
 
+    # 31b. DENSE single-chromosome meld (round 13): every event in one
+    # chromosome — the worst case for the old one-task-per-chrom sweep
+    # window and the reason the pair-free plan exists (inputs too
+    # dense to pair-join). Same aggregate from three plans: the salted
+    # binned pair join (materializes ~4 pairs/query), the single-window
+    # sweep (serializes the chromosome onto one task), and the
+    # two-phase grid sweep (per-(chrom, bucket) windows + broadcast
+    # offsets — the 100× plan, which must beat the pair join here).
+    from scarf_spark.operators.joins import overlap_sum, overlap_sum_sweep
+
+    # DENSE means pairs >> inputs: stretch the intervals so each query
+    # overlaps ~100 refs — the pair join must materialize ~50x the
+    # input rows while the sweep's cost stays linear in events
+    qd_iv = qi_iv.withColumn("chrom", F.lit("chr0")).withColumn(
+        "end", F.col("start") + 500.0
+    )
+    rd_iv = ri_iv.withColumn("chrom", F.lit("chr0")).withColumn(
+        "end", F.col("start") + 2000.0
+    )
+    timed(
+        "interval_dense_pairjoin",
+        lambda: overlap_sum(qd_iv, rd_iv, bin_size=100, value_scale=100),
+        results,
+    )
+    timed(
+        "interval_dense_sweep_2phase",
+        lambda: overlap_sum_sweep(qd_iv, rd_iv, value_scale=100, two_phase=True),
+        results,
+    )
+    if os.environ.get("SMOKE_SWEEP_1TASK", "0") == "1":
+        # opt-in: the one-task baseline is the slow path being replaced
+        timed(
+            "interval_dense_sweep_1task",
+            lambda: overlap_sum_sweep(
+                qd_iv, rd_iv, value_scale=100, two_phase=False
+            ),
+            results,
+        )
+
     # 32. memoized near-dup chain end-to-end (round 12): the shared
     # LSH → df-capped-Jaccard-verify → components prefix exactly as
     # __spark_entry__._verified_dedup_comp builds it (shingle table
@@ -627,17 +666,60 @@ def main() -> None:
     )
 
     def _dedup_chain():
-        sh = dd.word_shingles(docs_big, 3, distinct=False).persist()
-        cand = dd.minhash_candidate_pairs(
-            docs_big, n=3, n_hashes=8, n_bands=4, shingles=sh
-        ).persist()
-        jac = dd.ngram_jaccard(
-            docs_big, pairs=cand, n=3, df_cap=100, shingles=sh.distinct()
-        ).persist()
-        edges = jac.where(F.col("jaccard") >= 0.5).select("a", "b")
-        return dd.min_label_components(edges, docs_big, n_iter=3)
+        # mirrors __spark_entry__._verified_dedup_comp (round 13): the
+        # collapsed chain — identical-class map, rep-only shingles,
+        # rep-level candidates + Jaccard, star-expanded exact components
+        classes = dd.identical_classes(docs_big).persist()
+        ch = dd.lsh_collapse_chain(
+            docs_big, n=3, n_hashes=8, n_bands=4, classes=classes
+        )
+        ch["rep_shingles"] = ch["rep_shingles"].persist()
+        ch["rep_pairs"] = ch["rep_pairs"].persist()
+        rep_jac, capped = dd.collapsed_rep_jaccard(ch, df_cap=100)
+        ve = rep_jac.where(F.col("jaccard") >= 0.5).select(
+            F.col("ra").alias("a"), F.col("rb").alias("b")
+        )
+        edges = dd.star_expand_edges(ve, ch["classes"], capped.select("rep"))
+        return dd.star_components(edges, docs_big)
 
     timed(f"dedup_memo_chain_{n_docs // 1_000_000}M", _dedup_chain, results)
+
+    # 32b. boilerplate identical-class hazard (round 13): the same
+    # corpus with every 20th doc REPLACED by one fixed boilerplate
+    # text — a n_docs/20-member identical class (500k members at 10M
+    # docs). Uncollapsed, the bucket self-join alone would materialize
+    # 4 × (n/20)² ≈ 10¹¹ rows; the collapse runs the chain on ONE
+    # representative and re-joins members as O(class) star edges, so
+    # this kernel completing at all — in the same ballpark as the
+    # boilerplate-free chain above — IS the result.
+    is_boiler = (F.col("doc_id") % 20 == 0)
+    docs_boiler = docs_big.select(
+        "doc_id",
+        F.when(
+            is_boiler,
+            F.lit("standard legal disclaimer text appended to every crawled page by the template"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    def _dedup_chain_boiler():
+        classes = dd.identical_classes(docs_boiler).persist()
+        ch = dd.lsh_collapse_chain(
+            docs_boiler, n=3, n_hashes=8, n_bands=4, classes=classes
+        )
+        ch["rep_shingles"] = ch["rep_shingles"].persist()
+        ch["rep_pairs"] = ch["rep_pairs"].persist()
+        rep_jac, capped = dd.collapsed_rep_jaccard(ch, df_cap=100)
+        ve = rep_jac.where(F.col("jaccard") >= 0.5).select(
+            F.col("ra").alias("a"), F.col("rb").alias("b")
+        )
+        edges = dd.star_expand_edges(ve, ch["classes"], capped.select("rep"))
+        return dd.star_components(edges, docs_boiler)
+
+    timed(
+        f"dedup_chain_boilerplate_{n_docs // 1_000_000}M",
+        _dedup_chain_boiler,
+        results,
+    )
 
     total = round(sum(results.values()), 2)
     print(
