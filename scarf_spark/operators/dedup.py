@@ -257,21 +257,45 @@ def expand_candidate_pairs(
     inherently O(class²) ROWS — pair-set consumers (the graded
     dedup_minhash_bands oracle) pay that in output size only;
     connectivity consumers should take :func:`star_expand_edges`
-    instead, which is O(class)."""
-    ma = classes.select(F.col("rep").alias("ra"), F.col(id_col).alias("_a"))
-    mb = classes.select(F.col("rep").alias("rb"), F.col(id_col).alias("_b"))
+    instead, which is O(class).
+
+    Expansion fans out ONLY through multi-member classes: on a
+    mostly-unique corpus the class map is |docs| rows of singletons,
+    and joining the rep pairs (and the intra self-join) through it
+    would shuffle the whole corpus twice to expand nothing — the
+    measured 15% chain overhead on the dup-free 10M smoke. Singleton
+    reps pass through with a coalesce; the multi-class member table is
+    duplicate-sized, typically tiny, and broadcastable by AQE."""
+    mm = _multi_members(classes, id_col)
+    ma = mm.select(F.col("rep").alias("ra"), F.col(id_col).alias("_ma"))
+    mb = mm.select(F.col("rep").alias("rb"), F.col(id_col).alias("_mb"))
     inter = (
-        rep_pairs.join(ma, "ra")
-        .join(mb, "rb")
+        rep_pairs.join(ma, "ra", "left")
+        .join(mb, "rb", "left")
         .select(
-            F.least("_a", "_b").alias("a"), F.greatest("_a", "_b").alias("b")
+            F.least(
+                F.coalesce("_ma", F.col("ra")), F.coalesce("_mb", F.col("rb"))
+            ).alias("a"),
+            F.greatest(
+                F.coalesce("_ma", F.col("ra")), F.coalesce("_mb", F.col("rb"))
+            ).alias("b"),
         )
     )
-    sig_members = classes.join(sig_reps, "rep", "left_semi")
+    sig_members = mm.join(sig_reps, "rep", "left_semi")
     x = sig_members.select("rep", F.col(id_col).alias("a"))
     y = sig_members.select("rep", F.col(id_col).alias("b"))
     intra = x.join(y, "rep").where(F.col("a") < F.col("b")).select("a", "b")
     return inter.unionByName(intra)
+
+
+def _multi_members(classes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All members (REP INCLUDED) of classes with ≥2 members — the
+    only rows member re-expansion can fan out through. Duplicate-sized
+    (sum of multi-class sizes), not corpus-sized."""
+    multi = (
+        classes.where(F.col(id_col) != F.col("rep")).select("rep").distinct()
+    )
+    return classes.join(multi, "rep", "left_semi")
 
 
 def star_expand_edges(
@@ -291,8 +315,8 @@ def star_expand_edges(
     gates which classes self-connect: sig_reps for raw LSH candidates,
     the capped-nonempty rep set for Jaccard-verified edges."""
     stars = (
-        classes.join(eligible_reps, "rep", "left_semi")
-        .where(F.col(id_col) != F.col("rep"))
+        classes.where(F.col(id_col) != F.col("rep"))
+        .join(eligible_reps, "rep", "left_semi")
         .select(F.col("rep").alias("a"), F.col(id_col).alias("b"))
     )
     return rep_edges.select(
@@ -418,21 +442,25 @@ def expand_pair_scores(
     the uncollapsed pipeline drops those pairs too). Output row set
     and values bit-match ``ngram_jaccard(docs, pairs=candidates,
     df_cap)``; like :func:`expand_candidate_pairs`, output size — not
-    shuffle volume — is quadratic in class size."""
-    ma = classes.select(F.col("rep").alias("ra"), F.col(id_col).alias("_a"))
-    mb = classes.select(F.col("rep").alias("rb"), F.col(id_col).alias("_b"))
+    shuffle volume — is quadratic in class size, and the fan-out joins
+    touch only multi-member classes (singletons coalesce through)."""
+    mm = _multi_members(classes, id_col)
+    ma = mm.select(F.col("rep").alias("ra"), F.col(id_col).alias("_ma"))
+    mb = mm.select(F.col("rep").alias("rb"), F.col(id_col).alias("_mb"))
     inter = (
-        rep_jac.join(ma, "ra")
-        .join(mb, "rb")
+        rep_jac.join(ma, "ra", "left")
+        .join(mb, "rb", "left")
         .select(
-            F.least("_a", "_b").alias("a"),
-            F.greatest("_a", "_b").alias("b"),
+            F.least(
+                F.coalesce("_ma", F.col("ra")), F.coalesce("_mb", F.col("rb"))
+            ).alias("a"),
+            F.greatest(
+                F.coalesce("_ma", F.col("ra")), F.coalesce("_mb", F.col("rb"))
+            ).alias("b"),
             "jaccard",
         )
     )
-    scored_members = classes.join(
-        capped_sizes.select("rep"), "rep", "left_semi"
-    )
+    scored_members = mm.join(capped_sizes.select("rep"), "rep", "left_semi")
     x = scored_members.select("rep", F.col(id_col).alias("a"))
     y = scored_members.select("rep", F.col(id_col).alias("b"))
     intra = (
