@@ -5394,28 +5394,33 @@ def _jsonl_fixture_store(spark, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "scarf_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".jsonl",
     )
-    if not os.path.exists(path):
-        rows = (
-            _ds(spark, sf_dir)
-            .documents.select("doc_id", "text", "lang", "source", "n_chars")
-            .orderBy("doc_id")
-            .collect()
-        )
-        with open(path, "w") as fh:
-            for r in rows:
-                fh.write(
-                    _json.dumps(
-                        {
-                            "doc_id": r["doc_id"],
-                            "text": r["text"],
-                            "lang": r["lang"],
-                            "source": r["source"],
-                            "n_chars": r["n_chars"],
-                        }
-                    )
-                    + "\n"
+    with _FIXTURE_LOCK:
+        if sf_dir not in _JSONL_STORE_CACHE and not os.path.exists(path):
+            rows = (
+                _ds(spark, sf_dir)
+                .documents.select(
+                    "doc_id", "text", "lang", "source", "n_chars"
                 )
-    _JSONL_STORE_CACHE[sf_dir] = path
+                .orderBy("doc_id")
+                .collect()
+            )
+            build = f"{path}.build.{os.getpid()}"
+            with open(build, "w") as fh:
+                for r in rows:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": r["doc_id"],
+                                "text": r["text"],
+                                "lang": r["lang"],
+                                "source": r["source"],
+                                "n_chars": r["n_chars"],
+                            }
+                        )
+                        + "\n"
+                    )
+            _publish_fixture(build, path)
+        _JSONL_STORE_CACHE[sf_dir] = path
     return path
 
 
@@ -5524,6 +5529,52 @@ def src_orc_docs(spark, sf_dir):
 
 
 _ZARR_STORE_CACHE: dict[str, str] = {}
+# One lock for every shared /tmp fixture builder below. The bench
+# stream runs 4 query threads and the driver's gate can run alongside
+# a local pytest — and the original builders published their
+# completion marker (.zarray / the file path itself) seconds BEFORE
+# the payload (coo_to_zarr writes array metadata, then a distributed
+# chunk job), so a concurrent reader in that window saw a structurally
+# valid but EMPTY store (observed: src_zarr_counts read 0 rows while a
+# second process's chunk job was still in flight). Same double-checked
+# locking as _DEDUP_LOCK for in-process races; cross-process safety
+# comes from _publish_fixture's atomic rename — the final path now
+# only ever appears fully built.
+_FIXTURE_LOCK = threading.Lock()
+
+
+def _publish_fixture(tmp: str, final: str, marker: str | None = None) -> None:
+    """Atomically publish a fully-built fixture (file or directory):
+    rename into place; if a concurrent builder already published,
+    discard ours and use theirs. POSIX rename is atomic within a
+    filesystem, so readers can never observe a half-built fixture at
+    ``final``. ``marker``: a path inside a directory fixture whose
+    existence means "complete" — a final dir WITHOUT it is a stale
+    partial (crashed builder / pre-fix leftover) and is moved aside so
+    the fresh build can land."""
+    import shutil
+
+    is_dir = os.path.isdir(tmp)
+    try:
+        if is_dir:
+            os.rename(tmp, final)
+        else:
+            os.replace(tmp, final)
+        return
+    except OSError:
+        pass
+    if is_dir and marker is not None and not os.path.exists(marker):
+        aside = f"{final}.stale.{os.getpid()}"
+        try:
+            os.rename(final, aside)
+            os.rename(tmp, final)
+            shutil.rmtree(aside, ignore_errors=True)
+            return
+        except OSError:
+            shutil.rmtree(aside, ignore_errors=True)
+    if not os.path.exists(final):
+        raise OSError(f"fixture publish failed: {tmp} -> {final}")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _zarr_fixture_store(spark, sf_dir: str) -> str:
@@ -5548,40 +5599,49 @@ def _zarr_fixture_store(spark, sf_dir: str) -> str:
         "scarf_zarr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
     )
     marker = os.path.join(store, "RNA", "counts", ".zarray")
-    if not os.path.exists(marker):
-        sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 500)
-        cells = np.sort(
-            np.array(
-                [r[0] for r in sl.select("cell_id").distinct().collect()],
-                dtype="<i8",
+    with _FIXTURE_LOCK:
+        if sf_dir in _ZARR_STORE_CACHE:
+            return _ZARR_STORE_CACHE[sf_dir]
+        if not os.path.exists(marker):
+            build = f"{store}.build.{os.getpid()}"
+            sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 500)
+            cells = np.sort(
+                np.array(
+                    [r[0] for r in sl.select("cell_id").distinct().collect()],
+                    dtype="<i8",
+                )
             )
-        )
-        feats = np.sort(
-            np.array(
-                [r[0] for r in sl.select("feat_id").distinct().collect()],
-                dtype="<i8",
+            feats = np.sort(
+                np.array(
+                    [r[0] for r in sl.select("feat_id").distinct().collect()],
+                    dtype="<i8",
+                )
             )
-        )
-        z.write_zarr_1d(os.path.join(store, "cellData", "ids"), cells)
-        z.write_zarr_1d(os.path.join(store, "RNA", "featureData", "ids"), feats)
-        cmap = spark.createDataFrame(
-            [(int(c), i) for i, c in enumerate(cells)], "cell_id long, row long"
-        )
-        fmap = spark.createDataFrame(
-            [(int(f), j) for j, f in enumerate(feats)], "feat_id long, col long"
-        )
-        coo = (
-            sl.join(F.broadcast(cmap), "cell_id")
-            .join(F.broadcast(fmap), "feat_id")
-            .select("row", "col", "value")
-        )
-        z.coo_to_zarr(
-            coo,
-            os.path.join(store, "RNA", "counts"),
-            (len(cells), len(feats)),
-            chunks=(2048, 128),
-        )
-    _ZARR_STORE_CACHE[sf_dir] = store
+            z.write_zarr_1d(os.path.join(build, "cellData", "ids"), cells)
+            z.write_zarr_1d(
+                os.path.join(build, "RNA", "featureData", "ids"), feats
+            )
+            cmap = spark.createDataFrame(
+                [(int(c), i) for i, c in enumerate(cells)],
+                "cell_id long, row long",
+            )
+            fmap = spark.createDataFrame(
+                [(int(f), j) for j, f in enumerate(feats)],
+                "feat_id long, col long",
+            )
+            coo = (
+                sl.join(F.broadcast(cmap), "cell_id")
+                .join(F.broadcast(fmap), "feat_id")
+                .select("row", "col", "value")
+            )
+            z.coo_to_zarr(
+                coo,
+                os.path.join(build, "RNA", "counts"),
+                (len(cells), len(feats)),
+                chunks=(2048, 128),
+            )
+            _publish_fixture(build, store, marker)
+        _ZARR_STORE_CACHE[sf_dir] = store
     return store
 
 
@@ -5607,37 +5667,43 @@ def _h5_fixture_store(spark, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "scarf_h5_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".h5",
     )
-    if not os.path.exists(path):
-        rows = (
-            _ds(spark, sf_dir)
-            .counts()
-            .where(F.col("feat_id") <= 300)
-            .collect()
-        )
-        cells = np.array(sorted({r["cell_id"] for r in rows}), dtype="<i8")
-        feats = np.array(sorted({r["feat_id"] for r in rows}), dtype="<i8")
-        cpos = {int(c): i for i, c in enumerate(cells)}
-        fpos = {int(f): j for j, f in enumerate(feats)}
-        triples = sorted(
-            (cpos[r["cell_id"]], fpos[r["feat_id"]], r["value"]) for r in rows
-        )
-        indptr = np.zeros(len(cells) + 1, dtype="<i8")
-        for ci, _, _ in triples:
-            indptr[ci + 1] += 1
-        indptr = np.cumsum(indptr).astype("<i8")
-        write_h5(
-            path,
-            {
-                "matrix": {
-                    "indptr": indptr,
-                    "indices": np.array([t[1] for t in triples], dtype="<i4"),
-                    "data": np.array([t[2] for t in triples], dtype="<f8"),
+    with _FIXTURE_LOCK:
+        if sf_dir not in _H5_STORE_CACHE and not os.path.exists(path):
+            rows = (
+                _ds(spark, sf_dir)
+                .counts()
+                .where(F.col("feat_id") <= 300)
+                .collect()
+            )
+            cells = np.array(sorted({r["cell_id"] for r in rows}), dtype="<i8")
+            feats = np.array(sorted({r["feat_id"] for r in rows}), dtype="<i8")
+            cpos = {int(c): i for i, c in enumerate(cells)}
+            fpos = {int(f): j for j, f in enumerate(feats)}
+            triples = sorted(
+                (cpos[r["cell_id"]], fpos[r["feat_id"]], r["value"])
+                for r in rows
+            )
+            indptr = np.zeros(len(cells) + 1, dtype="<i8")
+            for ci, _, _ in triples:
+                indptr[ci + 1] += 1
+            indptr = np.cumsum(indptr).astype("<i8")
+            build = f"{path}.build.{os.getpid()}"
+            write_h5(
+                build,
+                {
+                    "matrix": {
+                        "indptr": indptr,
+                        "indices": np.array(
+                            [t[1] for t in triples], dtype="<i4"
+                        ),
+                        "data": np.array([t[2] for t in triples], dtype="<f8"),
+                    },
+                    "cell_ids": cells,
+                    "feat_ids": feats,
                 },
-                "cell_ids": cells,
-                "feat_ids": feats,
-            },
-        )
-    _H5_STORE_CACHE[sf_dir] = path
+            )
+            _publish_fixture(build, path)
+        _H5_STORE_CACHE[sf_dir] = path
     return path
 
 
@@ -5725,31 +5791,36 @@ def src_zarr_blosc(spark, sf_dir):
             tempfile.gettempdir(),
             "scarf_zarrb_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         )
-        if not os.path.exists(os.path.join(store, "RNA", "counts", ".zarray")):
-            sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 200)
-            cells = np.sort(np.array(
-                [r[0] for r in sl.select("cell_id").distinct().collect()],
-                dtype="<i8"))
-            feats = np.sort(np.array(
-                [r[0] for r in sl.select("feat_id").distinct().collect()],
-                dtype="<i8"))
-            z.write_zarr_1d(os.path.join(store, "cellData", "ids"), cells,
-                            compressor=comp)
-            z.write_zarr_1d(os.path.join(store, "RNA", "featureData", "ids"),
-                            feats, compressor=comp)
-            cmap = spark.createDataFrame(
-                [(int(c), i) for i, c in enumerate(cells)],
-                "cell_id long, row long")
-            fmap = spark.createDataFrame(
-                [(int(f), j) for j, f in enumerate(feats)],
-                "feat_id long, col long")
-            coo = (sl.join(F.broadcast(cmap), "cell_id")
-                   .join(F.broadcast(fmap), "feat_id")
-                   .select("row", "col", "value"))
-            z.coo_to_zarr(coo, os.path.join(store, "RNA", "counts"),
-                          (len(cells), len(feats)), chunks=(2048, 128),
-                          compressor=comp)
-        _ZARR_BLOSC_CACHE[sf_dir] = store
+        marker = os.path.join(store, "RNA", "counts", ".zarray")
+        with _FIXTURE_LOCK:
+            if sf_dir not in _ZARR_BLOSC_CACHE and not os.path.exists(marker):
+                build = f"{store}.build.{os.getpid()}"
+                sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 200)
+                cells = np.sort(np.array(
+                    [r[0] for r in sl.select("cell_id").distinct().collect()],
+                    dtype="<i8"))
+                feats = np.sort(np.array(
+                    [r[0] for r in sl.select("feat_id").distinct().collect()],
+                    dtype="<i8"))
+                z.write_zarr_1d(os.path.join(build, "cellData", "ids"), cells,
+                                compressor=comp)
+                z.write_zarr_1d(
+                    os.path.join(build, "RNA", "featureData", "ids"),
+                    feats, compressor=comp)
+                cmap = spark.createDataFrame(
+                    [(int(c), i) for i, c in enumerate(cells)],
+                    "cell_id long, row long")
+                fmap = spark.createDataFrame(
+                    [(int(f), j) for j, f in enumerate(feats)],
+                    "feat_id long, col long")
+                coo = (sl.join(F.broadcast(cmap), "cell_id")
+                       .join(F.broadcast(fmap), "feat_id")
+                       .select("row", "col", "value"))
+                z.coo_to_zarr(coo, os.path.join(build, "RNA", "counts"),
+                              (len(cells), len(feats)), chunks=(2048, 128),
+                              compressor=comp)
+                _publish_fixture(build, store, marker)
+            _ZARR_BLOSC_CACHE[sf_dir] = store
     return z.read_zarr_store(spark, store)["counts"]
 
 

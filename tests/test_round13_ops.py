@@ -202,3 +202,48 @@ def test_two_phase_sweep_single_chrom_tiny_grid(spark):
     a = joins.overlap_sum_sweep(q, r, two_phase=False)
     b = joins.overlap_sum_sweep(q, r, two_phase=True, grid=4)
     assert {tuple(x) for x in a.collect()} == {tuple(x) for x in b.collect()}
+
+
+def test_publish_fixture_atomic(tmp_path):
+    # the shared /tmp fixture builders publish via rename so readers
+    # never see a half-built store (the marker used to appear seconds
+    # before the distributed chunk job wrote the payload)
+    import __spark_entry__ as entry
+
+    # (a) fresh publish: tmp dir lands at final
+    build = tmp_path / "store.build.1"
+    (build / "RNA").mkdir(parents=True)
+    (build / "RNA" / ".zarray").write_text("{}")
+    final = tmp_path / "store"
+    entry._publish_fixture(str(build), str(final), str(final / "RNA" / ".zarray"))
+    assert (final / "RNA" / ".zarray").exists() and not build.exists()
+
+    # (b) losing a race: a complete final already exists -> our tmp is
+    # discarded, the winner's content is untouched
+    build2 = tmp_path / "store.build.2"
+    (build2 / "RNA").mkdir(parents=True)
+    (build2 / "RNA" / ".zarray").write_text('{"loser": 1}')
+    entry._publish_fixture(
+        str(build2), str(final), str(final / "RNA" / ".zarray")
+    )
+    assert not build2.exists()
+    assert (final / "RNA" / ".zarray").read_text() == "{}"
+
+    # (c) stale partial final (no marker): moved aside, fresh build wins
+    stale = tmp_path / "store2"
+    (stale / "RNA").mkdir(parents=True)  # no .zarray -> incomplete
+    build3 = tmp_path / "store2.build.3"
+    (build3 / "RNA").mkdir(parents=True)
+    (build3 / "RNA" / ".zarray").write_text('{"fresh": 1}')
+    entry._publish_fixture(
+        str(build3), str(stale), str(stale / "RNA" / ".zarray")
+    )
+    assert (stale / "RNA" / ".zarray").read_text() == '{"fresh": 1}'
+    assert not build3.exists()
+
+    # (d) plain file fixture: os.replace semantics
+    f_build = tmp_path / "docs.jsonl.build.9"
+    f_build.write_text("line\n")
+    f_final = tmp_path / "docs.jsonl"
+    entry._publish_fixture(str(f_build), str(f_final))
+    assert f_final.read_text() == "line\n" and not f_build.exists()
