@@ -185,6 +185,12 @@ HEADLINE = [
     "ml_kmeans",
     "ml_leiden",
     "clust_paris_cut",
+    # round-13 additions: the two re-planned operators (two-phase
+    # prefix sweep; identical-class-collapsed LSH chain feeding the
+    # star-contraction components) and the scan-fused harmony
+    "join_interval_sweep",
+    "dedup_components",
+    "ml_harmony",
 ]
 
 
