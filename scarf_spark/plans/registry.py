@@ -113,7 +113,36 @@ class RunRegistry:
             self.root, f"{operator}__{p_hash}__{input_hash}"
         )
         df = compute()
-        df.write.mode("overwrite").parquet(out_path)
+        # Publish atomically: two cold-start processes (the driver's
+        # gate alongside a local run — observed overlapping) may both
+        # miss and both materialize; writing straight to out_path with
+        # mode=overwrite would let one delete files a concurrent
+        # reader already holds open. Write to a private build dir and
+        # rename into place — the keyed output is deterministic, so
+        # whichever build wins, readers see one complete table.
+        import shutil
+        import threading
+
+        build = f"{out_path}.build.{os.getpid()}.{threading.get_ident()}"
+        df.write.mode("overwrite").parquet(build)
+        try:
+            os.rename(build, out_path)
+        except OSError:
+            marker = os.path.join(out_path, "_SUCCESS")
+            if os.path.isdir(out_path) and not os.path.exists(marker):
+                # stale partial from a pre-fix crashed write (a
+                # completed write always has the committer's _SUCCESS
+                # and, post-fix, only ever appears complete)
+                aside = f"{out_path}.stale.{os.getpid()}"
+                try:
+                    os.rename(out_path, aside)
+                    os.rename(build, out_path)
+                except OSError:
+                    pass
+                shutil.rmtree(aside, ignore_errors=True)
+            if not os.path.exists(out_path):
+                raise
+            shutil.rmtree(build, ignore_errors=True)
         self._append(
             {
                 "operator": operator,

@@ -72,3 +72,39 @@ def test_resolve_params_lineage(spark, sf_dir, reg):
     # no prior run -> defaults
     got2 = reg.resolve_params("fresh", {"k": None}, defaults={"k": 11})
     assert got2 == {"k": 11}
+
+
+def test_concurrent_publish_loses_race_gracefully(spark, reg):
+    # a second cold-start builder must not clobber a table a reader
+    # already holds: the build lands in a private dir and the rename
+    # loser discards its copy (same atomic-publish rule as the /tmp
+    # fixture stores)
+    import glob
+    import os
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    a = reg.get_or_compute("op", {"k": 1}, "ih1", lambda: df)
+    # simulate the loser: wipe the metadata log so lookup misses, but
+    # leave the committed table in place — the recompute must rename-
+    # fail, keep the winner's files, and still return valid data
+    os.remove(reg._log)
+    b = reg.get_or_compute("op", {"k": 1}, "ih1", lambda: df)
+    assert sorted(r["v"] for r in b.collect()) == list(range(10))
+    assert a.count() == 10  # winner's table untouched
+    assert not glob.glob(os.path.join(reg.root, "*build*"))
+
+
+def test_stale_partial_output_is_replaced(spark, reg):
+    # a crashed pre-fix write (directory without _SUCCESS) must not
+    # block the fresh build
+    import glob
+    import os
+
+    p = os.path.join(reg.root, f"op__{params_hash({'k': 2})}__ih9")
+    os.makedirs(p)  # partial: no _SUCCESS, no data
+    df = spark.range(5).withColumnRenamed("id", "v")
+    out = reg.get_or_compute("op", {"k": 2}, "ih9", lambda: df)
+    assert sorted(r["v"] for r in out.collect()) == list(range(5))
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    assert not glob.glob(os.path.join(reg.root, "*build*"))
+    assert not glob.glob(os.path.join(reg.root, "*stale*"))
