@@ -12,8 +12,12 @@ operator calc ``:1757-1762``), SNN shared-neighbor graphs
 Everything is join+groupBy on an edges table (src, dst, rank, distance,
 weight) — n·k rows, so even 4M cells × k=11 is 44M rows: comfortably
 distributed, no driver collection. Matrix powers are edge self-joins
-(sparse matmul); label votes are broadcast joins against the (small)
-cell-attribute table."""
+(sparse matmul); label votes are plain equi-joins against the per-cell
+attribute table — NOT hint-forced broadcasts: the label/value tables
+are node-sized (one row per cell), so at 100× node counts a forced
+broadcast is a multi-GB driver collect. AQE still picks a broadcast
+join on its own whenever the table is actually under the threshold;
+only genuinely constant-size frames (one-row totals) carry hints."""
 
 from __future__ import annotations
 
@@ -38,7 +42,7 @@ def membership_strength(
     label (deterministic tie-break on label), strength = n_modal/k."""
     lab = labels.select(F.col("cell_id").alias("dst"), "label")
     votes = (
-        edges.join(F.broadcast(lab), "dst")
+        edges.join(lab, "dst")
         .groupBy("src", "label")
         .agg(F.count("*").alias("n"))
     )
@@ -75,7 +79,7 @@ def magic_impute(
         )
     vals = values.select(F.col("cell_id").alias("dst"), "value")
     return (
-        cur.join(F.broadcast(vals), "dst")
+        cur.join(vals, "dst")
         .groupBy("src")
         .agg(F.round(F.sum(F.col("w_norm") * F.col("value")), 6).alias("imputed"))
     )
@@ -130,7 +134,7 @@ def target_classification(
     threshold; below threshold → 'NA' (``mapping_datastore.py:287-364``).
     Weight = 1/(1+distance); vote share = label weight / total weight."""
     lab = ref_labels.select(F.col("cell_id").alias("ref_cell_id"), "label")
-    wts = proj.join(F.broadcast(lab), "ref_cell_id").withColumn(
+    wts = proj.join(lab, "ref_cell_id").withColumn(
         "w", 1.0 / (1.0 + F.col("distance"))
     )
     per_label = wts.groupBy("target_cell_id", "label").agg(F.sum("w").alias("lw"))
@@ -312,18 +316,19 @@ def modularity(
     *evaluation* metric next to silhouette for any label column.
 
     One symmetrized edge materialization; E_c and D_c are two
-    broadcast-label joins producing cluster-sized aggregates; 2m rides
-    along as a one-row broadcast. Integer counts stay exact; the only
-    float is the final contribution expression, whose shape the oracle
-    mirrors verbatim."""
+    label equi-joins producing cluster-sized aggregates (labels are
+    node-sized — no forced broadcast; AQE broadcasts when small); 2m
+    rides along as a one-row broadcast. Integer counts stay exact; the
+    only float is the final contribution expression, whose shape the
+    oracle mirrors verbatim."""
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    la = F.broadcast(labels.select(F.col(node_col).alias("src"), F.col(cluster_col).alias("_ca")))
-    lb = F.broadcast(labels.select(F.col(node_col).alias("dst"), F.col(cluster_col).alias("_cb")))
+    la = labels.select(F.col(node_col).alias("src"), F.col(cluster_col).alias("_ca"))
+    lb = labels.select(F.col(node_col).alias("dst"), F.col(cluster_col).alias("_cb"))
     tm = und.agg(F.count("*").cast("double").alias("m2"))
     ec = (
         und.join(la, "src").join(lb, "dst")
@@ -333,7 +338,7 @@ def modularity(
     )
     deg = und.groupBy("src").agg(F.count("*").alias("_deg"))
     dc = (
-        deg.join(F.broadcast(labels.select(F.col(node_col).alias("src"), cluster_col)), "src")
+        deg.join(labels.select(F.col(node_col).alias("src"), cluster_col), "src")
         .groupBy(cluster_col)
         .agg(F.count("*").alias("n_nodes"), F.sum("_deg").alias("deg_sum"))
     )
@@ -648,7 +653,7 @@ def adamic_adar(edges: DataFrame) -> DataFrame:
     Plan: wedges come from one self-join of the both-direction edge
     table on the middle vertex (u < w keeps each pair once), existing
     edges drop out with a left-anti join against the canonical edge
-    set, and degrees broadcast-join onto the wedge stream. Everything
+    set, and degrees equi-join onto the wedge stream. Everything
     shuffles on edge endpoints; wedge volume is |V|·(2k)² on a
     degree-bounded KNN graph (linear in nodes), never all-pairs. Every
     middle vertex has deg ≥ 2 (it sits on a wedge), so ln(deg) > 0.
