@@ -5394,8 +5394,9 @@ def _jsonl_fixture_store(spark, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "scarf_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".jsonl",
     )
-    with _FIXTURE_LOCK:
+    with _fixture_lock(path):
         if sf_dir not in _JSONL_STORE_CACHE and not os.path.exists(path):
+            _sweep_orphan_builds(path)
             rows = (
                 _ds(spark, sf_dir)
                 .documents.select(
@@ -5405,21 +5406,25 @@ def _jsonl_fixture_store(spark, sf_dir: str) -> str:
                 .collect()
             )
             build = f"{path}.build.{os.getpid()}"
-            with open(build, "w") as fh:
-                for r in rows:
-                    fh.write(
-                        _json.dumps(
-                            {
-                                "doc_id": r["doc_id"],
-                                "text": r["text"],
-                                "lang": r["lang"],
-                                "source": r["source"],
-                                "n_chars": r["n_chars"],
-                            }
+            try:
+                with open(build, "w") as fh:
+                    for r in rows:
+                        fh.write(
+                            _json.dumps(
+                                {
+                                    "doc_id": r["doc_id"],
+                                    "text": r["text"],
+                                    "lang": r["lang"],
+                                    "source": r["source"],
+                                    "n_chars": r["n_chars"],
+                                }
+                            )
+                            + "\n"
                         )
-                        + "\n"
-                    )
-            _publish_fixture(build, path)
+                _publish_fixture(build, path)
+            except BaseException:
+                _rm_build(build)
+                raise
         _JSONL_STORE_CACHE[sf_dir] = path
     return path
 
@@ -5529,18 +5534,65 @@ def src_orc_docs(spark, sf_dir):
 
 
 _ZARR_STORE_CACHE: dict[str, str] = {}
-# One lock for every shared /tmp fixture builder below. The bench
-# stream runs 4 query threads and the driver's gate can run alongside
-# a local pytest — and the original builders published their
-# completion marker (.zarray / the file path itself) seconds BEFORE
-# the payload (coo_to_zarr writes array metadata, then a distributed
-# chunk job), so a concurrent reader in that window saw a structurally
-# valid but EMPTY store (observed: src_zarr_counts read 0 rows while a
-# second process's chunk job was still in flight). Same double-checked
-# locking as _DEDUP_LOCK for in-process races; cross-process safety
-# comes from _publish_fixture's atomic rename — the final path now
-# only ever appears fully built.
-_FIXTURE_LOCK = threading.Lock()
+# One lock PER fixture publish target (keyed by final path) for the
+# shared /tmp fixture builders below. The bench stream runs 4 query
+# threads and the driver's gate can run alongside a local pytest — and
+# the original builders published their completion marker (.zarray /
+# the file path itself) seconds BEFORE the payload (coo_to_zarr writes
+# array metadata, then a distributed chunk job), so a concurrent
+# reader in that window saw a structurally valid but EMPTY store
+# (observed: src_zarr_counts read 0 rows while a second process's
+# chunk job was still in flight). Same double-checked locking as
+# _DEDUP_LOCK for in-process races; cross-process safety comes from
+# _publish_fixture's atomic rename — the final path now only ever
+# appears fully built. Keyed (not one global, r13 ADVICE): unrelated
+# fixture families no longer serialize against each other under the
+# 4-thread bench stream, and a builder that calls a DIFFERENT
+# fixture getter on the same thread cannot self-deadlock. Builders
+# must not nest the SAME target's lock (none do — the critical
+# section is double-check + build + publish only).
+_FIXTURE_LOCKS: dict[str, threading.Lock] = {}
+_FIXTURE_LOCKS_GUARD = threading.Lock()
+
+
+def _fixture_lock(final: str) -> threading.Lock:
+    with _FIXTURE_LOCKS_GUARD:
+        return _FIXTURE_LOCKS.setdefault(final, threading.Lock())
+
+
+def _sweep_orphan_builds(final: str) -> None:
+    """Remove ``{final}.build.{pid}`` leftovers whose builder pid is
+    dead — a builder that crashed mid-build otherwise leaks its
+    partial copy in /tmp forever (r13 ADVICE). ProcessLookupError is
+    the only definitive "dead"; PermissionError means alive under
+    another uid, so the dir is left alone."""
+    import glob as _glob
+    import shutil
+
+    for orphan in _glob.glob(f"{final}.build.*"):
+        try:
+            os.kill(int(orphan.rsplit(".", 1)[-1]), 0)
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(orphan, ignore_errors=True)
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
+        except OSError:
+            continue
+
+
+def _rm_build(build: str) -> None:
+    """Best-effort removal of a failed build (file or directory)."""
+    import shutil
+
+    shutil.rmtree(build, ignore_errors=True)
+    try:
+        os.remove(build)
+    except OSError:
+        pass
 
 
 def _publish_fixture(tmp: str, final: str, marker: str | None = None) -> None:
@@ -5599,48 +5651,53 @@ def _zarr_fixture_store(spark, sf_dir: str) -> str:
         "scarf_zarr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
     )
     marker = os.path.join(store, "RNA", "counts", ".zarray")
-    with _FIXTURE_LOCK:
+    with _fixture_lock(store):
         if sf_dir in _ZARR_STORE_CACHE:
             return _ZARR_STORE_CACHE[sf_dir]
         if not os.path.exists(marker):
+            _sweep_orphan_builds(store)
             build = f"{store}.build.{os.getpid()}"
-            sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 500)
-            cells = np.sort(
-                np.array(
-                    [r[0] for r in sl.select("cell_id").distinct().collect()],
-                    dtype="<i8",
+            try:
+                sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 500)
+                cells = np.sort(
+                    np.array(
+                        [r[0] for r in sl.select("cell_id").distinct().collect()],
+                        dtype="<i8",
+                    )
                 )
-            )
-            feats = np.sort(
-                np.array(
-                    [r[0] for r in sl.select("feat_id").distinct().collect()],
-                    dtype="<i8",
+                feats = np.sort(
+                    np.array(
+                        [r[0] for r in sl.select("feat_id").distinct().collect()],
+                        dtype="<i8",
+                    )
                 )
-            )
-            z.write_zarr_1d(os.path.join(build, "cellData", "ids"), cells)
-            z.write_zarr_1d(
-                os.path.join(build, "RNA", "featureData", "ids"), feats
-            )
-            cmap = spark.createDataFrame(
-                [(int(c), i) for i, c in enumerate(cells)],
-                "cell_id long, row long",
-            )
-            fmap = spark.createDataFrame(
-                [(int(f), j) for j, f in enumerate(feats)],
-                "feat_id long, col long",
-            )
-            coo = (
-                sl.join(F.broadcast(cmap), "cell_id")
-                .join(F.broadcast(fmap), "feat_id")
-                .select("row", "col", "value")
-            )
-            z.coo_to_zarr(
-                coo,
-                os.path.join(build, "RNA", "counts"),
-                (len(cells), len(feats)),
-                chunks=(2048, 128),
-            )
-            _publish_fixture(build, store, marker)
+                z.write_zarr_1d(os.path.join(build, "cellData", "ids"), cells)
+                z.write_zarr_1d(
+                    os.path.join(build, "RNA", "featureData", "ids"), feats
+                )
+                cmap = spark.createDataFrame(
+                    [(int(c), i) for i, c in enumerate(cells)],
+                    "cell_id long, row long",
+                )
+                fmap = spark.createDataFrame(
+                    [(int(f), j) for j, f in enumerate(feats)],
+                    "feat_id long, col long",
+                )
+                coo = (
+                    sl.join(F.broadcast(cmap), "cell_id")
+                    .join(F.broadcast(fmap), "feat_id")
+                    .select("row", "col", "value")
+                )
+                z.coo_to_zarr(
+                    coo,
+                    os.path.join(build, "RNA", "counts"),
+                    (len(cells), len(feats)),
+                    chunks=(2048, 128),
+                )
+                _publish_fixture(build, store, marker)
+            except BaseException:
+                _rm_build(build)
+                raise
         _ZARR_STORE_CACHE[sf_dir] = store
     return store
 
@@ -5667,8 +5724,9 @@ def _h5_fixture_store(spark, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "scarf_h5_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".h5",
     )
-    with _FIXTURE_LOCK:
+    with _fixture_lock(path):
         if sf_dir not in _H5_STORE_CACHE and not os.path.exists(path):
+            _sweep_orphan_builds(path)
             rows = (
                 _ds(spark, sf_dir)
                 .counts()
@@ -5688,21 +5746,27 @@ def _h5_fixture_store(spark, sf_dir: str) -> str:
                 indptr[ci + 1] += 1
             indptr = np.cumsum(indptr).astype("<i8")
             build = f"{path}.build.{os.getpid()}"
-            write_h5(
-                build,
-                {
-                    "matrix": {
-                        "indptr": indptr,
-                        "indices": np.array(
-                            [t[1] for t in triples], dtype="<i4"
-                        ),
-                        "data": np.array([t[2] for t in triples], dtype="<f8"),
+            try:
+                write_h5(
+                    build,
+                    {
+                        "matrix": {
+                            "indptr": indptr,
+                            "indices": np.array(
+                                [t[1] for t in triples], dtype="<i4"
+                            ),
+                            "data": np.array(
+                                [t[2] for t in triples], dtype="<f8"
+                            ),
+                        },
+                        "cell_ids": cells,
+                        "feat_ids": feats,
                     },
-                    "cell_ids": cells,
-                    "feat_ids": feats,
-                },
-            )
-            _publish_fixture(build, path)
+                )
+                _publish_fixture(build, path)
+            except BaseException:
+                _rm_build(build)
+                raise
         _H5_STORE_CACHE[sf_dir] = path
     return path
 
@@ -5792,34 +5856,43 @@ def src_zarr_blosc(spark, sf_dir):
             "scarf_zarrb_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         )
         marker = os.path.join(store, "RNA", "counts", ".zarray")
-        with _FIXTURE_LOCK:
+        with _fixture_lock(store):
             if sf_dir not in _ZARR_BLOSC_CACHE and not os.path.exists(marker):
+                _sweep_orphan_builds(store)
                 build = f"{store}.build.{os.getpid()}"
-                sl = _ds(spark, sf_dir).counts().where(F.col("feat_id") <= 200)
-                cells = np.sort(np.array(
-                    [r[0] for r in sl.select("cell_id").distinct().collect()],
-                    dtype="<i8"))
-                feats = np.sort(np.array(
-                    [r[0] for r in sl.select("feat_id").distinct().collect()],
-                    dtype="<i8"))
-                z.write_zarr_1d(os.path.join(build, "cellData", "ids"), cells,
-                                compressor=comp)
-                z.write_zarr_1d(
-                    os.path.join(build, "RNA", "featureData", "ids"),
-                    feats, compressor=comp)
-                cmap = spark.createDataFrame(
-                    [(int(c), i) for i, c in enumerate(cells)],
-                    "cell_id long, row long")
-                fmap = spark.createDataFrame(
-                    [(int(f), j) for j, f in enumerate(feats)],
-                    "feat_id long, col long")
-                coo = (sl.join(F.broadcast(cmap), "cell_id")
-                       .join(F.broadcast(fmap), "feat_id")
-                       .select("row", "col", "value"))
-                z.coo_to_zarr(coo, os.path.join(build, "RNA", "counts"),
-                              (len(cells), len(feats)), chunks=(2048, 128),
-                              compressor=comp)
-                _publish_fixture(build, store, marker)
+                try:
+                    sl = _ds(spark, sf_dir).counts().where(
+                        F.col("feat_id") <= 200)
+                    cells = np.sort(np.array(
+                        [r[0] for r in
+                         sl.select("cell_id").distinct().collect()],
+                        dtype="<i8"))
+                    feats = np.sort(np.array(
+                        [r[0] for r in
+                         sl.select("feat_id").distinct().collect()],
+                        dtype="<i8"))
+                    z.write_zarr_1d(
+                        os.path.join(build, "cellData", "ids"), cells,
+                        compressor=comp)
+                    z.write_zarr_1d(
+                        os.path.join(build, "RNA", "featureData", "ids"),
+                        feats, compressor=comp)
+                    cmap = spark.createDataFrame(
+                        [(int(c), i) for i, c in enumerate(cells)],
+                        "cell_id long, row long")
+                    fmap = spark.createDataFrame(
+                        [(int(f), j) for j, f in enumerate(feats)],
+                        "feat_id long, col long")
+                    coo = (sl.join(F.broadcast(cmap), "cell_id")
+                           .join(F.broadcast(fmap), "feat_id")
+                           .select("row", "col", "value"))
+                    z.coo_to_zarr(coo, os.path.join(build, "RNA", "counts"),
+                                  (len(cells), len(feats)),
+                                  chunks=(2048, 128), compressor=comp)
+                    _publish_fixture(build, store, marker)
+                except BaseException:
+                    _rm_build(build)
+                    raise
             _ZARR_BLOSC_CACHE[sf_dir] = store
     return z.read_zarr_store(spark, store)["counts"]
 

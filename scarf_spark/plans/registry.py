@@ -89,7 +89,12 @@ class RunRegistry:
                 e["operator"] == operator
                 and e["params_hash"] == p_hash
                 and e["input_hash"] == input_hash
-                and os.path.exists(e["path"])
+                # _SUCCESS is the completeness marker: a pre-fix stale
+                # partial (crashed direct write) may still have a log
+                # row and a directory — without the marker it falls
+                # through to recompute, where the publish path repairs
+                # it (r13 ADVICE).
+                and os.path.exists(os.path.join(e["path"], "_SUCCESS"))
             ):
                 return e
         return None
@@ -123,10 +128,35 @@ class RunRegistry:
         import shutil
         import threading
 
+        # Sweep orphaned build dirs from crashed runs (r13 ADVICE): a
+        # builder that died mid-write leaves {out}.build.{pid}.{tid}
+        # behind forever otherwise. Only dirs whose pid is dead — a
+        # live concurrent builder keeps its private dir.
+        import glob as _glob
+
+        for orphan in _glob.glob(f"{out_path}.build.*"):
+            try:
+                pid = int(orphan.rsplit(".", 2)[-2])
+                os.kill(pid, 0)
+            except (ValueError, IndexError):
+                continue
+            except ProcessLookupError:
+                # only a definitively-dead pid; PermissionError means
+                # alive under another uid — leave it
+                shutil.rmtree(orphan, ignore_errors=True)
+            except OSError:
+                continue
+
         build = f"{out_path}.build.{os.getpid()}.{threading.get_ident()}"
-        df.write.mode("overwrite").parquet(build)
+        try:
+            df.write.mode("overwrite").parquet(build)
+        except BaseException:
+            shutil.rmtree(build, ignore_errors=True)
+            raise
+        published = False
         try:
             os.rename(build, out_path)
+            published = True
         except OSError:
             marker = os.path.join(out_path, "_SUCCESS")
             if os.path.isdir(out_path) and not os.path.exists(marker):
@@ -137,22 +167,29 @@ class RunRegistry:
                 try:
                     os.rename(out_path, aside)
                     os.rename(build, out_path)
+                    published = True
                 except OSError:
                     pass
                 shutil.rmtree(aside, ignore_errors=True)
             if not os.path.exists(out_path):
                 raise
             shutil.rmtree(build, ignore_errors=True)
-        self._append(
-            {
-                "operator": operator,
-                "params_hash": p_hash,
-                "input_hash": input_hash,
-                "params": {k: str(v) for k, v in params.items()},
-                "path": out_path,
-                "created": time.time(),
-            }
-        )
+        # The rename LOSER does not append (r13 ADVICE: the log grew
+        # one duplicate row per lost race and latest() reflected the
+        # loser's timestamp) — unless the winner crashed before
+        # logging, in which case the complete table exists with no
+        # entry and we adopt it so future lookups hit.
+        if published or self.lookup(operator, p_hash, input_hash) is None:
+            self._append(
+                {
+                    "operator": operator,
+                    "params_hash": p_hash,
+                    "input_hash": input_hash,
+                    "params": {k: str(v) for k, v in params.items()},
+                    "path": out_path,
+                    "created": time.time(),
+                }
+            )
         return self.spark.read.parquet(out_path)
 
     # ---- lineage ----
