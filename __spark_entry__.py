@@ -9566,39 +9566,44 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 # regardless of window position is still verified by
 # tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # round-13 window. First the queries whose ENGINE (or oracle)
-    # changed this round, so the driver grades the code that will run:
-    # the whole verified-dedup family now runs the identical-class-
-    # collapsed LSH chain (rep-level candidates/Jaccard + star-expanded
-    # exact components; text_minhash_cluster and dedup_keep_best also
-    # swapped their oracle's fixed 3-round min-label unroll for the
-    # exact recursive closure); join_interval_sweep gained the
-    # two-phase distributed prefix sums; ml_harmony releases its final
-    # E-step checkpoint; pipe_text_ann + dedup_embedding sit on the
-    # half-away-from-zero distance rounding fix:
-    "dedup_components", "text_minhash_cluster", "dedup_keep_best",
-    "dedup_lsh_recall", "join_interval_sweep", "ml_harmony",
-    "pipe_text_ann", "dedup_embedding",
-    # freshness rotation: the entire r6-latest cohort (the oldest
-    # ledger rows; dedup_minhash_bands and dedup_ngram_jaccard are
-    # ALSO engine-changed this round). Every row has been
-    # selfcheck-exact at every sweep since its last grade:
-    "agg_gini", "agg_rollup", "dedup_dup_spans", "dedup_jaccard_all",
-    "dedup_minhash_bands", "dedup_ngram_jaccard", "join_asof",
-    "mm_payload_meta", "mm_phash_dedup", "mm_resize",
-    "norm_pearson_residual", "norm_quantile", "norm_robust_scale",
-    "norm_size_factors", "norm_tf_idf", "samp_downsample",
-    "samp_hash_split", "samp_stratified", "samp_temperature",
-    "sink_wide", "sql_q3", "sql_q5", "src_bed_bins",
-    "src_gff_promoters", "src_h5_counts", "src_zarr_pruned",
-    "stream_dedup", "stream_window_sliding", "stream_window_tumbling",
-    "text_bpe_tokens", "text_collocation_pmi", "text_fingerprint",
-    "text_lang_id", "text_ngram_top", "text_pii_redact",
-    "text_token_stats", "win_ewma", "win_lead_lag", "win_ohlc",
-    "win_range_frame",
-    # two r7-cohort rows that directly exercise the _grid_scorer
-    # rounding change; the remaining 37 r7 rows rotate in round 14:
-    "knn_cross_sharded", "knn_exact_sharded",
+    # round-14 window. First the queries whose ENGINE changed this
+    # round, so the driver grades the code that will run: the graph
+    # family dropped its forced node-sized broadcast hints (the r13
+    # verdict's scale-killer; graph_modularity + graph_magic_t2 are
+    # also in the stale cohort below), the RunRegistry consumers sit
+    # on the _SUCCESS-gated lookup + dedup'd log, and the jsonl/zarr
+    # fixture stores moved to keyed locks + orphan sweeps:
+    "graph_membership", "graph_magic_t1", "graph_mapping_score",
+    "graph_target_class", "ann_ivf_persisted", "ann_ivf_append",
+    "dedup_incremental", "src_jsonl_docs", "src_zarr_pruned",
+    # freshness rotation: the ENTIRE remaining r7-latest cohort (the
+    # 37 oldest ledger rows — the one unfinished r12 ask; includes
+    # the 4 weak rows' rows-only re-grade). Every row has been
+    # selfcheck-exact (or rows-green for the weak 4) at every sweep
+    # since its last grade. After this window every registered
+    # query's latest driver grade is r8 or newer:
+    "agg_cooccur", "agg_histogram", "agg_mode", "dedup_span_ratio",
+    "evt_anomaly", "evt_markov", "filt_outlier_iqr", "graph_magic_t2",
+    "graph_modularity", "graph_snn_rerank", "graph_unified",
+    "knn_radius", "mark_stats", "ml_ari", "ml_nmi",
+    "ml_pca_project", "ml_pseudotime", "ml_sgtsne_embed",
+    "ml_sgtsne_rescale", "ml_silhouette", "ml_umap_embed",
+    "ml_umap_sym", "mm_audio_decode_real", "mm_audio_energy",
+    "mm_frame_sample", "mm_image_decode", "mm_ocr_stub",
+    "qc_prevalence", "set_intersect", "src_zarr_blosc",
+    "src_zarr_counts", "stream_type_rate", "text_boilerplate",
+    "text_chunk", "text_tfidf_top", "text_unigram_logprob",
+    # the three r13 stream-view spikes newly appended to the bench
+    # pinned set — graded here so the pinned addition and the driver
+    # grade land in the same round (graph_modularity is above):
+    "ml_mahalanobis", "ml_gmm_resp",
+    # r14 rows-only re-grade companion for the weak SGD family:
+    "ml_densmap_embed",
+    # two long-green sentinels to detect window-mechanics regressions
+    # (ml_louvain from the r7 ledger was retired from the surface in
+    # r7 — ml_leiden supersedes it — so the stale cohort is 36 live
+    # rows, not 37):
+    "sql_q1", "qc_ncounts",
 ]
 
 

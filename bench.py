@@ -75,6 +75,11 @@ PINNED = [
     "sketch_kmv", "stream_sessionize",
     # end-to-end pipelines
     "pipe_atlas_prep", "pipe_mapping",
+    # round-14 appends (membership is append-only; adding is allowed):
+    # the three r13 stream-view spikes with no pinned twin — their
+    # serial best-of-3 is now recorded every run, so a stream-map
+    # excursion can be attributed to scheduling vs engine directly
+    "ml_mahalanobis", "graph_modularity", "ml_gmm_resp",
 ]
 
 
@@ -110,12 +115,47 @@ PINNED_REF_PATH = os.path.join(
 PINNED_PROPOSED_PATH = PINNED_REF_PATH.replace(".json", ".proposed.json")
 
 
+# Key under which the host fingerprint is stored inside the committed
+# ref vector (ignored by the per-query ratio math — pinned_times never
+# contains it).
+HOST_PROBE_KEY = "__host_probe_sec__"
+
+
+def host_probe(reps: int = 3) -> float:
+    """Deterministic single-thread fixed-work probe — a HOST
+    fingerprint, never a divisor (round 13 demonstrated live that
+    start-of-run load1 is blind to a CPU-generation/clock difference
+    at idle: a fresh 1.5x-slower VM fired SUSPECT-ENGINE twice on what
+    manual triage proved was host speed). Two serial kernels cover the
+    two speeds that matter: a pure-python loop (interpreter + branch
+    speed) and sha256 over a fixed buffer (single-core C throughput).
+    Best-of-reps so a transient co-tenant spike can't move the
+    fingerprint; the work is fixed, so on the SAME machine the value
+    is stable run-over-run and a moved fingerprint means the machine
+    changed."""
+    import hashlib
+
+    best = float("inf")
+    buf = bytes(1 << 20)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(1_500_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        h = hashlib.sha256()
+        for _ in range(192):  # 192 MiB
+            h.update(buf)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def normalize_pinned(
     pinned_times: dict,
     ref: dict,
     expected: list,
     load1_start: float,
     ncpu: int,
+    probe_sec: float | None = None,
 ) -> dict:
     """Pure normalization + regression triage for the pinned headline
     (factored out so the triage rules are unit-testable without a
@@ -131,8 +171,18 @@ def normalize_pinned(
       >=1/4 of pinned queries individually >1.3x ref) while the
       machine looked idle when the run STARTED (load1 < 0.2*ncpu;
       start-of-run load, because the bench's own executors dominate
-      load1 by the end) — a uniform regression would look exactly
-      like this, investigate before trusting the normalized number.
+      load1 by the end) AND the host fingerprint matches the one
+      recorded with the ref vector — a uniform regression would look
+      exactly like this, investigate before trusting the normalized
+      number.
+    * ``HOST`` — same broad-slowdown-at-idle signature, but the
+      single-thread fixed-work fingerprint (``probe_sec``) is >1.2x
+      the ``__host_probe_sec__`` recorded in the ref vector: the
+      machine itself is slower per-core than the one the ref was
+      measured on (new VM / CPU generation), so the slowdown is the
+      host's, not the engine's. One-sided by design: a FASTER host
+      with a broad slowdown stays SUSPECT-ENGINE. Re-baseline via
+      tools/promote_pinned_ref.py --rebaseline when this persists.
     * ``LOAD`` — same slowdown signature but the box was visibly busy
       at start: normalization is doing its job.
     * ``NO-PINNED`` — nothing measured; the normalized headline is
@@ -169,15 +219,20 @@ def normalize_pinned(
     out["slowdown"] = round(slowdown, 3)
     out["value"] = round(out["pinned_wall_sec"] / slowdown, 3)
     out["n_over_130"] = sum(r > 1.3 for r in ratios)
+    probe_ref = ref.get(HOST_PROBE_KEY)
+    if probe_sec and probe_ref:
+        out["host_probe_ratio"] = round(probe_sec / probe_ref, 3)
     broad = slowdown > 1.15 or (
         ratios and out["n_over_130"] >= max(3, len(ratios) // 4)
     )
-    if broad:
-        out["regression_flag"] = (
-            "SUSPECT-ENGINE" if load1_start < 0.2 * ncpu else "LOAD"
-        )
-    else:
+    if not broad:
         out["regression_flag"] = "ok"
+    elif load1_start >= 0.2 * ncpu:
+        out["regression_flag"] = "LOAD"
+    elif probe_sec and probe_ref and probe_sec > 1.2 * probe_ref:
+        out["regression_flag"] = "HOST"
+    else:
+        out["regression_flag"] = "SUSPECT-ENGINE"
     if slowdown <= 1.05:
         proposal = dict(ref)
         for n, t in pinned_times.items():
@@ -203,6 +258,10 @@ def main() -> None:
     # co-tenant load BEFORE any Spark work: by the end of a run our own
     # executors dominate load1, so the regression triage keys off this
     load1_start = round(os.getloadavg()[0], 1)
+    # host fingerprint BEFORE any Spark work, for the same reason:
+    # measured at the quietest point of the run (triage only, never a
+    # divisor — see host_probe)
+    probe_sec = host_probe()
     spark = get_spark("scarf-bench")
     qs = entry_mod.queries()
     # Bench the ENTIRE registered query surface (round 9; previously a
@@ -378,7 +437,8 @@ def main() -> None:
         print(f"pinned ref unavailable: {exc}", file=sys.stderr)
         ref = {}
     norm = normalize_pinned(
-        pinned_times, ref, names_p, load1_start, os.cpu_count() or 1
+        pinned_times, ref, names_p, load1_start, os.cpu_count() or 1,
+        probe_sec=probe_sec,
     )
     if norm["pinned_missing"]:
         print(
@@ -455,6 +515,12 @@ def main() -> None:
             "regression_flag": norm["regression_flag"],
             "n_over_130": norm["n_over_130"],
             "load1_start": load1_start,
+            "host_probe_sec": probe_sec,
+            **(
+                {"host_probe_ratio": norm["host_probe_ratio"]}
+                if "host_probe_ratio" in norm
+                else {}
+            ),
             "pinned_wall_sec": norm["pinned_wall_sec"],
             "stream_wall_sec": wall,
             # the benched set GROWS as operators land (27 queries in

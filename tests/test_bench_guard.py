@@ -95,3 +95,79 @@ def test_new_queries_enter_proposal_verbatim():
         times, ref, ["a", "b"], load1_start=0.5, ncpu=32
     )
     assert out["proposal"] == {"a": 1.0, "b": 3.0}
+
+
+# --- host fingerprint triage (round 14): the flag's blind spot was a
+# CPU-generation/clock difference at idle — load1 can't see it, and
+# round 13 fired SUSPECT-ENGINE twice on a host change. The probe is a
+# fingerprint, never a divisor.
+
+REF_FP = {**REF, bench.HOST_PROBE_KEY: 1.0}
+
+
+def test_broad_slowdown_idle_box_fingerprint_unchanged_is_engine():
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, REF_FP, NAMES, load1_start=0.5, ncpu=32, probe_sec=1.02
+    )
+    assert out["regression_flag"] == "SUSPECT-ENGINE"
+    assert out["host_probe_ratio"] == 1.02
+
+
+def test_broad_slowdown_idle_box_fingerprint_moved_is_host():
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, REF_FP, NAMES, load1_start=0.5, ncpu=32, probe_sec=1.5
+    )
+    assert out["regression_flag"] == "HOST"
+    assert out["host_probe_ratio"] == 1.5
+
+
+def test_faster_host_stays_suspect_engine():
+    # one-sided: a FASTER machine cannot explain a broad slowdown
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, REF_FP, NAMES, load1_start=0.5, ncpu=32, probe_sec=0.6
+    )
+    assert out["regression_flag"] == "SUSPECT-ENGINE"
+
+
+def test_busy_box_is_load_regardless_of_fingerprint():
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, REF_FP, NAMES, load1_start=20.0, ncpu=32, probe_sec=1.5
+    )
+    assert out["regression_flag"] == "LOAD"
+
+
+def test_missing_probe_ref_falls_back_to_suspect_engine():
+    # pre-fingerprint ref vector: behave exactly as before
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, REF, NAMES, load1_start=0.5, ncpu=32, probe_sec=1.5
+    )
+    assert out["regression_flag"] == "SUSPECT-ENGINE"
+    assert "host_probe_ratio" not in out
+
+
+def test_probe_key_never_enters_ratio_math():
+    # the dunder key in ref must not perturb slowdown or proposals
+    times = {n: 1.0 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, REF_FP, NAMES, load1_start=0.5, ncpu=32, probe_sec=1.0
+    )
+    assert out["slowdown"] == 1.0
+    assert out["regression_flag"] == "ok"
+    # proposal (if any) carries the fingerprint through unchanged
+    if out["proposal"] is not None:
+        assert out["proposal"][bench.HOST_PROBE_KEY] == 1.0
+
+
+def test_host_probe_is_deterministic_fixed_work():
+    # two timings of the fixed-work probe on the same box agree within
+    # the tolerance the triage threshold assumes (1.2x); also sanity:
+    # sub-10s so it never dominates a bench run
+    a = bench.host_probe(reps=2)
+    b = bench.host_probe(reps=2)
+    assert a < 10 and b < 10
+    assert max(a, b) / min(a, b) < 1.2

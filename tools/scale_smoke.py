@@ -721,6 +721,56 @@ def main() -> None:
         results,
     )
 
+    # 32c. many-MEDIUM-classes expansion hazard (round 14): duplicate
+    # mass spread across n_docs/10 classes of 10 members each (1M
+    # classes × 10 at 10M docs) instead of one giant class. This is
+    # the collapse's OTHER extreme: the multi-member class table is
+    # now CORPUS-sized (every doc sits in a multi-member class), so
+    # the member re-expansion joins cannot broadcast — they must
+    # shuffle the full class map — while the rep-level chain runs on
+    # 10x fewer texts. Same near-dup structure as kernel 32 at the
+    # CLASS level (10% of classes are one-word-off near-dups of a
+    # base class), so candidate pairs and Jaccard-verified edges
+    # genuinely fan out through the member expansion.
+    cls_id = F.expr("id DIV 10")
+    n_cls_base = int((n_docs // 10) * 0.9)
+    base_c = cls_id % n_cls_base
+    is_dup_c = (cls_id >= n_cls_base).cast("long")
+    words_c = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda w: F.concat(
+            F.lit("w"),
+            (
+                (base_c * 31 + w * 7919
+                 + is_dup_c * F.when(w == 12, 1).otherwise(0))
+                % 1_000_000_000
+            ).cast("string"),
+        ),
+    )
+    docs_med = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words_c).alias("text")
+    )
+
+    def _dedup_chain_medium():
+        classes = dd.identical_classes(docs_med).persist()
+        ch = dd.lsh_collapse_chain(
+            docs_med, n=3, n_hashes=8, n_bands=4, classes=classes
+        )
+        ch["rep_shingles"] = ch["rep_shingles"].persist()
+        ch["rep_pairs"] = ch["rep_pairs"].persist()
+        rep_jac, capped = dd.collapsed_rep_jaccard(ch, df_cap=100)
+        ve = rep_jac.where(F.col("jaccard") >= 0.5).select(
+            F.col("ra").alias("a"), F.col("rb").alias("b")
+        )
+        edges = dd.star_expand_edges(ve, ch["classes"], capped.select("rep"))
+        return dd.star_components(edges, docs_med)
+
+    timed(
+        f"dedup_chain_medium_classes_{n_docs // 1_000_000}M",
+        _dedup_chain_medium,
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
