@@ -84,7 +84,7 @@ def lisi(edges: DataFrame, labels: DataFrame, perplexity: float = 5.0) -> DataFr
     # one hash agg builds the neighbor list, then the bisection kernel
     # runs per Arrow batch (not one Python round-trip per cell)
     nb = (
-        edges.join(F.broadcast(lab), "dst")
+        edges.join(lab, "dst")
         .groupBy("src")
         .agg(F.collect_list(F.struct("distance", "label")).alias("_nb"))
     )
@@ -439,10 +439,10 @@ def knn_ndcg(edges: DataFrame, labels: DataFrame, k: int = 5) -> DataFrame:
 
     lab = labels.select(F.col("vec_id").alias("_id"), F.col("label").alias("_l"))
     e = (
-        edges.join(F.broadcast(lab.withColumnRenamed("_id", "src")
-                               .withColumnRenamed("_l", "_ls")), "src")
-        .join(F.broadcast(lab.withColumnRenamed("_id", "dst")
-                          .withColumnRenamed("_l", "_ld")), "dst")
+        edges.join(lab.withColumnRenamed("_id", "src")
+                   .withColumnRenamed("_l", "_ls"), "src")
+        .join(lab.withColumnRenamed("_id", "dst")
+              .withColumnRenamed("_l", "_ld"), "dst")
         .where(F.col("rank") <= k)
     )
     term = F.when(F.col("_ls") == F.col("_ld"),

@@ -117,7 +117,7 @@ def harmonic_potential(
         F.when(F.col("node") == source_node, F.lit(1.0))
         .otherwise(F.lit(-1.0 / max(n - 1, 1)))
         .alias("b"),
-    ).join(F.broadcast(dvec), "node").localCheckpoint(eager=True)
+    ).join(dvec, "node").localCheckpoint(eager=True)
     sumd = float(deg.agg(F.sum("d")).collect()[0][0])
     v = base.select("node", F.col("b").alias("v"))
     for _ in range(n_iter):

@@ -30,9 +30,10 @@ def make_bulk(
     and fraction of cells expressing (``return_fraction``,
     ``datastore.py:1069-1087``).
 
-    cell_groups: (cell_id, group) — broadcast."""
+    cell_groups: (cell_id, group) — node-sized, so no broadcast hint
+    (AQE broadcasts when small; group sizes stay hinted)."""
     sizes = cell_groups.groupBy(group_col).agg(F.count("*").alias("_gn"))
-    joined = counts.join(F.broadcast(cell_groups), "cell_id")
+    joined = counts.join(cell_groups, "cell_id")
     return (
         joined.groupBy(group_col, "feat_id")
         .agg(
@@ -66,7 +67,7 @@ def pseudo_replicates(
         "rep", F.pmod(F.row_number().over(w) - 1, F.lit(n_reps))
     )
     return (
-        counts.join(F.broadcast(reps), "cell_id")
+        counts.join(reps, "cell_id")
         .groupBy(group_col, "rep", "feat_id")
         .agg(F.sum("value").cast("double").alias("sum_value"))
     )
@@ -79,7 +80,7 @@ def group_mean_zscore(
     dense mean, then z-score each feature across groups."""
     sizes = cell_groups.groupBy(group_col).agg(F.count("*").alias("_gn"))
     means = (
-        counts.join(F.broadcast(cell_groups), "cell_id")
+        counts.join(cell_groups, "cell_id")
         .groupBy(group_col, "feat_id")
         .agg(F.sum("value").alias("_tot"))
         .join(F.broadcast(sizes), group_col)

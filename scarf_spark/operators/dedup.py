@@ -560,8 +560,8 @@ def ngram_jaccard(
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        inter.join(sa, "a")
+        .join(sb, "b")
         .select(
             "a",
             "b",
@@ -739,7 +739,7 @@ def ngram_containment(
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     return (
-        inter.join(F.broadcast(sa), "a")
+        inter.join(sa, "a")
         .select(
             "a",
             "b",

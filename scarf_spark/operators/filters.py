@@ -96,7 +96,7 @@ def index_to_bool(df: DataFrame, selected: DataFrame, key: str, invert: bool = F
     """Indices → boolean mask (``metadata.py:378-393``) as a broadcast
     left join producing a flag column."""
     sel = selected.select(key).distinct().withColumn("_hit", F.lit(True))
-    flagged = df.join(F.broadcast(sel), key, "left_outer")
+    flagged = df.join(sel, key, "left_outer")
     flag = F.coalesce(F.col("_hit"), F.lit(False))
     if invert:
         flag = ~flag

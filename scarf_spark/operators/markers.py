@@ -45,11 +45,12 @@ def marker_stats(
     #   → (feat, group) marker aggregates                   [shuffle 3]
     #   → per-feature totals derived FROM those aggregates  [tiny]
     #
-    # The group label is broadcast-joined into the scan (left outer:
-    # cells outside any group still count toward ranks and totals,
-    # matching the row-wise semantics).
+    # The group label equi-joins into the scan (left outer: cells
+    # outside any group still count toward ranks and totals, matching
+    # the row-wise semantics). No broadcast hint — the label table is
+    # one row per cell; AQE broadcasts it when genuinely small.
     gv = (
-        counts.join(F.broadcast(cell_groups), "cell_id", "left_outer")
+        counts.join(cell_groups, "cell_id", "left_outer")
         .groupBy("feat_id", group_col, "value")
         .agg(F.count("*").alias("c"))
     )
@@ -166,7 +167,7 @@ def regression_markers(
     covariate (pseudotime in the reference, ``markers.py:278-320``),
     over features expressed in ≥ min_cells cells. slope and r from
     covar/var aggregates — one hash agg, no per-feature loop."""
-    joined = counts.join(F.broadcast(cell_covariate), "cell_id")
+    joined = counts.join(cell_covariate, "cell_id")
     agg = joined.groupBy("feat_id").agg(
         F.count("*").alias("n"),
         F.covar_samp(x_col, "value").alias("cov"),
@@ -210,7 +211,7 @@ def feature_module_knn(
         "cell_id", "bin"
     )
     prof = (
-        counts.join(F.broadcast(binned_cells), "cell_id")
+        counts.join(binned_cells, "cell_id")
         .groupBy("feat_id", "bin")
         .agg(F.round(F.avg("value"), 6).alias("m"))
     )

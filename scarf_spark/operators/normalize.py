@@ -122,15 +122,18 @@ def norm_pearson_residual(
 
     Plan: two dimension-sized aggregates (cell totals, feature totals —
     one shuffle of state each), grand total from the feature totals,
-    then ONE broadcast join back to the fact table — the fact rows are
-    never shuffled."""
+    joined back to the fact table. The feature-total join is
+    hint-broadcast (features are domain-bounded); the CELL-total join
+    is a plain equi-join — cell_tot is one row per cell, so a forced
+    broadcast outgrows limits at scale; AQE still broadcasts it when
+    genuinely small."""
     cell_tot = counts.groupBy("cell_id").agg(F.sum("value").alias("_nc"))
     feat_tot = counts.groupBy("feat_id").agg(F.sum("value").alias("_fg"))
     grand = feat_tot.agg(F.sum("_fg").alias("_N"))
     mu = F.col("_nc") * F.col("_fg") / F.col("_N")
     r = (F.col("value") - mu) / F.sqrt(mu + mu * mu / F.lit(theta))
     return (
-        counts.join(F.broadcast(cell_tot), "cell_id")
+        counts.join(cell_tot, "cell_id")
         .join(F.broadcast(feat_tot), "feat_id")
         .crossJoin(F.broadcast(grand))
         .select("cell_id", "feat_id", F.round(r, 6).alias(out))

@@ -373,15 +373,16 @@ def cohort_retention(
     engagement curve every event product tracks. Integer epoch-second
     bucketing keeps every cell engine-exact.
 
-    Two aggregates: first-activity per user (dimension-sized), then a
-    distinct count per (cohort, offset) — the broadcast-joined cohort
-    table never reshuffles the event stream."""
+    Two aggregates: first-activity per user (one row PER USER — an
+    unbounded dimension, so the cohort join carries no broadcast hint;
+    AQE broadcasts it when small), then a distinct count per
+    (cohort, offset)."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     period = F.floor(us / F.lit(bucket_seconds * 1_000_000)).cast("long")
     ev = events.select(F.col(user_col).alias("u"), period.alias("p"))
     cohort = ev.groupBy("u").agg(F.min("p").alias("p0"))
     return (
-        ev.join(F.broadcast(cohort), "u")
+        ev.join(cohort, "u")
         .groupBy(F.col("p0").alias("cohort"), (F.col("p") - F.col("p0")).alias("offset"))
         .agg(F.count_distinct("u").alias("n_users"))
     )

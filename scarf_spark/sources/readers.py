@@ -152,7 +152,7 @@ def bed_to_bins(
         .where(F.col("_tot") >= min_fragments_per_cell)
         .select("barcode")
     )
-    return counts.join(F.broadcast(keep), "barcode", "left_semi")
+    return counts.join(keep, "barcode", "left_semi")
 
 
 def gff_promoters(

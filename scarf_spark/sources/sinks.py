@@ -76,7 +76,7 @@ def subset_assay(
     selections are small — the common case), then an ordinary
     distributed write."""
     out = counts.join(
-        F.broadcast(cells_sel.select("cell_id")), "cell_id", "left_semi"
+        cells_sel.select("cell_id"), "cell_id", "left_semi"
     ).join(F.broadcast(feats_sel.select("feat_id")), "feat_id", "left_semi")
     if out_path:
         out.write.mode("overwrite").parquet(out_path)

@@ -323,9 +323,11 @@ def read_zarr_store(spark: SparkSession, store_dir: str, assay: str = "RNA") -> 
 
     Layout (mirrors ``scarf/writers.py`` / ``scarf/assay.py:134``):
     ``<store>/<assay>/counts`` 2-D, ``<store>/cellData/ids`` and
-    ``<store>/<assay>/featureData/ids`` 1-D.  The id arrays are
-    dimension-sized (one entry per cell/feature) and join the COO
-    triplets broadcast-side, so the fact scan never reshuffles.
+    ``<store>/<assay>/featureData/ids`` 1-D.  The feature id array is
+    domain-bounded and joins hint-broadcast; the CELL id array is
+    node-sized (one row per cell), so it joins without a hint — AQE
+    broadcasts it when small, and above the threshold the fact scan
+    shuffles on the row key like any n-scaled join.
     """
     counts_idx = read_zarr_2d_coo(spark, os.path.join(store_dir, assay, "counts"))
     cells = read_zarr_1d(spark, os.path.join(store_dir, "cellData", "ids"))
@@ -334,7 +336,7 @@ def read_zarr_store(spark: SparkSession, store_dir: str, assay: str = "RNA") -> 
     )
     counts = (
         counts_idx.join(
-            F.broadcast(cells.select(F.col("idx").alias("row"), F.col("value").alias("cell_id"))),
+            cells.select(F.col("idx").alias("row"), F.col("value").alias("cell_id")),
             "row",
         )
         .join(

@@ -99,7 +99,7 @@ class ScarfDataStore:
 
     def _active_counts(self) -> DataFrame:
         sel = self.cells.where("I").select("cell_id")
-        return self.counts.join(F.broadcast(sel), "cell_id", "left_semi")
+        return self.counts.join(sel, "cell_id", "left_semi")
 
     # ---- HVG selection (assay.py:1003-1063) ---------------------------
 
@@ -484,7 +484,7 @@ class ScarfDataStore:
         n_cells, n_feats = cid.count(), fid.count()
         ac = (
             self._active_counts()
-            .join(F.broadcast(cid), "cell_id")
+            .join(cid, "cell_id")
             .join(F.broadcast(fid), "feat_id")
             .select(
                 F.col("_ci").alias("cell_id"),
@@ -492,7 +492,7 @@ class ScarfDataStore:
                 "value",
             )
         )
-        obs = cells.join(F.broadcast(cid), "cell_id").select(
+        obs = cells.join(cid, "cell_id").select(
             F.col("_ci").alias("cell_id"),
             *[c for c in ("n_counts", "n_features") if c in cells.columns],
         )
