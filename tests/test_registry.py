@@ -94,6 +94,64 @@ def test_concurrent_publish_loses_race_gracefully(spark, reg):
     assert not glob.glob(os.path.join(reg.root, "*build*"))
 
 
+def test_rename_loser_does_not_duplicate_log_row(spark, reg):
+    # r13 ADVICE: the rename loser used to append a second registry
+    # row for the same key (the log grew one row per lost race and
+    # latest() reflected the loser's timestamp). Emulate a lost race
+    # where the winner's table AND its log row exist: wipe the log so
+    # the first call recomputes and loses the rename against the
+    # committed table — it must adopt it and append exactly one row
+    # (the winner-crashed-before-logging case); a second identical
+    # lost race with the row present must NOT append another.
+    import os
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    reg.get_or_compute("op", {"k": 1}, "ih1", lambda: df)
+    os.remove(reg._log)
+    reg.get_or_compute("op", {"k": 1}, "ih1", lambda: df)  # adopts, logs once
+    assert len(reg._entries()) == 1
+    # row present + table complete: pure hit, no recompute, no append
+    reg.get_or_compute("op", {"k": 1}, "ih1", lambda: df)
+    assert len(reg._entries()) == 1
+
+
+def test_stale_partial_with_log_row_recomputes(spark, reg):
+    # r13 ADVICE: lookup() must not serve a path whose _SUCCESS marker
+    # is missing even when a registry row for it exists
+    import os
+
+    df = spark.range(7).withColumnRenamed("id", "v")
+    out = reg.get_or_compute("op", {"k": 3}, "ih3", lambda: df)
+    path = reg.latest("op")["path"]
+    os.remove(os.path.join(path, "_SUCCESS"))  # now a stale partial
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return df
+
+    out2 = reg.get_or_compute("op", {"k": 3}, "ih3", compute)
+    assert calls == [1]  # fell through to recompute (repair)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert sorted(r["v"] for r in out2.collect()) == list(range(7))
+    del out
+
+
+def test_orphan_build_dirs_swept_only_when_pid_dead(spark, reg):
+    import os
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    key = f"op__{params_hash({'k': 4})}__ih4"
+    dead = os.path.join(reg.root, f"{key}.build.999999.1")
+    live = os.path.join(reg.root, f"{key}.build.{os.getpid()}.1")
+    os.makedirs(dead)
+    os.makedirs(live)
+    reg.get_or_compute("op", {"k": 4}, "ih4", lambda: df)
+    assert not os.path.exists(dead)  # pid 999999 is dead -> swept
+    assert os.path.exists(live)  # our own pid is alive -> kept
+    shutil.rmtree(live, ignore_errors=True)
+
+
 def test_stale_partial_output_is_replaced(spark, reg):
     # a crashed pre-fix write (directory without _SUCCESS) must not
     # block the fresh build
