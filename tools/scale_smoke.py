@@ -771,6 +771,36 @@ def main() -> None:
         results,
     )
 
+    # 33. graph label join at broadcast-impossible node counts (round
+    # 14): membership_strength used to hint-force its label table (one
+    # row per cell) into a broadcast; with the hint gone, AQE must
+    # take the shuffle path once labels outgrow the threshold. 100M
+    # nodes × k=3 neighbors — the label table alone is multiple GB
+    # serialized, far past the 8 GB broadcast hard limit at real
+    # executor counts — proving the de-hinted plan completes with
+    # linear-shuffle economics (join on dst, hash agg on (src, label),
+    # per-src top-1 window).
+    from scarf_spark.operators.graph import membership_strength
+
+    n_nodes = int(
+        os.environ.get("SMOKE_GRAPH_NODES", str(min(n * 5, 100_000_000)))
+    )
+    k_nb = 3
+    ed = spark.range(n_nodes * k_nb).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761 + 17) % n_nodes).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    lb = spark.range(n_nodes).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % 100).cast("string").alias("label"),
+    )
+    timed(
+        f"graph_label_shuffle_{n_nodes // 1_000_000}M",
+        lambda: membership_strength(ed, lb, k_nb),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
