@@ -137,6 +137,18 @@ def test_stale_partial_with_log_row_recomputes(spark, reg):
     del out
 
 
+def test_fixture_locks_are_keyed_per_target():
+    # r13 ADVICE: the fixture stores used one global lock, serializing
+    # unrelated families (zarr vs h5 vs jsonl) under the 4-thread
+    # bench stream and risking self-deadlock on cross-family nesting
+    import __spark_entry__ as em
+
+    a = em._fixture_lock("/tmp/fixture_a")
+    b = em._fixture_lock("/tmp/fixture_b")
+    assert a is not b
+    assert em._fixture_lock("/tmp/fixture_a") is a
+
+
 def test_orphan_build_dirs_swept_only_when_pid_dead(spark, reg):
     import os
 
