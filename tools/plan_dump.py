@@ -191,6 +191,15 @@ HEADLINE = [
     "join_interval_sweep",
     "dedup_components",
     "ml_harmony",
+    # round-14 additions: the de-hinted graph/label joins (forced
+    # node-sized broadcasts removed — at this sf AQE still picks a
+    # broadcast join on its own, which is the point; at scale the
+    # same plan shuffles on the entity key)
+    "graph_membership",
+    "graph_magic_t1",
+    "graph_modularity",
+    "graph_mapping_score",
+    "ml_lisi",
 ]
 
 
