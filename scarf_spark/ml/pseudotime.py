@@ -91,8 +91,10 @@ def harmonic_potential(
         )
         .groupBy("i", "j")
         .agg(F.sum("w").alias("w"))
+        # cut once: both deg and the D⁻¹ fold below read this table
+        .localCheckpoint(eager=False)
     )
-    deg = und.groupBy("j").agg(F.sum("w").alias("d"))
+    deg = und.groupBy("j").agg(F.sum("w").alias("d")).localCheckpoint(eager=False)
     # fold D⁻¹ into the edge table once; every iteration reuses this
     # materialization (the pagerank shape)
     ew = (
@@ -100,32 +102,40 @@ def harmonic_potential(
         .select("i", "j", (F.col("w") / F.col("d")).alias("wn"))
         .localCheckpoint(eager=True)
     )
-    nodes = ew.select(F.col("i").alias("node")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
+    # the node set IS deg's key set (und is symmetric: every i appears
+    # as a j), so base derives from deg directly — the previous
+    # distinct + join pair shuffled the same rows twice to rebuild a
+    # table deg already was. ONE setup action covers the degenerate-
+    # input guards and the deflation denominator together.
+    r0 = deg.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sumd"),
+        F.sum(F.when(F.col("j") == source_node, 1).otherwise(0)).alias("has_src"),
+    ).collect()[0]
+    n = r0["n"]
     # fail loud on degenerate inputs instead of emitting a constant/NULL
     # potential (the welch_t/drift_terms doctrine): a <2-node graph has
     # no potential and a missing source makes b a constant vector
     if n < 2:
         raise ValueError(f"harmonic_potential: need >= 2 nodes, got {n}")
-    if nodes.where(F.col("node") == source_node).count() == 0:
+    if not r0["has_src"]:
         raise ValueError(
             f"harmonic_potential: source node {source_node} not in the graph"
         )
-    dvec = deg.select(F.col("j").alias("node"), "d")
-    base = nodes.select(
-        "node",
-        F.when(F.col("node") == source_node, F.lit(1.0))
+    sumd = float(r0["sumd"])
+    base = deg.select(
+        F.col("j").alias("node"),
+        F.when(F.col("j") == source_node, F.lit(1.0))
         .otherwise(F.lit(-1.0 / max(n - 1, 1)))
         .alias("b"),
-    ).join(dvec, "node").localCheckpoint(eager=True)
-    sumd = float(deg.agg(F.sum("d")).collect()[0][0])
+        "d",
+    ).localCheckpoint(eager=True)
     v = base.select("node", F.col("b").alias("v"))
     for _ in range(n_iter):
         # no broadcast hints in the loop: the explicit broadcast of an
         # unmaterialized node-sized plan costs a build-job + collect +
         # torrent push per round; the shuffle join is far cheaper (the
-        # spectral_embedding lesson). The single-row crossJoin below
-        # keeps its hint (a plain crossJoin would plan a cartesian).
+        # spectral_embedding lesson).
         contrib = (
             ew.join(v.select(F.col("node").alias("j"), "v"), "j")
             .groupBy("i")
@@ -135,30 +145,32 @@ def harmonic_potential(
             contrib.select(F.col("i").alias("node"), "c"),
             "node",
             "left_outer",
-        ).select("node", "b", "d", (F.col("b") + F.coalesce("c", F.lit(0.0))).alias("u"))
-        s = u.agg(F.sum("u").alias("_s"))
-        # deflation shape u - d * s / sumd (multiply before divide) is
-        # replicated verbatim in the SQL oracle
-        v = (
-            u.crossJoin(F.broadcast(s))
-            .select(
-                "node",
-                (F.col("u") - F.col("d") * F.col("_s") / F.lit(sumd)).alias("v"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    ext = v.agg(F.min("v").alias("_mn"), F.max("v").alias("_mx"))
-    return (
-        v.crossJoin(F.broadcast(ext))
-        .select(
+        ).select(
+            "node", "b", "d", (F.col("b") + F.coalesce("c", F.lit(0.0))).alias("u")
+        ).localCheckpoint(eager=False)
+        # the deflation scalar s = 1ᵀu is ONE double: collect it off the
+        # cached u and fold it in as a literal. The previous
+        # crossJoin(broadcast(agg(u))) planned a BroadcastExchange whose
+        # build materialized u's whole subtree a second time, every
+        # round — two extra query stages per iteration for the same
+        # number. The float shape u - d * s / sumd (multiply before
+        # divide) is unchanged and replicated verbatim in the SQL
+        # oracle.
+        s = u.agg(F.sum("u")).collect()[0][0]
+        v = u.select(
             "node",
-            F.when(
-                F.col("_mx") > F.col("_mn"),
-                F.round((F.col("v") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")), 6),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("pseudotime"),
+            (F.col("u") - F.col("d") * F.lit(float(s)) / F.lit(sumd)).alias("v"),
         )
+    # v is a projection over the cached final u — min/max is one tiny
+    # agg, folded in as literals like the per-round scalar
+    mn, mx = v.agg(F.min("v"), F.max("v")).collect()[0]
+    if not (mx > mn):
+        return v.select("node", F.lit(0.0).alias("pseudotime"))
+    return v.select(
+        "node",
+        F.round(
+            (F.col("v") - F.lit(float(mn))) / F.lit(float(mx) - float(mn)), 6
+        ).alias("pseudotime"),
     )
 
 
