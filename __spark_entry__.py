@@ -2194,12 +2194,23 @@ def ml_nmi(spark, sf_dir):
     return metrics.normalized_mutual_info(emb, "a", "b")
 
 
+_TOP_FEATS_CACHE: dict[tuple, list[int]] = {}
+
+
 def _top_feats(ds: DataStore, n: int = 10) -> list[int]:
-    rows = (
-        ds.counts().groupBy("feat_id").agg(F.sum("value").alias("t"))
-        .orderBy(F.desc("t"), "feat_id").limit(n).collect()
-    )
-    return [int(r["feat_id"]) for r in rows]
+    """Top-n features by total count — the feature-selection fixture
+    every reduction query starts from. Memoized per (sf_dir, n) like
+    ``_n_cells``: the reference computes its HVG set once and stores
+    it in the Zarr tree (``assay.py`` mark_hvgs), every downstream
+    step loads it."""
+    key = (ds.sf_dir, n)
+    if key not in _TOP_FEATS_CACHE:
+        rows = (
+            ds.counts().groupBy("feat_id").agg(F.sum("value").alias("t"))
+            .orderBy(F.desc("t"), "feat_id").limit(n).collect()
+        )
+        _TOP_FEATS_CACHE[key] = [int(r["feat_id"]) for r in rows]
+    return _TOP_FEATS_CACHE[key]
 
 
 def _jacobi_cte(d: int, sweeps: int = 8, pfx: str = "j") -> str:
@@ -2340,8 +2351,8 @@ def ml_mahalanobis(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec)
-    return reduction.mahalanobis_scores(z)
+    z = reduction.zscore_vectors(vec, d=10)
+    return reduction.mahalanobis_scores(z, d=10)
 
 
 @q(
@@ -2370,8 +2381,8 @@ def norm_zca_whiten(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec)
-    return reduction.zca_whiten(z)
+    z = reduction.zscore_vectors(vec, d=10)
+    return reduction.zca_whiten(z, d=10)
 
 
 @q(
@@ -2384,8 +2395,8 @@ def ml_pca_project(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec)
-    loadings, _ev = reduction.pca_fit(z, k=3)
+    z = reduction.zscore_vectors(vec, d=10)
+    loadings, _ev = reduction.pca_fit(z, k=3, d=10)
     out = reduction.pca_transform(z, loadings)
     return out.select(
         "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
@@ -2449,8 +2460,8 @@ def pipe_atlas_prep(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec)
-    loadings, _ev = reduction.pca_fit(z, k=3)
+    z = reduction.zscore_vectors(vec, d=10)
+    loadings, _ev = reduction.pca_fit(z, k=3, d=10)
     pcs = reduction.pca_transform(z, loadings).select(
         "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
     ).localCheckpoint(eager=False)
@@ -4160,10 +4171,13 @@ def demux_hto(spark, sf_dir):
     from scarf_spark.operators import demux
 
     ds = _ds(spark, sf_dir)
-    # treat the 4 globally heaviest features as HTO channels
-    hto_ids = _top_feats(ds, 4)
+    # treat the 4 globally heaviest features as HTO channels; pass the
+    # channel list in ASCENDING id order — the same order the operator
+    # previously re-derived with a distinct-collect — so the assembled
+    # slot order (and hence every distance accumulation) is unchanged
+    hto_ids = sorted(_top_feats(ds, 4))
     hto_counts = ds.counts().where(F.col("feat_id").isin(hto_ids))
-    out = demux.hto_demux(hto_counts, n_htos=4)
+    out = demux.hto_demux(hto_counts, n_htos=4, hto_ids=hto_ids)
     return out.groupBy("assignment").agg(F.count("*").alias("n"))
 
 
@@ -6009,7 +6023,7 @@ def ml_lsi(spark, sf_dir):
     ds = _ds(spark, sf_dir)
     tf = normalize.norm_tf_idf(ds.counts(), n_cells=_n_cells(ds), rounded=False)
     vec = reduction.assemble_vectors(tf, feat_ids=list(range(1, 21)), value_col="norm_value")
-    loadings, _ev = reduction.lsi_fit(vec, k=5, skip_first=True)
+    loadings, _ev = reduction.lsi_fit(vec, k=5, skip_first=True, d=20)
     out = reduction.pca_transform(vec, loadings)
     return out.select(
         "cell_id", *[F.round(f"pc{i}", 6).alias(f"lsi{i}") for i in range(1, 6)]

@@ -439,7 +439,7 @@ def kmeans_lloyd(
     pts = vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the seed scan below materializes it
     seeds = (
         pts.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(k).collect()
     )
@@ -788,7 +788,7 @@ def gmm_diag(
     )
     dims = pts.select(
         "_id", F.posexplode("_v").alias("dim", "val")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n = pts.count()
     # rank FIRST, explode SECOND: a window expression in the same
     # select as posexplode is evaluated per exploded row (each dim row
@@ -807,7 +807,7 @@ def gmm_diag(
     seeds = ranked.select(
         "cid", F.posexplode("_v").alias("dim", "mu")
     ).select("cid", "dim", "mu", F.lit(1.0).alias("var"))
-    params = seeds.localCheckpoint(eager=True)
+    params = seeds.localCheckpoint(eager=False)
     spark = vectors.sparkSession
     weights = spark.createDataFrame(
         [(c + 1, 1.0 / k) for c in range(k)], "cid long, w double"
@@ -841,7 +841,12 @@ def gmm_diag(
         )
 
     for _ in range(n_iter):
-        resp = resp_of(params, weights)
+        # checkpoint the RESPONSIBILITIES, not the k×d parameter rows:
+        # params and weights both derive from resp, and with only the
+        # tiny tables cached the expensive E-step pass (dims join +
+        # per-id softmax windows) executed TWICE per iteration — once
+        # under each eager checkpoint job. One cached resp serves both.
+        resp = resp_of(params, weights).localCheckpoint(eager=False)
         stats = (
             resp.join(dims, "_id")
             .groupBy("cid", "dim")
@@ -860,11 +865,11 @@ def gmm_diag(
                 - (F.col("_srx") / F.col("_sr")) * (F.col("_srx") / F.col("_sr")),
                 F.lit(var_floor),
             ).alias("var"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         weights = (
             resp.groupBy("cid")
             .agg((F.sum("resp") / F.lit(float(n))).alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return resp_of(params, weights).select(
         F.col("_id").alias(id_col),

@@ -41,12 +41,17 @@ def assemble_vectors(
     return m.select("cell_id", vec.alias("v")).localCheckpoint(eager=False)
 
 
-def zscore_vectors(cells_vec: DataFrame) -> DataFrame:
+def zscore_vectors(cells_vec: DataFrame, d: int | None = None) -> DataFrame:
     """Column-wise z-scaling of assembled vectors (``ann.py:191-192``),
     computed from two array-aggregates (elementwise sum / sumsq via
-    zip_with folds) broadcast back — no per-column shuffle."""
-    dim_df = cells_vec.select(F.size("v").alias("d")).limit(1)
-    d = dim_df.collect()[0]["d"]
+    zip_with folds) broadcast back — no per-column shuffle.
+
+    ``d`` skips the one-row dimension-probe action when the caller
+    already knows the vector width (it always does when the vectors
+    came from :func:`assemble_vectors` over an explicit feature
+    list)."""
+    if d is None:
+        d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
     stats = cells_vec.agg(
         F.count("*").alias("n"),
         *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(d)],
@@ -119,7 +124,12 @@ def jacobi_eigh(mat: list[list[float]], sweeps: int = JACOBI_SWEEPS):
     return [a[i][i] for i in range(d)], v
 
 
-def pca_fit(cells_vec: DataFrame, k: int = 5, drop_first: bool = False):
+def pca_fit(
+    cells_vec: DataFrame,
+    k: int = 5,
+    drop_first: bool = False,
+    d: int | None = None,
+):
     """Distributed PCA via the Gram matrix: X'X is a d×d aggregate
     (one pass, d = |HVG| is small by construction), eigendecomposed on
     the driver with the deterministic :func:`jacobi_eigh` — no MLlib
@@ -131,7 +141,8 @@ def pca_fit(cells_vec: DataFrame, k: int = 5, drop_first: bool = False):
     (``ann.py:286``)."""
     import numpy as np
 
-    d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    if d is None:
+        d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
     gram_cols = []
     for i in range(d):
         for j in range(i, d):
@@ -155,14 +166,19 @@ def pca_fit(cells_vec: DataFrame, k: int = 5, drop_first: bool = False):
     return loadings, [float(evals[i]) for i in idx]
 
 
-def lsi_fit(cells_vec: DataFrame, k: int = 5, skip_first: bool = True):
+def lsi_fit(
+    cells_vec: DataFrame,
+    k: int = 5,
+    skip_first: bool = True,
+    d: int | None = None,
+):
     """LSI (``ann.py:258-288``): truncated SVD of the (TF-IDF
     normalized, un-centered) matrix. The right singular vectors of X
     are the eigenvectors of the Gram matrix X'X, so this is the same
     one-pass Gram aggregate as :func:`pca_fit` on un-scaled vectors;
     ``skip_first`` drops the depth component exactly like the
     reference's ``lsi_skip_first``."""
-    return pca_fit(cells_vec, k=k, drop_first=skip_first)
+    return pca_fit(cells_vec, k=k, drop_first=skip_first, d=d)
 
 
 def pca_transform(cells_vec: DataFrame, loadings) -> DataFrame:
@@ -177,7 +193,9 @@ def pca_transform(cells_vec: DataFrame, loadings) -> DataFrame:
     return cells_vec.select("cell_id", *cols)
 
 
-def mahalanobis_scores(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
+def mahalanobis_scores(
+    cells_vec: DataFrame, eps: float = 1e-9, d: int | None = None
+) -> DataFrame:
     """Squared Mahalanobis distance of every vector from the (already
     centered) sample distribution — the classic multivariate outlier
     score: m² = Σ_k (x·v_k)² / λ_k over the covariance eigenpairs,
@@ -191,8 +209,9 @@ def mahalanobis_scores(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
     deficient direction otherwise explodes the score). One Gram pass +
     one projection expression per vector — the same scale envelope as
     PCA itself. Returns (cell_id, m2)."""
-    d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    loadings, evs = pca_fit(cells_vec, k=d)
+    if d is None:
+        d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    loadings, evs = pca_fit(cells_vec, k=d, d=d)
     proj = pca_transform(cells_vec, loadings)
     score = sum(
         F.col(f"pc{c + 1}") * F.col(f"pc{c + 1}") / float(max(ev, eps))
@@ -201,7 +220,9 @@ def mahalanobis_scores(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
     return proj.select("cell_id", F.round(score, 6).alias("m2"))
 
 
-def zca_whiten(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
+def zca_whiten(
+    cells_vec: DataFrame, eps: float = 1e-9, d: int | None = None
+) -> DataFrame:
     """ZCA whitening: x → V Λ^(-1/2) Vᵀ x over the covariance
     eigenpairs — decorrelates to unit covariance while staying as
     close to the original basis as any whitening can (the standard
@@ -214,8 +235,9 @@ def zca_whiten(cells_vec: DataFrame, eps: float = 1e-9) -> DataFrame:
     exactly. One Gram pass + one projection expression per output
     slot; eigenvalues floored at ``eps``. Returns
     (cell_id, slot, white) long-form, slot 1-based."""
-    d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    loadings, evs = pca_fit(cells_vec, k=d)
+    if d is None:
+        d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    loadings, evs = pca_fit(cells_vec, k=d, d=d)
     proj = pca_transform(cells_vec, loadings)
     outs = []
     for i in range(d):

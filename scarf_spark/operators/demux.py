@@ -65,6 +65,7 @@ def hto_demux(
     n_htos: int,
     quantile: float = 0.99,
     seed: int = 4466,
+    hto_ids: list[int] | None = None,
 ) -> DataFrame:
     """HTO demultiplexing (``scarf/feat_utils.py:95-162``): CLR
     normalize per feature, cluster cells (KMeans, k = n_htos + 1),
@@ -91,10 +92,13 @@ def hto_demux(
         "feat_id",
         F.log(F.lit(1.0) + F.col("value") / F.col("gm")).alias("value"),
     ).localCheckpoint(eager=False)  # consumed by assemble/labeled/pos
-    hto_ids = [
-        int(r["feat_id"])
-        for r in counts_hto.select("feat_id").distinct().orderBy("feat_id").limit(n_htos).collect()
-    ]
+    if hto_ids is None:
+        # callers that filtered counts_hto by an explicit channel list
+        # pass it in and skip this distinct-collect action
+        hto_ids = [
+            int(r["feat_id"])
+            for r in counts_hto.select("feat_id").distinct().orderBy("feat_id").limit(n_htos).collect()
+        ]
     vec = assemble_vectors(clr, hto_ids)
     # deterministic Lloyd (md5-order init) — seed kept for signature
     # compatibility but unused; the clustering is seedless-reproducible

@@ -236,7 +236,13 @@ def pagerank(
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
+    if exact:
+        # exact mode folds the (uniform) out-degree into the scaling
+        # constants — the per-edge deg column is never read, so skip
+        # the outdeg join and checkpoint the bare repartitioned edges
+        ed = e.repartition("src").localCheckpoint(eager=True)
+    else:
+        ed = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
     ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
     if exact:
         # Exact-integer mode (round 12): on a uniform-out-degree graph
@@ -318,9 +324,10 @@ def modularity(
     One symmetrized edge materialization; E_c and D_c are two
     label equi-joins producing cluster-sized aggregates (labels are
     node-sized — no forced broadcast; AQE broadcasts when small); 2m
-    rides along as a one-row broadcast. Integer counts stay exact; the
-    only float is the final contribution expression, whose shape the
-    oracle mirrors verbatim."""
+    is one count off the cached edge table, folded in as a literal.
+    Integer counts stay exact; the only float is the final
+    contribution expression, whose shape the oracle mirrors
+    verbatim."""
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -329,7 +336,10 @@ def modularity(
     )
     la = labels.select(F.col(node_col).alias("src"), F.col(cluster_col).alias("_ca"))
     lb = labels.select(F.col(node_col).alias("dst"), F.col(cluster_col).alias("_cb"))
-    tm = und.agg(F.count("*").cast("double").alias("m2"))
+    # 2m is ONE long off the cached edge table: fold it in as a literal
+    # instead of planning a BroadcastExchange + CrossJoin around a
+    # one-row aggregate (the harmonic_potential deflation lesson)
+    m2 = float(und.count())
     ec = (
         und.join(la, "src").join(lb, "dst")
         .where(F.col("_ca") == F.col("_cb"))
@@ -345,15 +355,14 @@ def modularity(
     return (
         dc.join(ec, cluster_col, "left_outer")
         .na.fill({"e_within": 0})
-        .crossJoin(F.broadcast(tm))
         .select(
             cluster_col,
             "n_nodes",
             "e_within",
             "deg_sum",
             F.round(
-                F.col("e_within") / F.col("m2")
-                - (F.col("deg_sum") / F.col("m2")) * (F.col("deg_sum") / F.col("m2")),
+                F.col("e_within") / F.lit(m2)
+                - (F.col("deg_sum") / F.lit(m2)) * (F.col("deg_sum") / F.lit(m2)),
                 6,
             ).alias("q_contrib"),
         )
@@ -522,7 +531,7 @@ def connected_components_star(
             F.least("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     rounds = 0
@@ -542,7 +551,9 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the small-star agg below materializes it; an eager
+            # checkpoint added a blocking job per round for no reuse
+            .localCheckpoint(eager=False)
         )
         # small-star: on (u > v) edges, u and all its smaller
         # neighbors link to the minimum neighbor.
@@ -553,7 +564,8 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            # lazy: the per-round signature collect materializes it
+            .localCheckpoint(eager=False)
         )
         sig = e.agg(
             F.count("*").alias("n"),

@@ -158,8 +158,11 @@ class ScarfDataStore:
                 normed = normed.withColumn(
                     "norm_value", F.log1p(F.col("norm_value"))
                 )
-            vec = zscore_vectors(assemble_vectors(normed, feat_ids, "norm_value"))
-            loadings, _ev = pca_fit(vec, k=dims)
+            vec = zscore_vectors(
+                assemble_vectors(normed, feat_ids, "norm_value"),
+                d=len(feat_ids),
+            )
+            loadings, _ev = pca_fit(vec, k=dims, d=len(feat_ids))
             red = pca_transform(vec, loadings).select(
                 F.col("cell_id").alias("vec_id"),
                 F.array(
@@ -454,7 +457,9 @@ class ScarfDataStore:
             r["feat_id"]
             for r in self.feats.where(F.col("hvgs")).orderBy("feat_id").collect()
         ]
-        vec = zscore_vectors(assemble_vectors(self._active_counts(), feat_ids))
+        vec = zscore_vectors(
+            assemble_vectors(self._active_counts(), feat_ids), d=len(feat_ids)
+        )
         labels = self.cells.where("I").select(
             F.col("cell_id").alias("vec_id"), F.col(label_key).alias("label")
         )
