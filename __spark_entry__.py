@@ -914,6 +914,21 @@ _KNN_CTE = (
 
 
 _KNN_EDGE_CACHE: dict[tuple, DataFrame] = {}
+_EMB_SHAPE_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _emb_shape(ds: DataStore) -> tuple[int, int]:
+    """(row count, vector width) of the embeddings table — one memoized
+    aggregate per sf_dir, so the KNN grid builders can size their
+    shard/block grids without per-query probe actions (grid shape is
+    timing-only: the sharded scorers re-rank globally)."""
+    key = ds.sf_dir
+    if key not in _EMB_SHAPE_CACHE:
+        r = ds.embeddings.agg(
+            F.count("*").alias("n"), F.first(F.size("embedding")).alias("d")
+        ).collect()[0]
+        _EMB_SHAPE_CACHE[key] = (int(r["n"]), int(r["d"]))
+    return _EMB_SHAPE_CACHE[key]
 
 
 def _knn_edges(spark, sf_dir, k: int = 5):
@@ -932,8 +947,10 @@ def _knn_edges(spark, sf_dir, k: int = 5):
         # broadcast-index baseline stays available as
         # knn.cosine_knn_exact); result contract is identical —
         # knn_exact_sharded proved hash-equality against the same CTE
+        ds = _ds(spark, sf_dir)
+        n_rows, dim = _emb_shape(ds)
         _KNN_EDGE_CACHE[key] = knn.cosine_knn_sharded(
-            _ds(spark, sf_dir).embeddings, k=k, n_shards=8
+            ds.embeddings, k=k, n_shards=8, dim=dim, n_rows_hint=n_rows
         ).persist()
     return _KNN_EDGE_CACHE[key]
 
@@ -957,7 +974,11 @@ def knn_exact_sharded(spark, sf_dir):
     collect): per-shard cogrouped BLAS top-(k+1) + one global window
     re-rank — same result contract as knn_exact_dist, shard-local peak
     memory (``knn.py`` cosine_knn_sharded)."""
-    return knn.cosine_knn_sharded(_ds(spark, sf_dir).embeddings, k=5, n_shards=8)
+    ds = _ds(spark, sf_dir)
+    n_rows, dim = _emb_shape(ds)
+    return knn.cosine_knn_sharded(
+        ds.embeddings, k=5, n_shards=8, dim=dim, n_rows_hint=n_rows
+    )
 
 
 @q(
@@ -2466,7 +2487,10 @@ def pipe_atlas_prep(spark, sf_dir):
         "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
     ).localCheckpoint(eager=False)
     emb = pcs.select("cell_id", F.array("pc1", "pc2", "pc3").alias("embedding"))
-    edges = knn_mod.cosine_knn_sharded(emb, k=5, id_col="cell_id", vec_col="embedding")
+    edges = knn_mod.cosine_knn_sharded(
+        emb, k=5, id_col="cell_id", vec_col="embedding",
+        dim=3, n_rows_hint=_n_cells(ds),
+    )
     labels = cl.label_propagation(edges.select("src", "dst"), n_iter=3)
     return pcs.join(
         labels.withColumnRenamed("node", "cell_id"), "cell_id"
@@ -4259,7 +4283,7 @@ def ml_coral(spark, sf_dir):
         F.col("vec_id").alias("cell_id"),
         F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
     )
-    out = integrate.coral_align(src, tgt)
+    out = integrate.coral_align(src, tgt, d=8)
     return out.select(
         "cell_id", *[F.round(F.col("v")[i], 6).alias(f"c{i}") for i in range(8)]
     )
@@ -4417,7 +4441,7 @@ def pipe_mapping(spark, sf_dir):
     # stage 2 — CORAL (integrate.coral_align): recolor the aligned
     # target into the reference covariance; ROUND(6) pivots the
     # cross-engine boundary exactly like ml_coral
-    corr = integrate.coral_align(src_vec, ref_vec).select(
+    corr = integrate.coral_align(src_vec, ref_vec, d=8).select(
         F.col("cell_id").alias("vec_id"),
         F.array(
             *[F.round(F.col("v")[i], 6) for i in range(8)]
@@ -4572,7 +4596,7 @@ def ml_harmony(spark, sf_dir):
     batch = emb.select(
         F.col("vec_id").alias("cell_id"), (F.col("vec_id") % 2).alias("batch")
     )
-    out = integrate.harmony_lite(vec, batch, n_clusters=3, n_iter=2)
+    out = integrate.harmony_lite(vec, batch, n_clusters=3, n_iter=2, d=8)
     return out.select(
         "cell_id", *[F.round(F.col("v")[i], 6).alias(f"h{i}") for i in range(8)]
     )
@@ -7151,7 +7175,7 @@ def pipe_text_ann(spark, sf_dir):
 
     emb = text.hash_embed(_ds(spark, sf_dir).documents, dim=64)
     return knn.cosine_knn_sharded(
-        emb, k=3, id_col="doc_id", rank_by_rounded=True
+        emb, k=3, id_col="doc_id", rank_by_rounded=True, dim=64
     )
 
 

@@ -114,13 +114,16 @@ def _mat_pow(cov, power: float, eps: float = 1e-9):
     return v @ np.diag(w**power) @ v.T
 
 
-def coral_align(source_vec: DataFrame, target_vec: DataFrame) -> DataFrame:
+def coral_align(
+    source_vec: DataFrame, target_vec: DataFrame, d: int | None = None
+) -> DataFrame:
     """CORAL domain adaptation (``scarf/mapping_utils.py:15-95``):
     whiten the source with Cs^(-1/2), re-color with Ct^(1/2). The two
     covariance estimates are single-pass aggregates; the d×d fractional
     powers run on the driver; the per-cell transform is a broadcast
     matmul expressed as plain arithmetic (embarrassingly parallel)."""
-    d = source_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    if d is None:
+        d = source_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
     mu_s, cov_s = _gram(source_vec, d)
     _mu_t, cov_t = _gram(target_vec, d)
     A = _mat_pow(cov_s, -0.5) @ _mat_pow(cov_t, 0.5)
@@ -139,6 +142,7 @@ def harmony_lite(
     n_clusters: int = 4,
     n_iter: int = 2,
     sigma: float | None = None,
+    d: int | None = None,
 ) -> DataFrame:
     """Batch-correct the latent space: diversity-penalized soft-kmeans
     assignment (the LISI penalty of ``scarf/harmony.py:10-322`` —
@@ -162,7 +166,8 @@ def harmony_lite(
     Returns corrected (cell_id, v)."""
     import numpy as np
 
-    d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+    if d is None:
+        d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
     df = cells_vec.join(batch_df, "cell_id")
     seeds = df.orderBy("cell_id").limit(n_clusters).collect()
     centroids = np.array([r["v"] for r in seeds], dtype=float)

@@ -229,6 +229,8 @@ def cosine_knn_sharded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rank_by_rounded: bool = False,
+    dim: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k WITHOUT collecting the index to the driver —
     the scale path :func:`cosine_knn_exact`'s docstring promises.
@@ -254,14 +256,19 @@ def cosine_knn_sharded(
     # this same plan — without the cut the (often expensive) upstream
     # profile/normalize pipeline executes twice
     e = emb.select(id_col, vec_col).localCheckpoint(eager=False)
-    n_rows = None
+    # ``dim`` / ``n_rows_hint`` let callers who know the vector width
+    # and (rough) row count skip the probe actions below. The grid
+    # shape only affects TIMING — output is exact for any shape via
+    # the global re-rank — so an approximate row hint is safe.
+    n_rows = n_rows_hint
     if n_shards is None:
         # adaptive grid: ~5k index rows per shard balances per-task
         # BLAS block size against grid-cell scheduling overhead (the
         # count is one pass over the checkpoint). Output is EXACT for
         # any grid shape — the global re-rank below — so this changes
         # timing only.
-        n_rows = e.count()
+        if n_rows is None:
+            n_rows = e.count()
         n_shards = min(64, max(2, -(-n_rows // 5000)))
     if n_query_blocks is None:
         # the index side is replicated once PER QUERY BLOCK, so don't
@@ -272,8 +279,9 @@ def cosine_knn_sharded(
         # so all cores stay busy (an 8 × 1 grid there was 7x slower).
         if n_rows is None:
             n_rows = e.count()
-        head = e.limit(1).collect()
-        dim = len(head[0][1]) if head else 1
+        if dim is None:
+            head = e.limit(1).collect()
+            dim = len(head[0][1]) if head else 1
         n_query_blocks = min(
             n_shards, max(1, -(-(n_rows * max(dim, 1)) // 200_000))
         )

@@ -225,7 +225,7 @@ def feature_module_knn(
     )
     fvec = vec.select(F.col("feat_id"), arr.alias("profile"))
     return knn_mod.cosine_knn_sharded(
-        fvec, k=k, id_col="feat_id", vec_col="profile"
+        fvec, k=k, id_col="feat_id", vec_col="profile", dim=n_bins
     )
 
 

@@ -201,9 +201,14 @@ def read_zarr_2d_coo(
         tasks = [t for t in tasks if t[1] * cc < col_range[1] and (t[1] + 1) * cc > col_range[0]]
     if not tasks:
         return spark.createDataFrame([], "row long, col long, value double")
+    # one chunk per task, parallelized at creation: a repartition()
+    # here cost a full (sorted) shuffle of the task list per array read
     task_df = spark.createDataFrame(
-        [(int(i), int(j)) for i, j in tasks], "ci int, cj int"
-    ).repartition(min(len(tasks), 64))
+        spark.sparkContext.parallelize(
+            [(int(i), int(j)) for i, j in tasks], min(len(tasks), 64)
+        ),
+        "ci int, cj int",
+    )
     try:  # meta may carry "NaN"/null/garbage; counts default to 0
         fill = float(meta.get("fill_value") or 0)
     except (TypeError, ValueError):
@@ -262,8 +267,11 @@ def read_zarr_1d(spark: SparkSession, array_dir: str, value_type: str | None = N
             value_type = "boolean"
         else:
             value_type = "string"
-    task_df = spark.createDataFrame([(int(i),) for i, in tasks], "ci int").repartition(
-        min(len(tasks), 64)
+    task_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(i),) for i, in tasks], min(len(tasks), 64)
+        ),
+        "ci int",
     )
     meta_b = json.dumps(meta)
 

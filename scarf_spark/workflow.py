@@ -169,7 +169,7 @@ class ScarfDataStore:
                     *[F.col(f"pc{c + 1}") for c in range(loadings.shape[1])]
                 ).alias("embedding"),
             )
-            knn = cosine_knn_sharded(red, k=k)
+            knn = cosine_knn_sharded(red, k=k, dim=dims)
             return smoothen_dists(knn, k=k)
 
         if self._registry is not None:

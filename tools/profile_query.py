@@ -35,7 +35,7 @@ def main() -> None:
     # session factory's own configs apply unchanged on top
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         f"--conf spark.eventLog.enabled=true --conf spark.eventLog.dir={EVDIR} "
-        "pyspark-shell"
+        "--conf spark.eventLog.compress=false pyspark-shell"
     )
     spark = get_spark("scarf-profile")
 
