@@ -405,7 +405,10 @@ def spectral_embedding(
             )
             .withColumnRenamed("i", "node")
         )
-        u = base.join(mv, "node")
+        # cache u BEFORE the scalar collect: the collect and the next
+        # round's checkpoint otherwise each recompute the matvec
+        # join + agg (the harmonic_potential lesson)
+        u = base.join(mv, "node").localCheckpoint(eager=False)
         # ONE aggregate collects every scalar of the round: the u0
         # deflation dots and the k×k Gram of the walked columns
         row = u.agg(
@@ -453,9 +456,11 @@ def spectral_embedding(
             exprs.append(
                 (e / F.lit(norms[c])) if norms[c] > 0 else F.lit(0.0)
             )
+        # plain projection over the cached u — the next round's scalar
+        # collect (or the sign aggregate below) materializes it
         v = u.select(
             "node", *[exprs[c].alias(f"v{c + 1}") for c in range(k)]
-        ).localCheckpoint(eager=True)
+        )
     # sign convention per dim: component with max (|v|, -node) positive
     srow = v.agg(
         *[
