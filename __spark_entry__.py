@@ -2372,8 +2372,9 @@ def ml_mahalanobis(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec, d=10)
-    return reduction.mahalanobis_scores(z, d=10)
+    z, gram, n = reduction.zscore_gram(vec, d=10)
+    fit = reduction.pca_fit_gram(gram, n, k=10)
+    return reduction.mahalanobis_scores(z, d=10, fit=fit)
 
 
 @q(
@@ -2402,8 +2403,9 @@ def norm_zca_whiten(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec, d=10)
-    return reduction.zca_whiten(z, d=10)
+    z, gram, n = reduction.zscore_gram(vec, d=10)
+    fit = reduction.pca_fit_gram(gram, n, k=10)
+    return reduction.zca_whiten(z, d=10, fit=fit)
 
 
 @q(
@@ -2416,8 +2418,10 @@ def ml_pca_project(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec, d=10)
-    loadings, _ev = reduction.pca_fit(z, k=3, d=10)
+    # fused z-score + Gram: one aggregate pass (r15; z is bit-equal,
+    # the analytic Gram shifts loadings ~1e-14, under the ROUND(6))
+    z, gram, n = reduction.zscore_gram(vec, d=10)
+    loadings, _ev = reduction.pca_fit_gram(gram, n, k=3)
     out = reduction.pca_transform(z, loadings)
     return out.select(
         "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
@@ -2481,8 +2485,8 @@ def pipe_atlas_prep(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z = reduction.zscore_vectors(vec, d=10)
-    loadings, _ev = reduction.pca_fit(z, k=3, d=10)
+    z, gram, n = reduction.zscore_gram(vec, d=10)
+    loadings, _ev = reduction.pca_fit_gram(gram, n, k=3)
     pcs = reduction.pca_transform(z, loadings).select(
         "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
     ).localCheckpoint(eager=False)
@@ -4411,28 +4415,26 @@ def pipe_mapping(spark, sf_dir):
         F.col("ids").cast("int").alias("dim"),
         (F.col("t_value") == 1.0).alias("_fill"),
     )
-    # assemble the aligned target matrix: observed dims read the
-    # vector, alignment-filled dims take the fill value — the 8-row
-    # decision table broadcasts (crossJoin of a dimension-sized dim
-    # list, never data x data)
-    tl = (
-        tgt.select(F.col("vec_id").alias("cell_id"), "embedding")
-        .crossJoin(F.broadcast(dim_tab))
-        .select(
-            "cell_id",
-            "dim",
-            F.when(F.col("_fill"), F.lit(1.0))
-            .otherwise(F.col("embedding")[F.col("dim") - 1].cast("double"))
-            .alias("val"),
-        )
-    )
-    src_vec = tl.groupBy("cell_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("dim"), F.col("val")))
-        ).alias("_m")
-    ).select(
-        "cell_id",
-        F.array(*[F.col("_m").getItem(d) for d in range(1, 9)]).alias("v"),
+    # assemble the aligned target matrix: the dim decision table is
+    # dimension-sized (8 rows), so collect it and emit the aligned
+    # vector as ONE projection — observed dims read the vector,
+    # alignment-filled dims take the fill literal. The previous
+    # explode + groupBy(map_from_entries) route shuffled the whole
+    # n×8 long table (twice: the un-checkpointed src_vec fed both the
+    # CORAL Gram and the projection); element values are identical
+    fills = {
+        int(r["dim"]): bool(r["_fill"]) for r in dim_tab.collect()
+    }
+    src_vec = tgt.select(
+        F.col("vec_id").alias("cell_id"),
+        F.array(
+            *[
+                F.lit(1.0)
+                if fills[dd]
+                else F.col("embedding")[dd - 1].cast("double")
+                for dd in range(1, 9)
+            ]
+        ).alias("v"),
     )
     ref_vec = ref.select(
         F.col("vec_id").alias("cell_id"),
@@ -4441,22 +4443,27 @@ def pipe_mapping(spark, sf_dir):
     # stage 2 — CORAL (integrate.coral_align): recolor the aligned
     # target into the reference covariance; ROUND(6) pivots the
     # cross-engine boundary exactly like ml_coral
-    corr = integrate.coral_align(src_vec, ref_vec, d=8).select(
+    coral_stats: dict = {}
+    corr = integrate.coral_align(
+        src_vec, ref_vec, d=8, stats_out=coral_stats
+    ).select(
         F.col("cell_id").alias("vec_id"),
         F.array(
             *[F.round(F.col("v")[i], 6) for i in range(8)]
         ).alias("embedding"),
     ).localCheckpoint(eager=False)
-    # mean-center the reference side (one single-row agg broadcast —
-    # the corrected target is zero-mean by construction)
-    mu = ref_vec.agg(
-        *[F.avg(F.col("v")[i]).alias(f"_mu{i}") for i in range(8)]
-    )
-    ref_c = ref_vec.crossJoin(F.broadcast(mu)).select(
+    # mean-center the reference side with the means CORAL's Gram pass
+    # already collected over the same frame — fold them in as literals
+    # instead of re-aggregating under a BroadcastExchange (one fewer
+    # pass over the reference; the engine-avg noise the swap can carry
+    # is ~1e-16 and the ROUND(6) below absorbs it, the staged
+    # collect-then-literal doctrine)
+    mu_t = coral_stats["target_mu"]
+    ref_c = ref_vec.select(
         F.col("cell_id").alias("vec_id"),
         F.array(
             *[
-                F.round(F.col("v")[i] - F.col(f"_mu{i}"), 6)
+                F.round(F.col("v")[i] - F.lit(float(mu_t[i])), 6)
                 for i in range(8)
             ]
         ).alias("embedding"),

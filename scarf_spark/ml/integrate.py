@@ -115,17 +115,34 @@ def _mat_pow(cov, power: float, eps: float = 1e-9):
 
 
 def coral_align(
-    source_vec: DataFrame, target_vec: DataFrame, d: int | None = None
+    source_vec: DataFrame,
+    target_vec: DataFrame,
+    d: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """CORAL domain adaptation (``scarf/mapping_utils.py:15-95``):
     whiten the source with Cs^(-1/2), re-color with Ct^(1/2). The two
-    covariance estimates are single-pass aggregates; the d×d fractional
-    powers run on the driver; the per-cell transform is a broadcast
-    matmul expressed as plain arithmetic (embarrassingly parallel)."""
+    covariance estimates are single-pass aggregates — independent, so
+    they run as concurrent actions; the d×d fractional powers run on
+    the driver; the per-cell transform is a broadcast matmul expressed
+    as plain arithmetic (embarrassingly parallel).
+
+    ``stats_out``: caller-supplied dict that receives the collected
+    moments (``source_mu``, ``target_mu``) so downstream steps that
+    need them (pipe_mapping centers the reference with target_mu)
+    don't re-aggregate the same table."""
+    from concurrent.futures import ThreadPoolExecutor
+
     if d is None:
         d = source_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    mu_s, cov_s = _gram(source_vec, d)
-    _mu_t, cov_t = _gram(target_vec, d)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_s = pool.submit(_gram, source_vec, d)
+        fut_t = pool.submit(_gram, target_vec, d)
+        mu_s, cov_s = fut_s.result()
+        mu_t, cov_t = fut_t.result()
+    if stats_out is not None:
+        stats_out["source_mu"] = mu_s
+        stats_out["target_mu"] = mu_t
     A = _mat_pow(cov_s, -0.5) @ _mat_pow(cov_t, 0.5)
     out_cols = [
         sum(

@@ -73,6 +73,54 @@ def zscore_vectors(cells_vec: DataFrame, d: int | None = None) -> DataFrame:
     return cells_vec.select("cell_id", z.alias("v")).localCheckpoint(eager=False)
 
 
+def zscore_gram(cells_vec: DataFrame, d: int):
+    """Fused z-score + z-Gram: ONE aggregate over the assembled
+    vectors collects n, the per-dim sums, and the raw upper-triangle
+    second moments; the z-score parameters (identical float
+    expressions to :func:`zscore_vectors`, so z itself is bit-equal)
+    and the Gram of the z-scored matrix (expanded analytically from
+    the raw moments — the ~1e-14 divergence from a summed z-Gram
+    shifts the Jacobi loadings below the ROUND(6) pivot every
+    consumer applies) both derive on the driver. One data pass and
+    one action where the zscore_vectors → pca_fit chain took two of
+    each. Returns (z DataFrame, gram list-of-rows, n)."""
+    import math
+
+    cols = [F.count("*").alias("n")]
+    cols += [F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            cols.append(
+                F.sum(F.col("v")[i] * F.col("v")[j]).alias(f"q{i}_{j}")
+            )
+    r = cells_vec.agg(*cols).collect()[0]
+    n = r["n"]
+    nf = float(n)
+    mu = [r[f"s{i}"] / nf for i in range(d)]
+    sd = [
+        math.sqrt(max(r[f"q{i}_{i}"] / nf - mu[i] * mu[i], 1e-12))
+        for i in range(d)
+    ]
+    gram = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            # four-term expansion of Σ (v_i − μ_i)(v_j − μ_j) using the
+            # actual collected sums (not n·μ identities) to keep the
+            # cancellation error at its floor
+            cent = (
+                r[f"q{i}_{j}"]
+                - mu[j] * r[f"s{i}"]
+                - mu[i] * r[f"s{j}"]
+                + nf * mu[i] * mu[j]
+            )
+            g = cent / (sd[i] * sd[j])
+            gram[i][j] = g
+            gram[j][i] = g
+    z = F.array(*[(F.col("v")[i] - F.lit(mu[i])) / F.lit(sd[i]) for i in range(d)])
+    zdf = cells_vec.select("cell_id", z.alias("v")).localCheckpoint(eager=False)
+    return zdf, gram, n
+
+
 JACOBI_SWEEPS = 8
 
 
@@ -139,8 +187,6 @@ def pca_fit(
 
     drop_first mirrors the reference's LSI skip-first
     (``ann.py:286``)."""
-    import numpy as np
-
     if d is None:
         d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
     gram_cols = []
@@ -149,8 +195,22 @@ def pca_fit(
             gram_cols.append(F.sum(F.col("v")[i] * F.col("v")[j]).alias(f"g_{i}_{j}"))
     row = cells_vec.agg(F.count("*").alias("n"), *gram_cols).collect()[0]
     n = row["n"]
+    gram = [
+        [row[f"g_{min(i, j)}_{max(i, j)}"] for j in range(d)] for i in range(d)
+    ]
+    return pca_fit_gram(gram, n, k=k, drop_first=drop_first)
+
+
+def pca_fit_gram(gram, n: int, k: int = 5, drop_first: bool = False):
+    """Driver-side tail of :func:`pca_fit`: eigendecompose an already
+    collected d×d Gram (X'X) with sample count ``n`` — lets callers
+    that obtained the Gram from a fused aggregate (see
+    :func:`zscore_gram`) skip the second data pass."""
+    import numpy as np
+
+    d = len(gram)
     denom = float(max(n - 1, 1))
-    cov = [[row[f"g_{min(i, j)}_{max(i, j)}"] / denom for j in range(d)] for i in range(d)]
+    cov = [[gram[i][j] / denom for j in range(d)] for i in range(d)]
     evals, evecs = jacobi_eigh(cov)
     # deterministic ordering: (eigenvalue desc, original index asc) —
     # np.argsort is unstable on ties, this never is
@@ -194,7 +254,10 @@ def pca_transform(cells_vec: DataFrame, loadings) -> DataFrame:
 
 
 def mahalanobis_scores(
-    cells_vec: DataFrame, eps: float = 1e-9, d: int | None = None
+    cells_vec: DataFrame,
+    eps: float = 1e-9,
+    d: int | None = None,
+    fit=None,
 ) -> DataFrame:
     """Squared Mahalanobis distance of every vector from the (already
     centered) sample distribution — the classic multivariate outlier
@@ -211,7 +274,10 @@ def mahalanobis_scores(
     PCA itself. Returns (cell_id, m2)."""
     if d is None:
         d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    loadings, evs = pca_fit(cells_vec, k=d, d=d)
+    # ``fit``: optional precomputed (loadings, evs) — callers holding a
+    # fused-aggregate Gram (zscore_gram → pca_fit_gram) skip the
+    # second data pass the internal fit would run
+    loadings, evs = fit if fit is not None else pca_fit(cells_vec, k=d, d=d)
     proj = pca_transform(cells_vec, loadings)
     score = sum(
         F.col(f"pc{c + 1}") * F.col(f"pc{c + 1}") / float(max(ev, eps))
@@ -221,7 +287,10 @@ def mahalanobis_scores(
 
 
 def zca_whiten(
-    cells_vec: DataFrame, eps: float = 1e-9, d: int | None = None
+    cells_vec: DataFrame,
+    eps: float = 1e-9,
+    d: int | None = None,
+    fit=None,
 ) -> DataFrame:
     """ZCA whitening: x → V Λ^(-1/2) Vᵀ x over the covariance
     eigenpairs — decorrelates to unit covariance while staying as
@@ -237,7 +306,8 @@ def zca_whiten(
     (cell_id, slot, white) long-form, slot 1-based."""
     if d is None:
         d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    loadings, evs = pca_fit(cells_vec, k=d, d=d)
+    # ``fit`` as in mahalanobis_scores: precomputed (loadings, evs)
+    loadings, evs = fit if fit is not None else pca_fit(cells_vec, k=d, d=d)
     proj = pca_transform(cells_vec, loadings)
     outs = []
     for i in range(d):

@@ -314,3 +314,30 @@ def test_spectral_embedding_fails_loud_when_dims_too_large(spark):
     e1 = spark.createDataFrame([(0, 1, 1.0)], ["src", "dst", "weight"])
     with _pt.raises(ValueError, match="more nodes"):
         spectral_embedding(e1, dims=2, n_iter=2)
+
+
+def test_zscore_gram_matches_two_pass_chain(spark, sf_dir):
+    """The fused one-pass zscore_gram must reproduce the
+    zscore_vectors -> pca_fit chain: z bit-equal (identical param
+    expressions), Gram/loadings equal to analytic-expansion noise."""
+    from scarf_spark.catalog import DataStore
+
+    ds = DataStore(spark, sf_dir)
+    counts = ds.counts()
+    feats = [
+        int(r["feat_id"])
+        for r in counts.groupBy("feat_id").agg(F.sum("value").alias("t"))
+        .orderBy(F.desc("t"), "feat_id").limit(8).collect()
+    ]
+    vec = reduction.assemble_vectors(counts, feats)
+    z_ref = reduction.zscore_vectors(vec, d=8)
+    load_ref, ev_ref = reduction.pca_fit(z_ref, k=3, d=8)
+    z_fused, gram, n = reduction.zscore_gram(vec, d=8)
+    load_f, ev_f = reduction.pca_fit_gram(gram, n, k=3)
+    # z bit-equal: same mu/sd float expressions feed both frames
+    a = {r["cell_id"]: r["v"] for r in z_ref.collect()}
+    b = {r["cell_id"]: r["v"] for r in z_fused.collect()}
+    assert a == b
+    # loadings/eigenvalues agree far below the ROUND(6) pivot
+    assert np.allclose(load_ref, load_f, atol=1e-9)
+    assert np.allclose(ev_ref, ev_f, atol=1e-9)
