@@ -2165,8 +2165,19 @@ def graph_modularity(spark, sf_dir):
     from scarf_spark.operators import graph
 
     edges = _knn_edges(spark, sf_dir)
-    labels = cluster.label_propagation(edges, n_iter=3)
-    return graph.modularity(edges, labels)
+    # symmetrize ONCE: label propagation and the modularity metric
+    # consume the identical deduped symmetric edge set — previously
+    # each built (and shuffled) its own copy
+    base = edges.select("src", "dst").localCheckpoint(eager=False)
+    und = (
+        base.union(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = cluster.label_propagation(edges, n_iter=3, und=und)
+    return graph.modularity(edges, labels, und=und)
 
 
 @q(

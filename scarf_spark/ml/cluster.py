@@ -34,14 +34,23 @@ from pyspark.sql import functions as F
 
 
 def label_propagation(
-    edges: DataFrame, n_iter: int = 3, nodes: DataFrame | None = None
+    edges: DataFrame,
+    n_iter: int = 3,
+    nodes: DataFrame | None = None,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation: labels start as the
     node id; each iteration every node takes the modal label of its
     neighbors (tie → smallest label). Returns (node, cluster).
 
     Each iteration is one shuffle (groupBy node); the label table is
-    node-sized and broadcastable against the edge list."""
+    node-sized and broadcastable against the edge list.
+
+    ``und``: optional pre-symmetrized (src, dst) edge table, already
+    deduped and checkpointed — callers that also feed the same graph
+    to another consumer (graph_modularity runs modularity over the
+    identical symmetric edge set) pass it to avoid materializing the
+    union + distinct shuffle twice."""
     # lazy localCheckpoint (not persist) on the symmetrized edge list:
     # it is consumed once per iteration, and its upstream (typically a
     # full KNN build) would otherwise be recomputed per action per
@@ -52,12 +61,15 @@ def label_propagation(
     # self-union: both union branches reference the same upstream plan
     # (typically a full KNN build), and without the cut Spark executes
     # that upstream twice — once per branch
-    base = edges.select("src", "dst").localCheckpoint(eager=False)
-    und = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if und is None:
+        base = edges.select("src", "dst").localCheckpoint(eager=False)
+        und = (
+            base.union(
+                base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     if nodes is None:
         nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("cluster"))

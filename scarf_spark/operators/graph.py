@@ -311,7 +311,11 @@ def pagerank(
 
 
 def modularity(
-    edges: DataFrame, labels: DataFrame, node_col: str = "node", cluster_col: str = "cluster"
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster",
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity of a clustering, per cluster: for each cluster
     c, its contribution Q_c = E_c/2m − (D_c/2m)² where E_c counts
@@ -327,13 +331,18 @@ def modularity(
     is one count off the cached edge table, folded in as a literal.
     Integer counts stay exact; the only float is the final
     contribution expression, whose shape the oracle mirrors
-    verbatim."""
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    verbatim.
+
+    ``und``: optional pre-symmetrized deduped (src, dst) table shared
+    with another consumer of the same graph (see label_propagation) —
+    skips this function's own symmetrize shuffle."""
+    if und is None:
+        und = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     la = labels.select(F.col(node_col).alias("src"), F.col(cluster_col).alias("_ca"))
     lb = labels.select(F.col(node_col).alias("dst"), F.col(cluster_col).alias("_cb"))
     # 2m is ONE long off the cached edge table: fold it in as a literal
