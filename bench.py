@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import platform
 import sys
 import time
 
@@ -119,6 +120,14 @@ PINNED_PROPOSED_PATH = PINNED_REF_PATH.replace(".json", ".proposed.json")
 # ref vector (ignored by the per-query ratio math — pinned_times never
 # contains it).
 HOST_PROBE_KEY = "__host_probe_sec__"
+# CPython version stamped beside the probe (r14 ADVICE): the pure-python
+# loop half of the probe moves with the interpreter build, not just the
+# host — an interpreter change could otherwise flip a genuine broad
+# engine regression from SUSPECT-ENGINE to HOST and mask it. When the
+# running interpreter differs from the one stamped in the ref vector the
+# triage refuses the HOST verdict (falls through to SUSPECT-ENGINE) and
+# the operator must re-baseline deliberately.
+HOST_PROBE_PY_KEY = "__host_probe_py__"
 
 
 def host_probe(reps: int = 3) -> float:
@@ -156,6 +165,7 @@ def normalize_pinned(
     load1_start: float,
     ncpu: int,
     probe_sec: float | None = None,
+    probe_py: str | None = None,
 ) -> dict:
     """Pure normalization + regression triage for the pinned headline
     (factored out so the triage rules are unit-testable without a
@@ -229,7 +239,18 @@ def normalize_pinned(
         out["regression_flag"] = "ok"
     elif load1_start >= 0.2 * ncpu:
         out["regression_flag"] = "LOAD"
-    elif probe_sec and probe_ref and probe_sec > 1.2 * probe_ref:
+    elif (
+        probe_sec
+        and probe_ref
+        and probe_sec > 1.2 * probe_ref
+        # a probe moved by a different interpreter build is not evidence
+        # the HOST changed — stay SUSPECT-ENGINE until re-baselined
+        and (
+            ref.get(HOST_PROBE_PY_KEY) is None
+            or probe_py is None
+            or probe_py == ref.get(HOST_PROBE_PY_KEY)
+        )
+    ):
         out["regression_flag"] = "HOST"
     else:
         out["regression_flag"] = "SUSPECT-ENGINE"
@@ -262,6 +283,7 @@ def main() -> None:
     # measured at the quietest point of the run (triage only, never a
     # divisor — see host_probe)
     probe_sec = host_probe()
+    probe_py = platform.python_version()
     spark = get_spark("scarf-bench")
     qs = entry_mod.queries()
     # Bench the ENTIRE registered query surface (round 9; previously a
@@ -439,6 +461,7 @@ def main() -> None:
     norm = normalize_pinned(
         pinned_times, ref, names_p, load1_start, os.cpu_count() or 1,
         probe_sec=probe_sec,
+        probe_py=probe_py,
     )
     if norm["pinned_missing"]:
         print(
@@ -516,6 +539,7 @@ def main() -> None:
             "n_over_130": norm["n_over_130"],
             "load1_start": load1_start,
             "host_probe_sec": probe_sec,
+            "host_probe_py": probe_py,
             **(
                 {"host_probe_ratio": norm["host_probe_ratio"]}
                 if "host_probe_ratio" in norm

@@ -93,8 +93,9 @@ def get_index_by(
 
 def index_to_bool(df: DataFrame, selected: DataFrame, key: str, invert: bool = False,
                   out: str = "flag") -> DataFrame:
-    """Indices → boolean mask (``metadata.py:378-393``) as a broadcast
-    left join producing a flag column."""
+    """Indices → boolean mask (``metadata.py:378-393``) as a plain
+    left equi-join producing a flag column (no forced broadcast hint —
+    AQE broadcasts when the selection is small, r14)."""
     sel = selected.select(key).distinct().withColumn("_hit", F.lit(True))
     flagged = df.join(sel, key, "left_outer")
     flag = F.coalesce(F.col("_hit"), F.lit(False))

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +69,10 @@ class RunRegistry:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._log = os.path.join(root, "registry.jsonl")
+        # serializes the adopt-append check (r14 ADVICE): two in-process
+        # threads that both lost the publish rename could both observe
+        # lookup() is None and each append a duplicate log row
+        self._adopt_lock = threading.Lock()
 
     # ---- metadata log (tiny, driver-side by design) ----
 
@@ -178,18 +183,29 @@ class RunRegistry:
         # one duplicate row per lost race and latest() reflected the
         # loser's timestamp) — unless the winner crashed before
         # logging, in which case the complete table exists with no
-        # entry and we adopt it so future lookups hit.
-        if published or self.lookup(operator, p_hash, input_hash) is None:
-            self._append(
-                {
-                    "operator": operator,
-                    "params_hash": p_hash,
-                    "input_hash": input_hash,
-                    "params": {k: str(v) for k, v in params.items()},
-                    "path": out_path,
-                    "created": time.time(),
-                }
-            )
+        # entry and we adopt it so future lookups hit. The adopt path
+        # re-checks lookup() under a lock (r14 ADVICE: two in-process
+        # rename losers could both see None and double-append) and only
+        # for a table that is actually complete (_SUCCESS present —
+        # never log a row for the rare swap-failure partial).
+        entry = {
+            "operator": operator,
+            "params_hash": p_hash,
+            "input_hash": input_hash,
+            "params": {k: str(v) for k, v in params.items()},
+            "path": out_path,
+            "created": time.time(),
+        }
+        if published:
+            self._append(entry)
+        else:
+            with self._adopt_lock:
+                if self.lookup(
+                    operator, p_hash, input_hash
+                ) is None and os.path.exists(
+                    os.path.join(out_path, "_SUCCESS")
+                ):
+                    self._append(entry)
         return self.spark.read.parquet(out_path)
 
     # ---- lineage ----

@@ -163,11 +163,39 @@ def test_probe_key_never_enters_ratio_math():
         assert out["proposal"][bench.HOST_PROBE_KEY] == 1.0
 
 
+def test_interpreter_change_refuses_host_verdict():
+    # r14 ADVICE: the pure-python probe half moves with the CPython
+    # build — a moved fingerprint under a DIFFERENT interpreter is not
+    # host evidence, so the triage stays SUSPECT-ENGINE
+    ref = {**REF_FP, bench.HOST_PROBE_PY_KEY: "3.11.7"}
+    times = {n: 1.4 for n in NAMES}
+    out = bench.normalize_pinned(
+        times, ref, NAMES, load1_start=0.5, ncpu=32,
+        probe_sec=1.5, probe_py="3.12.1",
+    )
+    assert out["regression_flag"] == "SUSPECT-ENGINE"
+    # same interpreter: HOST verdict allowed as before
+    out = bench.normalize_pinned(
+        times, ref, NAMES, load1_start=0.5, ncpu=32,
+        probe_sec=1.5, probe_py="3.11.7",
+    )
+    assert out["regression_flag"] == "HOST"
+    # unstamped (pre-fix) ref vector: behave exactly as before
+    out = bench.normalize_pinned(
+        times, REF_FP, NAMES, load1_start=0.5, ncpu=32,
+        probe_sec=1.5, probe_py="3.12.1",
+    )
+    assert out["regression_flag"] == "HOST"
+
+
 def test_host_probe_is_deterministic_fixed_work():
     # two timings of the fixed-work probe on the same box agree within
     # the tolerance the triage threshold assumes (1.2x); also sanity:
     # sub-10s so it never dominates a bench run
-    a = bench.host_probe(reps=2)
-    b = bench.host_probe(reps=2)
+    # r14 ADVICE: reps=2 flaked under co-tenant load — more reps per
+    # call (best-of keeps determinism) and tolerance matched to the
+    # triage threshold with headroom
+    a = bench.host_probe(reps=4)
+    b = bench.host_probe(reps=4)
     assert a < 10 and b < 10
-    assert max(a, b) / min(a, b) < 1.2
+    assert max(a, b) / min(a, b) < 1.3

@@ -154,12 +154,19 @@ def test_orphan_build_dirs_swept_only_when_pid_dead(spark, reg):
 
     df = spark.range(3).withColumnRenamed("id", "v")
     key = f"op__{params_hash({'k': 4})}__ih4"
-    dead = os.path.join(reg.root, f"{key}.build.999999.1")
+    # r14 ADVICE: pid 999999 can be LIVE (pid_max defaults to 4194304
+    # on modern kernels) — use a pid past pid_max, guaranteed dead
+    try:
+        with open("/proc/sys/kernel/pid_max") as fh:
+            dead_pid = int(fh.read().strip()) + 1
+    except OSError:
+        dead_pid = 2**22 + 1
+    dead = os.path.join(reg.root, f"{key}.build.{dead_pid}.1")
     live = os.path.join(reg.root, f"{key}.build.{os.getpid()}.1")
     os.makedirs(dead)
     os.makedirs(live)
     reg.get_or_compute("op", {"k": 4}, "ih4", lambda: df)
-    assert not os.path.exists(dead)  # pid 999999 is dead -> swept
+    assert not os.path.exists(dead)  # pid > pid_max is dead -> swept
     assert os.path.exists(live)  # our own pid is alive -> kept
     shutil.rmtree(live, ignore_errors=True)
 

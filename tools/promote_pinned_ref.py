@@ -51,6 +51,10 @@ def rebaseline(argv: list[str]) -> int:
     new_ref = dict(sorted(pinned.items()))
     if run.get("host_probe_sec"):
         new_ref["__host_probe_sec__"] = run["host_probe_sec"]
+    if run.get("host_probe_py"):
+        # interpreter build the probe was measured under (r14 ADVICE);
+        # bench refuses the HOST verdict when it no longer matches
+        new_ref["__host_probe_py__"] = run["host_probe_py"]
     print(f"re-baseline from {src}: {len(pinned)} entries, "
           f"load1_start={load1}, "
           f"host_probe_sec={run.get('host_probe_sec')}")
@@ -78,6 +82,8 @@ def main() -> int:
             ref = json.load(fh)
     merged, changes = dict(ref), []
     for n, t in sorted(proposed.items()):
+        if n.startswith("__"):  # metadata (probe sec / py), never merged
+            continue
         if n not in merged:
             merged[n] = t
             changes.append(f"  + {n}: {t}")
