@@ -9622,44 +9622,42 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 # regardless of window position is still verified by
 # tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # round-14 window. First the queries whose ENGINE changed this
-    # round, so the driver grades the code that will run: the graph
-    # family dropped its forced node-sized broadcast hints (the r13
-    # verdict's scale-killer; graph_modularity + graph_magic_t2 are
-    # also in the stale cohort below), the RunRegistry consumers sit
-    # on the _SUCCESS-gated lookup + dedup'd log, and the jsonl/zarr
-    # fixture stores moved to keyed locks + orphan sweeps:
-    "graph_membership", "graph_magic_t1", "graph_mapping_score",
-    "graph_target_class", "ann_ivf_persisted", "ann_ivf_append",
-    "dedup_incremental", "src_jsonl_docs", "src_zarr_pruned",
-    # freshness rotation: the ENTIRE remaining r7-latest cohort (the
-    # 37 oldest ledger rows — the one unfinished r12 ask; includes
-    # the 4 weak rows' rows-only re-grade). Every row has been
-    # selfcheck-exact (or rows-green for the weak 4) at every sweep
-    # since its last grade. After this window every registered
-    # query's latest driver grade is r8 or newer:
-    "agg_cooccur", "agg_histogram", "agg_mode", "dedup_span_ratio",
-    "evt_anomaly", "evt_markov", "filt_outlier_iqr", "graph_magic_t2",
-    "graph_modularity", "graph_snn_rerank", "graph_unified",
-    "knn_radius", "mark_stats", "ml_ari", "ml_nmi",
-    "ml_pca_project", "ml_pseudotime", "ml_sgtsne_embed",
-    "ml_sgtsne_rescale", "ml_silhouette", "ml_umap_embed",
-    "ml_umap_sym", "mm_audio_decode_real", "mm_audio_energy",
-    "mm_frame_sample", "mm_image_decode", "mm_ocr_stub",
-    "qc_prevalence", "set_intersect", "src_zarr_blosc",
-    "src_zarr_counts", "stream_type_rate", "text_boilerplate",
-    "text_chunk", "text_tfidf_top", "text_unigram_logprob",
-    # the three r13 stream-view spikes newly appended to the bench
-    # pinned set — graded here so the pinned addition and the driver
-    # grade land in the same round (graph_modularity is above):
-    "ml_mahalanobis", "ml_gmm_resp",
-    # r14 rows-only re-grade companion for the weak SGD family:
-    "ml_densmap_embed",
-    # two long-green sentinels to detect window-mechanics regressions
-    # (ml_louvain from the r7 ledger was retired from the surface in
-    # r7 — ml_leiden supersedes it — so the stale cohort is 36 live
-    # rows, not 37):
-    "sql_q1", "qc_ncounts",
+    # round-15 window (optimization round). First the queries whose
+    # ENGINE changed this round, so the driver grades the code that
+    # will run: the iterative operators dropped redundant passes /
+    # eager checkpoints (pseudotime, gmm, label-prop, components,
+    # spectral, pagerank, modularity), the reduction family moved to
+    # the fused zscore-Gram + SQL-string expression builders,
+    # marker_chi2 de-duplicated its subtrees, CORAL went
+    # single-projection, demux/kmeans lost probe actions, the Zarr
+    # readers lost their task-list shuffles, and the registry
+    # consumers sit on the r15 adopt-lock:
+    "ml_pseudotime_power", "ml_gmm_resp", "ml_kmeans", "ml_label_prop",
+    "graph_pagerank", "graph_modularity", "dedup_components",
+    "graph_components", "graph_components_star", "ml_spectral_embed",
+    "ml_spectral_cluster", "ml_pca_project", "ml_lsi",
+    "ml_mahalanobis", "norm_zca_whiten", "demux_hto", "dedup_semdedup",
+    "mark_chi2", "mark_feat_knn", "mark_feat_modules",
+    "src_zarr_counts", "src_zarr_pruned", "ml_coral", "ml_harmony",
+    "pipe_mapping", "pipe_atlas_prep", "ann_ivf_persisted",
+    "ann_ivf_append", "dedup_incremental",
+    # freshness rotation: 21 of the 41 remaining r8-latest rows
+    # (alphabetical; graph_components is already above). The other 20
+    # (samp_mixture .. win_rolling_mean) queue for the r16 window —
+    # the engine-touched set above takes precedence because a grade
+    # of unchanged code proves less than a grade of changed code.
+    # Every row here has been selfcheck-exact at every sweep since
+    # its last grade. NOT in the window (shape-only changes whose
+    # output is provably grid-independent, each selfcheck-exact this
+    # round): knn_exact_sharded, knn_cross_sharded, pipe_text_ann,
+    # src_zarr_blosc.
+    "agg_cooccur_hvg", "agg_group_mean_z", "agg_grouped_assay",
+    "agg_hist_quantile", "agg_pseudo_reps", "agg_score_features",
+    "agg_smart_label", "ann_ivfpq", "ann_ivfpq_recall",
+    "dedup_semantic_decon", "filt_auto_bounds", "filt_clean_array",
+    "graph_kcore", "join_genome_bin", "ml_auc", "ml_nb_scores",
+    "ml_quality_logreg", "mm_image_decode_real", "qc_digest",
+    "qc_drift_psi", "qc_profile",
 ]
 
 

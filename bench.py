@@ -81,6 +81,12 @@ PINNED = [
     # serial best-of-3 is now recorded every run, so a stream-map
     # excursion can be attributed to scheduling vs engine directly
     "ml_mahalanobis", "graph_modularity", "ml_gmm_resp",
+    # round-15 appends: the last heavy stream entries without serial
+    # twins (the r14 verdict's item 4 — ml_lsi's stream time doubled
+    # r13→r14 and nothing could attribute it). Their serial best-of-3
+    # now lands in every run; ref entries join the committed vector
+    # via the normal proposal→promotion path.
+    "ml_lsi", "mark_chi2", "pipe_mm_prep",
 ]
 
 

@@ -86,11 +86,15 @@ def _gram(vec_df: DataFrame, d: int):
     """d×d covariance via one aggregate pass (upper triangle)."""
     import numpy as np
 
-    cols = [F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(d)]
-    for i in range(d):
-        for j in range(i, d):
-            cols.append(F.avg(F.col("v")[i] * F.col("v")[j]).alias(f"g{i}_{j}"))
-    row = vec_df.agg(*cols).collect()[0]
+    # SQL-string build (one parse) instead of one py4j round trip per
+    # Column — the reduction-family pattern; expressions identical
+    cols = [f"avg(v[{i}]) AS m{i}" for i in range(d)]
+    cols += [
+        f"avg(v[{i}] * v[{j}]) AS g{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = vec_df.selectExpr(*cols).collect()[0]
     mu = np.array([row[f"m{i}"] for i in range(d)])
     cov = np.zeros((d, d))
     for i in range(d):
@@ -144,13 +148,18 @@ def coral_align(
         stats_out["source_mu"] = mu_s
         stats_out["target_mu"] = mu_t
     A = _mat_pow(cov_s, -0.5) @ _mat_pow(cov_t, 0.5)
-    out_cols = [
-        sum(
-            (F.col("v")[i] - float(mu_s[i])) * float(A[i, j]) for i in range(d)
-        ).alias(f"c{j}")
+    from scarf_spark.ml.reduction import _dlit
+
+    # "0D + ..." mirrors Python sum()'s integer start (see pca_transform)
+    out_cols = ", ".join(
+        "0D + "
+        + " + ".join(
+            f"(v[{i}] - {_dlit(mu_s[i])}) * {_dlit(A[i, j])}"
+            for i in range(d)
+        )
         for j in range(d)
-    ]
-    return source_vec.select("cell_id", F.array(*out_cols).alias("v"))
+    )
+    return source_vec.selectExpr("cell_id", f"array({out_cols}) AS v")
 
 
 def harmony_lite(

@@ -801,6 +801,35 @@ def main() -> None:
         results,
     )
 
+    # 34. de-hinted matrix-power path (round 15): magic_impute t=2
+    # chains the edge self-join matmul (n·k² rows after the square)
+    # THEN the per-cell value join that round 14 un-hinted — the
+    # heaviest de-hinted composition in the engine. The value table is
+    # node-count-sized (GBs serialized at 50M nodes, past any real
+    # broadcast limit), so AQE must shuffle-join it against the
+    # squared operator; the kernel proves that plan completes with
+    # linear-shuffle economics (self-join on the middle key, hash agg
+    # on (src, dst), value join on dst, final hash agg on src).
+    from scarf_spark.operators.graph import magic_impute
+
+    n_mag = int(
+        os.environ.get("SMOKE_MAGIC_NODES", str(min(n * 5 // 2, 50_000_000)))
+    )
+    ed2 = spark.range(n_mag * k_nb).select(
+        (F.col("id") % n_mag).alias("src"),
+        ((F.col("id") * 2654435761 + 17) % n_mag).alias("dst"),
+        (F.pmod(F.col("id"), 7) + F.lit(1.0)).alias("weight"),
+    )
+    mvals = spark.range(n_mag).select(
+        F.col("id").alias("cell_id"),
+        (F.pmod(F.col("id"), 1000) / F.lit(10.0)).alias("value"),
+    )
+    timed(
+        f"magic_power_shuffle_{n_mag // 1_000_000}M",
+        lambda: magic_impute(ed2, mvals, t=2),
+        results,
+    )
+
     total = round(sum(results.values()), 2)
     print(
         json.dumps(
