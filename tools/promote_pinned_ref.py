@@ -87,9 +87,14 @@ def main() -> int:
         if n not in merged:
             merged[n] = t
             changes.append(f"  + {n}: {t}")
-        elif merged[n] > 0.05 and 0.5 * merged[n] <= t < merged[n]:
-            changes.append(f"  ~ {n}: {merged[n]} -> {t}")
-            merged[n] = t
+        elif merged[n] > 0.05 and t < merged[n]:
+            # clamp to the 2x-per-promotion floor instead of skipping
+            # (mirrors bench.normalize_pinned): a >2x improvement now
+            # closes over successive promotions instead of stalling
+            nt = round(max(t, 0.5 * merged[n]), 3)
+            if nt < merged[n]:
+                changes.append(f"  ~ {n}: {merged[n]} -> {nt}")
+                merged[n] = nt
     if not changes:
         print("proposal tightens nothing — committed vector unchanged")
         return 0
