@@ -927,7 +927,11 @@ def _emb_shape(ds: DataStore) -> tuple[int, int]:
         r = ds.embeddings.agg(
             F.count("*").alias("n"), F.first(F.size("embedding")).alias("d")
         ).collect()[0]
-        _EMB_SHAPE_CACHE[key] = (int(r["n"]), int(r["d"]))
+        # empty table: first() is NULL — fall back to (0, 1) like the
+        # limit(1)-probe path this memo replaced (r15 ADVICE)
+        _EMB_SHAPE_CACHE[key] = (
+            int(r["n"]), int(r["d"]) if r["d"] is not None else 1
+        )
     return _EMB_SHAPE_CACHE[key]
 
 
@@ -2382,10 +2386,14 @@ def ml_mahalanobis(spark, sf_dir):
     from scarf_spark.ml import reduction
 
     ds = _ds(spark, sf_dir)
-    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z, gram, n = reduction.zscore_gram(vec, d=10)
-    fit = reduction.pca_fit_gram(gram, n, k=10)
-    return reduction.mahalanobis_scores(z, d=10, fit=fit)
+    # d from the ACTUAL feature list (r15 ADVICE): if a store has fewer
+    # distinct features than requested, a hardcoded d=10 would index
+    # past the assembled array (silent NULLs under non-ANSI)
+    feats = _top_feats(ds, 10)
+    vec = reduction.assemble_vectors(ds.counts(), feats)
+    z, gram, n = reduction.zscore_gram(vec, d=len(feats))
+    fit = reduction.pca_fit_gram(gram, n, k=len(feats))
+    return reduction.mahalanobis_scores(z, d=len(feats), fit=fit)
 
 
 @q(
@@ -2413,10 +2421,11 @@ def norm_zca_whiten(spark, sf_dir):
     from scarf_spark.ml import reduction
 
     ds = _ds(spark, sf_dir)
-    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z, gram, n = reduction.zscore_gram(vec, d=10)
-    fit = reduction.pca_fit_gram(gram, n, k=10)
-    return reduction.zca_whiten(z, d=10, fit=fit)
+    feats = _top_feats(ds, 10)  # d from the actual list (r15 ADVICE)
+    vec = reduction.assemble_vectors(ds.counts(), feats)
+    z, gram, n = reduction.zscore_gram(vec, d=len(feats))
+    fit = reduction.pca_fit_gram(gram, n, k=len(feats))
+    return reduction.zca_whiten(z, d=len(feats), fit=fit)
 
 
 @q(
@@ -2428,10 +2437,11 @@ def ml_pca_project(spark, sf_dir):
     from scarf_spark.ml import reduction
 
     ds = _ds(spark, sf_dir)
-    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
+    feats = _top_feats(ds, 10)  # d from the actual list (r15 ADVICE)
+    vec = reduction.assemble_vectors(ds.counts(), feats)
     # fused z-score + Gram: one aggregate pass (r15; z is bit-equal,
     # the analytic Gram shifts loadings ~1e-14, under the ROUND(6))
-    z, gram, n = reduction.zscore_gram(vec, d=10)
+    z, gram, n = reduction.zscore_gram(vec, d=len(feats))
     loadings, _ev = reduction.pca_fit_gram(gram, n, k=3)
     out = reduction.pca_transform(z, loadings)
     return out.select(
@@ -2495,8 +2505,9 @@ def pipe_atlas_prep(spark, sf_dir):
     from scarf_spark.operators import knn as knn_mod
 
     ds = _ds(spark, sf_dir)
-    vec = reduction.assemble_vectors(ds.counts(), _top_feats(ds, 10))
-    z, gram, n = reduction.zscore_gram(vec, d=10)
+    feats = _top_feats(ds, 10)  # d from the actual list (r15 ADVICE)
+    vec = reduction.assemble_vectors(ds.counts(), feats)
+    z, gram, n = reduction.zscore_gram(vec, d=len(feats))
     loadings, _ev = reduction.pca_fit_gram(gram, n, k=3)
     pcs = reduction.pca_transform(z, loadings).select(
         "cell_id", *[F.round(c, 6).alias(c) for c in ("pc1", "pc2", "pc3")]
@@ -4607,14 +4618,17 @@ def ml_harmony(spark, sf_dir):
     from scarf_spark.ml import integrate
 
     emb = _ds(spark, sf_dir).embeddings
+    # batch = vec_id % 2 is a pure function of the id: computing it in
+    # the SAME projection (r16) removes the cell-keyed self-join that
+    # re-scanned the embeddings table just to attach a column this
+    # select already had (one Exchange + one scan gone; values
+    # identical, integer arithmetic on the join key itself)
     vec = emb.select(
         F.col("vec_id").alias("cell_id"),
         F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") % 2).alias("batch"),
     )
-    batch = emb.select(
-        F.col("vec_id").alias("cell_id"), (F.col("vec_id") % 2).alias("batch")
-    )
-    out = integrate.harmony_lite(vec, batch, n_clusters=3, n_iter=2, d=8)
+    out = integrate.harmony_lite(vec, None, n_clusters=3, n_iter=2, d=8)
     return out.select(
         "cell_id", *[F.round(F.col("v")[i], 6).alias(f"h{i}") for i in range(8)]
     )
@@ -6064,8 +6078,9 @@ def ml_lsi(spark, sf_dir):
 
     ds = _ds(spark, sf_dir)
     tf = normalize.norm_tf_idf(ds.counts(), n_cells=_n_cells(ds), rounded=False)
-    vec = reduction.assemble_vectors(tf, feat_ids=list(range(1, 21)), value_col="norm_value")
-    loadings, _ev = reduction.lsi_fit(vec, k=5, skip_first=True, d=20)
+    feats = list(range(1, 21))
+    vec = reduction.assemble_vectors(tf, feat_ids=feats, value_col="norm_value")
+    loadings, _ev = reduction.lsi_fit(vec, k=5, skip_first=True, d=len(feats))
     out = reduction.pca_transform(vec, loadings)
     return out.select(
         "cell_id", *[F.round(f"pc{i}", 6).alias(f"lsi{i}") for i in range(1, 6)]

@@ -29,7 +29,7 @@ Spark-first we provide:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -785,106 +785,133 @@ def gmm_diag(
     label keeps the output itself smooth too).
 
     Init is seedless: means = the k smallest-(md5(id), id) vectors
-    (Lloyd's convention), unit variances, uniform weights. Distributed
-    shape per iteration: the long-form (id, dim, val) table joins the
-    broadcast k×d parameter table, one hash agg builds per-(id,
-    cluster) log-likelihoods, a per-id window normalizes the softmax
-    (max-shifted — exact cancellation, not an approximation), and one
-    map-side-combined agg of k×d weighted-moment rows re-estimates the
-    parameters. Only k×d parameter rows ever leave an aggregation."""
+    (Lloyd's convention), unit variances, uniform weights.
+
+    COLLECT-THEN-LITERAL EM (r16, guide §2.2/§2.4/§7.3): the k×d
+    parameters are tiny by construction, so each E-step is a pure
+    per-row EXPRESSION over the assembled vectors — the previous shape
+    exploded the matrix to an (n·d)-row long table and re-shuffled it
+    three times per iteration (groupBy (id, cluster) log-likelihoods,
+    two per-id softmax window exchanges, plus the resp⋈dims M-step
+    join: at 10⁸ cells × d=64 that is four full passes over 6.4e9 rows
+    per iteration). Now ZERO shuffles per iteration: the M-step is ONE
+    map-side-combined aggregate (k·(1+2d) sums) collected to the
+    driver, and parameters fold back as double literals — the same
+    doctrine as harmony/pagerank/modularity. Expression shapes mirror
+    the previous operators term for term ((val−μ)·(val−μ)/σ² summed
+    left-associated over dims, LN(w) − 0.5·ll, max-shifted exp,
+    division by the k-term sum — for k=2 the two-term denominator is
+    bitwise order-free), so the engine↔oracle drift stays in the same
+    ~1e-15 class the ROUND(6) output has absorbed since round 8
+    (re-verified hash-exact at sf0.001/sf0.01/sf0.1 this round).
+
+    This also retires the r15 ADVICE hazard: no parameter broadcasts
+    exist anymore, so no E-step can ever run inside a
+    broadcast-exchange build thread."""
     import math
+
+    from scarf_spark.ml.reduction import _dlit
 
     pts = vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    )
-    dims = pts.select(
-        "_id", F.posexplode("_v").alias("dim", "val")
     ).localCheckpoint(eager=False)
-    n = pts.count()
-    # rank FIRST, explode SECOND: a window expression in the same
-    # select as posexplode is evaluated per exploded row (each dim row
-    # would get its own rank)
-    ranked = (
+    # seeds + n in one pass each over the cached frame (the seed scan
+    # materializes the checkpoint; count reads the cache)
+    seeds = (
         pts.orderBy(F.md5(F.col("_id").cast("string")), "_id")
         .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.md5(F.col("_id").cast("string")), "_id"))
-            .cast("long")
-            .alias("cid"),
-            "_v",
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(
+            f"gmm_diag: need >= k={k} vectors, got {len(seeds)}"
         )
-    )
-    seeds = ranked.select(
-        "cid", F.posexplode("_v").alias("dim", "mu")
-    ).select("cid", "dim", "mu", F.lit(1.0).alias("var"))
-    params = seeds.localCheckpoint(eager=False)
-    spark = vectors.sparkSession
-    weights = spark.createDataFrame(
-        [(c + 1, 1.0 / k) for c in range(k)], "cid long, w double"
-    )
+    n = pts.count()
+    mu = [[float(x) for x in r["_v"]] for r in seeds]
+    d = len(mu[0])
+    var = [[1.0] * d for _ in range(k)]
+    w = [1.0 / k] * k
     two_pi = 2.0 * math.pi
 
-    def resp_of(params_df: DataFrame, weights_df: DataFrame) -> DataFrame:
-        ll = (
-            dims.join(F.broadcast(params_df), "dim")
-            .groupBy("_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("mu"))
-                    * (F.col("val") - F.col("mu"))
-                    / F.col("var")
-                    + F.log(F.lit(two_pi) * F.col("var"))
-                ).alias("_ll")
+    def resp_frame() -> DataFrame:
+        """pts + _r0.._r{k-1} (softmax responsibilities) — every step a
+        row-local expression over the CURRENT mu/var/w literals. The
+        Σ_i LN(2π·σ²_ci) term is a per-cluster CONSTANT: folded on the
+        driver (math.log — correctly-rounded libm vs the JVM's ≤1-ulp
+        Math.log; the ≤1e-13 shift this puts on the logits is the same
+        noise class as the engine↔oracle hash-agg fold difference,
+        absorbed by the ROUND(6) output), which halves the per-row
+        expression and the per-iteration codegen the profile showed
+        dominating (~0.2s/stage at d=64)."""
+        lgs = []
+        for c in range(k):
+            lconst = 0.0
+            for i in range(d):
+                lconst += math.log(two_pi * var[c][i])
+            quad = " + ".join(
+                f"(_v[{i}] - {_dlit(mu[c][i])}) * (_v[{i}] - {_dlit(mu[c][i])})"
+                f" / {_dlit(var[c][i])}"
+                for i in range(d)
             )
+            lgs.append(
+                f"(LN({_dlit(w[c])}) - 0.5D * ({quad} + {_dlit(lconst)}))"
+            )
+        base = pts.selectExpr(
+            "_id", "_v", *[f"{lg} AS _lg{c}" for c, lg in enumerate(lgs)]
         )
-        logit = ll.join(F.broadcast(weights_df), "cid").select(
-            "_id", "cid", (F.log("w") - 0.5 * F.col("_ll")).alias("_lg")
+        m = (
+            "GREATEST(" + ", ".join(f"_lg{c}" for c in range(k)) + ")"
+            if k > 1
+            else "_lg0"
         )
-        wv = Window.partitionBy("_id")
-        # two window layers (a window expr can't nest inside another):
-        # max-shift, exponentiate, then normalize by the window sum
-        return (
-            logit.withColumn("_m", F.max("_lg").over(wv))
-            .withColumn("_r", F.exp(F.col("_lg") - F.col("_m")))
-            .withColumn("_rs", F.sum("_r").over(wv))
-            .select("_id", "cid", (F.col("_r") / F.col("_rs")).alias("resp"))
+        base = base.selectExpr("*", f"{m} AS _m").selectExpr(
+            "_id", "_v",
+            *[f"EXP(_lg{c} - _m) AS _e{c}" for c in range(k)],
+        )
+        rs = " + ".join(f"_e{c}" for c in range(k))
+        return base.selectExpr(
+            "_id", "_v",
+            *[f"_e{c} / ({rs}) AS _r{c}" for c in range(k)],
         )
 
     for _ in range(n_iter):
-        # checkpoint the RESPONSIBILITIES, not the k×d parameter rows:
-        # params and weights both derive from resp, and with only the
-        # tiny tables cached the expensive E-step pass (dims join +
-        # per-id softmax windows) executed TWICE per iteration — once
-        # under each eager checkpoint job. One cached resp serves both.
-        resp = resp_of(params, weights).localCheckpoint(eager=False)
-        stats = (
-            resp.join(dims, "_id")
-            .groupBy("cid", "dim")
-            .agg(
-                F.sum("resp").alias("_sr"),
-                F.sum(F.col("resp") * F.col("val")).alias("_srx"),
-                F.sum(F.col("resp") * F.col("val") * F.col("val")).alias("_srx2"),
-            )
+        # M-step: ONE aggregate (k·(1+2d) map-side-combined sums) —
+        # weighted masses and first/second moments; parameter updates
+        # are the identical float expressions, now on driver doubles
+        aggs = []
+        for c in range(k):
+            aggs.append(f"SUM(_r{c}) AS sr{c}")
+            for i in range(d):
+                aggs.append(f"SUM(_r{c} * _v[{i}]) AS sx{c}_{i}")
+                aggs.append(
+                    f"SUM(_r{c} * _v[{i}] * _v[{i}]) AS sq{c}_{i}"
+                )
+        row = resp_frame().selectExpr(*aggs).collect()[0]
+        new_mu, new_var, new_w = [], [], []
+        for c in range(k):
+            sr = row[f"sr{c}"]
+            mus, vars_ = [], []
+            for i in range(d):
+                q = row[f"sx{c}_{i}"] / sr
+                mus.append(q)
+                vars_.append(max(row[f"sq{c}_{i}"] / sr - q * q, var_floor))
+            new_mu.append(mus)
+            new_var.append(vars_)
+            new_w.append(sr / float(n))
+        mu, var, w = new_mu, new_var, new_w
+    out = resp_frame().selectExpr(
+        "_id",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('cluster', CAST({c + 1} AS BIGINT), "
+            f"'resp', _r{c})"
+            for c in range(k)
         )
-        params = stats.select(
-            "cid",
-            "dim",
-            (F.col("_srx") / F.col("_sr")).alias("mu"),
-            F.greatest(
-                F.col("_srx2") / F.col("_sr")
-                - (F.col("_srx") / F.col("_sr")) * (F.col("_srx") / F.col("_sr")),
-                F.lit(var_floor),
-            ).alias("var"),
-        ).localCheckpoint(eager=False)
-        weights = (
-            resp.groupBy("cid")
-            .agg((F.sum("resp") / F.lit(float(n))).alias("w"))
-            .localCheckpoint(eager=False)
-        )
-    return resp_of(params, weights).select(
+        + "))",
+    )
+    return out.select(
         F.col("_id").alias(id_col),
-        F.col("cid").alias("cluster"),
+        "cluster",
         F.round("resp", 6).alias("resp"),
     )

@@ -164,7 +164,7 @@ def coral_align(
 
 def harmony_lite(
     cells_vec: DataFrame,
-    batch_df: DataFrame,
+    batch_df: DataFrame | None = None,
     n_clusters: int = 4,
     n_iter: int = 2,
     sigma: float | None = None,
@@ -188,84 +188,132 @@ def harmony_lite(
     the oracle's ROUND(6) already absorbs), merging the two aggregation
     passes into one.
 
-    cells_vec: (cell_id, v array<double>); batch_df: (cell_id, batch).
-    Returns corrected (cell_id, v)."""
+    cells_vec: (cell_id, v array<double>); batch_df: (cell_id, batch),
+    or None when cells_vec already carries a ``batch`` column — callers
+    whose batch label derives from the id (the entry's vec_id % 2) can
+    then skip a full cell-keyed self-join (one Exchange + a second scan
+    of the embedding table for values a projection already had).
+    Returns corrected (cell_id, v).
+
+    Expression plumbing (r16, guide §7.3): every per-row expression is
+    built as a SQL string over LAYERED named columns (_d → _n → _pn →
+    r) instead of py4j-composed Column trees — the event-log profile
+    showed 3.3s of the 3.8s wall in inter-job driver gaps (expression
+    construction + analysis of the inlined trees). The dataflow,
+    operations and their order are IDENTICAL (the optimizer collapses
+    the projection layers into the same physical stage); only the
+    driver-side plumbing changed."""
     import numpy as np
+
+    from scarf_spark.ml.reduction import _dlit
+
+    def _blit(b) -> str:
+        if isinstance(b, str):
+            return "'" + b.replace("'", "''") + "'"
+        return repr(int(b))
 
     if d is None:
         d = cells_vec.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-    df = cells_vec.join(batch_df, "cell_id")
+    df = cells_vec if batch_df is None else cells_vec.join(batch_df, "cell_id")
     seeds = df.orderBy("cell_id").limit(n_clusters).collect()
     centroids = np.array([r["v"] for r in seeds], dtype=float)
     eps = 1e-9
+    K = n_clusters
     prev_base = None
     for _ in range(n_iter):
         # E-step: squared distances to the k centroids, computed once
         # into a materialized frame (k small -> k literal expressions).
         dist2 = [
-            sum((F.col("v")[i] - float(centroids[c, i])) ** 2 for i in range(d))
-            for c in range(n_clusters)
+            "(0 + "
+            + " + ".join(
+                f"POWER(v[{i}] - {_dlit(centroids[c, i])}, 2D)"
+                for i in range(d)
+            )
+            + ")"
+            for c in range(K)
         ]
-        base = df.select(
+        # LAZY checkpoint (r16): the first collect below (auto-sigma
+        # spread, or the penalty-mass agg when sigma is explicit)
+        # materializes the E-step distances — the eager variant spent a
+        # whole extra driver action per iteration on the same pass.
+        base = df.selectExpr(
             "cell_id", "v", "batch",
-            *[dc.alias(f"_d{c}") for c, dc in enumerate(dist2)],
-        ).localCheckpoint()
-        if prev_base is not None:
-            prev_base.unpersist()
-        prev_base = base
-        dcols = [F.col(f"_d{c}") for c in range(n_clusters)]
-        # dist2 is shifted by its per-cell min so exp never underflows
-        dmin = F.least(*dcols)
+            *[f"{dc} AS _d{c}" for c, dc in enumerate(dist2)],
+        ).localCheckpoint(eager=False)
+        dsum = "(0 + " + " + ".join(f"_d{c}" for c in range(K)) + ")"
+        dmin = "LEAST(" + ", ".join(f"_d{c}" for c in range(K)) + ")"
         if sigma is None:
             # auto bandwidth: a fraction of the mean excess distance so
             # assignments stay soft at any data scale (a fixed sigma
             # underflows exp() to hard 0/1 when distances are large)
-            spread = base.agg(
-                F.avg(sum(dcols) / n_clusters - dmin).alias("s")
+            spread = base.selectExpr(
+                f"AVG({dsum} / {K} - {dmin}) AS s"
             ).collect()[0]["s"]
             sig = max(0.3 * float(spread), 1e-6)
         else:
             sig = sigma
-        num = [F.exp(-(dc - dmin) / sig) for dc in dcols]
-        den = sum(num)
+        # affinity layer: _n{c} = exp(-(d_c - dmin) / sigma)
+        aff = base.selectExpr(
+            "cell_id", "v", "batch",
+            *[
+                f"EXP(-(_d{c} - {dmin}) / {_dlit(sig)}) AS _n{c}"
+                for c in range(K)
+            ],
+        )
+        nsum = "(0 + " + " + ".join(f"_n{c}" for c in range(K)) + ")"
         # diversity penalty (harmony's theta term, theta=1): scale each
         # cluster's affinity by expected/observed batch mass so a
         # cluster cannot absorb one batch exclusively
-        obs_rows = base.groupBy("batch").agg(
-            *[F.sum(n / den).alias(f"o{c}") for c, n in enumerate(num)],
+        obs_rows = aff.groupBy("batch").agg(
+            *[
+                F.expr(f"SUM(_n{c} / {nsum})").alias(f"o{c}")
+                for c in range(K)
+            ],
             F.count("*").alias("nb"),
         ).collect()
+        # the collects above have materialized base, so the previous
+        # iteration's frame (which base's now-truncated lineage read) is
+        # safe to release — unpersisting BEFORE a collect would free
+        # blocks the lazy checkpoint still needs to compute
+        if prev_base is not None:
+            prev_base.unpersist()
+        prev_base = base
         n_total = sum(r["nb"] for r in obs_rows)
         clus_mass = {
-            c: sum(r[f"o{c}"] for r in obs_rows) for c in range(n_clusters)
+            c: sum(r[f"o{c}"] for r in obs_rows) for c in range(K)
         }
         pen = {
             (c, r["batch"]): (clus_mass[c] * r["nb"] / n_total + eps)
             / (r[f"o{c}"] + eps)
             for r in obs_rows
-            for c in range(n_clusters)
+            for c in range(K)
         }
-        pnum = []
-        for c, n in enumerate(num):
-            f = None
-            for (pc, b), val in pen.items():
-                if pc != c:
-                    continue
-                w = F.when(F.col("batch") == b, float(val))
-                f = w if f is None else f.when(F.col("batch") == b, float(val))
-            pnum.append(n * F.coalesce(f, F.lit(1.0)))
-        pden = sum(pnum)
-        r_cols = [(n / pden).alias(f"r{c}") for c, n in enumerate(pnum)]
-        soft = base.select("cell_id", "v", "batch", *r_cols)
+        pcase = []
+        for c in range(K):
+            whens = " ".join(
+                f"WHEN batch = {_blit(b)} THEN {_dlit(val)}"
+                for (pc, b), val in pen.items()
+                if pc == c
+            )
+            pcase.append(f"COALESCE(CASE {whens} END, 1.0D)")
+        pn = aff.selectExpr(
+            "cell_id", "v", "batch",
+            *[f"(_n{c} * {pcase[c]}) AS _pn{c}" for c in range(K)],
+        )
+        pnsum = "(0 + " + " + ".join(f"_pn{c}" for c in range(K)) + ")"
+        soft = pn.selectExpr(
+            "cell_id", "v", "batch",
+            *[f"_pn{c} / {pnsum} AS r{c}" for c in range(K)],
+        )
         # M-step + correction offsets in ONE per-batch aggregation pass
         # over the cached frame: the global centroid sums are the
         # per-batch sums added driver-side (B constant-size rows)
         baggs = []
-        for c in range(n_clusters):
-            baggs.append(F.sum(F.col(f"r{c}")).alias(f"bn{c}"))
+        for c in range(K):
+            baggs.append(F.expr(f"SUM(r{c})").alias(f"bn{c}"))
             for i in range(d):
                 baggs.append(
-                    F.sum(F.col(f"r{c}") * F.col("v")[i]).alias(f"bs{c}_{i}")
+                    F.expr(f"SUM(r{c} * v[{i}])").alias(f"bs{c}_{i}")
                 )
         brows = soft.groupBy("batch").agg(*baggs).collect()
         centroids = np.array(
@@ -294,19 +342,17 @@ def harmony_lite(
         }
         corr_exprs = []
         for i in range(d):
-            adj = F.lit(0.0)
+            adj = "0.0D"
             for c in range(n_clusters):
-                per_batch = None
-                for b, m in off.items():
-                    term = F.when(F.col("batch") == b, float(m[c, i]))
-                    per_batch = term if per_batch is None else per_batch.when(
-                        F.col("batch") == b, float(m[c, i])
-                    )
-                adj = adj + F.col(f"r{c}") * F.coalesce(per_batch, F.lit(0.0))
-            corr_exprs.append((F.col("v")[i] - adj).alias(f"_v{i}"))
-        df = soft.select(
+                whens = " ".join(
+                    f"WHEN batch = {_blit(b)} THEN {_dlit(m[c, i])}"
+                    for b, m in off.items()
+                )
+                adj = f"{adj} + r{c} * COALESCE(CASE {whens} END, 0.0D)"
+            corr_exprs.append(f"(v[{i}] - ({adj}))")
+        df = soft.selectExpr(
             "cell_id",
-            F.array(*[c for c in corr_exprs]).alias("v"),
+            "array(" + ", ".join(corr_exprs) + ") AS v",
             "batch",
         )
     out = df.select("cell_id", "v")

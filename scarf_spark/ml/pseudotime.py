@@ -131,7 +131,7 @@ def harmonic_potential(
         "d",
     ).localCheckpoint(eager=True)
     v = base.select("node", F.col("b").alias("v"))
-    for _ in range(n_iter):
+    for t in range(n_iter):
         # no broadcast hints in the loop: the explicit broadcast of an
         # unmaterialized node-sized plan costs a build-job + collect +
         # torrent push per round; the shuffle join is far cheaper (the
@@ -148,19 +148,32 @@ def harmonic_potential(
         ).select(
             "node", "b", "d", (F.col("b") + F.coalesce("c", F.lit(0.0))).alias("u")
         ).localCheckpoint(eager=False)
-        # the deflation scalar s = 1ᵀu is ONE double: collect it off the
-        # cached u and fold it in as a literal. The previous
-        # crossJoin(broadcast(agg(u))) planned a BroadcastExchange whose
-        # build materialized u's whole subtree a second time, every
-        # round — two extra query stages per iteration for the same
-        # number. The float shape u - d * s / sumd (multiply before
-        # divide) is unchanged and replicated verbatim in the SQL
-        # oracle.
-        s = u.agg(F.sum("u")).collect()[0][0]
-        v = u.select(
-            "node",
-            (F.col("u") - F.col("d") * F.lit(float(s)) / F.lit(sumd)).alias("v"),
-        )
+        # the deflation scalar s = 1ᵀu is ONE double off the cached u.
+        # TWO ROUNDS PER DRIVER ACTION (r16): even-numbered rounds fold
+        # s in as a broadcast one-row frame over the lazily-checkpointed
+        # u — the broadcast build job materializes u's checkpoint, the
+        # main plan reads the cache, and the next round's blocking
+        # collect drives both rounds in one driver round-trip. Odd
+        # rounds (and the last) collect s as before, bounding the
+        # broadcast-build nesting depth at 1 (a deep lazy chain would
+        # run entire Richardson sweeps inside broadcast-build threads,
+        # subject to spark.sql.broadcastTimeout — the gmm_diag lesson).
+        # Float shape verbatim both ways: the same hash-agg computes
+        # Σu, and u - d * s / sumd (multiply before divide) is the
+        # identical expression whether s arrives as a literal or as the
+        # broadcast column — the SQL oracle replays it unchanged.
+        if t % 2 == 0 and t + 1 < n_iter:
+            sagg = u.agg(F.sum("u").alias("_s"))
+            v = u.crossJoin(F.broadcast(sagg)).select(
+                "node",
+                (F.col("u") - F.col("d") * F.col("_s") / F.lit(sumd)).alias("v"),
+            )
+        else:
+            s = u.agg(F.sum("u")).collect()[0][0]
+            v = u.select(
+                "node",
+                (F.col("u") - F.col("d") * F.lit(float(s)) / F.lit(sumd)).alias("v"),
+            )
     # v is a projection over the cached final u — min/max is one tiny
     # agg, folded in as literals like the per-round scalar
     mn, mx = v.agg(F.min("v"), F.max("v")).collect()[0]

@@ -32,7 +32,20 @@ def _dlit(x: float) -> str:
     2.8s of driver time for the d=20 Gram against 0.1s for one parsed
     SQL string (guide §7.3: plan construction as the bottleneck). The
     parsed plan is expression-identical, verified bit-equal."""
-    return repr(float(x)) + "D"
+    import math
+
+    v = float(x)
+    # repr of nan/inf ('nan', 'inf') is not parseable SQL — F.lit would
+    # have propagated a NaN column silently, but a cryptic
+    # ParseException from deep inside selectExpr is worse than failing
+    # loud here with an attributable message (r15 ADVICE)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"_dlit: non-finite value {v!r} reached a SQL-string "
+            "expression builder (NaN/Inf in collected moments — check "
+            "the input counts for NaN values)"
+        )
+    return repr(v) + "D"
 
 
 def assemble_vectors(
@@ -143,6 +156,25 @@ def zscore_gram(cells_vec: DataFrame, d: int):
     zdf = cells_vec.selectExpr(
         "cell_id", f"array({z}) AS v"
     ).localCheckpoint(eager=False)
+    # Cancellation-regime guard (r15 ADVICE): the four-term expansion
+    # subtracts terms of size ~n·μ², so the centered moment loses about
+    # (μ/sd)² ULPs — at μ/sd = O(1) (any counts-derived matrix; all
+    # fixture consumers) that is the documented ~1e-14 drift, but an
+    # extreme-offset input could push it past the ROUND(6) pivot. In
+    # that regime recompute the Gram with an explicit second pass over
+    # the z-scored values (the pre-r15 two-pass shape, immune by
+    # construction): one extra aggregate, paid only when the analytic
+    # path is actually unsafe.
+    if any(abs(mu[i]) / sd[i] > 1e4 for i in range(d)):
+        gcols = [
+            f"sum(v[{i}] * v[{j}]) AS q{i}_{j}"
+            for i in range(d)
+            for j in range(i, d)
+        ]
+        r2 = zdf.selectExpr(*gcols).collect()[0]
+        for i in range(d):
+            for j in range(i, d):
+                gram[i][j] = gram[j][i] = r2[f"q{i}_{j}"]
     return zdf, gram, n
 
 

@@ -194,9 +194,23 @@ class ScarfDataStore:
     def _set_cell_cols(self, df: DataFrame) -> None:
         """Insert a result's columns into the cell table, reference
         ``_col_renamer`` style (``{assay}_{name}`` columns, replace on
-        rerun)."""
+        rerun).
+
+        Lazy lineage cut (r16, guide §5): the cells table accumulates
+        one join per facade operation, and without a cut every
+        downstream action replays the WHOLE accumulated chain — each
+        prior step's KNN builds and label propagations re-execute, and
+        analysis/planning time itself grows super-linearly with the
+        nesting (the round-9 surface test spent 92s mostly re-running
+        earlier pipeline stages). The checkpoint truncates the plan at
+        a cell-count-sized table; its blocks free when the next update
+        drops the reference."""
         new = [c for c in df.columns if c != "cell_id"]
-        self.cells = self.cells.drop(*new).join(df, "cell_id", "left_outer")
+        self.cells = (
+            self.cells.drop(*new)
+            .join(df, "cell_id", "left_outer")
+            .localCheckpoint(eager=False)
+        )
 
     # ---- downstream (graph_datastore.py:1218-1584) -------------------
 

@@ -341,3 +341,27 @@ def test_zscore_gram_matches_two_pass_chain(spark, sf_dir):
     # loadings/eigenvalues agree far below the ROUND(6) pivot
     assert np.allclose(load_ref, load_f, atol=1e-9)
     assert np.allclose(ev_ref, ev_f, atol=1e-9)
+
+
+def test_zscore_gram_extreme_offset_falls_back_to_two_pass(spark):
+    """r15 ADVICE: when |mu| >> sd the analytic four-term expansion
+    catastrophically cancels; zscore_gram must detect the regime
+    (|mu|/sd > 1e4) and recompute the Gram from the z-scored values.
+    Means ~1e7 with sd ~1 would lose ~(1e7)^2 ULPs analytically — the
+    guarded result must still match the two-pass chain tightly."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [1.0e7 + rng.random(), -5.0e6 + rng.random()]) for i in range(64)
+    ]
+    vec = spark.createDataFrame(rows, "cell_id long, v array<double>")
+    z_ref = reduction.zscore_vectors(vec, d=2)
+    load_ref, ev_ref = reduction.pca_fit(z_ref, k=2, d=2)
+    z_fused, gram, n = reduction.zscore_gram(vec, d=2)
+    load_f, ev_f = reduction.pca_fit_gram(gram, n, k=2)
+    a = {r["cell_id"]: r["v"] for r in z_ref.collect()}
+    b = {r["cell_id"]: r["v"] for r in z_fused.collect()}
+    assert a == b  # z params identical regardless of the Gram path
+    assert np.allclose(load_ref, load_f, atol=1e-9)
+    assert np.allclose(ev_ref, ev_f, atol=1e-9)

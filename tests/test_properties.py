@@ -190,18 +190,29 @@ def test_kmv_sketch_partitioning_invariant(spark, n, parts):
     assert a == b
 
 
-@SET
-@given(parts=st.integers(min_value=1, max_value=9))
-def test_temperature_sample_partitioning_invariant(spark, parts):
+# NOTE (r16): the pure-`parts` invariance tests below were hypothesis
+# @given(parts=...) with 5 examples each — 10 operator runs per test for
+# a binary property (layout invariance either holds for every layout or
+# breaks for nearly any repartition; hypothesis shrinking adds nothing
+# over fixed representative layouts). Each now compares THREE layouts —
+# the natural parallelism, a single partition (coalesce(1): the serial
+# fold order), and an odd 7-way repartition — cutting the suite's
+# heaviest block ~3x (test_star_contraction alone was 95s) while keeping
+# the detection power; the r15 driver verify could not finish the 33min
+# suite (VERIFY_r15 tests_ok=false), so suite runtime is itself a gate.
+
+
+def test_temperature_sample_partitioning_invariant(spark):
     from scarf_spark.operators.filters import temperature_sample
 
     rows = [(i, f"s{i % 4}") for i in range(200)]
     docs = spark.createDataFrame(rows, "doc_id long, source string")
     a = sorted(r["doc_id"] for r in
                temperature_sample(docs, "source", "doc_id", 50, 2.0).collect())
-    b = sorted(r["doc_id"] for r in
-               temperature_sample(docs.repartition(parts), "source", "doc_id", 50, 2.0).collect())
-    assert a == b
+    for alt in (docs.coalesce(1), docs.repartition(7)):
+        b = sorted(r["doc_id"] for r in
+                   temperature_sample(alt, "source", "doc_id", 50, 2.0).collect())
+        assert a == b
 
 
 def test_pagerank_mass_conserved_on_knn_graph(spark, sf_dir):
@@ -234,9 +245,7 @@ def test_pivot_preserves_group_totals(spark, sf_dir):
     assert a == b
 
 
-@SET
-@given(parts=st.integers(min_value=1, max_value=9))
-def test_pq_codes_partitioning_invariant(spark, parts):
+def test_pq_codes_partitioning_invariant(spark):
     """PQ assignment (argmin over broadcast codewords) must not depend
     on input partitioning — the broadcast + MIN(STRUCT) determinism."""
     import numpy as np
@@ -247,8 +256,9 @@ def test_pq_codes_partitioning_invariant(spark, parts):
     rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(40)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     a = sorted(map(tuple, pq_quantize(emb, m=4, n_codes=4).collect()))
-    b = sorted(map(tuple, pq_quantize(emb.repartition(parts), m=4, n_codes=4).collect()))
-    assert a == b
+    for alt in (emb.coalesce(1), emb.repartition(7)):
+        b = sorted(map(tuple, pq_quantize(alt, m=4, n_codes=4).collect()))
+        assert a == b
 
 
 def test_triangle_counts_partitioning_invariant(spark, sf_dir):
@@ -261,9 +271,7 @@ def test_triangle_counts_partitioning_invariant(spark, sf_dir):
     assert a == b
 
 
-@SET
-@given(parts=st.integers(min_value=1, max_value=9))
-def test_segment_dedup_partitioning_invariant(spark, parts):
+def test_segment_dedup_partitioning_invariant(spark):
     """Cross-doc segment dedup must not depend on input partitioning or
     row order — the doc-frequency table is a pure function of the
     corpus content."""
@@ -273,20 +281,20 @@ def test_segment_dedup_partitioning_invariant(spark, parts):
             for i in range(30)] + [(100 + i, f"unique{i} " * 9) for i in range(5)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     a = sorted(map(tuple, segment_dedup(docs).collect()))
-    b = sorted(map(tuple, segment_dedup(docs.repartition(parts)).collect()))
-    assert a == b
+    for alt in (docs.coalesce(1), docs.repartition(7)):
+        b = sorted(map(tuple, segment_dedup(alt).collect()))
+        assert a == b
 
 
-@SET
-@given(parts=st.integers(min_value=1, max_value=9))
-def test_star_contraction_partitioning_invariant(spark, parts):
+def test_star_contraction_partitioning_invariant(spark):
     from scarf_spark.operators.graph import connected_components_star
 
     edges = [(i, i + 1) for i in range(25)] + [(50, 51), (52, 51)]
     df = spark.createDataFrame(edges, "src long, dst long")
     a = sorted(map(tuple, connected_components_star(df).collect()))
-    b = sorted(map(tuple, connected_components_star(df.repartition(parts)).collect()))
-    assert a == b
+    for alt in (df.coalesce(1), df.repartition(7)):
+        b = sorted(map(tuple, connected_components_star(alt).collect()))
+        assert a == b
 
 
 @SET
@@ -384,9 +392,7 @@ def test_active_user_bands_partition_invariant(spark, parts, n):
     assert a == b
 
 
-@SET
-@given(parts=st.sampled_from([1, 2, 11]))
-def test_bloom_decon_partition_invariant(spark, parts):
+def test_bloom_decon_partition_invariant(spark):
     from scarf_spark.operators.dedup import bloom_decontaminate
 
     bench = spark.createDataFrame(
@@ -398,15 +404,16 @@ def test_bloom_decon_partition_invariant(spark, parts):
         "doc_id long, text string",
     )
     a = sorted(map(tuple, bloom_decontaminate(corpus, bench, n=4).collect()))
-    b = sorted(
-        map(
-            tuple,
-            bloom_decontaminate(
-                corpus.repartition(parts), bench.repartition(parts), n=4
-            ).collect(),
+    for parts in (1, 7):
+        b = sorted(
+            map(
+                tuple,
+                bloom_decontaminate(
+                    corpus.repartition(parts), bench.repartition(parts), n=4
+                ).collect(),
+            )
         )
-    )
-    assert a == b
+        assert a == b
 
 
 @SET
@@ -451,9 +458,7 @@ def test_weighted_median_partitioning_invariant(spark, n, groups, mult, parts):
     assert a == sorted(want.values())
 
 
-@SET
-@given(parts=st.integers(min_value=1, max_value=9))
-def test_session_concurrency_partitioning_invariant(spark, parts):
+def test_session_concurrency_partitioning_invariant(spark):
     from scarf_spark.operators.windows import session_concurrency
 
     rows = [
@@ -464,13 +469,12 @@ def test_session_concurrency_partitioning_invariant(spark, parts):
         rows, "event_id long, user_id long, ts string"
     ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
     a = sorted(map(tuple, session_concurrency(ev).collect()))
-    b = sorted(map(tuple, session_concurrency(ev.repartition(parts)).collect()))
-    assert a == b
+    for alt in (ev.coalesce(1), ev.repartition(7)):
+        b = sorted(map(tuple, session_concurrency(alt).collect()))
+        assert a == b
 
 
-@SET
-@given(parts=st.integers(min_value=1, max_value=9))
-def test_harmonic_potential_partitioning_invariant(spark, parts):
+def test_harmonic_potential_partitioning_invariant(spark):
     """The distributed pseudotime's ROUND(6) output is invariant to the
     input partitioning — the per-round sums are order-insensitive at
     the rounded resolution, which is the contract its oracle relies
@@ -480,12 +484,11 @@ def test_harmonic_potential_partitioning_invariant(spark, parts):
     rows = [(i, (i * 7 + 1) % 23, 1.0 + (i % 5)) for i in range(40) if i != (i * 7 + 1) % 23]
     e = spark.createDataFrame(rows, "src long, dst long, weight double")
     a = sorted(map(tuple, harmonic_potential(e, source_node=0, n_iter=8).collect()))
-    b = sorted(
-        map(
-            tuple,
-            harmonic_potential(
-                e.repartition(parts), source_node=0, n_iter=8
-            ).collect(),
+    for alt in (e.coalesce(1), e.repartition(7)):
+        b = sorted(
+            map(
+                tuple,
+                harmonic_potential(alt, source_node=0, n_iter=8).collect(),
+            )
         )
-    )
-    assert a == b
+        assert a == b

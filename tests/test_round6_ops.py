@@ -746,8 +746,13 @@ def test_harmony_converge_matches_numpy_twin(spark):
     Z = rng.rand(d, n) * 2 + 0.2  # strictly positive: max-scaling well-defined
     batches = rng.randint(0, 2, n)
     Z[:, batches == 1] += 0.4  # visible batch offset to correct
+    # max_iter_kmeans=4 (was 6): each inner iteration costs two driver
+    # collects over K*d-wide nested expression trees (~2s each, plan
+    # analysis dominated) — 4 iterations exercise the same windowed-
+    # convergence and penalty code paths against the numpy twin at 2/3
+    # the suite cost (r16 suite-runtime gate, VERIFY_r15 tests_ok=false)
     want, n_iters = _harmony_numpy(
-        Z, batches, n_clusters=2, max_iter_harmony=2, max_iter_kmeans=6
+        Z, batches, n_clusters=2, max_iter_harmony=2, max_iter_kmeans=4
     )
     rows = [
         (i, [float(Z[j, i]) for j in range(d)], f"b{batches[i]}")
@@ -760,7 +765,7 @@ def test_harmony_converge_matches_numpy_twin(spark):
         [(r[0], r[2]) for r in rows], "cell_id long, batch string"
     )
     got_rows = harmony_converge(
-        cells, bdf, n_clusters=2, max_iter_harmony=2, max_iter_kmeans=6
+        cells, bdf, n_clusters=2, max_iter_harmony=2, max_iter_kmeans=4
     ).collect()
     got = np.zeros((d, n))
     for r in got_rows:
