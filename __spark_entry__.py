@@ -9637,42 +9637,41 @@ def _unsign_zero(fn: Callable[[SparkSession, str], DataFrame]):
 # regardless of window position is still verified by
 # tools/selfcheck.py (all-queries local mirror) and the test suite.
 _PRIORITY = [
-    # round-15 window (optimization round). First the queries whose
+    # round-16 window (optimization round 2). First the queries whose
     # ENGINE changed this round, so the driver grades the code that
-    # will run: the iterative operators dropped redundant passes /
-    # eager checkpoints (pseudotime, gmm, label-prop, components,
-    # spectral, pagerank, modularity), the reduction family moved to
-    # the fused zscore-Gram + SQL-string expression builders,
-    # marker_chi2 de-duplicated its subtrees, CORAL went
-    # single-projection, demux/kmeans lost probe actions, the Zarr
-    # readers lost their task-list shuffles, and the registry
-    # consumers sit on the r15 adopt-lock:
-    "ml_pseudotime_power", "ml_gmm_resp", "ml_kmeans", "ml_label_prop",
-    "graph_pagerank", "graph_modularity", "dedup_components",
-    "graph_components", "graph_components_star", "ml_spectral_embed",
-    "ml_spectral_cluster", "ml_pca_project", "ml_lsi",
-    "ml_mahalanobis", "norm_zca_whiten", "demux_hto", "dedup_semdedup",
-    "mark_chi2", "mark_feat_knn", "mark_feat_modules",
-    "src_zarr_counts", "src_zarr_pruned", "ml_coral", "ml_harmony",
-    "pipe_mapping", "pipe_atlas_prep", "ann_ivf_persisted",
-    "ann_ivf_append", "dedup_incremental",
-    # freshness rotation: 21 of the 41 remaining r8-latest rows
-    # (alphabetical; graph_components is already above). The other 20
-    # (samp_mixture .. win_rolling_mean) queue for the r16 window —
-    # the engine-touched set above takes precedence because a grade
-    # of unchanged code proves less than a grade of changed code.
-    # Every row here has been selfcheck-exact at every sweep since
-    # its last grade. NOT in the window (shape-only changes whose
-    # output is provably grid-independent, each selfcheck-exact this
-    # round): knn_exact_sharded, knn_cross_sharded, pipe_text_ann,
-    # src_zarr_blosc.
-    "agg_cooccur_hvg", "agg_group_mean_z", "agg_grouped_assay",
-    "agg_hist_quantile", "agg_pseudo_reps", "agg_score_features",
-    "agg_smart_label", "ann_ivfpq", "ann_ivfpq_recall",
-    "dedup_semantic_decon", "filt_auto_bounds", "filt_clean_array",
-    "graph_kcore", "join_genome_bin", "ml_auc", "ml_nb_scores",
-    "ml_quality_logreg", "mm_image_decode_real", "qc_digest",
-    "qc_drift_psi", "qc_profile",
+    # will run: gmm_diag went collect-then-literal (zero per-iteration
+    # shuffles), harmony_lite lost its batch self-join and moved to
+    # layered SQL-string expressions, harmonic_potential batches two
+    # Richardson rounds per action, and the reduction family derives
+    # d from the actual feature list behind the new zscore_gram
+    # cancellation guard:
+    "ml_gmm_resp", "ml_harmony", "ml_pseudotime_power",
+    "ml_pca_project", "ml_mahalanobis", "norm_zca_whiten",
+    "pipe_atlas_prep", "ml_lsi",
+    # the four r15 shape-hint consumers the r15 verdict ordered into
+    # this window (item 5) — grid hints are output-neutral by the
+    # top-(k+1) ⊇ top-k argument, but hint-carrying paths get driver
+    # grades, not just selfcheck:
+    "knn_exact_sharded", "knn_cross_sharded", "pipe_text_ann",
+    "src_zarr_blosc",
+    # freshness rotation: the 20 queued r8-latest rows (verdict item 5;
+    # after this round nothing in the ledger is older than r9):
+    "samp_mixture", "samp_pack_sequences", "samp_weighted",
+    "sketch_cms", "sketch_hll", "sort_zorder", "sql_q10", "sql_q17",
+    "sql_q18", "stream_enrich", "stream_join_attrib",
+    "stream_sessionize", "text_bpe_train", "text_hashing_tf",
+    "text_langid_confusion", "text_repetition", "text_zipf_fit",
+    "win_ntile_bins", "win_percentile", "win_rolling_mean",
+    # remaining slots: the first 18 of the 43 r9-latest rows
+    # (alphabetical) — the next-oldest cohort; the rest queue for r17+.
+    # Every row here has been selfcheck-exact at every sweep since its
+    # last grade.
+    "dedup_bloom_decon", "dedup_ngram_decon", "evt_active_users",
+    "evt_attribution", "evt_cohort_ltv", "evt_conversion", "evt_rfm",
+    "evt_stage_latency", "evt_survival_km", "graph_adamic_adar",
+    "graph_assortativity", "graph_clustering_coeff",
+    "graph_degree_hist", "graph_eigencentrality", "graph_reciprocity",
+    "knn_purity", "ml_calibration", "ml_conformal",
 ]
 
 
