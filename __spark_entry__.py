@@ -9662,7 +9662,13 @@ _PRIORITY = [
     "stream_sessionize", "text_bpe_train", "text_hashing_tf",
     "text_langid_confusion", "text_repetition", "text_zipf_fit",
     "win_ntile_bins", "win_percentile", "win_rolling_mean",
-    # remaining slots: the first 18 of the 43 r9-latest rows
+    # engine-touched late in the round: lsh_recall's truth side is now
+    # materialized once (lazy localCheckpoint) instead of recomputed
+    # under both output branches — touched code gets the driver grade
+    # (it displaced ml_conformal, the last alphabetical stale row,
+    # which queues for r17 with the rest of the r9 cohort):
+    "dedup_lsh_recall",
+    # remaining slots: the first 17 of the 43 r9-latest rows
     # (alphabetical) — the next-oldest cohort; the rest queue for r17+.
     # Every row here has been selfcheck-exact at every sweep since its
     # last grade.
@@ -9671,7 +9677,7 @@ _PRIORITY = [
     "evt_stage_latency", "evt_survival_km", "graph_adamic_adar",
     "graph_assortativity", "graph_clustering_coeff",
     "graph_degree_hist", "graph_eigencentrality", "graph_reciprocity",
-    "knn_purity", "ml_calibration", "ml_conformal",
+    "knn_purity", "ml_calibration",
 ]
 
 

@@ -1226,9 +1226,14 @@ def lsh_recall(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
         )
         docs = docs.where(h.cast("bigint") % 100 < F.lit(sample_pct))
+    # truth feeds BOTH output branches (the n_true aggregate and the
+    # semi-joined n_hit aggregate); without a lineage cut the quadratic
+    # shingle self-join underneath it executes once per branch — the
+    # checkpoint (post-threshold, so only the few true near-dup pairs
+    # are stored) makes the audit's expensive pass run exactly once.
     truth = ngram_jaccard(docs, pairs=None, n=n, df_cap=df_cap).where(
         F.col("jaccard") * 1000000 >= F.lit(threshold_ppm)
-    )
+    ).localCheckpoint(eager=False)
     cand = minhash_candidate_pairs(docs, n=n, n_hashes=n_hashes, n_bands=n_bands)
     hit = truth.join(cand, ["a", "b"], "left_semi")
     return (

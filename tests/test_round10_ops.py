@@ -143,6 +143,33 @@ def test_star_components_singletons_kept(spark):
     assert got == {1: (1, True), 2: (2, True), 3: (2, False), 9: (9, True)}
 
 
+def test_lsh_recall_matches_uncheckpointed_chain(spark):
+    # the r16 optimization materializes the truth side once (lazy
+    # localCheckpoint) instead of recomputing the quadratic shingle
+    # self-join under both output branches — same values as the plain
+    # two-branch chain, assembled here inline without the checkpoint
+    from pyspark.sql import functions as F
+
+    from scarf_spark.operators import dedup
+    from scarf_spark.operators.dedup import minhash_candidate_pairs, ngram_jaccard
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = dedup.lsh_recall(docs, threshold_ppm=500000).first()
+    truth = ngram_jaccard(docs, pairs=None, n=3).where(
+        F.col("jaccard") * 1000000 >= F.lit(500000)
+    )
+    cand = minhash_candidate_pairs(docs, n=3, n_hashes=8, n_bands=4)
+    n_true = truth.count()
+    n_hit = truth.join(cand, ["a", "b"], "left_semi").count()
+    assert got["n_true"] == n_true
+    assert got["n_hit"] == n_hit
+    if n_true > 0:
+        assert got["recall"] == round(n_hit / n_true, 6)
+    else:
+        assert got["recall"] is None
+
+
 def test_lsh_recall_sample_pct(spark):
     from scarf_spark.operators import dedup
     from tests.conftest import SF_DIR
